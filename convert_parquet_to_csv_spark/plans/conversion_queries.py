@@ -1,0 +1,66 @@
+"""Driver-checked queries for the conversion/scan surface (Ops 1-2, 7-11).
+
+Each query returns a DataFrame whose values must hash-match the
+registered DuckDB oracle at sf=0.01.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.plans.registry import query
+from convert_parquet_to_csv_spark.sources import (
+    convert_parquet_to_csv,
+    read_csv,
+    read_parquet,
+)
+
+
+@query(
+    "convert_roundtrip",
+    oracle="SELECT * FROM lineitem",
+)
+def convert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship kernel correctness: parquet → CSV → typed readback.
+
+    The returned (read-back) DataFrame must equal the original table —
+    the core claim of a conversion engine (reference utils.py:114-244;
+    SURVEY.md §5.2 layer 2). Exercises scan→sink dialect pinning:
+    header, RFC-4180 quoting, empty-string nulls, microsecond
+    timestamps, round-trippable double rendering.
+    """
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    # Stable overwrite location: the read-back DataFrame stays lazy (the
+    # caller collects it), so the CSV must outlive this function. The
+    # reference's rmtree-after-run cleanup (utils.py:134-137) lives in
+    # the benchmark harness instead (pipeline.run_benchmark).
+    dst = os.path.join(
+        tempfile.gettempdir(), "cptc_convert_roundtrip", "lineitem_csv"
+    )
+    convert_parquet_to_csv(spark, src, dst, max_records_per_file=500_000)
+    schema = read_parquet(spark, src).schema
+    return read_csv(spark, dst, schema=schema)
+
+
+@query(
+    "merged_scan_provenance",
+    oracle="SELECT *, 'lineitem.parquet' AS filename FROM lineitem",
+)
+def merged_scan_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-file merge scan with filename provenance (Ops 1-2).
+
+    Reference: ``read_parquet({urls}, union_by_name=true,
+    filename=true)`` (utils.py:97-105). Spark: mergeSchema scan +
+    ``input_file_name()``, with the path reduced to its basename so the
+    value is location-independent (the oracle can't see our absolute
+    paths).
+    """
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    df = read_parquet(spark, src, merge_schema=True, provenance_col="filename")
+    return df.withColumn(
+        "filename", F.regexp_extract(F.col("filename"), r"([^/]+)$", 1)
+    )

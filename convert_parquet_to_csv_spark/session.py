@@ -1,0 +1,73 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference runs embedded single-process engines (DuckDB/Polars/...,
+/root/reference/utils.py:101, 129) with no session concept; in Spark the
+session carries the performance knobs, so they are centralized here.
+
+Every default is chosen for the 100 TB design target and merely *also*
+works on ``local[*]``:
+
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace hand-tuned shuffle counts.
+- UTC session timezone: timestamps render/compare identically across
+  engines (the DuckDB oracle reads naive timestamps).
+- Arrow execution on: any unavoidable pandas interchange is columnar.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Knobs that matter at scale; overridable via extra_conf.
+_DEFAULT_CONF: dict[str, str] = {
+    # Adaptive query execution: coalesce post-shuffle partitions, split
+    # skewed partitions, convert sort-merge→broadcast at runtime.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic cross-engine timestamp semantics (oracle = DuckDB,
+    # which uses naive timestamps).
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for toPandas/pandas_udf exchange.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Vectorized parquet reader is on by default; pinned here as doc.
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    # 128 MiB input splits — the right granularity for large scans; on
+    # tiny local fixtures each file is one split anyway.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Local-run shuffle width. On a real cluster this is sized to
+    # cores×executors (or left to AQE's initialPartitionNum); the env
+    # var lets the driver/bench override without code changes.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
+    # Quieter, faster local runs; harmless on a cluster.
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "convert-parquet-to-csv-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to
+    ``local[*]``) so the same entry points serve tests, bench, and a
+    real cluster (where ``master`` comes from spark-submit and this
+    argument stays ``None``).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is not None:
+        builder = builder.master(master)
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,173 @@
+"""Tests for sources/io_ops.py — conversion kernels, dialect, merge scan.
+
+Mirrors the reference's implicit correctness surface (SURVEY.md §5.2
+layers 1-2): CSV dialect options and parquet→csv→readback round-trips.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.sources import (
+    convert_parquet_to_csv,
+    read_csv,
+    read_parquet,
+    read_parquet_merged,
+    write_csv,
+    write_parquet,
+)
+
+
+def _lineitem_path(sf_small):
+    return os.path.join(sf_small, "lineitem.parquet")
+
+
+def test_convert_roundtrip_preserves_values(spark, sf_small, tmp_path):
+    """parquet → csv → typed readback == original (modulo CSV erasure).
+
+    The core correctness statement of a conversion engine
+    (SURVEY.md §5.2 layer 2).
+    """
+    src = _lineitem_path(sf_small)
+    dst = str(tmp_path / "lineitem_csv")
+    convert_parquet_to_csv(spark, src, dst)
+
+    orig = read_parquet(spark, src)
+    back = read_csv(spark, dst, schema=orig.schema)
+    assert back.count() == orig.count()
+    # Order-insensitive full-content comparison.
+    assert back.exceptAll(orig).count() == 0
+    assert orig.exceptAll(back).count() == 0
+
+
+def test_convert_sql_flavor(spark, sf_small, tmp_path):
+    """The DuckDB COPY(SELECT *) flavor via the SQL front door."""
+    src = _lineitem_path(sf_small)
+    dst = str(tmp_path / "li_sql")
+    convert_parquet_to_csv(spark, src, dst, sql_flavor=True)
+    orig = read_parquet(spark, src)
+    back = read_csv(spark, dst, schema=orig.schema)
+    assert back.exceptAll(orig).count() == 0
+
+
+def test_single_file_output(spark, sf_small, tmp_path):
+    """Kernels 7-10 write one exact-named file (reference utils.py:126)."""
+    src = _lineitem_path(sf_small)
+    dst = str(tmp_path / "lineitem.csv")
+    convert_parquet_to_csv(spark, src, dst, single_file=True)
+    assert os.path.isfile(dst)
+    with open(dst) as f:
+        header = f.readline().strip()
+    assert header.startswith("l_orderkey,")
+
+
+def test_max_records_per_file_caps_outputs(spark, sf_small, tmp_path):
+    """The lazy-polars PartitionMaxSize semantics (utils.py:237-240)."""
+    src = _lineitem_path(sf_small)
+    dst = str(tmp_path / "li_capped")
+    convert_parquet_to_csv(spark, src, dst, max_records_per_file=1000)
+    files = sorted(glob.glob(os.path.join(dst, "part-*.csv")))
+    assert len(files) >= 6  # 6000 rows / 1000 cap
+    for fp in files:
+        with open(fp) as f:
+            n = sum(1 for _ in f) - 1  # minus header
+        assert n <= 1000
+
+
+def test_with_index_contiguous(spark, sf_small, tmp_path):
+    """pandas kernel's index column (utils.py:160), contiguous 0-based."""
+    src = os.path.join(sf_small, "orders.parquet")
+    dst = str(tmp_path / "orders_idx")
+    convert_parquet_to_csv(spark, src, dst, with_index=True)
+    back = read_csv(spark, dst)
+    n = back.count()
+    stats = back.agg(
+        F.min("index").alias("mn"),
+        F.max("index").alias("mx"),
+        F.countDistinct("index").alias("dc"),
+    ).first()
+    assert stats["mn"] == 0 and stats["mx"] == n - 1 and stats["dc"] == n
+
+
+def test_csv_dialect_nulls_and_quotes(spark, tmp_path):
+    """SURVEY.md §2.2: empty-string nulls, minimal quoting, embedded
+    separators/quotes/newlines survive a round-trip."""
+    df = spark.createDataFrame(
+        [
+            (1, 'has,comma', 1.5),
+            (2, 'has"quote', None),
+            (3, "has\nnewline", -0.0),
+            (4, None, 2.0),
+            (5, "", 3.0),
+        ],
+        "id INT, s STRING, v DOUBLE",
+    )
+    dst = str(tmp_path / "dialect")
+    write_csv(df, dst)
+    back = read_csv(spark, dst, schema="id INT, s STRING, v DOUBLE")
+    # null round-trips to null; NOTE: empty string becomes null under
+    # CSV erasure (both render as "") — the documented lossy case.
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["s"] == "has,comma"
+    assert rows[2]["s"] == 'has"quote' and rows[2]["v"] is None
+    assert rows[3]["s"] == "has\nnewline"
+    assert rows[4]["s"] is None
+    assert rows[5]["s"] is None  # CSV erasure: "" ≡ null
+    assert back.count() == 5
+
+
+def test_timestamp_rendering_roundtrip(spark, tmp_path):
+    """Timestamps round-trip through the pinned format incl. micros."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 3, 1, 12, 30, 45)),
+            (2, dt.datetime(2024, 3, 1, 12, 30, 45, 123456)),
+        ],
+        "id INT, ts TIMESTAMP",
+    )
+    dst = str(tmp_path / "ts")
+    write_csv(df, dst)
+    back = read_csv(spark, dst, schema="id INT, ts TIMESTAMP")
+    got = {r["id"]: r["ts"] for r in back.collect()}
+    assert got[1] == dt.datetime(2024, 3, 1, 12, 30, 45)
+    assert got[2] == dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+
+
+def test_merged_scan_schema_drift(spark, tmp_path):
+    """union_by_name semantics (utils.py:104): missing cols NULL-fill,
+    by-name alignment across reordered columns."""
+    a = spark.createDataFrame([(1, "x", 10.0)], "id INT, name STRING, fee DOUBLE")
+    b = spark.createDataFrame([("y", 2)], "name STRING, id INT")  # no fee, reordered
+    pa, pb = str(tmp_path / "m1"), str(tmp_path / "m2")
+    a.write.parquet(pa)
+    b.write.parquet(pb)
+
+    merged = read_parquet_merged(spark, [pa, pb], provenance_col="filename")
+    assert set(merged.columns) == {"id", "name", "fee", "filename"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["fee"] == 10.0 and rows[2]["fee"] is None
+    assert rows[1]["filename"] != rows[2]["filename"]
+    assert all(r["filename"].endswith(".parquet") for r in rows.values())
+
+    # mergeSchema flavor over a common parent dir
+    merged2 = read_parquet(
+        spark, pa, pb, merge_schema=True, provenance_col="filename"
+    )
+    assert set(merged2.columns) == {"id", "name", "fee", "filename"}
+    assert merged2.count() == 2
+
+
+def test_write_parquet_single_file(spark, sf_small, tmp_path):
+    """Exact-named single parquet file (reference utils.py:72-73)."""
+    df = read_parquet(spark, os.path.join(sf_small, "region.parquet"))
+    dst = str(tmp_path / "region_out.parquet")
+    write_parquet(df, dst, single_file=True)
+    assert os.path.isfile(dst)
+    back = read_parquet(spark, dst)
+    assert back.count() == df.count()
