@@ -1,0 +1,118 @@
+"""Seeded exact-n sampling (SURVEY.md §2 Op-4).
+
+The reference draws exactly *n* rows uniformly, deterministic under a
+seed: ``df.sample(n=i, seed=721)`` (reference utils.py:71-73, polars).
+Spark's built-in ``DataFrame.sample`` is *fractional and approximate*
+(Bernoulli per-row), so exact-n needs its own operator. Cross-engine
+RNG parity is a non-goal (SURVEY.md §7.3); determinism under our own
+seed is the requirement.
+
+Three strategies, chosen by data size:
+
+``rand``
+    ``orderBy(rand(seed)).limit(n)``. Catalyst compiles Sort+Limit to
+    ``TakeOrderedAndProject``: each partition keeps a size-n heap, the
+    driver merges — **no full shuffle**, O(n) driver memory. The right
+    default for n up to ~10M.
+
+``threshold``
+    Two-phase for huge n where a driver-side merge of n rows is too
+    big: assign r=rand(seed), keep r below an over-sampled cutoff
+    (n/N · safety), then take the exact n smallest r via window
+    ``row_number`` over a *range-partitioned* sort of the tiny
+    filtered set. Scales to any n; costs one count + one narrow
+    filter + one sort of ~n·safety rows.
+
+``hash``
+    Deterministic pseudo-random order by ``md5(key)`` — no RNG at
+    all, so the *same rows* are chosen by any engine (DuckDB oracle
+    included). Same TakeOrderedAndProject physical shape as ``rand``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_SEED = 721  # the reference's seed (utils.py:73)
+
+
+def _hash_order_col(df: DataFrame, key_cols: list[str] | None) -> Column:
+    cols = key_cols or df.columns
+    return F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+
+
+def sample_exact_n(
+    df: DataFrame,
+    n: int,
+    seed: int = DEFAULT_SEED,
+    strategy: str = "rand",
+    key_cols: list[str] | None = None,
+    safety: float = 2.0,
+) -> DataFrame:
+    """Exactly ``n`` uniformly-chosen rows, deterministic under ``seed``.
+
+    ``key_cols`` (hash strategy): columns forming a unique-ish key;
+    defaults to all columns. ``safety`` (threshold strategy): cutoff
+    over-sampling factor guarding against Bernoulli variance; 2.0 makes
+    under-selection vanishingly unlikely for n ≥ 100 (P < 1e-40 by
+    Chernoff: keep-probability is doubled, so selecting < n requires
+    the binomial to fall below half its mean).
+    """
+    if n < 0:
+        raise ValueError(f"sample size must be non-negative, got {n}")
+    if n == 0:
+        return df.limit(0)
+
+    if strategy == "rand":
+        return df.orderBy(F.rand(seed)).limit(n)
+
+    if strategy == "hash":
+        return df.orderBy(_hash_order_col(df, key_cols), *[
+            F.col(c) for c in (key_cols or [])
+        ]).limit(n)
+
+    if strategy == "threshold":
+        total = df.count()
+        if n >= total:
+            return df
+        cutoff = min(1.0, (n / total) * safety)
+        with_r = df.withColumn("_r", F.rand(seed))
+        # Narrow filter: ~n·safety survivors; everything below touches
+        # only them.
+        filtered = with_r.filter(F.col("_r") <= cutoff).persist()
+        exact = _take_n_smallest(filtered, "_r", n).drop("_r")
+        return exact
+
+    raise ValueError(f"unknown sampling strategy: {strategy!r}")
+
+
+def _take_n_smallest(df: DataFrame, order_col: str, n: int) -> DataFrame:
+    """Exact global top-n by ``order_col`` without a one-partition funnel.
+
+    A bare ``Window.orderBy`` moves every row to a single partition; at
+    large n that is the bottleneck. Instead: range-partition on the
+    order column, sort within partitions, then turn per-partition row
+    numbers into *global* ranks by adding broadcast per-partition
+    offsets — only the tiny counts table ever reaches the driver.
+    """
+    ranged = df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, order_col)
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = part.groupBy("_pid").count().collect()
+    # Partition ids from repartitionByRange are ordered by range bounds,
+    # so cumulative counts in pid order are global-rank offsets.
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["count"]
+    offsets_df = df.sparkSession.createDataFrame(
+        offsets, "_pid INT, _offset LONG"
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    return (
+        part.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(offsets_df), "_pid")
+        .filter(F.col("_rn") + F.col("_offset") <= n)
+        .drop("_pid", "_rn", "_offset")
+    )

@@ -1,0 +1,208 @@
+"""End-to-end workflows mirroring the reference's two entry points.
+
+- :func:`extract_dataset` ≙ ``extract_data.py`` + ``utils.create_samples``
+  (merge-scan sources, seeded exact-n samples → parquet, manifest CSV).
+- :func:`run_benchmark` ≙ ``main.py`` (manifest load/sort, stem filter,
+  shuffled timed sweep over kernel presets, per-method sort).
+- :func:`run_full` glues both, ending in the pivoted ``results.csv``.
+
+Error policy matches the reference: per-kernel try/except that logs
+and continues the sweep (utils.py:134-137), artifact cleanup after
+timing (the benchmark measures write cost then discards output).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from convert_parquet_to_csv_spark.operators.sample import (
+    DEFAULT_SEED,
+    sample_exact_n,
+)
+from convert_parquet_to_csv_spark.pivotbench import (
+    export_results,
+    get_filestems,
+    shuffle_run_order,
+    time_kernel,
+)
+from convert_parquet_to_csv_spark.sources import (
+    convert_parquet_to_csv,
+    read_csv,
+    read_parquet_merged,
+    write_csv,
+    write_parquet,
+)
+
+MANIFEST_SCHEMA = "num_rows LONG, filename STRING"
+
+
+def validate_months(month_start: int, month_stop: int) -> None:
+    """Input validation (reference utils.py:64-68, Op-3)."""
+    if not (1 <= month_start <= 12) or not (1 <= month_stop <= 12):
+        raise ValueError(
+            "month_start and month_stop must be between 1 (Jan) and 12 (Dec)."
+        )
+    if month_start > month_stop:
+        raise ValueError("month_start cannot be greater than month_stop.")
+
+
+def extract_dataset(
+    spark: SparkSession,
+    source_paths: list[str],
+    output_dir: str,
+    sample_sizes: list[int],
+    manifest_path: str,
+    seed: int = DEFAULT_SEED,
+    month_start: int = 1,
+    month_stop: int = 4,
+    name_prefix: str = "taxi_data_2024",
+    skip_if_exists: bool = True,
+) -> list[tuple[int, str]]:
+    """Fixture builder ≙ extract_data.py:5-14 + utils.py:47-111.
+
+    Merge-scans ``source_paths`` (union-by-name + provenance), writes
+    one exact-named parquet sample per size, then the
+    ``(num_rows, filename)`` manifest CSV. Returns the manifest rows.
+
+    ``skip_if_exists`` reproduces the guarded entry (extract_data.py:
+    8-14). The reference pulls its sources over HTTPS; fetching is
+    orchestration, not an operator (SURVEY.md §2 Op-1) — callers hand
+    us already-reachable paths.
+    """
+    validate_months(month_start, month_stop)
+    if skip_if_exists and os.path.isdir(output_dir) and os.listdir(output_dir):
+        return []
+    os.makedirs(output_dir, exist_ok=True)
+
+    df = read_parquet_merged(spark, source_paths, provenance_col="filename")
+    # One persisted scan feeds every sample size (the reference holds
+    # the merged frame in memory, utils.py:105-107).
+    df = df.persist()
+    try:
+        records: list[tuple[int, str]] = []
+        for n in sample_sizes:
+            fname = f"{name_prefix}-{month_start:02d}{month_stop:02d}_{n}.parquet"
+            sample = sample_exact_n(df, n, seed=seed)
+            write_parquet(
+                sample, os.path.join(output_dir, fname), single_file=True
+            )
+            records.append((n, fname))
+        manifest = spark.createDataFrame(records, MANIFEST_SCHEMA)
+        write_csv(manifest, manifest_path, single_file=True)
+        return records
+    finally:
+        df.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Kernel presets ≙ the reference's five libraries (SURVEY.md §2 Ops 7-11).
+# Each takes (spark, stem, input_dir, output_dir) and runs one timed
+# conversion. All are the same Spark pipeline under different configs.
+# ---------------------------------------------------------------------------
+
+def _kernel(sql_flavor=False, single_file=False, max_records=None, with_index=False):
+    def run(spark: SparkSession, stem: str, input_dir: str, output_dir: str) -> None:
+        src = os.path.join(input_dir, f"{stem}.parquet")
+        dst = (
+            os.path.join(output_dir, f"{stem}.csv")
+            if single_file
+            else os.path.join(output_dir, stem)
+        )
+        convert_parquet_to_csv(
+            spark,
+            src,
+            dst,
+            sql_flavor=sql_flavor,
+            single_file=single_file,
+            max_records_per_file=max_records,
+            with_index=with_index,
+        )
+
+    return run
+
+
+KERNEL_PRESETS: dict[str, Callable[[SparkSession, str, str, str], None]] = {
+    # DuckDB COPY(SELECT *) → SQL front door, one named file (utils.py:114-137)
+    "spark_sql": _kernel(sql_flavor=True, single_file=True),
+    # pandas chunked+index (utils.py:140-165)
+    "spark_indexed": _kernel(with_index=True),
+    # pyarrow batch-columnar (utils.py:168-192) → plain vectorized path
+    "spark_df": _kernel(),
+    # polars eager single file (utils.py:195-214)
+    "spark_single": _kernel(single_file=True),
+    # polars lazy PartitionMaxSize sink (utils.py:217-244) — most Spark-native
+    "spark_chunked": _kernel(max_records=500_000),
+}
+
+
+def run_benchmark(
+    spark: SparkSession,
+    manifest_path: str,
+    input_dir: str,
+    output_dir: str,
+    kernels: dict[str, Callable] | None = None,
+    shuffle_seed: int | None = 721,
+    warmup: int = 0,
+    repeat: int = 1,
+) -> dict[str, dict[int, float]]:
+    """Benchmark driver ≙ main.py:10-40.
+
+    Manifest load→sort→collect (tiny table: driver-side is correct,
+    SURVEY.md §2 Op-13), stem filter, shuffled (stem, size) sweep,
+    per-(kernel, dataset) timing, artifacts discarded after each
+    kernel like the reference's ``finally: rmtree``.
+    """
+    if not os.path.exists(manifest_path):
+        raise FileNotFoundError(
+            f"manifest not found: {manifest_path} — run extract_dataset first"
+        )
+    manifest = (
+        read_csv(spark, manifest_path, schema=MANIFEST_SCHEMA)
+        .orderBy("num_rows")
+        .collect()
+    )
+    sizes = [r["num_rows"] for r in manifest]
+    stems = get_filestems([r["filename"] for r in manifest], ".parquet")
+
+    kernels = kernels if kernels is not None else KERNEL_PRESETS
+    results: dict[str, dict[int, float]] = {name: {} for name in kernels}
+    for stem, n in shuffle_run_order(stems, sizes, seed=shuffle_seed):
+        for name, kernel in kernels.items():
+            try:
+                results[name][n] = time_kernel(
+                    lambda: kernel(spark, stem, input_dir, output_dir),
+                    warmup=warmup,
+                    repeat=repeat,
+                )
+            except Exception as ex:  # noqa: BLE001 — reference policy:
+                # print-and-continue per kernel (utils.py:134-135)
+                print(f"Error processing '{stem}' using {name}: {ex}")
+            finally:
+                shutil.rmtree(output_dir, ignore_errors=True)
+    return results
+
+
+def run_full(
+    spark: SparkSession,
+    source_paths: list[str],
+    workdir: str,
+    sample_sizes: list[int],
+    results_path: str | None = None,
+    **bench_kwargs,
+) -> DataFrame:
+    """extract → sample → manifest → sweep → pivoted results.csv."""
+    parquet_dir = os.path.join(workdir, "data", "parquet")
+    csv_dir = os.path.join(workdir, "data", "csv")
+    manifest_path = os.path.join(workdir, "extracted_files.csv")
+    extract_dataset(
+        spark, source_paths, parquet_dir, sample_sizes, manifest_path
+    )
+    results = run_benchmark(
+        spark, manifest_path, parquet_dir, csv_dir, **bench_kwargs
+    )
+    results_path = results_path or os.path.join(workdir, "results.csv")
+    return export_results(results, spark, results_path)

@@ -1,0 +1,45 @@
+"""Driver-checked queries for the sampling operator (Op-4)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from convert_parquet_to_csv_spark.operators.sample import sample_exact_n
+from convert_parquet_to_csv_spark.plans.registry import query
+from convert_parquet_to_csv_spark.sources import read_parquet
+
+# Deterministic "random" order shared by both engines: md5 of the key.
+# The hash strategy exists exactly so the sample is oracle-checkable —
+# RNG-based strategies can never hash-match a foreign engine
+# (SURVEY.md §2 Op-4 semantic note).
+_N = 1000
+
+
+@query(
+    "sample_exact_n_hash",
+    oracle=f"""
+    SELECT * FROM orders
+    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+    LIMIT {_N}
+    """,
+)
+def sample_exact_n_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n deterministic sample of orders via hash ordering.
+
+    Physical plan is TakeOrderedAndProject: per-partition top-n heaps,
+    no full shuffle — the scale-safe shape (SURVEY.md §4.4 warns off
+    naive orderBy(rand()).limit at size).
+    """
+    df = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
+    return sample_exact_n(df, _N, strategy="hash", key_cols=["o_orderkey"])
+
+
+@query("sample_exact_n_rand")  # rows-only: RNG differs across engines
+def sample_exact_n_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded rand-strategy sample (the reference's own semantics,
+    utils.py:73). Deterministic under our seed but not reproducible by
+    DuckDB — rows-only check by design."""
+    df = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
+    return sample_exact_n(df, _N, seed=721, strategy="rand")

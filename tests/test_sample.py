@@ -1,0 +1,61 @@
+"""Sampler tests (Op-4): exactness, determinism, strategy equivalence."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.operators.sample import sample_exact_n
+from convert_parquet_to_csv_spark.sources import read_parquet
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_small):
+    return read_parquet(spark, os.path.join(sf_small, "orders.parquet"))
+
+
+@pytest.mark.parametrize("strategy", ["rand", "hash", "threshold"])
+def test_exact_n(spark, orders, strategy):
+    out = sample_exact_n(orders, 137, strategy=strategy)
+    assert out.count() == 137
+
+
+@pytest.mark.parametrize("strategy", ["rand", "hash", "threshold"])
+def test_deterministic_under_seed(spark, orders, strategy):
+    a = sample_exact_n(orders, 200, seed=721, strategy=strategy)
+    b = sample_exact_n(orders, 200, seed=721, strategy=strategy)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_different_seeds_differ(spark, orders):
+    a = sample_exact_n(orders, 200, seed=721)
+    b = sample_exact_n(orders, 200, seed=9999)
+    assert a.exceptAll(b).count() > 0
+
+
+def test_sample_is_subset_without_replacement(spark, orders):
+    out = sample_exact_n(orders, 300, strategy="hash", key_cols=["o_orderkey"])
+    assert out.select("o_orderkey").distinct().count() == 300
+    assert out.join(orders, "o_orderkey", "left_anti").count() == 0
+
+
+def test_n_exceeding_total_returns_all(spark, orders):
+    total = orders.count()
+    assert sample_exact_n(orders, total + 10, strategy="threshold").count() == total
+    # rand/hash strategies: limit caps at total
+    assert sample_exact_n(orders, total + 10, strategy="rand").count() == total
+
+
+def test_n_zero_and_negative(spark, orders):
+    assert sample_exact_n(orders, 0).count() == 0
+    with pytest.raises(ValueError):
+        sample_exact_n(orders, -1)
+
+
+def test_rand_plan_is_take_ordered(spark, orders):
+    """Scale guard: the rand strategy must compile to
+    TakeOrderedAndProject (per-partition heaps), not a global sort."""
+    plan = sample_exact_n(orders, 50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
