@@ -1,0 +1,151 @@
+"""Benchmark entry point (driver contract: one JSON line on stdout).
+
+Headline metric: seconds to convert a 10,000,000-row parquet table to
+CSV — the exact workload BASELINE.md publishes numbers for (polars
+lazy 1.2 s, DuckDB 1.7 s on an M4; target ≤2× polars). The 10M-row
+input is built once from $SPARK_GRAFT_SF_DIR lineitem (replicated) and
+cached under /tmp.
+
+Also reports per-query job times at $SPARK_GRAFT_SF_DIR (default
+sf0.1) for the engine's headline operators. Job time only, warm
+session — the baseline engines are in-process libraries with no JVM
+cold start (BASELINE.md comparison note).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from convert_parquet_to_csv_spark import get_spark  # noqa: E402
+from convert_parquet_to_csv_spark.pivotbench import time_kernel  # noqa: E402
+from convert_parquet_to_csv_spark.sources import (  # noqa: E402
+    convert_parquet_to_csv,
+    read_parquet,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+TARGET_ROWS = 10_000_000
+TENM_PATH = "/tmp/cptc_bench_10m.parquet"
+
+# Registry queries timed at SF_DIR (skipped silently if not registered
+# yet — bench must keep working mid-build).
+BENCH_QUERY_NAMES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "dedup_exact",
+    "similarity_topk_bruteforce",
+    "text_quality_stats",
+    "windowed_agg",
+]
+
+
+def _build_10m(spark) -> int:
+    """Replicate SF_DIR lineitem up to ≥10M rows, cached across runs."""
+    if os.path.exists(os.path.join(TENM_PATH, "_SUCCESS")):
+        n = read_parquet(spark, TENM_PATH).count()
+        if n >= TARGET_ROWS:
+            return n
+    shutil.rmtree(TENM_PATH, ignore_errors=True)
+    base = read_parquet(spark, os.path.join(SF_DIR, "lineitem.parquet"))
+    base_n = base.count()
+    copies = max(1, -(-TARGET_ROWS // base_n))  # ceil
+    # crossJoin with a tiny replication range: one shuffle-free fanout,
+    # far cheaper than unioning `copies` scans of the same file.
+    from pyspark.sql import functions as F
+
+    rep = spark.range(copies).select(F.col("id").alias("_copy"))
+    big = base.crossJoin(F.broadcast(rep)).drop("_copy")
+    big.repartition(int(CPUS)).write.mode("overwrite").parquet(TENM_PATH)
+    return base_n * copies
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="cptc-bench",
+        master=f"local[{CPUS}]",
+        extra_conf={"spark.driver.memory": "16g"},
+    )
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    # Warm the JVM/codegen paths once (BASELINE.md: job time, not
+    # cold-start wall clock; reference concedes single-shot noise).
+    convert_parquet_to_csv(
+        spark, os.path.join(SF_DIR, "region.parquet"), "/tmp/cptc_warm"
+    )
+    shutil.rmtree("/tmp/cptc_warm", ignore_errors=True)
+
+    queries: dict[str, float] = {}
+
+    # Headline: 10M-row parquet → CSV (the BASELINE workload). Warm
+    # the exact plan once (codegen compile + JIT dominate the first
+    # run: measured 10.9 s cold vs 1.6-2.2 s warm for the identical
+    # job), then report best-of-2 — BASELINE.md's comparison note
+    # prescribes warm job time, since the baseline engines are warm
+    # in-process libraries.
+    n_rows = _build_10m(spark)
+    out = "/tmp/cptc_bench_10m_csv"
+
+    def _run_10m():
+        shutil.rmtree(out, ignore_errors=True)
+        convert_parquet_to_csv(
+            spark, TENM_PATH, out, max_records_per_file=500_000
+        )
+
+    headline = time_kernel(_run_10m, warmup=1, repeat=2)
+    shutil.rmtree(out, ignore_errors=True)
+    queries["convert_10m_rows"] = round(headline, 4)
+
+    # Flagship at SF_DIR proper (warm by now).
+    def _run_sf():
+        shutil.rmtree("/tmp/cptc_bench_sf_csv", ignore_errors=True)
+        convert_parquet_to_csv(
+            spark,
+            os.path.join(SF_DIR, "lineitem.parquet"),
+            "/tmp/cptc_bench_sf_csv",
+            max_records_per_file=500_000,
+        )
+
+    queries["convert_lineitem_sf"] = round(time_kernel(_run_sf, repeat=2), 4)
+    shutil.rmtree("/tmp/cptc_bench_sf_csv", ignore_errors=True)
+
+    # Registered analytics/extension queries (timed to full materialize
+    # via count of a cached-free plan — write-less action).
+    from convert_parquet_to_csv_spark.plans import registry
+
+    registry.load_all()
+    for name in BENCH_QUERY_NAMES:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "parquet_to_csv_10m_rows_job_sec",
+                "value": round(headline, 4),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_val,
+                "rows_10m": n_rows,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
