@@ -1,0 +1,163 @@
+"""Text-analysis functions for large-scale document pipelines.
+
+Beyond the reference's surface (its only string ops are filename
+endswith/split, utils.py:37-44): language-ID, quality scoring, token
+counting, fingerprinting — the text layer a 100 TB training-data
+pipeline needs (BASELINE.json north-star).
+
+Everything here is a *Column expression builder* over built-in
+``pyspark.sql.functions`` — JVM-side, whole-stage-codegen, zero Python
+in the row path. Each builder's semantics are chosen to be exactly
+reproducible in ANSI SQL so the DuckDB oracle can replay them
+(length/replace/regexp arithmetic only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword markers for the n-gram/stopword heuristic
+# language ID. Space-padded so they match whole words. Deliberately
+# small + deterministic: the point is the *operator* (argmax of marker
+# hit-counts, oracle-reproducible), not linguistic accuracy.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " is "],
+    "de": [" der ", " und ", " die ", " ist "],
+    "fr": [" le ", " et ", " les ", " est "],
+    "es": [" el ", " y ", " los ", " es "],
+}
+
+# BPE-ish pre-tokenization: runs of word chars OR runs of non-word,
+# non-space chars. Same semantics in Java regex and RE2 (DuckDB).
+BPE_REGEX = "[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string>, empty-safe.
+
+    ``split`` of an empty/blank string yields ``[""]``; the filter
+    drops empty tokens so blank docs get ``[]`` (the sf fixtures
+    contain whitespace-only documents).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish token count: word runs + individual punctuation marks,
+    the standard cheap proxy for LLM token budgeting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_REGEX), 0))
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse
+    whitespace runs, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    md5 is identical in every engine — the fingerprint doubles as the
+    exact-dedup key and the oracle-checkable content hash.
+    """
+    return F.md5(normalize_text(col))
+
+
+def _count_occurrences(c: Column, needle: str) -> Column:
+    """#occurrences of a literal in a string via length arithmetic —
+    the one occurrence-counting form both Spark and DuckDB evaluate
+    identically: (len(s) - len(replace(s, needle, ''))) / len(needle)."""
+    return (
+        F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def lang_marker_score(col: Column | str, lang: str) -> Column:
+    """Total marker-stopword hits for one language."""
+    c = F.col(col) if isinstance(col, str) else col
+    # Pad so edge words match; lowercase first.
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    score = F.lit(0.0)
+    for m in LANG_MARKERS[lang]:
+        score = score + _count_occurrences(padded, m)
+    return score
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language marker hits,
+    fixed tie-break order en→de→fr→es, 'und' (undetermined) when no
+    marker hits at all."""
+    scores = {lang: lang_marker_score(col, lang) for lang in LANG_MARKERS}
+    langs = list(LANG_MARKERS)
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        best = F.greatest(best, scores[lang])
+    out = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # first max in fixed order wins ties
+        out = out.when(scores[lang] == best, F.lit(lang))
+    return out
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring feature set (length/punct/stopword ratios).
+
+    Returned as name→Column so callers ``select(**)`` or pick subsets;
+    all single-division doubles over exact integer counts — bitwise
+    reproducible cross-engine.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"]", ""))
+    n_upper = F.length(F.regexp_replace(c, "[^A-Z]", ""))
+    stop_hits = lang_marker_score(c, "en")
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))  # noqa: E731
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_token_len": safe(n_alpha, n_tokens),
+        "alpha_ratio": safe(n_alpha, n_chars),
+        "punct_ratio": safe(n_punct, n_chars),
+        "upper_ratio": safe(n_upper, n_chars),
+        "stopword_ratio": safe(stop_hits, n_tokens),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Scalar quality score in [0,1]: weighted blend of the features —
+    the 'keep or drop' signal a pretraining filter thresholds on."""
+    f = quality_features(col)
+    length_ok = F.when(
+        (f["n_tokens"] >= 5) & (f["n_chars"] >= 20), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return (
+        0.4 * length_ok
+        + 0.3 * F.least(f["alpha_ratio"] * 1.25, F.lit(1.0))
+        + 0.2 * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+        + 0.1 * (1.0 - F.least(f["punct_ratio"] * 5, F.lit(1.0)))
+    )
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingle set → array<string> (distinct), the unit of
+    MinHash/Jaccard near-dup detection. Docs with < k tokens get their
+    whole text as the single shingle (so short docs still compare)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return F.array_distinct(
+        F.when(n > 0, grams).otherwise(F.array())
+    )

@@ -1,0 +1,350 @@
+"""Deduplication operators for large-scale document corpora.
+
+Four families (BASELINE.json north-star; none exist in the reference,
+whose only merge-shaped op is union_by_name, utils.py:104):
+
+- **exact**: content-hash groupBy — one shuffle on the fingerprint.
+- **n-gram Jaccard**: exact pairwise set similarity via explode +
+  shingle-join — the verification primitive the approximate methods
+  reuse; fully SQL-expressible (oracle-checked).
+- **MinHash + LSH**: shingle→minhash signature→band-bucket join —
+  candidate generation with collision probability ≈ 1-(1-j^r)^b, then
+  exact Jaccard verification of candidates only. The 100 TB path:
+  cost is bands×docs rows shuffled, never docs².
+- **SimHash**: 64-bit sign-of-weighted-bit-sums signature; candidates
+  via 16-bit chunk equality (pigeonhole: hamming ≤ 3 ⇒ some chunk of
+  4 equal), verified by ``bit_count(xor) <= max_hamming``.
+
+Everything is built-in DataFrame expressions — xxhash64 for hash
+families, bitwise ops for SimHash — zero Python in the row path.
+
+Skew note (at scale): a degenerate shingle/band shared by millions of
+docs creates a hot join key. ``max_bucket`` drops pathological buckets
+(standard practice; logged via the returned stats when callers ask).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from convert_parquet_to_csv_spark.functions.text import (
+    doc_fingerprint,
+    shingles,
+    tokens,
+)
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint_col: Column | None = None,
+) -> DataFrame:
+    """Keep the lowest-id row per content fingerprint.
+
+    ``row_number`` over (fingerprint, id) — one hash shuffle on the
+    fingerprint; deterministic winner so reruns and the SQL oracle
+    agree (min-id is the conventional keep rule).
+    """
+    fp = fingerprint_col if fingerprint_col is not None else doc_fingerprint(text_col)
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    return (
+        df.withColumn("_fp", fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact pairwise Jaccard over shingle sets (explode + join)
+# --------------------------------------------------------------------------
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) distinct — the exploded set representation. At
+    scale this is the layout you want: set ops become joins/groupBys
+    instead of per-row array juggling."""
+    return (
+        df.select(id_col, F.explode(shingles(text_col, k)).alias("_shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
+
+    intersection via self-join on shingle, |A|,|B| via per-doc counts,
+    jaccard = i / (|A| + |B| - i). When ``candidates`` (id_a, id_b) is
+    given, only those pairs are scored — the verify stage of LSH.
+    ``max_bucket`` drops shingles shared by more than that many docs
+    (stop-shingle skew guard) from *candidate generation* only.
+    """
+    sh = _shingle_table(df, id_col, text_col, k).persist()
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+
+    if candidates is None:
+        pair_source = sh
+        if max_bucket is not None:
+            hot = (
+                sh.groupBy("_shingle")
+                .count()
+                .filter(F.col("count") > max_bucket)
+                .select("_shingle")
+            )
+            pair_source = sh.join(hot, "_shingle", "left_anti")
+        a = pair_source.select(
+            F.col(id_col).alias("id_a"), F.col("_shingle").alias("_s")
+        )
+        b = pair_source.select(
+            F.col(id_col).alias("id_b"), F.col("_shingle").alias("_s")
+        )
+        inter = (
+            a.join(b, "_s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("_i"))
+        )
+    else:
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("_shingle").alias("_s"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("_shingle").alias("_s"))
+        inter = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "_s"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("_i"))
+        )
+
+    na = counts.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    nb = counts.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_i").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def drop_near_duplicates(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep-policy shared by all near-dup flavors: drop every doc that
+    appears as the *greater* id of a duplicate pair (min-id survivor,
+    single-link). Left-anti join — no collect."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 32,
+) -> DataFrame:
+    """(id, h0..h{num_perm-1}): minhash signature per doc.
+
+    Hash family = xxhash64 seeded by the permutation index (JVM
+    built-in, 64-bit). One explode + one groupBy with num_perm min
+    aggregates — partial (map-side) aggregation keeps the shuffle at
+    one row per (doc, permutation is folded into columns).
+    Empty docs (no shingles) are absent from the output — nothing to
+    collide with.
+    """
+    sh = _shingle_table(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("_shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Band the signature, bucket-join per band, emit distinct pairs.
+
+    rows-per-band r = num_perm/bands; a pair lands in one bucket with
+    prob 1-(1-j^r)^b. The join key is (band index, band hash) so all
+    bands go through ONE join. ``max_bucket`` guards hot buckets.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    band_cols = F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            F.xxhash64(*[F.col(f"h{j * r + i}") for i in range(r)]).alias("bh"),
+        )
+        for j in range(bands)
+    ])
+    banded = (
+        signatures.select(id_col, F.explode(band_cols).alias("_b"))
+        .select(id_col, F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh"))
+    )
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("_band", "_bh")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("_band", "_bh")
+        )
+        banded = banded.join(hot, ["_band", "_bh"], "left_anti")
+    a = banded.select(F.col(id_col).alias("id_a"), "_band", "_bh")
+    b = banded.select(F.col(id_col).alias("id_b"), "_band", "_bh")
+    return (
+        a.join(b, ["_band", "_bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → exact
+    Jaccard verify → min-id survivors. Candidate count, not docs²,
+    bounds every stage."""
+    sigs = minhash_signatures(df, id_col, text_col, k, num_perm)
+    cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    verified = ngram_jaccard_pairs(
+        df, id_col, text_col, k, threshold, candidates=cand
+    )
+    return drop_near_duplicates(df, verified, id_col)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash): sign-of-per-bit-weighted-sums over token hashes.
+
+    Pure DataFrame math: explode tokens → xxhash64 → for each bit a
+    conditional ±1 sum (partial agg) → pack signs back into one LONG
+    with shiftleft/bor. 64 aggregate columns compile fine and stay in
+    codegen — no Python, no UDF.
+    """
+    tok = df.select(
+        id_col, F.explode(tokens(text_col)).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.col("_h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0,
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*bit_aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return per_doc.select(id_col, sig.alias("simhash"))
+
+
+def simhash_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming via chunk-equality LSH.
+
+    Pigeonhole: ≤3 differing bits across 4 chunks ⇒ at least one
+    16-bit chunk identical — candidates are chunk-join matches,
+    verified exactly with ``bit_count(xor)``.
+    """
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunk_cols = F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), c * width)
+            .bitwiseAND(F.lit(mask).cast("long"))
+            .alias("cv"),
+        )
+        for c in range(chunks)
+    ])
+    chunked = signatures.select(
+        id_col, "simhash", F.explode(chunk_cols).alias("_c")
+    ).select(
+        id_col, "simhash",
+        F.col("_c.chunk").alias("_chunk"), F.col("_c.cv").alias("_cv"),
+    )
+    if max_bucket is not None:
+        hot = (
+            chunked.groupBy("_chunk", "_cv")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("_chunk", "_cv")
+        )
+        chunked = chunked.join(hot, ["_chunk", "_cv"], "left_anti")
+    a = chunked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "_chunk", "_cv"
+    )
+    b = chunked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"), "_chunk", "_cv"
+    )
+    return (
+        a.join(b, ["_chunk", "_cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    sigs = simhash_signatures(df, id_col, text_col)
+    pairs = simhash_pairs(sigs, id_col, max_hamming)
+    return drop_near_duplicates(df, pairs, id_col)

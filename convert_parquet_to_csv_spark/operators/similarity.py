@@ -1,0 +1,254 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three strategies, increasing scale-fitness:
+
+- **brute force**: broadcast the (small) query set, cross-join against
+  the vector table, cosine per pair, per-query top-k window. Exact;
+  cost O(|vectors|·|queries|) — the correctness baseline and fine
+  whenever queries are few.
+- **random-hyperplane LSH**: sign-signature bucketing; candidates are
+  bucket collisions, scored exactly. Sub-linear probe cost; recall
+  traded via signature width / probe count.
+- **IVF (inverted file)**: coarse-quantize vectors to the nearest of C
+  deterministic centroids (one broadcast join), probe the nprobe
+  nearest lists per query. The classic billion-scale layout: each
+  query touches |vectors|·nprobe/C instead of |vectors|.
+
+All pure DataFrame expressions (functions/vectors.py dot products are
+codegen'd ``aggregate``/``zip_with``); no UDFs, no collect of vector
+data — only centroid sets (≤ a few thousand rows) are broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from convert_parquet_to_csv_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+)
+
+
+def topk_bruteforce(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, similarity).
+
+    ``queries`` must be broadcast-small (it is hint-broadcast); the
+    big side streams — no shuffle of the vector table, one window per
+    query partition for the top-k.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(q))
+        .withColumn("similarity", cosine_similarity("_qv", "_v"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("similarity"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, "neighbor_id", "similarity")
+    )
+
+
+# --------------------------------------------------------------------------
+# random-hyperplane LSH
+# --------------------------------------------------------------------------
+
+def _hyperplane(dim: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane (splitmix64-style
+    integer mix of (bit, i) — reproducible everywhere, no RNG state)."""
+    comps = []
+    for i in range(dim):
+        x = (bit * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        x = (x * 0xD6E8FEB86659FD93) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 27
+        comps.append(1.0 if x & 1 else -1.0)
+    return comps
+
+
+def lsh_signature(vec_col, dim: int, nbits: int = 16):
+    """Pack nbits sign-of-projection bits into one LONG column."""
+    sig = F.lit(0).cast("long")
+    for b in range(nbits):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, b)])
+        proj = dot_product(vec_col, plane)
+        sig = sig.bitwiseOR(
+            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def topk_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    nbits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: exact scoring restricted to same-LSH-bucket
+    candidates. Recall rises as nbits falls (bigger buckets); queries
+    whose bucket is empty return < k rows — callers needing guaranteed
+    k re-probe with fewer bits or fall back to brute force."""
+    sig = lsh_signature(F.col(vec_col), dim, nbits)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_v"),
+        sig.alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        sig.alias("_bucket"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "_bucket")
+        .withColumn("similarity", cosine_similarity("_qv", "_v"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("similarity"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, "neighbor_id", "similarity")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF
+# --------------------------------------------------------------------------
+
+def ivf_index(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assigned): deterministic coarse quantizer.
+
+    Centroids = the n lowest-md5(id) vectors (a seeded uniform sample,
+    same trick as the hash sampler — deterministic, no k-means
+    iterations; IVF recall cares about *coverage*, not optimality).
+    Assignment = one broadcast cross-join argmin. ``assigned`` carries
+    ``_list_id`` — at scale you'd write it partitioned by list.
+    """
+    centroids = (
+        vectors.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("_list_id"), F.col(vec_col).alias("_cv")
+        )
+    )
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "_csim", cosine_similarity(vec_col, "_cv")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("_list_id"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_csim", "_cv")
+    )
+    return centroids, assigned
+
+
+def topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k probing the nprobe nearest inverted lists."""
+    centroids, assigned = ivf_index(vectors, n_centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
+    )
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "_csim", cosine_similarity("_qv", "_cv")
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_csim"), F.asc("_list_id")
+    )
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, "_qv", "_list_id")
+    )
+    scored = (
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_v"),
+            "_list_id",
+        )
+        .join(F.broadcast(probes), "_list_id")
+        .withColumn("similarity", cosine_similarity("_qv", "_v"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("similarity"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, "neighbor_id", "similarity")
+    )
+
+
+def embedding_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs: cosine ≥ threshold.
+
+    LSH-bucketed self-join (near-identical vectors collide with high
+    probability at small nbits), scored exactly. For modest tables
+    pass ``dim=None`` to skip bucketing (exact all-pairs)."""
+    v = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if dim is not None:
+        v = v.withColumn("_bucket", lsh_signature(F.col("_v"), dim, nbits))
+        join_keys = ["_bucket"]
+    else:
+        v = v.withColumn("_bucket", F.lit(0))
+        join_keys = ["_bucket"]
+    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket")
+    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket")
+    return (
+        a.join(b, join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("similarity", cosine_similarity("_va", "_vb"))
+        .filter(F.col("similarity") >= threshold)
+        .select("id_a", "id_b", "similarity")
+    )

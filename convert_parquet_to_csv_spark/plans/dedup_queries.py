@@ -1,0 +1,95 @@
+"""Driver-checked queries: dedup suite over the documents table.
+
+``dedup_exact`` and ``dedup_ngram_jaccard`` have full DuckDB oracles
+(hash-matched). MinHash/SimHash are hash-family-dependent (xxhash64
+is Spark-side) — genuinely non-SQL-expressible, so rows-only checks,
+with their *verification* stage covered by the oracle-checked exact
+Jaccard operator they share.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.operators import dedup as D
+from convert_parquet_to_csv_spark.plans.registry import query
+from convert_parquet_to_csv_spark.sources import read_parquet
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+
+
+_EXACT_ORACLE = """
+WITH fp AS (
+  SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS _fp
+  FROM documents
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY _fp ORDER BY doc_id) AS _rn
+  FROM fp
+)
+SELECT doc_id, text, lang, source, n_chars FROM r WHERE _rn = 1
+"""
+
+
+@query("dedup_exact", oracle=_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: min-id survivor per content fingerprint."""
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+# Exact pairwise n-gram Jaccard — the one near-dup flavor a SQL engine
+# can replay verbatim (shingle explode + self-join + count arithmetic).
+_K, _THRESH = 3, 0.1
+
+_NGRAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(0, greatest(len(toks) - {_K}, 0) + 1),
+             i -> array_to_string(toks[i + 1 : i + {_K}], ' ')))) AS s
+  FROM tok WHERE len(toks) > 0
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN cnt na ON na.doc_id = id_a
+JOIN cnt nb ON nb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= {_THRESH}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with 3-gram shingle Jaccard ≥ 0.1."""
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), k=_K, threshold=_THRESH
+    )
+
+
+@query("dedup_minhash")  # rows-only: xxhash64 family is Spark-specific
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup survivors (signatures → bands → verify)."""
+    kept = D.minhash_dedup(_docs(spark, sf_dir), threshold=0.5)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+@query("dedup_simhash")  # rows-only: xxhash64-based signature
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup survivors (64-bit signature, hamming ≤ 3)."""
+    kept = D.simhash_dedup(_docs(spark, sf_dir))
+    return kept.select("doc_id").orderBy("doc_id")

@@ -1,0 +1,141 @@
+"""Driver-checked queries: text analysis over the documents table.
+
+Each oracle reproduces the Spark expression tree in DuckDB SQL —
+length/replace/regexp arithmetic chosen because both engines evaluate
+it identically (see functions/text.py module docstring).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.functions import text as T
+from convert_parquet_to_csv_spark.plans.registry import query
+from convert_parquet_to_csv_spark.sources import read_parquet
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+
+
+# --- token/char statistics + ratios ---------------------------------------
+
+_QUALITY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t != '')) AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            ELSE 0.0 END AS avg_token_len,
+       CASE WHEN n_chars > 0
+            THEN CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)
+            ELSE 0.0 END AS alpha_ratio,
+       CASE WHEN n_chars > 0
+            THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+            ELSE 0.0 END AS punct_ratio
+FROM tok
+"""
+
+
+@query("text_quality_stats", oracle=_QUALITY_ORACLE)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: char/token counts, alpha/punct
+    ratios. All built-in expressions; one narrow projection over the
+    scan (check ReadSchema: only doc_id, text)."""
+    f = T.quality_features("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        f["avg_token_len"].alias("avg_token_len"),
+        f["alpha_ratio"].alias("alpha_ratio"),
+        f["punct_ratio"].alias("punct_ratio"),
+    )
+
+
+# --- language id ----------------------------------------------------------
+
+def _duck_occurrences(needle: str) -> str:
+    pad = "' ' || lower(text) || ' '"
+    return (
+        f"(length({pad}) - length(replace({pad}, '{needle}', '')))"
+        f" / {len(needle)}"
+    )
+
+
+def _duck_lang_score(lang: str) -> str:
+    return " + ".join(_duck_occurrences(m) for m in T.LANG_MARKERS[lang])
+
+
+_LANG_ORACLE = f"""
+WITH scores AS (
+  SELECT doc_id,
+         CAST({_duck_lang_score('en')} AS DOUBLE) AS s_en,
+         CAST({_duck_lang_score('de')} AS DOUBLE) AS s_de,
+         CAST({_duck_lang_score('fr')} AS DOUBLE) AS s_fr,
+         CAST({_duck_lang_score('es')} AS DOUBLE) AS s_es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+       END AS lang_pred
+FROM scores
+"""
+
+
+@query("lang_id_heuristic", oracle=_LANG_ORACLE)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword argmax language ID (functions/text.lang_id)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.lang_id("text").alias("lang_pred")
+    )
+
+
+# --- fingerprint ----------------------------------------------------------
+
+_FP_ORACLE = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+@query("doc_fingerprint", oracle=_FP_ORACLE)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-of-normalized-text content fingerprint — the exact-dedup key."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+# --- BPE-ish token counting ----------------------------------------------
+
+_BPE_ORACLE = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{T.BPE_REGEX}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
+@query("token_count_bpe", oracle=_BPE_ORACLE)
+def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.token_count_bpe("text").cast("long").alias("n_bpe_tokens")
+    )

@@ -1,0 +1,97 @@
+"""Dedup operator tests on a corpus with *known* duplicate structure."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm", "cold")  # one-token edit → high jaccard
+OTHER = (
+    "completely different text about spark dataframes shuffles and "
+    "catalyst optimizer plans running on large clusters every day"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),               # exact dup of 0
+        (2, "  " + BASE + "  "),  # whitespace-variant dup of 0
+        (3, NEAR),               # near dup of 0
+        (4, OTHER),
+        (5, ""),                 # empty doc
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_exact_dedup_min_id_survivor(spark, corpus):
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(corpus).collect())
+    # 1 and 2 collapse into 0 (normalization); near-dup 3 survives
+    assert kept == [0, 3, 4, 5]
+
+
+def test_ngram_jaccard_pairs(spark, corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(corpus, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0 and pairs[(1, 2)] == 1.0
+    assert 0.3 < pairs[(0, 3)] < 1.0   # near dup: high but not 1
+    assert (0, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_signatures_shape_and_determinism(spark, corpus):
+    s1 = D.minhash_signatures(corpus, num_perm=16)
+    assert len(s1.columns) == 17
+    assert s1.count() == 5  # empty doc has no signature
+    sig0 = s1.filter(F.col("doc_id") == 0).first()
+    sig1 = s1.filter(F.col("doc_id") == 1).first()
+    assert [sig0[f"h{i}"] for i in range(16)] == [sig1[f"h{i}"] for i in range(16)]
+
+
+def test_minhash_dedup_finds_near_dup(spark, corpus):
+    kept = sorted(
+        r["doc_id"] for r in D.minhash_dedup(corpus, threshold=0.5).collect()
+    )
+    # 1,2 exact dups of 0; 3 near-dup (jaccard ~0.77) also dropped
+    assert kept == [0, 4, 5]
+
+
+def test_lsh_candidates_subset_verified(spark, corpus):
+    sigs = D.minhash_signatures(corpus)
+    cand = D.lsh_candidate_pairs(sigs)
+    cand_set = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (0, 1) in cand_set and (0, 2) in cand_set
+    # verification prunes candidates to true near-dups
+    verified = D.ngram_jaccard_pairs(
+        corpus, threshold=0.5, candidates=cand
+    )
+    vset = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert vset <= cand_set and (0, 3) in vset
+
+
+def test_simhash_near_dup_small_hamming(spark, corpus):
+    sigs = D.simhash_signatures(corpus)
+    assert sigs.count() == 5
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_pairs(sigs, max_hamming=10).collect()
+    }
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0
+    assert 0 < pairs[(0, 3)] <= 10  # near dup: few bits differ
+    kept = sorted(r["doc_id"] for r in D.simhash_dedup(corpus).collect())
+    assert 0 in kept and 4 in kept and 1 not in kept and 2 not in kept
+
+
+def test_max_bucket_guard(spark, corpus):
+    sigs = D.minhash_signatures(corpus)
+    # bucket cap of 1 drops every shared band bucket → no candidates
+    cand = D.lsh_candidate_pairs(sigs, max_bucket=1)
+    assert cand.count() == 0

@@ -1,0 +1,112 @@
+"""Similarity-search tests: exactness, recall, plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
+from convert_parquet_to_csv_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, sf_small):
+    import os
+
+    return spark.read.parquet(os.path.join(sf_small, "embeddings.parquet"))
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])],
+        "a ARRAY<FLOAT>, b ARRAY<FLOAT>",
+    )
+    row = df.select(
+        dot_product("a", "b").alias("d"),
+        l2_norm("a").alias("n"),
+        cosine_similarity("a", "b").alias("c"),
+    ).first()
+    assert row["d"] == 32.0
+    assert row["n"] == pytest.approx(math.sqrt(14))
+    assert row["c"] == pytest.approx(32 / (math.sqrt(14) * math.sqrt(77)))
+
+
+def test_zero_vector_cosine_defined(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0])], "a ARRAY<FLOAT>, b ARRAY<FLOAT>"
+    )
+    assert df.select(cosine_similarity("a", "b").alias("c")).first()["c"] == 0.0
+
+
+def test_bruteforce_topk_shape_and_self_exclusion(spark, vecs):
+    q = vecs.filter(F.col("vec_id") < 3)
+    out = S.topk_bruteforce(vecs, q, k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r["similarity"])
+    for sims in by_q.values():
+        assert sims == sorted(sims, reverse=True)  # ranked per query
+
+
+def test_bruteforce_finds_identical_vector(spark, vecs):
+    """Plant an exact copy; it must be the #1 neighbor with sim≈1."""
+    copy = vecs.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    aug = vecs.unionByName(copy)
+    q = vecs.filter(F.col("vec_id") == 0)
+    top = S.topk_bruteforce(aug, q, k=1).first()
+    assert top["neighbor_id"] == 100000
+    assert top["similarity"] == pytest.approx(1.0)
+
+
+def test_lsh_recall_vs_bruteforce(spark, vecs):
+    """At 6 bits the planted-duplicate pair must collide (identical
+    vectors share every signature)."""
+    copy = vecs.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    aug = vecs.unionByName(copy)
+    q = vecs.filter(F.col("vec_id") == 0)
+    out = S.topk_lsh(aug, q, dim=64, k=3, nbits=6).collect()
+    assert any(r["neighbor_id"] == 100000 for r in out)
+    # scores inside buckets are exact
+    top = [r for r in out if r["neighbor_id"] == 100000][0]
+    assert top["similarity"] == pytest.approx(1.0)
+
+
+def test_ivf_partition_of_vectors(spark, vecs):
+    centroids, assigned = S.ivf_index(vecs, n_centroids=8)
+    assert centroids.count() == 8
+    assert assigned.count() == vecs.count()  # every vector in one list
+    assert assigned.select("_list_id").distinct().count() <= 8
+
+
+def test_ivf_topk_exact_when_probing_all_lists(spark, vecs):
+    q = vecs.filter(F.col("vec_id") < 2)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.topk_bruteforce(vecs, q, k=3).collect()
+    }
+    ivf_all = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.topk_ivf(vecs, q, k=3, n_centroids=8, nprobe=8).collect()
+    }
+    assert ivf_all == brute  # nprobe = n_centroids ⇒ exhaustive ⇒ exact
+
+
+def test_embedding_dup_pairs_planted(spark, vecs):
+    copy = vecs.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    aug = vecs.unionByName(copy)
+    pairs = S.embedding_dup_pairs(aug, threshold=0.99, dim=None).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(7, 100007)}

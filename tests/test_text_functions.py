@@ -1,0 +1,64 @@
+"""Tests for functions/text.py — tokenization, lang-id, fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.functions import text as T
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], "text STRING").select(
+        col.alias("v")
+    ).first()["v"]
+
+
+def test_tokens_empty_and_whitespace(spark):
+    assert _one(spark, "", F.size(T.tokens("text"))) == 0
+    assert _one(spark, "   ", F.size(T.tokens("text"))) == 0
+    assert _one(spark, " a  b\tc ", T.tokens("text")) == ["a", "b", "c"]
+
+
+def test_token_count_bpe(spark):
+    # word runs + individual punctuation marks
+    assert _one(spark, "hello, world!", T.token_count_bpe("text")) == 4
+    assert _one(spark, "", T.token_count_bpe("text")) == 0
+    assert _one(spark, "a.b.c", T.token_count_bpe("text")) == 5
+
+
+def test_normalize_and_fingerprint_stability(spark):
+    a = _one(spark, "Hello   World", T.doc_fingerprint("text"))
+    b = _one(spark, " hello world ", T.doc_fingerprint("text"))
+    c = _one(spark, "hello worlds", T.doc_fingerprint("text"))
+    assert a == b != c
+
+
+def test_lang_id_markers(spark):
+    assert _one(spark, "the cat and the dog is here", T.lang_id("text")) == "en"
+    assert _one(spark, "der Hund und die Katze ist", T.lang_id("text")) == "de"
+    assert _one(spark, "le chat et les chiens est", T.lang_id("text")) == "fr"
+    assert _one(spark, "el gato y los perros es", T.lang_id("text")) == "es"
+    assert _one(spark, "xyzzy plugh", T.lang_id("text")) == "und"
+
+
+def test_quality_features_blank_doc_no_nan(spark):
+    f = T.quality_features("text")
+    row = (
+        spark.createDataFrame([("",), ("Hi there, friend!",)], "text STRING")
+        .select(*[v.alias(k) for k, v in f.items()])
+        .collect()
+    )
+    blank = row[0]
+    assert blank["n_tokens"] == 0 and blank["avg_token_len"] == 0.0
+    real = row[1]
+    assert real["n_tokens"] == 3
+    assert 0 < real["alpha_ratio"] < 1
+    assert real["punct_ratio"] > 0
+
+
+def test_shingles(spark):
+    sh = _one(spark, "a b c d", T.shingles("text", 3))
+    assert sorted(sh) == ["a b c", "b c d"]
+    # short doc: whole text as single shingle
+    assert _one(spark, "a b", T.shingles("text", 3)) == ["a b"]
+    assert _one(spark, "", T.shingles("text", 3)) == []
