@@ -1,0 +1,153 @@
+"""Multimodal column plumbing: image/audio/video as typed binary.
+
+Design (BASELINE.json north-star): media travels as an opaque
+``binary`` content column plus a typed metadata struct; decode /
+feature-extraction / resize / frame-sampling run as Arrow-batched
+``mapInPandas`` stages. The Spark-side plumbing — schema, partition
+sizing, UDF signatures, batch shapes — is real and tested; the codec
+call itself is STUBBED (``decoder="stub"``) because no image/audio
+library ships in this container: ``decoder="pil"``/``"ffmpeg"`` raise
+``NotImplementedError`` at the exact seam a real codec plugs into.
+
+Scale notes: media rows are big (MBs); the knobs that matter are
+``spark.sql.files.maxPartitionBytes`` (keep a partition's batch of
+decoded frames in executor memory) and
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (bound the pandas
+batch). Feature extraction emits small fixed-width vectors — the
+right shape to write back columnar and feed the similarity operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id LONG, kind STRING, content BINARY, "
+    "meta STRUCT<width: INT, height: INT, sample_rate: INT, n_frames: INT>"
+)
+
+FEATURE_DIM = 16
+
+_FEATURES_SCHEMA = f"media_id LONG, kind STRING, feature ARRAY<FLOAT>"
+_FRAMES_SCHEMA = (
+    "media_id LONG, frame_idx INT, frame BINARY, frame_bytes LONG"
+)
+
+
+def media_table_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table: each document's text bytes
+    become the binary payload, round-robin kind, synthesized metadata.
+    Exists so every downstream stage runs on real (binary, meta)
+    columns without shipping actual media in the fixtures."""
+    content = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    n_bytes = F.octet_length(content)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        content.alias("content"),
+        F.struct(
+            F.when(kind == "image", (n_bytes % 640 + 1).cast("int")).alias("width"),
+            F.when(kind == "image", (n_bytes % 480 + 1).cast("int")).alias("height"),
+            F.when(kind == "audio", F.lit(16000)).alias("sample_rate"),
+            F.when(kind == "video", (n_bytes % 24 + 1).cast("int")).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _stub_feature(payload: bytes, dim: int) -> list[float]:
+    """Deterministic fake embedding: blake2b-seeded floats in [-1, 1).
+
+    STUB — stands in for the real decode→model forward pass; stable
+    across runs/engines so tests can assert exact values.
+    """
+    out: list[float] = []
+    counter = 0
+    while len(out) < dim:
+        h = hashlib.blake2b(payload, digest_size=8, salt=counter.to_bytes(8, "little")).digest()
+        v = int.from_bytes(h, "little") / 2**63 - 1.0
+        out.append(float(v))
+        counter += 1
+    return out
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: str = "stub",
+    feature_dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """Decode + feature-extract: (media_id, kind, feature ARRAY<FLOAT>).
+
+    ``mapInPandas`` — one Arrow batch of (content, …) in, one batch of
+    fixed-width vectors out; the iterator contract keeps memory at
+    batch granularity regardless of partition size.
+    """
+    if decoder != "stub":
+        raise NotImplementedError(
+            f"decoder {decoder!r}: real codecs (PIL/ffmpeg/torchaudio) are "
+            "not available in this environment — plug them in here; the "
+            "'stub' decoder exercises the identical Spark plumbing"
+        )
+
+    def _extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                _stub_feature(bytes(c) if c is not None else b"", feature_dim)
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=_FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video rows: split the payload into n even
+    byte-range "frames" (STUB for keyframe extraction — real ffmpeg
+    seek goes at the marked seam). Pure built-in expressions: no UDF,
+    the explode shape is what a real frame table looks like."""
+    video = media.filter(F.col("kind") == "video")
+    total = F.octet_length(F.col("content"))
+    per = F.greatest((total / n_frames).cast("int"), F.lit(1))
+    idx = F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx")
+    with_idx = video.select("media_id", "content", total.alias("_total"), per.alias("_per"), idx)
+    # substring on binary is positional (1-based); STUB seam: replace
+    # byte-range slicing with codec keyframe extraction.
+    frame = F.expr("substring(content, frame_idx * _per + 1, _per)")
+    return (
+        with_idx.filter(F.col("frame_idx") * F.col("_per") < F.col("_total"))
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            frame.alias("frame"),
+            F.octet_length(frame).cast("long").alias("frame_bytes"),
+        )
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Per-kind byte statistics — the metadata-only aggregation that
+    must not touch content bytes beyond the pruned octet_length."""
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.octet_length("content")).alias("total_bytes"),
+            F.max(F.octet_length("content")).alias("max_bytes"),
+        )
+        .orderBy("kind")
+    )

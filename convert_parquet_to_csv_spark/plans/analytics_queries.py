@@ -1,0 +1,275 @@
+"""Driver-checked analytics queries: joins, aggregations, windows, JSON.
+
+The reference has no relational query surface beyond SELECT *
+(SURVEY.md §2.1: no joins, no aggregations) — these TPC-H-style
+queries demonstrate that the engine's Spark-first design gives the
+full relational algebra "for free" via Catalyst, with scale-correct
+physical plans (broadcast small dims, partial aggregation, AQE).
+
+Float determinism: every SUM over doubles routes through
+DECIMAL(18,4) (exact, order-independent) and casts back to DOUBLE;
+averages are computed as decimal-sum / count in both engines
+(plans/registry.py rules).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.plans.registry import query
+from convert_parquet_to_csv_spark.sources import (
+    read_parquet,
+    read_parquet_nanos_ts,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":  # nanosecond parquet timestamps (TESTDATA)
+        return read_parquet_nanos_ts(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dsum(col) -> F.Column:
+    """Order-independent double sum: through DECIMAL(18,4)."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double")
+
+
+# --- Q1-style pricing summary --------------------------------------------
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+            / COUNT(*) AS DOUBLE) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", oracle=_Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filtered scan → partial+final agg, no joins.
+
+    Plan check: filter pushed to parquet (PushedFilters), ReadSchema
+    pruned to 6 columns, HashAggregate partial→final around one
+    shuffle on (returnflag, linestatus).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                d("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            ).cast("double").alias("sum_disc_price"),
+            (F.sum(d("l_quantity")).cast("double") / F.count("*"))
+            .cast("double").alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- Q3-style shipping priority (3-way join + top-k) ----------------------
+
+_Q3_ORACLE = """
+SELECT l.l_orderkey AS l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+              * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       o.o_orderdate AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", oracle=_Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered 3-way join → agg → top-k.
+
+    customer (tiny) is explicitly broadcast — the probe side streams
+    with no shuffle; lineitem⋈orders is the only shuffle pair, and
+    TakeOrderedAndProject caps the result without a global sort.
+    Deterministic tie-break (orderkey) so the oracle's LIMIT agrees.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    d = lambda c_: F.col(c_).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double").alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- Q5-style region revenue (5-way join through dims) --------------------
+
+_Q5_ORACLE = """
+SELECT n.n_name AS n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+              * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+@query("q5_region_revenue", oracle=_Q5_ORACLE)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star-join through region→nation→customer dims.
+
+    All three dims broadcast (each ≪ 10 MB even at sf100); the fact
+    chain lineitem⋈orders is the only shuffled join. Catalyst prunes
+    every unused column out of the scans.
+    """
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c_: F.col(c_).cast("decimal(18,4)")  # noqa: E731
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double").alias("revenue")
+        )
+    )
+
+
+# --- window functions: per-nation customer spend rank ---------------------
+
+_TOPCUST_ORACLE = """
+WITH spend AS (
+  SELECT c.c_nationkey AS c_nationkey, c.c_custkey AS c_custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_nationkey, c_custkey, total_spend,
+       CAST(rank() OVER (PARTITION BY c_nationkey
+                         ORDER BY total_spend DESC, c_custkey ASC) AS INT) AS spend_rank
+FROM spend
+QUALIFY spend_rank <= 3
+"""
+
+
+@query("top_customers_per_nation", oracle=_TOPCUST_ORACLE)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function op: rank customers by spend within nation, top 3.
+
+    One shuffle for the agg, one for the window partition — both on
+    keys with natural cardinality (nation ≈ 25) so the window needs a
+    skew note at scale: per-nation data must fit an executor; for
+    heavy-tailed partitions switch to the two-phase top-k of
+    operators/sample._take_n_smallest.
+    """
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total_spend"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("total_spend"), F.asc("c_custkey")
+    )
+    return (
+        spend.withColumn("spend_rank", F.rank().over(w).cast("int"))
+        .filter(F.col("spend_rank") <= 3)
+    )
+
+
+# --- JSON extraction on events -------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n_events
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("events_json_extract", oracle=_JSON_ORACLE)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: parse the JSON props column, aggregate a
+    field. ``from_json`` with an explicit schema — vectorized JVM
+    parsing, no UDF, and malformed rows become NULLs not errors."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    parsed = ev.withColumn(
+        "_p", F.from_json("props", "k BIGINT")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("_p.k")).cast("bigint").alias("sum_k"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --- set ops + distinct (coverage: intersect/except/distinct) -------------
+
+_SETOP_ORACLE = """
+SELECT c_nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS c_nationkey FROM supplier
+EXCEPT
+SELECT n_nationkey AS c_nationkey FROM nation WHERE n_name = 'CHINA'
+"""
+
+
+@query("setops_nations", oracle=_SETOP_ORACLE)
+def setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT surface (the reference has only union-by-name;
+    SURVEY.md §2.1 set-ops row)."""
+    c = _t(spark, sf_dir, "customer").select("c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("c_nationkey")
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "CHINA").select(
+        F.col("n_nationkey").alias("c_nationkey")
+    )
+    return c.intersect(s).exceptAll(n).distinct()

@@ -5,6 +5,7 @@ from convert_parquet_to_csv_spark.sources.io_ops import (
     read_csv,
     read_parquet,
     read_parquet_merged,
+    read_parquet_nanos_ts,
     write_csv,
     write_parquet,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "read_csv",
     "read_parquet",
     "read_parquet_merged",
+    "read_parquet_nanos_ts",
     "write_csv",
     "write_parquet",
 ]

@@ -94,6 +94,29 @@ def read_parquet_merged(
     )
 
 
+def read_parquet_nanos_ts(
+    spark: SparkSession,
+    *paths: str,
+    nanos_cols: tuple[str, ...] = ("ts",),
+) -> DataFrame:
+    """Parquet scan for files with TIMESTAMP(NANOS) columns.
+
+    Spark's reader rejects nanosecond parquet timestamps outright
+    (PARQUET_TYPE_ILLEGAL); the supported path is ``nanosAsLong`` +
+    explicit conversion. ``nanos_cols`` are truncated to microseconds
+    (integer division — exact) and surfaced as TimestampType, matching
+    DuckDB's TIMESTAMP_NS→TIMESTAMP cast semantics.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(*paths)
+    for c in nanos_cols:
+        if c in df.columns:
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
+    return df
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -1,0 +1,17 @@
+"""Structured Streaming operators over the events stream."""
+
+from convert_parquet_to_csv_spark.streaming.events import (
+    read_events_stream,
+    run_stream_to_memory,
+    running_user_counts,
+    sessionized_events,
+    windowed_event_agg,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_stream_to_memory",
+    "running_user_counts",
+    "sessionized_events",
+    "windowed_event_agg",
+]

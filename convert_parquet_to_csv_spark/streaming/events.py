@@ -1,0 +1,164 @@
+"""Streaming operators: windowed aggregation, sessionization, custom state.
+
+The reference has no streaming at all (SURVEY.md §2.1: its "streaming"
+is polars' pipelined batch mode). This module adds the Structured
+Streaming surface a training-data pipeline needs:
+
+- file-source stream (``readStream``) over event parquet/json drops —
+  the standard landing-zone ingestion shape;
+- tumbling-window aggregation with a watermark for late data;
+- session windows (gap-based) per user;
+- a custom stateful operator via ``applyInPandasWithState`` (running
+  per-user event counts) — the escape hatch for semantics windows
+  can't express.
+
+Every transformation is written against the *unbounded* DataFrame API,
+so the exact same function works on a batch DataFrame — used by the
+batch oracle query (plans/streaming_queries.windowed_agg) and the
+streaming tests, which assert batch/stream result equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+EVENT_SCHEMA = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream: new files under ``path`` become micro-batches.
+
+    Schema is pinned (streams must not infer), matching the events
+    table. ``maxFilesPerTrigger`` bounds per-batch work — the knob that
+    keeps backfill catch-up from producing one giant batch.
+    """
+    reader = spark.readStream.schema(EVENT_SCHEMA).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_event_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window count/sum per event type.
+
+    On a streaming input the watermark bounds state: windows older
+    than (max event time − watermark) are finalized and dropped —
+    late rows beyond it are discarded, the documented trade. On a
+    batch input the same code is a plain groupBy (watermark is a
+    no-op) — that equivalence is the batch-oracle story.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window).alias("_w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_events(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per user (``session_window``): a
+    session closes after ``gap`` of user inactivity."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("_s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("_s.start").alias("session_start"),
+            F.col("_s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+# --- custom stateful operator --------------------------------------------
+
+_STATE_SCHEMA = StructType([StructField("total", LongType())])
+_OUT_SCHEMA = "user_id LONG, events_so_far LONG"
+
+
+def _update_user_count(key, pdf_iter, state):
+    """Running per-user event count (applyInPandasWithState body).
+
+    State = one LONG per user; each micro-batch adds its row count and
+    emits the cumulative total. Timeout-free (state lives forever) —
+    a TTL would use GroupStateTimeout.ProcessingTimeTimeout.
+    """
+    import pandas as pd
+
+    total = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        total += len(pdf)
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [key[0]], "events_so_far": [total]})
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful op: cumulative events per user across batches.
+
+    ``applyInPandasWithState`` — the documented Python path for state
+    machines the built-in windows can't express (SURVEY target list).
+    Streaming-only (state requires a stream).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_count,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> None:
+    """Drain a stream with availableNow into an in-memory table and
+    stop — the deterministic run-to-completion harness used by tests
+    (``spark.table(query_name)`` afterwards)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()

@@ -1,0 +1,84 @@
+"""Multimodal plumbing tests: schema, batching, stub seams."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.operators import multimodal as M
+from convert_parquet_to_csv_spark.sources import read_parquet
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_small):
+    docs = read_parquet(spark, os.path.join(sf_small, "documents.parquet"))
+    return M.media_table_from_documents(docs)
+
+
+def test_media_schema(media):
+    assert media.schema.simpleString() == (
+        "struct<media_id:bigint,kind:string,content:binary,"
+        "meta:struct<width:int,height:int,sample_rate:int,n_frames:int>>"
+    )
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_meta_typed_by_kind(media):
+    rows = media.collect()
+    for r in rows:
+        if r["kind"] == "image":
+            assert r["meta"]["width"] >= 1 and r["meta"]["sample_rate"] is None
+        elif r["kind"] == "audio":
+            assert r["meta"]["sample_rate"] == 16000
+        else:
+            assert r["meta"]["n_frames"] >= 1
+
+
+def test_extract_features_shape_and_determinism(spark, media):
+    f1 = M.extract_features(media).orderBy("media_id").collect()
+    f2 = M.extract_features(media).orderBy("media_id").collect()
+    assert len(f1) == media.count()
+    for a, b in zip(f1, f2):
+        assert len(a["feature"]) == M.FEATURE_DIM
+        assert a["feature"] == b["feature"]  # stub is deterministic
+        assert all(-1.0 <= v < 1.0 for v in a["feature"])
+
+
+def test_real_decoder_raises_at_seam(media):
+    with pytest.raises(NotImplementedError, match="pil"):
+        M.extract_features(media, decoder="pil")
+
+
+def test_sample_frames(media):
+    frames = M.sample_frames(media, n_frames=4)
+    rows = frames.collect()
+    assert all(r["frame_bytes"] >= 1 for r in rows)
+    # reassembling frames must reproduce a prefix of the content
+    one = media.filter(
+        (F.col("kind") == "video") & (F.octet_length("content") > 8)
+    ).first()
+    got = sorted(
+        (r["frame_idx"], bytes(r["frame"]))
+        for r in rows
+        if r["media_id"] == one["media_id"]
+    )
+    joined = b"".join(b for _, b in got)
+    assert bytes(one["content"]).startswith(joined[: len(bytes(one["content"]))])
+
+
+def test_feature_vectors_feed_similarity(spark, media):
+    """Extracted features plug into the similarity operators —
+    the multimodal→ANN integration path."""
+    from convert_parquet_to_csv_spark.operators.similarity import (
+        topk_bruteforce,
+    )
+
+    feats = M.extract_features(media).withColumnRenamed(
+        "feature", "embedding"
+    ).withColumnRenamed("media_id", "vec_id")
+    q = feats.limit(2)
+    out = topk_bruteforce(feats, q, k=2)
+    assert out.count() == 4

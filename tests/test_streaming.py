@@ -1,0 +1,94 @@
+"""Structured Streaming tests: file-source stream, windows, watermark,
+sessionization, custom state — and batch/stream result equality."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.sources import read_parquet_nanos_ts
+from convert_parquet_to_csv_spark.streaming import (
+    read_events_stream,
+    run_stream_to_memory,
+    running_user_counts,
+    sessionized_events,
+    windowed_event_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_small, tmp_path_factory):
+    """Events re-written as a 3-file parquet directory (micro-batches)."""
+    out = str(tmp_path_factory.mktemp("events_stream_src"))
+    ev = read_parquet_nanos_ts(
+        spark, os.path.join(sf_small, "events.parquet")
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_stream_windowed_agg_equals_batch(spark, events_dir):
+    """The same windowed_event_agg over stream vs batch must agree —
+    the core guarantee that lets the DuckDB oracle check the batch
+    flavor and carry over to the stream."""
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    assert stream.isStreaming
+    run_stream_to_memory(
+        windowed_event_agg(stream), "win_agg_stream", output_mode="complete"
+    )
+    got = spark.table("win_agg_stream")
+
+    batch = windowed_event_agg(spark.read.parquet(events_dir))
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_watermark_present_in_plan(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    agg = windowed_event_agg(stream, watermark="45 minutes")
+    assert "watermark" in agg._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_sessionization(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    sess = sessionized_events(batch, gap="30 minutes")
+    rows = sess.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["session_end"] > r["session_start"]
+        assert r["n_events"] >= 1
+    # sessions per user don't overlap
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["session_end"])
+        )
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 >= e1
+
+
+def test_running_user_counts_stateful(spark, events_dir):
+    """Custom stateful operator accumulates across micro-batches."""
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    run_stream_to_memory(
+        running_user_counts(stream), "user_counts_stream", output_mode="update"
+    )
+    got = spark.table("user_counts_stream")
+    # final (max) running count per user == total events per user
+    final = got.groupBy("user_id").agg(F.max("events_so_far").alias("n"))
+    expected = (
+        spark.read.parquet(events_dir).groupBy("user_id").count()
+    )
+    diff = final.join(expected, "user_id").filter(
+        F.col("n") != F.col("count")
+    )
+    assert diff.count() == 0
+    # with 3 micro-batches, at least one user must have emitted
+    # multiple intermediate totals (proof state crossed batches)
+    multi = got.groupBy("user_id").count().filter(F.col("count") > 1)
+    assert multi.count() > 0
