@@ -60,6 +60,8 @@ def load_all() -> None:
     )
     _optional = [
         "convert_parquet_to_csv_spark.plans.analytics_queries",
+        "convert_parquet_to_csv_spark.plans.relational_queries",
+        "convert_parquet_to_csv_spark.plans.temporal_queries",
         "convert_parquet_to_csv_spark.plans.sampling_queries",
         "convert_parquet_to_csv_spark.plans.dedup_queries",
         "convert_parquet_to_csv_spark.plans.similarity_queries",

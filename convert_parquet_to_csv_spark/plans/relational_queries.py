@@ -1,0 +1,193 @@
+"""Driver-checked relational coverage: pivot, pushdown agg, semi/anti
+joins, rollup.
+
+``pivot_status_by_year`` is the gated form of SURVEY.md §2 Op-18 (the
+reference's long→wide results pivot, utils.py:28-32) applied to a data
+table so the DuckDB oracle can check it. The rest widens the
+relational surface SURVEY.md §2.1 marks absent in the reference
+(semi/anti joins, grouping sets) — all built-in Catalyst, no custom
+rules, and all scale-safe: dimension sides broadcast, aggregates are
+partial→final around one shuffle.
+
+Float determinism: SUMs over doubles route through DECIMAL(18,4)
+(plans/registry.py rules).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.plans.registry import query
+from convert_parquet_to_csv_spark.sources import read_parquet
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _d(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,4)")
+
+
+# --- Op-18: long→wide pivot, gated on a data table ------------------------
+
+_PIVOT_ORACLE = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "O",
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "F",
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "P"
+FROM orders
+GROUP BY order_year
+"""
+
+
+@query("pivot_status_by_year", oracle=_PIVOT_ORACLE)
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot (reference export_results, utils.py:28-32):
+    one row per year, one column per order status.
+
+    ``pivot`` with an explicit value list compiles to a single
+    partial→final aggregate with conditional branches — one shuffle on
+    the groupBy key, no per-pivot-value pass. Listing the values (vs
+    letting Spark discover them) also avoids an extra collect job —
+    the scalable form.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(_d("o_totalprice")).cast("double"))
+    )
+
+
+# --- Q6-style: pushdown-heavy filter + global aggregate -------------------
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+@query("q6_revenue_filter", oracle=_Q6_ORACLE)
+def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: multi-predicate scan → scalar aggregate.
+
+    The whole WHERE clause reaches the parquet reader as
+    ``PushedFilters`` (range on shipdate, range on discount, lt on
+    quantity) and ``ReadSchema`` prunes to the 4 referenced columns —
+    at 100 TB this is the difference between scanning TBs and GBs
+    (row-group statistics skip non-matching groups entirely).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_d("l_extendedprice") * _d("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- semi / anti joins ----------------------------------------------------
+
+_ANTI_ORACLE = """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+                    AND o.o_orderdate < TIMESTAMP '1996-01-01')
+GROUP BY c_nationkey
+"""
+
+
+@query("customers_inactive_1995_anti", oracle=_ANTI_ORACLE)
+def customers_inactive_1995_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no 1995 order, counted by nation.
+
+    Anti join ships only the join key of the right side; with the
+    date filter pushed into the orders scan the build side is small
+    enough to broadcast — no shuffle of the customer side at all.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o95 = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return (
+        c.join(F.broadcast(o95), c.c_custkey == o95.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+_SEMI_ORACLE = """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o.o_orderdate < TIMESTAMP '1996-01-01')
+GROUP BY c_nationkey
+"""
+
+
+@query("customers_active_1995_semi", oracle=_SEMI_ORACLE)
+def customers_active_1995_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: the EXISTS dual of the anti query — customers
+    with at least one 1995 order, counted by nation. Semi join
+    deduplicates the build side internally; no distinct needed."""
+    c = _t(spark, sf_dir, "customer")
+    o95 = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return (
+        c.join(F.broadcast(o95), c.c_custkey == o95.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# --- ROLLUP (grouping sets) -----------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("rollup_revenue", oracle=_ROLLUP_ORACLE)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: (flag, status), (flag), () subtotals in
+    one pass. Spark expands grouping sets before the partial
+    aggregate, so it's still a single shuffle; subtotal rows carry
+    NULL group keys in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_d("l_extendedprice")).cast("double").alias("sum_price"),
+        F.count("*").alias("n_rows"),
+    )
