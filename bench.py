@@ -40,10 +40,12 @@ BENCH_QUERY_NAMES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_revenue_filter",
     "dedup_exact",
     "similarity_topk_bruteforce",
     "text_quality_stats",
     "windowed_agg",
+    "asof_click_attribution",
 ]
 
 

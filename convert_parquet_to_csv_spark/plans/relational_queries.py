@@ -52,11 +52,11 @@ def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long→wide pivot (reference export_results, utils.py:28-32):
     one row per year, one column per order status.
 
-    ``pivot`` with an explicit value list compiles to a single
-    partial→final aggregate with conditional branches — one shuffle on
-    the groupBy key, no per-pivot-value pass. Listing the values (vs
-    letting Spark discover them) also avoids an extra collect job —
-    the scalable form.
+    ``pivot`` with an explicit value list compiles to a two-level
+    aggregate (groupBy(year, status) then pivot-project per year —
+    verified 2 exchanges on the executed plan), both keyed on tiny
+    cardinalities. Listing the values (vs letting Spark discover
+    them) avoids an extra values-discovery job — the scalable form.
     """
     o = _t(spark, sf_dir, "orders")
     return (
