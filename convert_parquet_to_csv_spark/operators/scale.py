@@ -1,0 +1,81 @@
+"""Scale techniques: bucketed co-located joins, salted skew joins.
+
+Neither exists in the reference (single-process, ≤10M rows), but both
+are load-bearing at 100 TB:
+
+- **Bucketing** pre-shuffles a table once at write time
+  (``bucketBy(n, key)``): every later equi-join or aggregation on the
+  bucket key reads co-located partitions and skips its Exchange
+  entirely. Amortizes the big-fact-join shuffle across every query
+  that touches the table — the Spark-native answer to the "co-located
+  join" row of the scale checklist.
+
+- **Salting** splits a hot join key across ``n_salts`` artificial
+  sub-keys: the left side gets a random salt, the small side is
+  replicated once per salt value, and the join key becomes
+  (key, salt) — a hot key's rows now land on ``n_salts`` tasks
+  instead of one straggler. Complements AQE's skew-join splitting
+  (which handles moderate skew automatically); explicit salting is
+  for the pathological keys you know about.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 32,
+    sort_by: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) table.
+
+    Joins/aggregations between tables bucketed on the same key with
+    the same bucket count run shuffle-free (verified: zero Exchange
+    in the executed plan — tests/test_scale.py). Sorting within
+    buckets additionally enables merge-join without a sort step.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, bucket_by
+    )
+    if sort_by is not None:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a saved (possibly bucketed) table; bucket metadata comes
+    from the catalog, so the bucketed-join optimization applies."""
+    return spark.table(table)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys on the (large) left side.
+
+    The left side gets a uniform random salt in [0, n_salts); the
+    right side is replicated ``n_salts``× via an exploded literal
+    array (map-side, no shuffle of the original rows beyond the join
+    itself). The join key becomes (on, salt). Results are identical
+    to ``left.join(right, on, how)`` — salt only changes placement.
+
+    Use when one side is too big to broadcast AND specific keys are
+    pathologically hot; for moderate skew prefer AQE
+    (``spark.sql.adaptive.skewJoin.enabled``, on by default here).
+    """
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    l_s = left.withColumn(
+        "_salt", (F.rand() * n_salts).cast("int")
+    )
+    r_s = right.withColumn("_salt", F.explode(salts))
+    out = l_s.join(r_s, [on, "_salt"], how)
+    return out.drop("_salt")

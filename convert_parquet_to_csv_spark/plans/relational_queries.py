@@ -169,6 +169,69 @@ def customers_active_1995_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact quantiles ------------------------------------------------------
+
+_QUANTILE_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5)  AS p50,
+       quantile_cont(l_extendedprice, 0.9)  AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("quantile_prices", oracle=_QUANTILE_ORACLE)
+def quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group.
+
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the same
+    definition and match bitwise (verified), so this is oracle-exact
+    with no decimal routing. Exact percentile holds the group's values
+    — at 100 TB per-group cardinality, switch to ``percentile_approx``
+    (t-digest sketch, mergeable, bounded memory); it's the same call
+    site with one function-name change.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(q.alias("_q"), F.count("*").alias("n_rows"))
+        .select(
+            "l_returnflag",
+            F.col("_q")[0].alias("p50"),
+            F.col("_q")[1].alias("p90"),
+            F.col("_q")[2].alias("p99"),
+            "n_rows",
+        )
+    )
+
+
+# --- exact distinct aggregation -------------------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("distinct_customers_by_status", oracle=_DISTINCT_ORACLE)
+def distinct_customers_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) coverage: Spark plans it as a two-stage
+    expand+aggregate (partial distinct per partition, then final) —
+    no driver-side set. The approximate drop-in at extreme cardinality
+    is ``approx_count_distinct`` (HLL++, mergeable sketch)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 # --- ROLLUP (grouping sets) -----------------------------------------------
 
 _ROLLUP_ORACLE = """

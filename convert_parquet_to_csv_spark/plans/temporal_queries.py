@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from convert_parquet_to_csv_spark.operators.asof import asof_join
+from convert_parquet_to_csv_spark.operators.rangejoin import interval_join
 from convert_parquet_to_csv_spark.plans.registry import query
 from convert_parquet_to_csv_spark.sources import read_parquet_nanos_ts
 
@@ -60,6 +61,59 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("click_ts"),
         F.col("ts_view").alias("view_ts"),
         (F.unix_micros("ts") - F.unix_micros("ts_view")).alias("gap_us"),
+    )
+
+
+# --- interval join: clicks in the 5 minutes before each error ------------
+
+_RANGE_ORACLE = """
+SELECT e.event_id AS error_id,
+       e.ts AS error_ts,
+       CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_5m
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id
+ AND c.ts > e.ts - INTERVAL 5 MINUTE
+ AND c.ts <= e.ts
+GROUP BY e.event_id, e.ts
+"""
+
+
+@query("error_click_pressure", oracle=_RANGE_ORACLE)
+def error_click_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators/rangejoin.py): per error event, how
+    many clicks the same user made in the preceding 5 minutes.
+
+    The bin-bucketed rewrite turns the non-equi time predicate into a
+    hash join on (user_id, bin) — no nested-loop, no per-key cross
+    product. Zero-count errors are restored with a left join against
+    the aggregated counts.
+    """
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        "ts",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    pairs = interval_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower_us=-300_000_000,
+        upper_us=0,
+    )
+    counts = pairs.groupBy("error_id").agg(
+        F.count("click_id").alias("n_clicks_5m")
+    )
+    return errors.join(counts, "error_id", "left").select(
+        "error_id",
+        F.col("ts").alias("error_ts"),
+        F.coalesce("n_clicks_5m", F.lit(0)).cast("bigint").alias("n_clicks_5m"),
     )
 
 

@@ -1,0 +1,77 @@
+"""Tests for scale techniques: bucketed joins (shuffle-free) and
+salted skew joins (operators/scale.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.operators.scale import (
+    read_table,
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_small):
+    li = spark.read.parquet(os.path.join(sf_small, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_small, "orders.parquet"))
+    write_bucketed(li, "t_li_b", bucket_by="l_orderkey", n_buckets=8)
+    write_bucketed(o, "t_o_b", bucket_by="o_orderkey", n_buckets=8)
+    # Disable auto-broadcast: at fixture scale Spark would broadcast
+    # the whole table and never exercise the bucketed-join path that
+    # matters at real scale (where neither fact side fits broadcast).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lb, ob = read_table(spark, "t_li_b"), read_table(spark, "t_o_b")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count("*").alias("n"))
+        joined.write.format("noop").mode("overwrite").save()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # The join itself must not shuffle either side: the only
+        # allowed Exchange is the one for the final small groupBy.
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # same result as the unbucketed join
+        plain = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_o_b")
+
+
+def test_salted_join_matches_plain_join_under_skew(spark):
+    # one pathologically hot key (90% of rows) + a long tail
+    left = spark.range(10_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.createDataFrame(
+        [(7, "hot"), (10, "cold10"), (20, "cold20")], "k LONG, label STRING"
+    )
+    got = salted_join(left, right, on="k", n_salts=8)
+    want = left.join(right, "k")
+    assert got.count() == want.count()
+    assert sorted(map(tuple, got.select("k", "payload", "label").collect())) \
+        == sorted(map(tuple, want.select("k", "payload", "label").collect()))
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k LONG, tag STRING"
+    )
+    right = spark.createDataFrame([(1, "x")], "k LONG, label STRING")
+    got = salted_join(left, right, on="k", n_salts=4, how="left")
+    rows = {r.tag: r.label for r in got.collect()}
+    assert rows == {"a": "x", "b": None}
