@@ -88,6 +88,37 @@ def sample_exact_n(
     raise ValueError(f"unknown sampling strategy: {strategy!r}")
 
 
+def sample_stratified_exact_n(
+    df: DataFrame,
+    strata_cols: list[str],
+    n: int,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exactly ``n`` rows *per stratum*, deterministic (hash order).
+
+    The training-data workhorse: "k documents per language", "k events
+    per type". Hash ordering (md5 of ``key_cols``) means any engine
+    picks the same rows — oracle-checkable, like the ``hash`` strategy
+    of :func:`sample_exact_n`.
+
+    One shuffle (the window partition on the strata). Each stratum is
+    sorted within its partition; for pathologically hot strata at
+    100 TB, pre-filter with the threshold trick of
+    :func:`sample_exact_n` per stratum before the window.
+    """
+    if n <= 0:
+        return df.limit(0)
+    order = _hash_order_col(df, key_cols)
+    w = Window.partitionBy(*strata_cols).orderBy(
+        order, *[F.col(c) for c in (key_cols or [])]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
 def _take_n_smallest(df: DataFrame, order_col: str, n: int) -> DataFrame:
     """Exact global top-n by ``order_col`` without a one-partition funnel.
 

@@ -1,0 +1,72 @@
+"""Driver-checked source/sink format coverage beyond parquet+CSV.
+
+The reference's format surface is exactly parquet-in/CSV-out
+(SURVEY.md §2.1 scans row); a general engine needs the other
+Spark-native formats. Each query is a write→typed-readback→aggregate
+roundtrip whose oracle runs the same aggregate directly on the parquet
+view — proving the format preserved values, not just row counts.
+
+JSON-lines and ORC ship in stock Spark (no external jars); Avro does
+not (requires the spark-avro package), so it is intentionally absent
+rather than stubbed.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.plans.registry import query
+from convert_parquet_to_csv_spark.sources import read_parquet
+
+_AGG_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@query("json_roundtrip", oracle=_AGG_ORACLE)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSON-lines sink → schema'd readback → aggregate.
+
+    JSON-lines is the landing format of most document pipelines. The
+    readback supplies the parquet schema explicitly — no inference
+    pass (at 100 TB, schema inference is a full extra scan) — and the
+    sink is partition-parallel like every Spark file sink.
+    """
+    docs = _docs(spark, sf_dir)
+    dst = os.path.join(tempfile.gettempdir(), "cptc_json_roundtrip")
+    docs.write.mode("overwrite").json(dst)
+    back = spark.read.schema(docs.schema).json(dst)
+    return _agg(back)
+
+
+@query("orc_roundtrip", oracle=_AGG_ORACLE)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ORC sink → readback → aggregate.
+
+    ORC is the other columnar format Spark supports natively
+    (vectorized reader, predicate pushdown, same scan machinery as
+    parquet). Schema comes from ORC metadata — no inference needed.
+    """
+    docs = _docs(spark, sf_dir)
+    dst = os.path.join(tempfile.gettempdir(), "cptc_orc_roundtrip")
+    docs.write.mode("overwrite").orc(dst)
+    return _agg(spark.read.orc(dst))

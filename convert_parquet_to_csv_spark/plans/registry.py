@@ -68,6 +68,7 @@ def load_all() -> None:
         "convert_parquet_to_csv_spark.plans.text_queries",
         "convert_parquet_to_csv_spark.plans.streaming_queries",
         "convert_parquet_to_csv_spark.plans.multimodal_queries",
+        "convert_parquet_to_csv_spark.plans.format_queries",
     ]
     import importlib
 

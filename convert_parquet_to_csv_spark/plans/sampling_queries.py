@@ -6,7 +6,10 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from convert_parquet_to_csv_spark.operators.sample import sample_exact_n
+from convert_parquet_to_csv_spark.operators.sample import (
+    sample_exact_n,
+    sample_stratified_exact_n,
+)
 from convert_parquet_to_csv_spark.plans.registry import query
 from convert_parquet_to_csv_spark.sources import read_parquet
 
@@ -34,6 +37,30 @@ def sample_exact_n_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     df = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
     return sample_exact_n(df, _N, strategy="hash", key_cols=["o_orderkey"])
+
+
+@query(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 50
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified exact-n: 50 documents per language, hash-ordered so
+    the picks are engine-independent (the "k docs per language"
+    training-data op)."""
+    df = read_parquet(spark, os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "lang", "source"
+    )
+    return sample_stratified_exact_n(
+        df, strata_cols=["lang"], n=50, key_cols=["doc_id"]
+    )
 
 
 @query("sample_exact_n_rand")  # rows-only: RNG differs across engines

@@ -59,3 +59,24 @@ def test_rand_plan_is_take_ordered(spark, orders):
     TakeOrderedAndProject (per-partition heaps), not a global sort."""
     plan = sample_exact_n(orders, 50)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_exact_n_per_group(spark, orders):
+    from convert_parquet_to_csv_spark.operators.sample import (
+        sample_stratified_exact_n,
+    )
+
+    out = sample_stratified_exact_n(
+        orders, strata_cols=["o_orderstatus"], n=20, key_cols=["o_orderkey"]
+    )
+    counts = {r.o_orderstatus: r.n for r in
+              out.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    totals = {r.o_orderstatus: r.n for r in
+              orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    for status, total in totals.items():
+        assert counts[status] == min(20, total)
+    # deterministic: same call → same rows
+    again = sample_stratified_exact_n(
+        orders, strata_cols=["o_orderstatus"], n=20, key_cols=["o_orderkey"]
+    )
+    assert out.exceptAll(again).count() == 0
