@@ -232,6 +232,41 @@ def distinct_customers_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- correlated scalar subquery (SQL front door + decorrelation) ----------
+
+# The SAME SQL text runs on both engines: Spark executes it through
+# spark.sql over a temp view, DuckDB over its parquet view. The
+# "price > 1.5 × customer average" predicate is stated multiplicatively
+# (2·price·count > 3·sum) so the arithmetic stays exact
+# (decimal × integer), immune to float-average ulp drift.
+_CORR_SQL = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE 2 * CAST(o.o_totalprice AS DECIMAL(18,4))
+        * (SELECT COUNT(*) FROM orders o2
+           WHERE o2.o_custkey = o.o_custkey)
+    > 3 * (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,4)))
+           FROM orders o2
+           WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@query("orders_above_customer_avg", oracle=_CORR_SQL)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries through the SQL front door.
+
+    Catalyst's RewriteCorrelatedScalarSubquery decorrelates both
+    subqueries into one aggregate joined back on o_custkey — no
+    per-row re-execution (the naive reading would be O(n²)). The
+    oracle is the *identical* SQL string, so this also pins Spark's
+    ANSI subquery semantics against DuckDB's.
+    """
+    read_parquet(
+        spark, os.path.join(sf_dir, "orders.parquet")
+    ).createOrReplaceTempView("orders")
+    return spark.sql(_CORR_SQL)
+
+
 # --- ROLLUP (grouping sets) -----------------------------------------------
 
 _ROLLUP_ORACLE = """

@@ -117,6 +117,68 @@ def error_click_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- batch sessionization (30-min gap) ------------------------------------
+
+_SESSION_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev_ts IS NULL
+                    OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+@query("sessionize_events", oracle=_SESSION_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: a new session starts after a
+    >30-min silence; sessions are numbered per user by a running sum
+    of session-start flags.
+
+    The batch dual of the streaming session window
+    (streaming/events.py) — same semantics, pure window composition
+    (lag → flag → running sum → groupBy), one shuffle on user_id
+    reused by all three steps.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("_new"),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("_new").over(run).cast("bigint")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 # --- lag window: per-user inter-event gaps --------------------------------
 
 _GAPS_ORACLE = """

@@ -1,6 +1,8 @@
 """Structured Streaming operators over the events stream."""
 
 from convert_parquet_to_csv_spark.streaming.events import (
+    dedup_stream,
+    enrich_with_dim,
     read_events_stream,
     run_stream_to_memory,
     running_user_counts,
@@ -9,6 +11,8 @@ from convert_parquet_to_csv_spark.streaming.events import (
 )
 
 __all__ = [
+    "dedup_stream",
+    "enrich_with_dim",
     "read_events_stream",
     "run_stream_to_memory",
     "running_user_counts",

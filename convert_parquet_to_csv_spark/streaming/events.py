@@ -145,6 +145,33 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the static
+    dimension — the standard enrichment shape (events × user/customer
+    attributes). The static side is planned per micro-batch, so a
+    small dim broadcasts; no state is kept. Works identically on a
+    batch DataFrame (tested both ways)."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key.
+
+    ``dropDuplicates`` on a stream keeps per-key state; the watermark
+    bounds that state (keys older than the watermark are evicted) —
+    without it, state grows forever. The batch dual is plain
+    ``dropDuplicates`` (operators/dedup.py exact family).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicates(
+        keys + [ts_col]
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,

@@ -92,3 +92,66 @@ def test_running_user_counts_stateful(spark, events_dir):
     # multiple intermediate totals (proof state crossed batches)
     multi = got.groupBy("user_id").count().filter(F.col("count") > 1)
     assert multi.count() > 0
+
+
+def test_stream_static_join_enrichment(spark, events_dir, sf_small):
+    """Stream-static join: events enriched with a static dim table;
+    stream result must equal the batch join."""
+    from convert_parquet_to_csv_spark.streaming import (
+        enrich_with_dim,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    dim = (
+        spark.read.parquet(os.path.join(sf_small, "customer.parquet"))
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_nationkey").alias("nation"),
+        )
+    )
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    enriched = enrich_with_dim(
+        stream.select("event_id", "user_id"), dim, on="user_id"
+    )
+    run_stream_to_memory(enriched, "enriched_stream", output_mode="append")
+    got = spark.table("enriched_stream")
+
+    batch = enrich_with_dim(
+        spark.read.parquet(events_dir).select("event_id", "user_id"),
+        dim,
+        on="user_id",
+    )
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
+
+
+def test_stream_dedup_drops_redelivery(spark, events_dir, tmp_path):
+    """Streaming dedup: a duplicated file (redelivery) must not double
+    the distinct-key count."""
+    import shutil
+
+    from convert_parquet_to_csv_spark.streaming import (
+        dedup_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    dup_dir = str(tmp_path / "dup_src")
+    shutil.copytree(events_dir, dup_dir)
+    # redeliver every file once under a new name
+    for f in os.listdir(events_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(events_dir, f),
+                os.path.join(dup_dir, "redelivered_" + f),
+            )
+    stream = read_events_stream(spark, dup_dir, max_files_per_trigger=2)
+    deduped = dedup_stream(stream, keys=["event_id"])
+    run_stream_to_memory(
+        deduped.select("event_id"), "dedup_stream_t", output_mode="append"
+    )
+    got = spark.table("dedup_stream_t")
+    n_unique = spark.read.parquet(events_dir).count()
+    assert got.count() == n_unique
+    assert got.distinct().count() == n_unique
