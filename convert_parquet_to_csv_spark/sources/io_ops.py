@@ -38,6 +38,11 @@ CSV_DEFAULTS: dict[str, str] = {
     "nullValue": "",
     "timestampFormat": CSV_TIMESTAMP_FORMAT,
     "escape": '"',  # RFC-4180 double-quote escaping, like all 5 engines
+    # Spark's CSV *writer* trims cell whitespace by default — no
+    # reference engine does (found by the hypothesis roundtrip suite:
+    # " " became NULL). Pin trimming off on both sides of the dialect.
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
 }
 
 
@@ -243,6 +248,10 @@ def write_csv(
     writer = writer.option("timestampFormat", timestamp_format)
     writer = writer.option("nullValue", null_value)
     writer = writer.option("escape", '"')
+    # The writer trims cell whitespace by default — no reference engine
+    # does (caught by tests/test_roundtrip_property.py: " " became "").
+    writer = writer.option("ignoreLeadingWhiteSpace", "false")
+    writer = writer.option("ignoreTrailingWhiteSpace", "false")
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     if single_file:
