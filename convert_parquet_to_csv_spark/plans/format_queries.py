@@ -58,6 +58,48 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(back)
 
 
+_PRUNE_ORACLE = """
+SELECT CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1996
+GROUP BY order_month
+"""
+
+
+@query("partition_pruned_scan", oracle=_PRUNE_ORACLE)
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition pruning.
+
+    orders is re-written partitioned by ``order_year=...`` directories
+    (sources.write_parquet(partition_by=...)); the year filter then
+    prunes at the *directory* level — ``PartitionFilters`` in the scan,
+    zero I/O for other years (verified in tests/test_io_ops.py). The
+    layout decision that turns a 100 TB scan into a 1-year scan.
+    """
+    import pyspark.sql.functions as SF
+
+    from convert_parquet_to_csv_spark.sources import write_parquet
+
+    orders = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
+    dst = os.path.join(tempfile.gettempdir(), "cptc_orders_partitioned")
+    write_parquet(
+        orders.withColumn("order_year", SF.year("o_orderdate").cast("int")),
+        dst,
+        partition_by=["order_year"],
+    )
+    back = spark.read.parquet(dst).filter(F.col("order_year") == 1996)
+    return back.groupBy(
+        F.month("o_orderdate").cast("int").alias("order_month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 @query("orc_roundtrip", oracle=_AGG_ORACLE)
 def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → ORC sink → readback → aggregate.

@@ -301,13 +301,29 @@ def write_parquet(
     mode: str = "overwrite",
     single_file: bool = False,
     max_records_per_file: int | None = None,
+    partition_by: list[str] | None = None,
+    sort_within_by: list[str] | None = None,
 ) -> None:
     """Parquet sink (reference utils.py:73 sample files).
 
     Single-file naming (reference writes ``taxi_data_..._{n}.parquet``)
     uses the same coalesce+rename dance as the CSV sink.
+
+    ``partition_by`` writes hive-style ``col=value`` directories —
+    at 100 TB the single most important layout decision: filters on
+    partition columns prune whole directories before any I/O
+    (``PartitionFilters`` in the scan, vs ``PushedFilters`` which
+    still opens footers). ``sort_within_by`` clusters rows inside
+    each file so parquet row-group min/max statistics skip tightly —
+    the poor man's Z-order for single-column locality.
     """
+    if single_file and partition_by:
+        raise ValueError("single_file and partition_by are exclusive")
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
     writer = (df.coalesce(1) if single_file else df).write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     if single_file:

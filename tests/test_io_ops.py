@@ -171,3 +171,38 @@ def test_write_parquet_single_file(spark, sf_small, tmp_path):
     assert os.path.isfile(dst)
     back = read_parquet(spark, dst)
     assert back.count() == df.count()
+
+
+def test_partitioned_write_prunes_directories(spark, sf_small, tmp_path):
+    """partition_by layout: a filter on the partition column must show
+    up as PartitionFilters and scan only that year's files."""
+    from convert_parquet_to_csv_spark.sources.io_ops import write_parquet
+
+    orders = read_parquet(spark, os.path.join(sf_small, "orders.parquet"))
+    dst = str(tmp_path / "orders_part")
+    write_parquet(
+        orders.withColumn("order_year", F.year("o_orderdate").cast("int")),
+        dst,
+        partition_by=["order_year"],
+        sort_within_by=["o_orderdate"],
+    )
+    back = spark.read.parquet(dst).filter(F.col("order_year") == 1996)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # only the 1996 directory is read
+    files = back.select(F.input_file_name().alias("f")).distinct().collect()
+    assert all("order_year=1996" in r.f for r in files)
+    # values survive the partitioned roundtrip
+    want = orders.filter(F.year("o_orderdate") == 1996).count()
+    assert back.count() == want
+
+
+def test_partition_by_single_file_conflict(spark, sf_small, tmp_path):
+    from convert_parquet_to_csv_spark.sources.io_ops import write_parquet
+
+    orders = read_parquet(spark, os.path.join(sf_small, "orders.parquet"))
+    with pytest.raises(ValueError):
+        write_parquet(
+            orders, str(tmp_path / "x"), single_file=True,
+            partition_by=["o_orderstatus"],
+        )
