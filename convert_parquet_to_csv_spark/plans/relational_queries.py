@@ -232,6 +232,42 @@ def distinct_customers_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- array aggregation + higher-order functions ---------------------------
+
+_ARRAYAGG_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       list(DISTINCT l_quantity ORDER BY l_quantity) AS quantities,
+       CAST(len(list(DISTINCT l_quantity)) AS INT) AS n_distinct,
+       CAST(list_aggregate(list(DISTINCT l_quantity), 'sum')
+            AS DOUBLE) AS qty_sum
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("quantity_array_agg", oracle=_ARRAYAGG_ORACLE)
+def quantity_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + higher-order functions: collect the distinct
+    quantity set per group (sorted, so both engines agree element-wise),
+    then reduce it with ``F.aggregate`` — arrays as first-class values
+    in the gate, the column shape embeddings pipelines live on.
+    Quantities are exact half-integers, so the array sum is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.array_sort(F.collect_set("l_quantity")).alias("quantities"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "quantities",
+            F.size("quantities").cast("int").alias("n_distinct"),
+            F.aggregate(
+                "quantities", F.lit(0.0), lambda acc, x: acc + x
+            ).cast("double").alias("qty_sum"),
+        )
+    )
+
+
 # --- correlated scalar subquery (SQL front door + decorrelation) ----------
 
 # The SAME SQL text runs on both engines: Spark executes it through
