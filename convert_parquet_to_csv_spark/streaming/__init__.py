@@ -3,6 +3,7 @@
 from convert_parquet_to_csv_spark.streaming.events import (
     dedup_stream,
     enrich_with_dim,
+    join_click_view_streams,
     read_events_stream,
     run_stream_to_memory,
     running_user_counts,
@@ -13,6 +14,7 @@ from convert_parquet_to_csv_spark.streaming.events import (
 __all__ = [
     "dedup_stream",
     "enrich_with_dim",
+    "join_click_view_streams",
     "read_events_stream",
     "run_stream_to_memory",
     "running_user_counts",

@@ -172,6 +172,42 @@ def dedup_stream(
     )
 
 
+def join_click_view_streams(
+    clicks: DataFrame,
+    views: DataFrame,
+    window_minutes: int = 5,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream join: each click joined to same-user views in the
+    preceding ``window_minutes`` — the streaming dual of
+    operators/rangejoin.interval_join.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides; that pair of constraints is what lets Spark
+    *evict* join state (unbounded state is the stream-stream join
+    failure mode). Append-mode output: a match emits once both
+    watermarks pass it.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    cond = (
+        (c.user_id == v.view_user_id)
+        & (v.view_ts <= c.click_ts)
+        & (v.view_ts >= c.click_ts - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    )
+    return c.join(v, cond).select(
+        "click_id", "user_id", "click_ts", "view_id", "view_ts"
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,
