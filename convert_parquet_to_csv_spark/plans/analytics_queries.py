@@ -250,6 +250,34 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- map-typed semi-structured path ---------------------------------------
+
+_MAP_ORACLE = """
+SELECT k AS key, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT))
+            AS BIGINT) AS total
+FROM (SELECT props, unnest(json_keys(props)) AS k
+      FROM events WHERE props IS NOT NULL)
+GROUP BY k
+"""
+
+
+@query("props_map_explode", oracle=_MAP_ORACLE)
+def props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType coverage: parse JSON props as MAP<STRING,BIGINT> without
+    naming keys up front (schema-free keys — what from_json-to-struct
+    can't do), explode to (key, value) rows, aggregate per key. The
+    explode is a generator inside codegen; no shuffle until the final
+    groupBy on the (tiny) key space."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    m = ev.select(F.from_json("props", "MAP<STRING, BIGINT>").alias("_m"))
+    kv = m.select(F.explode("_m").alias("key", "value"))
+    return kv.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum("value").cast("bigint").alias("total"),
+    )
+
+
 # --- set ops + distinct (coverage: intersect/except/distinct) -------------
 
 _SETOP_ORACLE = """

@@ -314,6 +314,27 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("cube_revenue", oracle=_CUBE_ORACLE)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all four subtotal combinations in one pass
+    (adds the status-only set ROLLUP omits) — still a single shuffle
+    over the expanded rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_d("l_extendedprice")).cast("double").alias("sum_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 @query("rollup_revenue", oracle=_ROLLUP_ORACLE)
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets: (flag, status), (flag), () subtotals in
