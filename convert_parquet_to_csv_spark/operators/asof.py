@@ -70,19 +70,17 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(a)
           for c, a in zip([ts] + right_cols, carried)],
     )
+    # Right rows carry NULL for left-only columns (schema alignment in
+    # a single projection).
     r_tagged = right.select(
         F.col(on),
         F.col(ts),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c not in (on, ts)],
         F.lit(0).alias("_side"),
         F.col(ts).alias(carried[0]),
         *[F.col(c).alias(a) for c, a in zip(right_cols, carried[1:])],
     )
-    # Align schemas: right rows carry NULL for left-only columns.
-    for c in left_cols:
-        if c not in (on, ts):
-            r_tagged = r_tagged.withColumn(
-                c, F.lit(None).cast(left.schema[c].dataType)
-            )
     unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
 
     w = (

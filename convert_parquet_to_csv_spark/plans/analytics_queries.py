@@ -14,29 +14,11 @@ averages are computed as decimal-sum / count in both engines
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from convert_parquet_to_csv_spark.plans.common import load_table as _t
 from convert_parquet_to_csv_spark.plans.registry import query
-from convert_parquet_to_csv_spark.sources import (
-    read_parquet,
-    read_parquet_nanos_ts,
-)
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":  # nanosecond parquet timestamps (TESTDATA)
-        return read_parquet_nanos_ts(
-            spark, os.path.join(sf_dir, "events.parquet")
-        )
-    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
-
-
-def _dsum(col) -> F.Column:
-    """Order-independent double sum: through DECIMAL(18,4)."""
-    return F.sum(col.cast("decimal(18,4)")).cast("double")
 
 
 # --- Q1-style pricing summary --------------------------------------------

@@ -78,14 +78,12 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero I/O for other years (verified in tests/test_io_ops.py). The
     layout decision that turns a 100 TB scan into a 1-year scan.
     """
-    import pyspark.sql.functions as SF
-
     from convert_parquet_to_csv_spark.sources import write_parquet
 
     orders = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
     dst = os.path.join(tempfile.gettempdir(), "cptc_orders_partitioned")
     write_parquet(
-        orders.withColumn("order_year", SF.year("o_orderdate").cast("int")),
+        orders.withColumn("order_year", F.year("o_orderdate").cast("int")),
         dst,
         partition_by=["order_year"],
     )

@@ -20,16 +20,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from convert_parquet_to_csv_spark.plans.common import dec as _d
+from convert_parquet_to_csv_spark.plans.common import load_table as _t
 from convert_parquet_to_csv_spark.plans.registry import query
 from convert_parquet_to_csv_spark.sources import read_parquet
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
-
-
-def _d(c: str) -> F.Column:
-    return F.col(c).cast("decimal(18,4)")
 
 
 # --- Op-18: long→wide pivot, gated on a data table ------------------------

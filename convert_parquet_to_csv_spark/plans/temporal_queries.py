@@ -8,22 +8,18 @@ hash-matches without float tolerance games.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from convert_parquet_to_csv_spark.operators.asof import asof_join
 from convert_parquet_to_csv_spark.operators.rangejoin import interval_join
+from convert_parquet_to_csv_spark.plans.common import load_table
 from convert_parquet_to_csv_spark.plans.registry import query
-from convert_parquet_to_csv_spark.sources import read_parquet_nanos_ts
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_parquet_nanos_ts(
-        spark, os.path.join(sf_dir, "events.parquet")
-    )
+    return load_table(spark, sf_dir, "events")
 
 
 # --- as-of join: click → most recent prior view per user ------------------
