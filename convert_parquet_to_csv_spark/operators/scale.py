@@ -53,6 +53,57 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet location into right-sized files; returns the
+    new file count.
+
+    The small-files problem is the dominant operational failure at
+    scale: a streaming or per-batch writer leaves thousands of KB-size
+    files per partition, and every later scan pays per-file open cost
+    (plus driver memory for the file index). Compaction = read →
+    repartition to ⌈bytes/target⌉ → atomic-ish rewrite (write to a
+    sibling temp dir, then swap) — run it per landed partition, not
+    over the whole table.
+
+    ``partition_by`` preserves a hive layout through the rewrite
+    (files are compacted *within* each partition directory via one
+    extra repartition column).
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    size = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, -(-size // target_file_bytes))  # ceil
+
+    df = spark.read.parquet(path)
+    if partition_by:
+        df = df.repartition(int(n_files), *partition_by)
+    else:
+        df = df.repartition(int(n_files))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(hpath, True)
+    fs.rename(tmp_path, hpath)
+
+    out = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            out += 1
+    return out
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -75,3 +75,38 @@ def test_salted_join_left_outer(spark):
     got = salted_join(left, right, on="k", n_salts=4, how="left")
     rows = {r.tag: r.label for r in got.collect()}
     assert rows == {"a": "x", "b": None}
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_small, tmp_path):
+    from convert_parquet_to_csv_spark.operators.scale import compact_parquet
+
+    li = spark.read.parquet(os.path.join(sf_small, "lineitem.parquet"))
+    dst = str(tmp_path / "fragmented")
+    li.repartition(64).write.mode("overwrite").parquet(dst)  # 64 tiny files
+    before = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert before == 64
+    total_before = li.count()
+
+    n_after = compact_parquet(spark, dst, target_file_bytes=8 * 1024 * 1024)
+    assert n_after < before
+    back = spark.read.parquet(dst)
+    assert back.count() == total_before
+    assert back.exceptAll(li).count() == 0
+
+
+def test_compact_parquet_preserves_hive_layout(spark, sf_small, tmp_path):
+    from convert_parquet_to_csv_spark.operators.scale import compact_parquet
+
+    o = spark.read.parquet(os.path.join(sf_small, "orders.parquet"))
+    dst = str(tmp_path / "frag_part")
+    (o.withColumn("order_year", F.year("o_orderdate").cast("int"))
+     .repartition(32)
+     .write.mode("overwrite").partitionBy("order_year").parquet(dst))
+    years_before = sorted(d for d in os.listdir(dst) if d.startswith("order_year="))
+    n = compact_parquet(spark, dst, target_file_bytes=32 * 1024 * 1024,
+                        partition_by=["order_year"])
+    years_after = sorted(d for d in os.listdir(dst) if d.startswith("order_year="))
+    assert years_after == years_before
+    back = spark.read.parquet(dst)
+    assert back.count() == o.count()
+    assert n >= len(years_after)  # at least one file per partition dir
