@@ -297,6 +297,67 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_CORR_SQL)
 
 
+# --- scalar function surface: string / math / date ------------------------
+
+_SCALAR_ORACLE = """
+SELECT n_nationkey,
+       upper(n_name) AS name_upper,
+       substring(n_name, 1, 3) AS name_prefix,
+       CAST(length(n_name) AS INT) AS name_len,
+       CAST(abs(n_nationkey - 12) AS BIGINT) AS key_dist,
+       sqrt(CAST(n_nationkey AS DOUBLE)) AS key_root,
+       concat(n_name, '#', CAST(n_regionkey AS VARCHAR)) AS tagged
+FROM nation
+"""
+
+
+@query("scalar_functions_nation", oracle=_SCALAR_ORACLE)
+def scalar_functions_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level scalar surface: string (upper/substring/length/concat)
+    and math (abs, sqrt — IEEE-754 exact, so bitwise across engines).
+    All inside one codegen'd projection; no UDFs."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.upper("n_name").alias("name_upper"),
+        F.substring("n_name", 1, 3).alias("name_prefix"),
+        F.length("n_name").cast("int").alias("name_len"),
+        F.abs(F.col("n_nationkey") - 12).cast("bigint").alias("key_dist"),
+        F.sqrt(F.col("n_nationkey").cast("double")).alias("key_root"),
+        F.concat(
+            F.col("n_name"), F.lit("#"), F.col("n_regionkey").cast("string")
+        ).alias("tagged"),
+    )
+
+
+_QUARTER_ORACLE = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
+       COUNT(*) AS n_orders,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY order_year, order_quarter
+"""
+
+
+@query("orders_by_quarter", oracle=_QUARTER_ORACLE)
+def orders_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part surface: year/quarter extraction + timestamp min/max
+    per bucket (calendar semantics pinned against the oracle)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .withColumn("order_quarter", F.quarter("o_orderdate").cast("int"))
+        .groupBy("order_year", "order_quarter")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
 # --- ROLLUP (grouping sets) -----------------------------------------------
 
 _ROLLUP_ORACLE = """
