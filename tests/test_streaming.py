@@ -189,25 +189,70 @@ def test_stream_stream_join_equals_batch(spark, events_dir):
     assert want.exceptAll(got).count() == 0
 
 
-def test_stream_stream_join_drops_late_rows_past_watermark(spark, events_dir):
+def test_stream_stream_join_drops_late_rows_past_watermark(spark, tmp_path):
     """With out-of-time-order file arrival and per-file batches, rows
     older than the advanced watermark are dropped — the state-eviction
-    contract that keeps stream-stream join state bounded."""
+    contract that keeps stream-stream join state bounded.
+
+    The file source orders micro-batches by file mtime, so each file's
+    mtime is staggered explicitly: batch 0 carries recent (non-matching)
+    rows that advance both watermarks, and the only matching click/view
+    pair arrives afterwards in separate files, far behind the watermark.
+    """
+    import datetime as dt
+
     from convert_parquet_to_csv_spark.streaming import (
         join_click_view_streams,
         read_events_stream,
         run_stream_to_memory,
     )
 
-    s = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    utc = dt.timezone.utc
+    recent = dt.datetime(2024, 2, 1, 12, 0, tzinfo=utc)
+    old = dt.datetime(2024, 1, 27, 10, 0, tzinfo=utc)
+    files = [
+        # batch 0: recent click + view for DIFFERENT users (no match),
+        # advancing both sides' watermarks to ~recent - 1h.
+        [
+            (1, recent, 10, "click", 1.0, "{}"),
+            (2, recent, 20, "view", 1.0, "{}"),
+        ],
+        # batches 1 and 2: the only matching pair, now late.
+        [(3, old + dt.timedelta(minutes=2), 1, "click", 1.0, "{}")],
+        [(4, old, 1, "view", 1.0, "{}")],
+    ]
+    src = tmp_path / "late_src"
+    src.mkdir()
+    from convert_parquet_to_csv_spark.streaming.events import EVENT_SCHEMA
+
+    for i, rows in enumerate(files):
+        part = tmp_path / f"part_{i}"
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(part))
+        (data_file,) = [p for p in part.glob("part-*.parquet")]
+        target = src / f"file_{i}.parquet"
+        data_file.rename(target)
+        os.utime(target, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    s = read_events_stream(spark, str(src), max_files_per_trigger=1)
     joined = join_click_view_streams(
         s.filter(F.col("event_type") == "click"),
         s.filter(F.col("event_type") == "view"),
         window_minutes=5,
         watermark="1 hour",
     )
+    # Guard against a vacuous pass: in batch mode (no late-arrival
+    # semantics) the old pair DOES match.
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(str(src))
+    assert (
+        join_click_view_streams(
+            batch.filter(F.col("event_type") == "click"),
+            batch.filter(F.col("event_type") == "view"),
+            window_minutes=5,
+        ).count()
+        == 1
+    )
+
     run_stream_to_memory(joined, "ss_join_late_t", output_mode="append")
-    # The only matching pair (2024-01-27) is far older than the
-    # watermark after batch 0 (global max - 1h) and its sides arrive
-    # in different, unordered files -> dropped as late.
     assert spark.table("ss_join_late_t").count() == 0
