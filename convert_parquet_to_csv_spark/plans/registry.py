@@ -69,6 +69,7 @@ def load_all() -> None:
         "convert_parquet_to_csv_spark.plans.streaming_queries",
         "convert_parquet_to_csv_spark.plans.multimodal_queries",
         "convert_parquet_to_csv_spark.plans.format_queries",
+        "convert_parquet_to_csv_spark.plans.kafka_queries",
     ]
     import importlib
 
