@@ -70,6 +70,7 @@ def load_all() -> None:
         "convert_parquet_to_csv_spark.plans.multimodal_queries",
         "convert_parquet_to_csv_spark.plans.format_queries",
         "convert_parquet_to_csv_spark.plans.kafka_queries",
+        "convert_parquet_to_csv_spark.plans.sketch_queries",
     ]
     import importlib
 

@@ -1,0 +1,136 @@
+"""Driver-checked approximate-sketch coverage (operators/sketches.py).
+
+Sketch estimates can't hash-match a DuckDB oracle (different HLL/GK
+implementations), so each query returns EXACT values plus booleans
+asserting the sketch landed inside its published error bound; the
+oracle returns the same exact values with literal TRUEs. A sketch
+drifting out of bound therefore fails the value-hash gate — a real
+cross-engine check, not a rows-only count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.operators.sketches import (
+    approx_quantiles,
+    hll_estimate,
+    hll_merge_estimate,
+    hll_sketches,
+)
+from convert_parquet_to_csv_spark.plans.common import load_table
+from convert_parquet_to_csv_spark.plans.registry import query
+
+# lgK=14 → relative standard error ~0.8%; 5% is >6 sigma — a bound a
+# correct implementation essentially never violates, while a broken
+# sketch (or wrong column) blows through it.
+_HLL_TOL = 0.05
+
+_HLL_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers_exact,
+       TRUE AS hll_within_tol
+FROM orders
+GROUP BY o_orderstatus
+UNION ALL
+SELECT 'ALL' AS o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers_exact,
+       TRUE AS hll_within_tol
+FROM orders
+"""
+
+
+@query("hll_distinct_customers", oracle=_HLL_ORACLE)
+def hll_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct customers per order status + merged-sketch global.
+
+    The per-status sketches are REUSED for the global row via
+    `hll_union_agg` — no second scan of orders, the mergeability
+    property that makes sketches the 100 TB COUNT(DISTINCT) plan
+    (fixed 2^14 bytes per group vs shuffling every distinct key).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    sketches = hll_sketches(orders, "o_orderstatus", "o_custkey").cache()
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers_exact")
+    )
+    per_group = (
+        hll_estimate(sketches)
+        .join(exact, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n_customers_exact",
+            (
+                F.abs(F.col("n_distinct_est") - F.col("n_customers_exact"))
+                <= F.col("n_customers_exact") * _HLL_TOL
+            ).alias("hll_within_tol"),
+        )
+    )
+    global_est = sketches.agg(hll_merge_estimate(sketches).alias("n_distinct_est"))
+    global_exact = orders.agg(
+        F.countDistinct("o_custkey").alias("n_customers_exact")
+    )
+    global_row = global_est.crossJoin(global_exact).select(
+        F.lit("ALL").alias("o_orderstatus"),
+        "n_customers_exact",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_customers_exact"))
+            <= F.col("n_customers_exact") * _HLL_TOL
+        ).alias("hll_within_tol"),
+    )
+    return per_group.unionByName(global_row)
+
+
+# percentile_approx's contract is on RANK, not value: the returned
+# value's rank is within eps=1/accuracy of the target. So the check
+# brackets each approx value between the EXACT percentiles at p±eps.
+_QSKETCH_ACCURACY = 1000  # eps = 0.001
+
+_QSKETCH_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.500) AS p50_exact,
+       quantile_cont(l_extendedprice, 0.900) AS p90_exact,
+       TRUE AS approx_within_rank_eps
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("approx_quantile_sketch", oracle=_QSKETCH_ORACLE)
+def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch vs exact, checked against the rank-eps contract.
+
+    Exact percentiles (which DuckDB `quantile_cont` matches bitwise —
+    see quantile_prices) are the returned values; the boolean brackets
+    the sketch output between exact percentiles at p±eps. At 100 TB
+    the exact columns drop and only the O(accuracy)-memory sketch
+    remains.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # 2x margin: the returned value is an order statistic within
+    # rank-eps, but the interpolated bracket percentile can sit a hair
+    # inside the same order statistic — 2*eps removes the boundary
+    # false-negative without weakening the check materially.
+    eps = 2.0 / _QSKETCH_ACCURACY
+    approx = approx_quantiles(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.9], _QSKETCH_ACCURACY
+    ).withColumnsRenamed({"p50": "p50_a", "p90": "p90_a"})
+    # Exact values at the targets and at the rank-eps brackets.
+    probs = [0.5, 0.9, 0.5 - eps, 0.5 + eps, 0.9 - eps, 0.9 + eps]
+    arr = ", ".join(str(p) for p in probs)
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_extendedprice, array({arr}))").alias("_e")
+    )
+    return (
+        exact.join(approx, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("_e")[0].alias("p50_exact"),
+            F.col("_e")[1].alias("p90_exact"),
+            (
+                F.col("p50_a").between(F.col("_e")[2], F.col("_e")[3])
+                & F.col("p90_a").between(F.col("_e")[4], F.col("_e")[5])
+            ).alias("approx_within_rank_eps"),
+        )
+    )
