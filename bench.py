@@ -46,6 +46,9 @@ BENCH_QUERY_NAMES = [
     "text_quality_stats",
     "windowed_agg",
     "asof_click_attribution",
+    "hll_distinct_customers",
+    "range_layout_scan",
+    "kafka_roundtrip_events",
 ]
 
 

@@ -104,6 +104,34 @@ def compact_parquet(
     return out
 
 
+def write_range_partitioned(
+    df: DataFrame,
+    path: str,
+    range_by: str,
+    n_partitions: int = 32,
+) -> None:
+    """Persist ``df`` with a global range layout on ``range_by``.
+
+    ``repartitionByRange`` samples the column, computes balanced range
+    bounds, and shuffles once so file *i* holds a contiguous key range;
+    ``sortWithinPartitions`` orders rows inside each file. The payoff
+    is at read time: parquet row-group min/max statistics become tight
+    under this layout, so a range predicate on ``range_by`` skips
+    whole files and row groups instead of scanning everything —
+    poor-man's zone maps, no index structure needed. The same layout
+    also feeds merge-joins and ordered exports without a re-sort.
+
+    One shuffle at write time, amortized over every later range scan —
+    the time-series/date-keyed analog of :func:`write_bucketed`.
+    """
+    (
+        df.repartitionByRange(n_partitions, range_by)
+        .sortWithinPartitions(range_by)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

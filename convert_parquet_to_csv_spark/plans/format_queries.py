@@ -98,6 +98,50 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1995-07-01'
+GROUP BY o_orderpriority
+"""
+
+
+@query("range_layout_scan", oracle=_RANGE_ORACLE)
+def range_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned layout + range-predicate scan.
+
+    orders is re-written with operators.scale.write_range_partitioned
+    on o_orderdate (one sampling shuffle, contiguous date range per
+    file, sorted within files), then a half-year predicate is pushed
+    into the scan. Under this layout parquet min/max stats are tight,
+    so the pushed filter skips whole files/row groups — the date-keyed
+    analog of hive partition pruning, without the directory explosion
+    of one-directory-per-day (tests assert the pushdown and the
+    value-level correctness; the oracle proves the rewrite lost
+    nothing).
+    """
+    from convert_parquet_to_csv_spark.operators.scale import (
+        write_range_partitioned,
+    )
+
+    orders = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
+    dst = os.path.join(tempfile.gettempdir(), "cptc_orders_rangeparts")
+    write_range_partitioned(orders, dst, "o_orderdate", n_partitions=16)
+    back = spark.read.parquet(dst).filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-07-01")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 @query("orc_roundtrip", oracle=_AGG_ORACLE)
 def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → ORC sink → readback → aggregate.

@@ -94,6 +94,38 @@ def test_compact_parquet_reduces_file_count(spark, sf_small, tmp_path):
     assert back.exceptAll(li).count() == 0
 
 
+def test_range_partitioned_files_hold_disjoint_ranges(spark, sf_small, tmp_path):
+    from convert_parquet_to_csv_spark.operators.scale import (
+        write_range_partitioned,
+    )
+
+    o = spark.read.parquet(os.path.join(sf_small, "orders.parquet"))
+    dst = str(tmp_path / "rangeparts")
+    write_range_partitioned(o, dst, "o_orderdate", n_partitions=8)
+
+    back = spark.read.parquet(dst)
+    assert back.count() == o.count()
+    assert back.exceptAll(o).count() == 0
+
+    # Per-file min/max must not overlap: that's what makes row-group
+    # stats tight enough to skip files under a range predicate.
+    spans = (
+        back.withColumn("_f", F.input_file_name())
+        .groupBy("_f")
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        .collect()
+    )
+    spans = sorted([(r.lo, r.hi) for r in spans])
+    assert len(spans) > 1
+    for (_, prev_hi), (lo, _) in zip(spans, spans[1:]):
+        assert prev_hi <= lo
+
+    # And the range predicate reaches the parquet scan.
+    q = back.filter(F.col("o_orderdate") >= "1995-01-01")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:200]
+
+
 def test_compact_parquet_preserves_hive_layout(spark, sf_small, tmp_path):
     from convert_parquet_to_csv_spark.operators.scale import compact_parquet
 
