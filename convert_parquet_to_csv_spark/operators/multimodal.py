@@ -95,6 +95,11 @@ def extract_features(
             "not available in this environment — plug them in here; the "
             "'stub' decoder exercises the identical Spark plumbing"
         )
+    from convert_parquet_to_csv_spark.shipping import ensure_package_shipped
+
+    # The closure references module-level _stub_feature → workers must
+    # import this package; ship it (works from any driver cwd/cluster).
+    ensure_package_shipped(media.sparkSession)
 
     def _extract(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -136,6 +136,12 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from convert_parquet_to_csv_spark.shipping import ensure_package_shipped
+
+    # _update_user_count is pickled by reference to this module —
+    # workers need the package on sys.path regardless of driver cwd.
+    ensure_package_shipped(events.sparkSession)
+
     return events.groupBy("user_id").applyInPandasWithState(
         _update_user_count,
         outputStructType=_OUT_SCHEMA,

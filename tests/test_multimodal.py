@@ -69,6 +69,37 @@ def test_sample_frames(media):
     assert bytes(one["content"]).startswith(joined[: len(bytes(one["content"]))])
 
 
+def test_python_udf_runs_from_foreign_cwd(sf_small, tmp_path):
+    """Regression: the driver harness imports this package from an
+    arbitrary cwd; Python workers then hit ModuleNotFoundError unless
+    the package is shipped via addPyFile (shipping.py). Runs the
+    mapInPandas query in a fresh session whose cwd is NOT the repo."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = f"""
+import sys; sys.path.insert(0, {repo!r})
+from convert_parquet_to_csv_spark.plans import registry
+from pyspark.sql import SparkSession
+registry.load_all()
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+df = registry.QUERIES["multimodal_features"](spark, {sf_small!r})
+print("FOREIGN_CWD_ROWS", df.count())
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "FOREIGN_CWD_ROWS" in out.stdout
+
+
 def test_feature_vectors_feed_similarity(spark, media):
     """Extracted features plug into the similarity operators —
     the multimodal→ANN integration path."""
