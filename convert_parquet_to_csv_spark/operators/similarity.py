@@ -83,11 +83,16 @@ def _hyperplane(dim: int, bit: int) -> list[float]:
     return comps
 
 
-def lsh_signature(vec_col, dim: int, nbits: int = 16):
-    """Pack nbits sign-of-projection bits into one LONG column."""
+def lsh_signature(vec_col, dim: int, nbits: int = 16, table: int = 0):
+    """Pack nbits sign-of-projection bits into one LONG column.
+
+    ``table`` offsets the hyperplane seed so each LSH table draws
+    independent planes."""
     sig = F.lit(0).cast("long")
     for b in range(nbits):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, b)])
+        plane = F.array(
+            *[F.lit(c) for c in _hyperplane(dim, table * nbits + b + 1)]
+        )
         proj = dot_product(vec_col, plane)
         sig = sig.bitwiseOR(
             F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), b))
@@ -102,28 +107,57 @@ def topk_lsh(
     dim: int,
     k: int = 10,
     nbits: int = 12,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: exact scoring restricted to same-LSH-bucket
-    candidates. Recall rises as nbits falls (bigger buckets); queries
-    whose bucket is empty return < k rows — callers needing guaranteed
-    k re-probe with fewer bits or fall back to brute force."""
-    sig = lsh_signature(F.col(vec_col), dim, nbits)
+    """Approximate top-k: exact scoring restricted to LSH candidates.
+
+    Multi-table (OR-amplified) hyperplane LSH: ``n_tables`` independent
+    ``nbits``-bit signatures; a pair is a candidate if it collides in
+    ANY table. One table alone has collision probability
+    (1 - θ/π)^nbits — negligible for the moderate-similarity neighbors
+    that dominate real top-k — so recall comes from the union across
+    tables: 1-(1-p)^L. Tuning: nbits controls per-table bucket size
+    (probe cost), n_tables buys recall linearly in index size. The
+    explode is n_tables× on (id, bucket) keys only; vectors themselves
+    are not replicated through the shuffle (joined back by id), and
+    candidate pairs are deduped before exact scoring."""
+    tables = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("_table"),
+                    lsh_signature(F.col(vec_col), dim, nbits, table=t).alias(
+                        "_sig"
+                    ),
+                )
+                for t in range(n_tables)
+            ]
+        )
+    ).alias("_tb")
+    v_buckets = vectors.select(
+        F.col(id_col).alias("neighbor_id"), tables
+    ).select("neighbor_id", "_tb._table", "_tb._sig")
+    q_buckets = queries.select(
+        F.col(id_col).alias(query_id_col), tables
+    ).select(query_id_col, "_tb._table", "_tb._sig")
+    candidates = (
+        v_buckets.join(F.broadcast(q_buckets), ["_table", "_sig"])
+        .select(query_id_col, "neighbor_id")
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
     v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_v"),
-        sig.alias("_bucket"),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
     )
     q = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("_qv"),
-        sig.alias("_bucket"),
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
     )
     scored = (
-        v.join(F.broadcast(q), "_bucket")
+        candidates.join(v, "neighbor_id")
+        .join(F.broadcast(q), query_id_col)
         .withColumn("similarity", cosine_similarity("_qv", "_v"))
     )
     if exclude_self:
