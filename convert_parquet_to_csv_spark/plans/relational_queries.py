@@ -401,3 +401,120 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_d("l_extendedprice")).cast("double").alias("sum_price"),
         F.count("*").alias("n_rows"),
     )
+
+
+_GSETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+@query("grouping_sets_revenue", oracle=_GSETS_ORACLE)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the irregular set list neither ROLLUP
+    nor CUBE expresses ((flag-only) + (linestatus-only), no combined or
+    grand-total row). DataFrame API has cube/rollup only, so this goes
+    through the SQL front door — same Expand→partial→final single
+    shuffle underneath."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_price,
+               COUNT(*) AS n_rows
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "O",
+         CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "F",
+         CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "P"
+  FROM orders GROUP BY order_year
+)
+SELECT order_year, status, total_price
+FROM wide UNPIVOT (total_price FOR status IN ("O", "F", "P"))
+"""
+
+
+@query("unpivot_status_totals", oracle=_UNPIVOT_ORACLE)
+def unpivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) — the inverse of Op-18's pivot,
+    roundtripped: pivot to one column per status, then ``unpivot``
+    back to (year, status, value) rows. Map-side Expand, no shuffle
+    beyond the pivot's own aggregation; NULL cells (statuses absent in
+    a year) drop in both engines."""
+    wide = pivot_status_by_year(spark, sf_dir)
+    return wide.unpivot(
+        ids=["order_year"],
+        values=["O", "F", "P"],
+        variableColumnName="status",
+        valueColumnName="total_price",
+    )
+
+
+_WINDOW_ZOO_ORACLE = """
+WITH yearly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+         o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+  FROM orders
+  GROUP BY order_year, o_orderpriority
+)
+SELECT order_year, o_orderpriority, total_price,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(ntile(2) OVER w AS INT) AS half,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(o_orderpriority) OVER w AS top_priority,
+       nth_value(o_orderpriority, 2) OVER
+         (PARTITION BY order_year ORDER BY total_price DESC, o_orderpriority
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_priority
+FROM yearly
+WINDOW w AS (PARTITION BY order_year
+             ORDER BY total_price DESC, o_orderpriority)
+"""
+
+
+@query("window_zoo_yearly_priority", oracle=_WINDOW_ZOO_ORACLE)
+def window_zoo_yearly_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/distribution window-function surface in one pass:
+    rank, ntile, percent_rank, cume_dist, first_value, nth_value over
+    a deterministic (total, priority) ordering. All functions share
+    one window spec → a single sort per partition; nth_value needs the
+    full-frame variant to see the 2nd row from every position."""
+    o = _t(spark, sf_dir, "orders")
+    yearly = (
+        o.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .groupBy("order_year", "o_orderpriority")
+        .agg(F.sum(_d("o_totalprice")).cast("double").alias("total_price"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("order_year").orderBy(
+        F.desc("total_price"), F.asc("o_orderpriority")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return yearly.select(
+        "order_year",
+        "o_orderpriority",
+        "total_price",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.ntile(2).over(w).cast("int").alias("half"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderpriority").over(w).alias("top_priority"),
+        F.nth_value("o_orderpriority", 2).over(w_full).alias("second_priority"),
+    )
