@@ -1,0 +1,108 @@
+"""Time-series regularization: calendar spine + gap fill.
+
+The reference has no time-series surface (SURVEY.md §2.1 — timestamps
+pass through untransformed, utils.py sink rendering only); this is a
+north-star extension every telemetry/training pipeline needs: turn an
+irregular event stream into a dense per-key calendar with explicit
+zero/carry-forward semantics, so downstream windows and joins see one
+row per (key, day) instead of silent holes.
+
+Spark-first shape: the spine is ``sequence(min_day, max_day)`` +
+``explode`` — generated JVM-side, ~rows = keys × days, never a
+driver-side loop. Gap semantics are column-level: ``COALESCE`` for
+additive measures (a missing day genuinely means zero events) and
+``last(ignorenulls)`` over an ordered window for level measures
+(carry the last observation forward).
+
+Scale notes (100 TB): the daily pre-aggregation is the one big
+shuffle, and it is partial→final on (key, day). The spine explode
+multiplies *keys*, not events — output is bounded by keys × span,
+independent of raw event count. The forward-fill window repartitions
+by key only; for hot keys the span is bounded by the calendar, so
+no single partition exceeds days-in-range rows per key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def daily_rollup(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    aggs: Sequence[Column],
+    day_col: str = "day",
+) -> DataFrame:
+    """One row per (group, calendar day): ``aggs`` over that day's rows."""
+    return df.groupBy(
+        *group_cols, F.to_date(F.col(ts_col)).alias(day_col)
+    ).agg(*aggs)
+
+
+def date_spine(
+    daily: DataFrame,
+    group_cols: Sequence[str],
+    day_col: str = "day",
+) -> DataFrame:
+    """Dense (group, day) grid spanning each group's min..max day.
+
+    Derived from the rolled-up table (cheap: one small per-group
+    min/max agg), then ``explode(sequence(...))`` — row count is
+    keys × span regardless of event volume.
+    """
+    bounds = daily.groupBy(*group_cols).agg(
+        F.min(day_col).alias("_mn"), F.max(day_col).alias("_mx")
+    )
+    return bounds.select(
+        *group_cols,
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.expr("interval 1 day"))
+        ).alias(day_col),
+    )
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    aggs: Sequence[Column],
+    zero_cols: Sequence[str] = (),
+    ffill_cols: Sequence[str] = (),
+    day_col: str = "day",
+) -> DataFrame:
+    """Regularize an event stream to one row per (group, day).
+
+    ``aggs`` are aliased aggregate columns computed per present day;
+    days absent from the data get ``0`` for ``zero_cols`` (additive
+    measures) and the most recent prior value for ``ffill_cols``
+    (level measures; leading gap stays NULL — there is nothing to
+    carry). Columns in neither list keep their NULLs.
+    """
+    daily = daily_rollup(df, group_cols, ts_col, aggs, day_col).persist()
+    spine = date_spine(daily, group_cols, day_col)
+    dense = spine.join(daily, [*group_cols, day_col], "left")
+
+    out_cols: list[Column] = [F.col(c) for c in (*group_cols, day_col)]
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    agg_names = [c for c in daily.columns if c not in (*group_cols, day_col)]
+    for name in agg_names:
+        if name in zero_cols:
+            out_cols.append(
+                F.coalesce(F.col(name), F.lit(0)).alias(name)
+            )
+        elif name in ffill_cols:
+            out_cols.append(
+                F.last(F.col(name), ignorenulls=True).over(w).alias(name)
+            )
+        else:
+            out_cols.append(F.col(name))
+    return dense.select(*out_cols)

@@ -518,3 +518,126 @@ def window_zoo_yearly_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderpriority").over(w).alias("top_priority"),
         F.nth_value("o_orderpriority", 2).over(w_full).alias("second_priority"),
     )
+
+
+# --- TPC-H-shape coverage (adapted to the fixture schema) -----------------
+#
+# The fixtures carry a slimmed TPC-H star (no partsupp/l_shipmode/
+# p_container — TESTDATA.md), so the classic query *shapes* are kept and
+# the predicates adapted: q14 → promo revenue ratio, q18 → large-order
+# HAVING subquery, q19 → disjunctive multi-table pushdown.
+
+_PROMO_ORACLE = """
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+       CAST(EXTRACT(month FROM l_shipdate) AS INT) AS ship_month,
+       CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4)) ELSE 0 END)
+            / SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ship_year, ship_month
+"""
+
+
+@query("promo_revenue_ratio", oracle=_PROMO_ORACLE)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape: monthly % of discounted revenue from PROMO
+    parts. Conditional aggregation over a fact⨝dim join — part (2k
+    rows) is explicitly broadcast, so the only shuffle is the final
+    (year, month) aggregation; the CASE stays in codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc = _d(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            F.month("l_shipdate").cast("int").alias("ship_month"),
+        )
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0)))
+                / F.sum(disc)
+            )
+            .cast("double")
+            .alias("promo_pct")
+        )
+    )
+
+
+_BIG_ORDERS_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 280) big
+  ON o_orderkey = big.l_orderkey
+"""
+
+
+@query("large_orders_having", oracle=_BIG_ORDERS_ORACLE)
+def large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: orders whose total line quantity exceeds 280.
+    The HAVING subquery aggregates lineitem FIRST (one shuffle on
+    l_orderkey), shrinking the join input from ~4 lines/order to the
+    ~1% of orders that qualify — at 100 TB the post-HAVING side is
+    small enough that AQE converts the join to broadcast at runtime."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_d("l_quantity")).alias("_sq"))
+        .filter(F.col("_sq") > 280)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+_DISJUNCT_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("disjunctive_filter_parts", oracle=_DISJUNCT_ORACLE)
+def disjunctive_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape: OR-of-ANDs across both join sides. Catalyst
+    factors the disjunction: the brand-set filter
+    (`p_brand IN (12,23,34)`-equivalent) pushes to the part scan and
+    `l_quantity BETWEEN 1 AND 30` pushes to the lineitem scan
+    (PushedFilters on both), before the broadcast join evaluates the
+    full residual predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(pred).agg(
+        F.sum(_d(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )

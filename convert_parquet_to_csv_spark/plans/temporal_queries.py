@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from convert_parquet_to_csv_spark.operators.asof import asof_join
 from convert_parquet_to_csv_spark.operators.rangejoin import interval_join
+from convert_parquet_to_csv_spark.operators.timeseries import gap_fill_daily
 from convert_parquet_to_csv_spark.plans.common import load_table
 from convert_parquet_to_csv_spark.plans.registry import query
 
@@ -215,3 +216,50 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(gap).cast("bigint").alias("sum_gap_us"),
         F.max(gap).cast("bigint").alias("max_gap_us"),
     )
+
+
+# --- calendar gap fill (operators/timeseries.py) --------------------------
+
+_GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,4))) AS sv
+  FROM events GROUP BY user_id, day
+), bounds AS (
+  SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY user_id
+), spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                     CAST(mx AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT s.user_id, s.day,
+       COALESCE(d.n_events, 0) AS n_events,
+       CAST(last_value(d.sv IGNORE NULLS) OVER (
+              PARTITION BY s.user_id ORDER BY s.day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS day_value
+FROM spine s LEFT JOIN daily d USING (user_id, day)
+"""
+
+
+@query("events_daily_gapfill", oracle=_GAPFILL_ORACLE)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily calendar over the irregular event stream
+    (operators/timeseries.gap_fill_daily): event counts zero-filled on
+    missing days, daily value totals carried forward. The spine is
+    sequence+explode per user — keys × days rows, independent of raw
+    event volume."""
+    ev = _events(spark, sf_dir)
+    return gap_fill_daily(
+        ev,
+        group_cols=["user_id"],
+        ts_col="ts",
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("day_value"),
+        ],
+        zero_cols=["n_events"],
+        ffill_cols=["day_value"],
+    ).withColumn("day_value", F.col("day_value").cast("double"))

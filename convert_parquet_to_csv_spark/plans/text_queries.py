@@ -172,3 +172,72 @@ def pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
     return docs.select("doc_id", n_tokens("text").alias("n_tokens"))
+
+
+# --- end-to-end curation pipeline ----------------------------------------
+
+_CURATION_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id, source, n_chars, text,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t != '')) AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(text) AS len_chars,
+         CAST({_duck_lang_score('en')} AS DOUBLE) AS s_en,
+         CAST({_duck_lang_score('de')} AS DOUBLE) AS s_de,
+         CAST({_duck_lang_score('fr')} AS DOUBLE) AS s_fr,
+         CAST({_duck_lang_score('es')} AS DOUBLE) AS s_es
+  FROM documents
+), filtered AS (
+  SELECT * FROM feat
+  WHERE n_tokens >= 10
+    AND len_chars > 0
+    AND CAST(n_alpha AS DOUBLE) / CAST(len_chars AS DOUBLE) >= 0.5
+    AND greatest(s_en, s_de, s_fr, s_es) > 0
+    AND s_en = greatest(s_en, s_de, s_fr, s_es)
+), kept AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id) AS _rn
+  FROM filtered
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       SUM(n_tokens) AS total_tokens
+FROM kept WHERE _rn = 1
+GROUP BY source
+"""
+
+
+@query("curation_pipeline", oracle=_CURATION_ORACLE)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation composite, end to end in one plan:
+    quality gate (≥10 tokens, ≥50% alpha chars) → language gate
+    (heuristic English) → exact dedup (min-id per content
+    fingerprint) → per-source corpus stats.
+
+    One pass over the scan computes every per-doc feature (no
+    re-reads); the only shuffles are the dedup fingerprint hash and
+    the final small groupBy. All counters are integers — exact across
+    engines. This is the shape a 100 TB curation job takes: per-doc
+    features map-side, one wide shuffle, tiny output."""
+    from convert_parquet_to_csv_spark.operators import dedup as D
+
+    docs = _docs(spark, sf_dir)
+    f = T.quality_features("text")
+    enriched = docs.select(
+        "*",
+        f["n_tokens"].alias("_nt"),
+        f["alpha_ratio"].alias("_ar"),
+        T.lang_id("text").alias("_lp"),
+    )
+    filtered = enriched.filter(
+        (F.col("_nt") >= 10) & (F.col("_ar") >= 0.5) & (F.col("_lp") == "en")
+    )
+    kept = D.exact_dedup(filtered)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("_nt").alias("total_tokens"),
+    )

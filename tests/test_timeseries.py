@@ -1,0 +1,85 @@
+"""Unit tests: calendar gap fill (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.operators.timeseries import (
+    date_spine,
+    gap_fill_daily,
+)
+
+
+def _mk_events(spark):
+    rows = [
+        # user 1: days 1, 3, 3 — gap at day 2
+        (1, dt.datetime(2024, 1, 1, 8), 10.0),
+        (1, dt.datetime(2024, 1, 3, 9), 20.0),
+        (1, dt.datetime(2024, 1, 3, 10), 30.0),
+        # user 2: single day
+        (2, dt.datetime(2024, 1, 5, 1), 7.0),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+
+
+def test_gap_fill_dense_and_semantics(spark):
+    out = gap_fill_daily(
+        _mk_events(spark),
+        group_cols=["user_id"],
+        ts_col="ts",
+        aggs=[
+            F.count("*").alias("n"),
+            F.sum("value").alias("sv"),
+        ],
+        zero_cols=["n"],
+        ffill_cols=["sv"],
+    ).orderBy("user_id", "day")
+    rows = [r.asDict() for r in out.collect()]
+    # user 1 spans 3 days (dense), user 2 spans 1 day
+    assert [(r["user_id"], str(r["day"])) for r in rows] == [
+        (1, "2024-01-01"),
+        (1, "2024-01-02"),
+        (1, "2024-01-03"),
+        (2, "2024-01-05"),
+    ]
+    # additive measure: zero on the gap day
+    assert [r["n"] for r in rows] == [1, 0, 2, 1]
+    # level measure: carried forward across the gap
+    assert [r["sv"] for r in rows] == [10.0, 10.0, 50.0, 7.0]
+
+
+def test_gap_fill_leading_gap_stays_null(spark):
+    # value only on the LAST day: ffill has nothing to carry earlier
+    rows = [
+        (1, dt.datetime(2024, 1, 1), None),
+        (1, dt.datetime(2024, 1, 3), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = gap_fill_daily(
+        df,
+        group_cols=["user_id"],
+        ts_col="ts",
+        aggs=[F.sum("value").alias("sv")],
+        ffill_cols=["sv"],
+    ).orderBy("day")
+    vals = [r.sv for r in out.collect()]
+    assert vals == [None, None, 5.0]
+
+
+def test_date_spine_bounded_by_group_span(spark):
+    daily = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 1)),
+            (1, dt.date(2024, 1, 10)),
+            (2, dt.date(2024, 3, 1)),
+        ],
+        "user_id long, day date",
+    )
+    spine = date_spine(daily, ["user_id"])
+    assert spine.count() == 10 + 1  # user 1: 10 days; user 2: 1 day
+    # spine never invents keys
+    assert spine.select("user_id").distinct().count() == 2
