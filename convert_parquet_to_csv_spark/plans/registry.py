@@ -71,6 +71,7 @@ def load_all() -> None:
         "convert_parquet_to_csv_spark.plans.format_queries",
         "convert_parquet_to_csv_spark.plans.kafka_queries",
         "convert_parquet_to_csv_spark.plans.sketch_queries",
+        "convert_parquet_to_csv_spark.plans.scale_queries",
     ]
     import importlib
 

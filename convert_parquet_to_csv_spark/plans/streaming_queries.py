@@ -33,3 +33,131 @@ def windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(sf_dir, "events.parquet")
     )
     return windowed_event_agg(ev, window="1 hour")
+
+
+# --- live Structured Streaming, driver-gated ------------------------------
+#
+# These three run the REAL streaming machinery to completion inside the
+# gate: stage the events fixture as a parquet landing zone, drain it with
+# an availableNow file-source stream into a memory sink, and return the
+# drained table. Results are deterministic (the stream sees exactly the
+# fixture rows), so each gets a plain batch SQL oracle — streaming
+# execution, batch-checkable answers.
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.streaming import (
+    read_events_stream,
+    run_stream_to_memory,
+    running_user_counts,
+    sessionized_events,
+)
+
+
+def _staged_events(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Stage the nanos-timestamp fixture as a 3-file landing zone whose
+    arrival order matches event time.
+
+    ``repartitionByRange(3, ts)`` puts disjoint ascending time spans in
+    part-00000/1/2; each file's mtime is then staggered in that order
+    (the file source schedules micro-batches oldest-mtime-first). With
+    arrival order = event-time order the watermark only ever trails the
+    batch being processed, so nothing is dropped as late and the drain
+    is deterministic — the same invariant a production landing zone
+    gets from approximately-ordered ingestion."""
+    import glob
+
+    out = os.path.join(tempfile.gettempdir(), f"cptc_stream_{name}")
+    parts = out + "_parts"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(parts, ignore_errors=True)
+    ev = read_parquet_nanos_ts(spark, os.path.join(sf_dir, "events.parquet"))
+    ev.repartitionByRange(3, "ts").write.mode("overwrite").parquet(parts)
+    os.makedirs(out)
+    for i, src in enumerate(sorted(glob.glob(os.path.join(parts, "part-*.parquet")))):
+        dst = os.path.join(out, f"file_{i}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    shutil.rmtree(parts, ignore_errors=True)
+    return out
+
+
+@query("streaming_windowed_agg_live", oracle=_WINDOW_ORACLE)
+def streaming_windowed_agg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowed_agg's STREAMING flavor, drained via availableNow into a
+    memory sink — same oracle as the batch flavor, proving
+    batch/stream equivalence through the driver gate itself."""
+    src = _staged_events(spark, sf_dir, "winagg")
+    from convert_parquet_to_csv_spark.streaming import windowed_event_agg
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    run_stream_to_memory(
+        windowed_event_agg(stream), "cptc_gate_winagg", output_mode="complete"
+    )
+    return spark.table("cptc_gate_winagg")
+
+
+_SESSION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), isl AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       COUNT(*) AS n_events
+FROM isl GROUP BY user_id, sid
+"""
+
+
+@query("streaming_session_windows_live", oracle=_SESSION_ORACLE)
+def streaming_session_windows_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (``session_window``, 30-min gap) run
+    as a real stream to completion. The oracle rebuilds sessions in
+    SQL via the lag→flag→running-sum island trick: identical
+    (start, end=last+gap, user, count) tuples."""
+    src = _staged_events(spark, sf_dir, "sessions")
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    run_stream_to_memory(
+        sessionized_events(stream, gap="30 minutes"),
+        "cptc_gate_sessions",
+        output_mode="complete",
+    )
+    return spark.table("cptc_gate_sessions")
+
+
+_RUNNING_ORACLE = """
+SELECT user_id, COUNT(*) AS events_so_far
+FROM events GROUP BY user_id
+"""
+
+
+@query("streaming_running_counts_live", oracle=_RUNNING_ORACLE)
+def streaming_running_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) through the
+    gate: per-user cumulative counts, drained with availableNow. The
+    memory sink keeps one update row per (user, micro-batch); the max
+    per user is the final state — which must equal the plain batch
+    COUNT(*), the oracle."""
+    src = _staged_events(spark, sf_dir, "running")
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    run_stream_to_memory(
+        running_user_counts(stream), "cptc_gate_running", output_mode="update"
+    )
+    return (
+        spark.table("cptc_gate_running")
+        .groupBy("user_id")
+        .agg(F.max("events_so_far").alias("events_so_far"))
+    )
