@@ -1,6 +1,7 @@
 """Relational + data-pipeline operators built on the DataFrame API."""
 
 from convert_parquet_to_csv_spark.operators.asof import asof_join
+from convert_parquet_to_csv_spark.operators.graph import connected_components
 from convert_parquet_to_csv_spark.operators.rangejoin import interval_join
 from convert_parquet_to_csv_spark.operators.sample import (
     sample_exact_n,
@@ -14,6 +15,7 @@ from convert_parquet_to_csv_spark.operators.scale import (
 
 __all__ = [
     "asof_join",
+    "connected_components",
     "interval_join",
     "read_table",
     "salted_join",

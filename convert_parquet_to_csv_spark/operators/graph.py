@@ -1,0 +1,85 @@
+"""Iterative graph operators: connected components for dedup clusters.
+
+Near-duplicate pairs form a graph; the *clusters* a curation pipeline
+actually needs (keep one doc per cluster, count cluster mass, audit
+what got merged) are its connected components — pairwise survivors
+under-merge whenever A~B and B~C but A≁C. The reference has nothing
+iterative at all; this is the canonical "algorithm, not a query" case
+the DataFrame API still covers cleanly.
+
+Algorithm: hash-min label propagation. Every node starts labeled with
+itself; each round every node takes the min label in its closed
+neighborhood; stop when no label changed. Rounds = component diameter
+(near-dup clusters are shallow — diameter is small in practice; the
+O(log n)-round alternative for adversarially long chains is
+large-star/small-star contraction, Kiveris et al., "Connected
+Components in MapReduce and Beyond").
+
+Scale shape per round: one join labels⨝edges (hash-partitioned on the
+node id) + one groupBy min — partial aggregation map-side, so shuffle
+volume is O(edges) rows of (long, long). Labels are
+``localCheckpoint``-ed every round: iterative plans otherwise grow
+lineage linearly and re-execute the whole history each action.
+Convergence is detected with an aggregate (count of changed labels),
+not a collect of data rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label every node with the min node id in its component.
+
+    ``nodes``: one column ``id_col`` (isolated nodes keep their own
+    label). ``edges``: (src, dst) undirected pairs, any orientation.
+    Returns (id_col, ``component``). Deterministic — min is
+    order-independent.
+    """
+    # Symmetrize once: propagation needs both directions.
+    fwd = edges.select(
+        F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
+    )
+    sym = fwd.union(
+        edges.select(F.col(dst_col).alias("_u"), F.col(src_col).alias("_v"))
+    ).distinct().persist()
+
+    labels = nodes.select(
+        F.col(id_col).alias("_u"), F.col(id_col).alias("_lbl")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        # min label over the closed neighborhood of each node
+        neighbor_min = (
+            sym.join(labels, "_u")
+            .groupBy(F.col("_v").alias("_u"))
+            .agg(F.min("_lbl").alias("_nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "_u", "left")
+            .select(
+                "_u",
+                F.least(
+                    "_lbl", F.coalesce("_nlbl", F.col("_lbl"))
+                ).alias("_lbl"),
+                (F.col("_nlbl") < F.col("_lbl")).alias("_chg"),
+            )
+        ).localCheckpoint()  # cut lineage; also materializes for the count
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    return labels.select(
+        F.col("_u").alias(id_col), F.col("_lbl").alias("component")
+    )

@@ -193,3 +193,68 @@ def dedup_simhash_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(missed == 0, extra == 0)],
         "pigeonhole_complete boolean, verified_subset boolean",
     )
+
+
+# --- transitive dedup clusters (operators/graph.py) -----------------------
+#
+# Pairwise near-dup output under-merges transitive chains (A~B, B~C,
+# A≁C). The cluster view labels every doc with the min doc_id in its
+# connected component over the exact-Jaccard≥0.1 pair graph. The oracle
+# replays the component computation with a recursive CTE (min reachable
+# id == min id in component) over the same SQL-expressible edge set.
+
+_CC_ORACLE = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(0, greatest(len(toks) - {_K}, 0) + 1),
+             i -> array_to_string(toks[i + 1 : i + {_K}], ' ')))) AS s
+  FROM tok WHERE len(toks) > 0
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN cnt na ON na.doc_id = id_a
+  JOIN cnt nb ON nb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= {_THRESH}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(label) AS component
+FROM reach GROUP BY node
+"""
+
+
+@query("dedup_clusters_cc", oracle=_CC_ORACLE)
+def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact near-dup pair graph
+    (hash-min label propagation, operators/graph.py): every document
+    labeled with the min doc_id of its duplicate cluster — the
+    transitive-closure view pairwise dedup can't give."""
+    from convert_parquet_to_csv_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, k=_K, threshold=_THRESH)
+    return connected_components(
+        docs.select("doc_id"),
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ),
+        id_col="doc_id",
+    )

@@ -1,0 +1,38 @@
+"""Unit tests: connected components (operators/graph.py)."""
+
+from __future__ import annotations
+
+from convert_parquet_to_csv_spark.operators.graph import connected_components
+
+
+def _cc(spark, nodes, edges):
+    n = spark.createDataFrame([(x,) for x in nodes], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(n, e)
+    return {r.id: r.component for r in out.collect()}
+
+
+def test_transitive_chain_merges(spark):
+    # 1-2, 2-3: one component even though 1 and 3 share no edge;
+    # 10 is isolated.
+    got = _cc(spark, [1, 2, 3, 10], [(1, 2), (2, 3)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10}
+
+
+def test_edge_orientation_irrelevant(spark):
+    # min id on the dst side; both orientations propagate.
+    got = _cc(spark, [5, 6, 7], [(7, 5), (6, 7)])
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_long_path_converges(spark):
+    # path of 12 nodes — needs multiple propagation rounds
+    nodes = list(range(12))
+    edges = [(i, i + 1) for i in range(11)]
+    got = _cc(spark, nodes, edges)
+    assert set(got.values()) == {0}
+
+
+def test_two_components(spark):
+    got = _cc(spark, [1, 2, 3, 4], [(1, 2), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}
