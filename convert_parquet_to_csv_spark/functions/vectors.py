@@ -33,3 +33,37 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """cos(a,b); 0.0 when either vector is all-zero (defined, not NaN)."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot_product(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """x / ‖x‖ elementwise (double); all-zero vectors pass through
+    unscaled (division guard) rather than producing NaNs."""
+    v = _c(a)
+    n = l2_norm(v)
+    return F.when(
+        n > 0, F.transform(v, lambda x: x.cast("double") / n)
+    ).otherwise(F.transform(v, lambda x: x.cast("double")))
+
+
+def quantize_int8(a: Column | str, scale: Column | None = None) -> Column:
+    """Symmetric int8 quantization: round(x·127/max|x|) per element.
+
+    Rounding is ``floor(y + 0.5)`` — round-half-up for either sign,
+    chosen because both Spark and DuckDB evaluate it bit-identically
+    (native ``round`` functions disagree on ties across engines).
+    Returns array<int> in [-127, 127]; the companion scale factor is
+    :func:`quantize_scale` (store both — dequantize is x·max|x|/127).
+    """
+    v = _c(a)
+    s = scale if scale is not None else quantize_scale(v)
+    return F.transform(
+        v,
+        lambda x: F.floor(x.cast("double") * s + F.lit(0.5)).cast("int"),
+    )
+
+
+def quantize_scale(a: Column | str) -> Column:
+    """127 / max|x| (0-safe): the per-vector quantization factor."""
+    v = _c(a)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    return F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))

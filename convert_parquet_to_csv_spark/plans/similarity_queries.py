@@ -158,3 +158,106 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact (unbucketed) flavor so the oracle can replay it; the LSH
     path is exercised by similarity_topk_lsh."""
     return S.embedding_dup_pairs(_vecs(spark, sf_dir), threshold=0.35, dim=None)
+
+
+# --- embedding maintenance ops: quantize, centroids -----------------------
+
+_QUANT_ORACLE = """
+WITH vd AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+              ELSE 0.0 END AS scale
+  FROM vd
+)
+SELECT vec_id,
+       scale,
+       list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS q
+FROM s
+"""
+
+
+@query("embedding_quantize_int8", oracle=_QUANT_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding (the 4×
+    compression step before an ANN index ships to serving). Pure
+    ``transform`` expressions — elementwise, no shuffle, no UDF;
+    round-half-up via floor(y+0.5) so both engines agree bitwise."""
+    from convert_parquet_to_csv_spark.functions.vectors import (
+        quantize_int8,
+        quantize_scale,
+    )
+
+    vecs = _vecs(spark, sf_dir)
+    return vecs.select(
+        "vec_id",
+        quantize_scale("embedding").alias("scale"),
+        quantize_int8("embedding").alias("q"),
+    )
+
+
+# Fixed-point accumulation: floor(x·1e9) longs sum exactly and
+# order-independently (double SUM would drift in the last ulp per
+# engine/partition order), then one double division at the end.
+_CENTROID_ORACLE = """
+WITH flat AS (
+  SELECT label, u.pos AS pos, u.fx AS fx FROM (
+    SELECT label,
+           unnest(list_transform(embedding, (x, i) -> struct_pack(
+               pos := i,
+               fx := CAST(floor(CAST(x AS DOUBLE) * 1000000000) AS BIGINT)
+           ))) AS u
+    FROM embeddings)
+), agg AS (
+  SELECT label, pos,
+         CAST(SUM(fx) AS DOUBLE) / COUNT(*) / 1000000000 AS m
+  FROM flat GROUP BY label, pos
+)
+SELECT label, list(m ORDER BY pos) AS centroid, MAX(n) AS n_vectors
+FROM (SELECT a.*, c.n FROM agg a
+      JOIN (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label) c
+      USING (label))
+GROUP BY label
+"""
+
+
+@query("embedding_centroids", oracle=_CENTROID_ORACLE)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding — the k-means/IVF centroid update step
+    as one declarative plan: posexplode to (label, pos, val) long
+    format, one (label, pos) aggregation (partial map-side, dim×labels
+    output rows), then re-assemble ordered arrays. Fixed-point long
+    accumulation keeps the float sum order-independent so the oracle
+    hash-matches exactly."""
+    vecs = _vecs(spark, sf_dir)
+    flat = vecs.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "label",
+        # DuckDB's WITH ORDINALITY is 1-based; match it.
+        (F.col("pos") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * F.lit(1_000_000_000))
+        .cast("long")
+        .alias("fx"),
+    )
+    agg = flat.groupBy("label", "pos").agg(
+        (
+            F.sum("fx").cast("double")
+            / F.count("*")
+            / F.lit(1_000_000_000)
+        ).alias("m"),
+        F.count("*").alias("_n"),
+    )
+    return agg.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ),
+            lambda s: s["m"],
+        ).alias("centroid"),
+        F.max("_n").alias("n_vectors"),
+    )

@@ -110,3 +110,33 @@ def test_embedding_dup_pairs_planted(spark, vecs):
     aug = vecs.unionByName(copy)
     pairs = S.embedding_dup_pairs(aug, threshold=0.99, dim=None).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(7, 100007)}
+
+
+def test_l2_normalize_and_quantize(spark):
+    from convert_parquet_to_csv_spark.functions.vectors import (
+        l2_normalize,
+        l2_norm,
+        quantize_int8,
+        quantize_scale,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 2.0])],
+        "id long, v array<double>",
+    )
+    out = df.select(
+        "id",
+        l2_normalize("v").alias("n"),
+        l2_norm(l2_normalize("v")).alias("norm_after"),
+        quantize_scale("v").alias("s"),
+        quantize_int8("v").alias("q"),
+    ).orderBy("id").collect()
+    # unit norm after normalization (except the zero vector)
+    assert abs(out[0].norm_after - 1.0) < 1e-12
+    assert out[0].n == [0.6, 0.8]
+    # zero vector: unchanged, scale 0
+    assert out[1].n == [0.0, 0.0] and out[1].s == 0.0
+    assert out[1].q == [0, 0]
+    # quantization: max-|x| element hits ±127 exactly
+    assert out[2].q == [-63, 127]
