@@ -49,6 +49,11 @@ BENCH_QUERY_NAMES = [
     "hll_distinct_customers",
     "range_layout_scan",
     "kafka_roundtrip_events",
+    "curation_pipeline",
+    "events_daily_gapfill",
+    "embedding_centroids",
+    "promo_revenue_ratio",
+    "salted_join_revenue",
 ]
 
 
