@@ -51,3 +51,46 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "kind", F.size("feature").alias("feature_dim")
     ).orderBy("media_id")
+
+
+_FRAMES_ORACLE = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         hex(encode(coalesce(text, ''))) AS h,
+         octet_length(encode(coalesce(text, ''))) AS total
+  FROM documents WHERE doc_id % 3 = 2
+), p AS (
+  SELECT media_id, h, total,
+         greatest(CAST(floor(total / 4.0) AS INT), 1) AS per
+  FROM media
+), idx AS (
+  SELECT media_id, h, total, per,
+         unnest(range(0, 4)) AS frame_idx
+  FROM p
+)
+SELECT media_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       substring(h, CAST(frame_idx * per * 2 + 1 AS BIGINT),
+                 CAST(per * 2 AS BIGINT)) AS frame_hex,
+       CAST(length(substring(h, CAST(frame_idx * per * 2 + 1 AS BIGINT),
+                             CAST(per * 2 AS BIGINT))) / 2 AS BIGINT)
+         AS frame_bytes
+FROM idx WHERE frame_idx * per < total
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAMES_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even-stride frame sampling over video payloads
+    (operators/multimodal.sample_frames): explode to one row per
+    (media, frame), slice byte ranges positionally — the exact table
+    shape a real keyframe extractor feeds downstream. The frame bytes
+    themselves are value-checked: DuckDB can't slice BLOBs, so both
+    engines compare the frames' hex rendering (uppercase in both)."""
+    frames = M.sample_frames(_media(spark, sf_dir), n_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.hex("frame").alias("frame_hex"),
+        "frame_bytes",
+    )

@@ -263,3 +263,42 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         zero_cols=["n_events"],
         ffill_cols=["day_value"],
     ).withColumn("day_value", F.col("day_value").cast("double"))
+
+
+# --- RANGE-frame trailing window ------------------------------------------
+
+_TRAILING_ORACLE = """
+SELECT user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+         AS value_7d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("trailing_7d_window", oracle=_TRAILING_ORACLE)
+def trailing_7d_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 7-day totals — the RANGE frame (value-based
+    window bounds) rather than the ROWS frame every other window query
+    uses. Spark's rangeBetween needs a numeric ordering column, so the
+    frame runs over unix microseconds with a ±7-day-in-µs bound —
+    identical row membership to DuckDB's INTERVAL RANGE frame. One
+    shuffle on user_id shared by both window functions."""
+    ev = _events(spark, sf_dir)
+    us = 7 * 24 * 3600 * 1_000_000  # 7 days in microseconds
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-us, 0)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("value_7d"),
+        F.count("*").over(w).alias("n_7d"),
+    )
