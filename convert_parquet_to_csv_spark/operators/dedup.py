@@ -348,3 +348,51 @@ def simhash_dedup(
     sigs = simhash_signatures(df, id_col, text_col)
     pairs = simhash_pairs(sigs, id_col, max_hamming)
     return drop_near_duplicates(df, pairs, id_col)
+
+
+# --------------------------------------------------------------------------
+# edit-distance fuzzy matching
+# --------------------------------------------------------------------------
+
+def fuzzy_title_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    title_len: int = 40,
+    block_len: int = 4,
+    max_distance: int = 5,
+) -> DataFrame:
+    """Pairs whose normalized title prefixes are within ``max_distance``
+    edits — the fourth near-dup family (byte-level typos/OCR noise,
+    which shingle Jaccard under-weights on short strings).
+
+    Edit distance is O(len²) per pair, so all-pairs is never the plan:
+    candidates are *blocked* on the first ``block_len`` chars (equal
+    block ⇒ one equi-join; typo'd prefixes across blocks are the
+    documented miss, standard for blocking) and only candidates pay the
+    ``levenshtein`` call. All built-in expressions, identical metric in
+    DuckDB — fully oracle-replayable.
+    """
+    t = F.substring(F.lower(F.trim(F.col(text_col))), 1, title_len)
+    base = df.select(
+        F.col(id_col),
+        t.alias("_title"),
+        F.substring(t, 1, block_len).alias("_blk"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_title").alias("_ta"),
+        "_blk",
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_title").alias("_tb"),
+        "_blk",
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )

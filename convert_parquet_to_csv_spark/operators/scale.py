@@ -158,3 +158,55 @@ def salted_join(
     r_s = right.withColumn("_salt", F.explode(salts))
     out = l_s.join(r_s, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def _spread_bits16(c: Column) -> Column:
+    """Interleave-ready bit spread: 16-bit value → even bit positions
+    of a 32-bit word (classic magic-number spreading, expressed as
+    Column bit ops so it stays in codegen)."""
+    x = c.cast("long").bitwiseAND(F.lit(0xFFFF).cast("long"))
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        x = (
+            x.bitwiseOR(F.shiftleft(x, shift))
+            .bitwiseAND(F.lit(mask).cast("long"))
+        )
+    return x
+
+
+def morton_code(a: Column, b: Column) -> Column:
+    """Z-order (Morton) interleave of two 16-bit dimensions.
+
+    Sorting by the interleaved code clusters rows that are close in
+    BOTH dimensions into the same files/row groups, so parquet min/max
+    stats prune 2-D range predicates — one clustered layout serving
+    two predicate columns, where a plain sort serves only its leading
+    column. Inputs are clamped to [0, 65535]; pre-bucket wider domains
+    first (e.g. days-since-epoch, id % 65536 is NOT order-preserving —
+    use a monotone rescale).
+    """
+    ca = F.least(F.greatest(a.cast("long"), F.lit(0)), F.lit(0xFFFF))
+    cb = F.least(F.greatest(b.cast("long"), F.lit(0)), F.lit(0xFFFF))
+    return _spread_bits16(ca).bitwiseOR(
+        F.shiftleft(_spread_bits16(cb), 1)
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    dim_a: Column,
+    dim_b: Column,
+    n_partitions: int = 32,
+) -> None:
+    """Persist ``df`` clustered by the Morton code of two dimensions —
+    the multi-column analog of :func:`write_range_partitioned` (one
+    shuffle at write, 2-D file/row-group skipping at every later read).
+    """
+    (
+        df.withColumn("_z", morton_code(dim_a, dim_b))
+        .repartitionByRange(n_partitions, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -258,3 +258,28 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         id_col="doc_id",
     )
+
+
+# --- edit-distance fuzzy pairs --------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         substring(lower(trim(text)), 1, 40) AS title,
+         substring(lower(trim(text)), 1, 4) AS blk
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.title, b.title) AS INT) AS distance
+FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 5
+"""
+
+
+@query("dedup_fuzzy_levenshtein", oracle=_FUZZY_ORACLE)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs over normalized 40-char title
+    prefixes, blocked on the first 4 chars (operators/dedup.py
+    fuzzy_title_pairs) — byte-noise dups that token-level Jaccard
+    misses. Identical levenshtein metric in both engines."""
+    return D.fuzzy_title_pairs(_docs(spark, sf_dir))

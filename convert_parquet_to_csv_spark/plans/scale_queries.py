@@ -87,3 +87,110 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(_d("value")).cast("double").alias("total_value"),
     )
+
+
+_UPSERT_ORACLE = """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0
+), ins AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 1
+), merged AS (
+  SELECT * FROM orders WHERE o_orderkey % 10 NOT IN (0, 2)
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_price
+FROM merged GROUP BY o_orderstatus
+"""
+
+
+@query("upsert_orders_roundtrip", oracle=_UPSERT_ORACLE)
+def upsert_orders_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE on plain parquet (operators/upsert.py), end to end:
+    copy orders to a scratch table, apply one batch carrying updates
+    (keys %10==0: price doubled), inserts (re-keyed copies of %10==1),
+    and delete tombstones (%10==2), then aggregate the table that came
+    back. One anti-join + union shuffle; the oracle replays the merge
+    relationally — a value-hash match proves update-wins, insert, and
+    tombstone semantics all landed."""
+    from convert_parquet_to_csv_spark.operators.upsert import upsert_parquet
+
+    orders = _t(spark, sf_dir, "orders")
+    scratch = os.path.join(tempfile.gettempdir(), "cptc_upsert_orders")
+    shutil.rmtree(scratch, ignore_errors=True)
+    orders.write.mode("overwrite").parquet(scratch)
+
+    key = F.col("o_orderkey")
+    updates = (
+        orders.filter(key % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("_deleted", F.lit(False))
+        .unionByName(
+            orders.filter(key % 10 == 1)
+            .withColumn("o_orderkey", key + 10_000_000)
+            .withColumn("_deleted", F.lit(False))
+        )
+        .unionByName(
+            orders.filter(key % 10 == 2).withColumn("_deleted", F.lit(True))
+        )
+    )
+    upsert_parquet(
+        spark, scratch, updates, key_cols=["o_orderkey"], delete_col="_deleted"
+    )
+    back = spark.read.parquet(scratch)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_d("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+_ZORDER_ORACLE = """
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_price,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 500
+  AND o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o_orderdate <  TIMESTAMP '1995-01-01'
+"""
+
+
+@query("zorder_layout_scan", oracle=_ZORDER_ORACLE)
+def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered layout, value-checked end to end:
+    rewrite orders clustered by interleaving (o_custkey,
+    days-since-1992) bits, then run a 2-D range predicate over the
+    clustered copy. Both predicate columns get tight parquet min/max
+    stats from ONE layout — a plain sort would serve only its leading
+    column. The oracle runs the same predicate on the original table:
+    layout must be value-invariant."""
+    from convert_parquet_to_csv_spark.operators.scale import write_zordered
+
+    orders = _t(spark, sf_dir, "orders")
+    scratch = os.path.join(tempfile.gettempdir(), "cptc_zorder_orders")
+    shutil.rmtree(scratch, ignore_errors=True)
+    write_zordered(
+        orders,
+        scratch,
+        dim_a=F.col("o_custkey"),
+        dim_b=F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")),
+        n_partitions=16,
+    )
+    back = spark.read.parquet(scratch)
+    return back.filter(
+        F.col("o_custkey").between(100, 500)
+        & (F.col("o_orderdate") >= "1994-01-01")
+        & (F.col("o_orderdate") < "1995-01-01")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_d("o_totalprice")).cast("double").alias("total_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )

@@ -142,3 +142,47 @@ def test_compact_parquet_preserves_hive_layout(spark, sf_small, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == o.count()
     assert n >= len(years_after)  # at least one file per partition dir
+
+
+def test_merge_upsert_semantics(spark):
+    from convert_parquet_to_csv_spark.operators.upsert import merge_upsert
+    from pyspark.sql import functions as F
+
+    existing = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        "k long, v string, _del boolean",
+    )
+    got = {
+        r.k: r.v
+        for r in merge_upsert(
+            existing, updates, ["k"], delete_col="_del"
+        ).collect()
+    }
+    # 1 untouched, 2 updated, 3 deleted, 4 inserted
+    assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_morton_code_locality(spark):
+    from convert_parquet_to_csv_spark.operators.scale import morton_code
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (65535, 65535), (70000, -5)],
+        "a long, b long",
+    )
+    rows = df.select(
+        "a", "b", morton_code(F.col("a"), F.col("b")).alias("z")
+    ).collect()
+    z = {(r.a, r.b): r.z for r in rows}
+    # interleave: a in even bits, b in odd bits
+    assert z[(0, 0)] == 0
+    assert z[(1, 0)] == 1
+    assert z[(0, 1)] == 2
+    assert z[(1, 1)] == 3
+    assert z[(65535, 65535)] == (1 << 32) - 1
+    # clamped out-of-domain inputs
+    assert z[(70000, -5)] == z[(65535, 0)] if (65535, 0) in z else True
+    assert 0 <= z[(70000, -5)] < (1 << 32)
