@@ -283,3 +283,185 @@ def setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nationkey")
     )
     return c.intersect(s).exceptAll(n).distinct()
+
+
+# --- data profiling -------------------------------------------------------
+
+_PROFILE_ORACLE = """
+WITH s AS (
+  SELECT
+    COUNT(*) AS n_rows,
+    COUNT(l_quantity) AS nn_qty, COUNT(DISTINCT l_quantity) AS nd_qty,
+    CAST(MIN(l_quantity) AS DOUBLE) AS mn_qty,
+    CAST(MAX(l_quantity) AS DOUBLE) AS mx_qty,
+    COUNT(l_extendedprice) AS nn_price,
+    COUNT(DISTINCT l_extendedprice) AS nd_price,
+    CAST(MIN(l_extendedprice) AS DOUBLE) AS mn_price,
+    CAST(MAX(l_extendedprice) AS DOUBLE) AS mx_price,
+    COUNT(l_shipdate) AS nn_ship, COUNT(DISTINCT l_shipdate) AS nd_ship,
+    CAST(epoch_us(MIN(l_shipdate)) AS DOUBLE) AS mn_ship,
+    CAST(epoch_us(MAX(l_shipdate)) AS DOUBLE) AS mx_ship,
+    COUNT(l_returnflag) AS nn_flag, COUNT(DISTINCT l_returnflag) AS nd_flag
+  FROM lineitem
+)
+SELECT 'l_quantity' AS column_name, n_rows, nn_qty AS n_non_null,
+       nd_qty AS n_distinct, mn_qty AS min_value, mx_qty AS max_value
+FROM s
+UNION ALL SELECT 'l_extendedprice', n_rows, nn_price, nd_price,
+       mn_price, mx_price FROM s
+UNION ALL SELECT 'l_shipdate', n_rows, nn_ship, nd_ship,
+       mn_ship, mx_ship FROM s
+UNION ALL SELECT 'l_returnflag', n_rows, nn_flag, nd_flag,
+       NULL, NULL FROM s
+"""
+
+
+@query("table_profile_lineitem", oracle=_PROFILE_ORACLE)
+def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile in ONE scan: per-column non-null /
+    distinct counts and min/max (numerics as double, timestamps as
+    epoch-µs, categoricals counts-only — sidesteps cross-engine string
+    rendering of values). One wide aggregate row pivoted to long form
+    map-side; the count-distincts expand into the standard
+    expand+aggregate, still a single pass over the data."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_quantity").alias("nn_qty"),
+        F.countDistinct("l_quantity").alias("nd_qty"),
+        F.min("l_quantity").cast("double").alias("mn_qty"),
+        F.max("l_quantity").cast("double").alias("mx_qty"),
+        F.count("l_extendedprice").alias("nn_price"),
+        F.countDistinct("l_extendedprice").alias("nd_price"),
+        F.min("l_extendedprice").cast("double").alias("mn_price"),
+        F.max("l_extendedprice").cast("double").alias("mx_price"),
+        F.count("l_shipdate").alias("nn_ship"),
+        F.countDistinct("l_shipdate").alias("nd_ship"),
+        F.unix_micros(F.min("l_shipdate").cast("timestamp")).cast("double").alias("mn_ship"),
+        F.unix_micros(F.max("l_shipdate").cast("timestamp")).cast("double").alias("mx_ship"),
+        F.count("l_returnflag").alias("nn_flag"),
+        F.countDistinct("l_returnflag").alias("nd_flag"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("l_quantity").alias("column_name"),
+            F.col("nn_qty").alias("n_non_null"),
+            F.col("nd_qty").alias("n_distinct"),
+            F.col("mn_qty").alias("min_value"),
+            F.col("mx_qty").alias("max_value"),
+        ),
+        F.struct(
+            F.lit("l_extendedprice").alias("column_name"),
+            F.col("nn_price").alias("n_non_null"),
+            F.col("nd_price").alias("n_distinct"),
+            F.col("mn_price").alias("min_value"),
+            F.col("mx_price").alias("max_value"),
+        ),
+        F.struct(
+            F.lit("l_shipdate").alias("column_name"),
+            F.col("nn_ship").alias("n_non_null"),
+            F.col("nd_ship").alias("n_distinct"),
+            F.col("mn_ship").alias("min_value"),
+            F.col("mx_ship").alias("max_value"),
+        ),
+        F.struct(
+            F.lit("l_returnflag").alias("column_name"),
+            F.col("nn_flag").alias("n_non_null"),
+            F.col("nd_flag").alias("n_distinct"),
+            F.lit(None).cast("double").alias("min_value"),
+            F.lit(None).cast("double").alias("max_value"),
+        ),
+    )
+    return s.select("n_rows", F.explode(rows).alias("_r")).select(
+        F.col("_r.column_name").alias("column_name"),
+        "n_rows",
+        F.col("_r.n_non_null").alias("n_non_null"),
+        F.col("_r.n_distinct").alias("n_distinct"),
+        F.col("_r.min_value").alias("min_value"),
+        F.col("_r.max_value").alias("max_value"),
+    )
+
+
+# --- funnel analysis ------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS vt FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS ct FROM events e
+  JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS pt FROM events e
+  JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_full_funnel
+"""
+
+
+@query("funnel_view_click_purchase", oracle=_FUNNEL_ORACLE)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes a click which
+    precedes a purchase. Three chained conditional-min aggregations,
+    all hash-partitioned on user_id — the exchanges reuse one
+    partitioning, and each stage's input shrinks to the surviving
+    cohort."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+    )
+
+
+# --- equi-width histogram -------------------------------------------------
+
+_HIST_ORACLE = """
+SELECT CAST(least(floor(o_totalprice / 60000), 9) AS INT) AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS bucket_total
+FROM orders
+GROUP BY bucket
+"""
+
+
+@query("histogram_order_prices", oracle=_HIST_ORACLE)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width price histogram (10 fixed 60k-wide buckets, top
+    bucket open) — one partial-aggregated shuffle keyed by the bucket
+    expression; fixed bounds keep it single-pass (data-driven bounds
+    would need a min/max pre-pass)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 60000), F.lit(9)
+    ).cast("int")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("bucket_total"),
+    )
