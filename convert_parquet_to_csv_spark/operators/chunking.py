@@ -1,0 +1,64 @@
+"""Context-window document chunking — the LLM training-prep operator.
+
+Splits each document's token stream into fixed-size, fixed-stride
+(overlapping) chunks: the step between raw curated text and packed
+training sequences. Pure built-in expressions — tokenize once,
+``sequence`` over chunk starts, ``explode``, ``slice`` — so the row
+multiplication happens JVM-side with no Python and the whole thing is
+SQL-replayable for the oracle.
+
+Scale shape: output rows ≈ Σ ceil(tokens/stride) — explode fan-out is
+bounded by corpus token count over stride, and chunking is
+embarrassingly parallel (no shuffle at all until a downstream groupBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.functions.text import tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """(id, chunk_idx, chunk_tokens array, n_chunk_tokens) per chunk.
+
+    Chunks start at 0, stride, 2·stride, …; the last chunk may be
+    short; a doc emits at least one chunk iff it has ≥1 token.
+    ``stride < size`` gives overlapping context windows (the usual
+    training setup), ``stride == size`` gives a disjoint partition.
+    """
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    # number of chunks: 1 + ceil(max(n_tok - size, 0) / stride)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(n_tok - size, F.lit(0)) / F.lit(stride)
+        ).cast("int")
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n_tok.alias("_n"),
+        n_chunks.alias("_nc"),
+    ).filter(F.col("_n") > 0)
+    idx = F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_idx")
+    with_idx = base.select(id_col, "_toks", "_n", idx)
+    chunk = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * stride + 1, size
+    )
+    return with_idx.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        chunk.alias("chunk_tokens"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )

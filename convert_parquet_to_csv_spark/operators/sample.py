@@ -147,3 +147,36 @@ def _take_n_smallest(df: DataFrame, order_col: str, n: int) -> DataFrame:
         .filter(F.col("_rn") + F.col("_offset") <= n)
         .drop("_pid", "_rn", "_offset")
     )
+
+
+def sample_weighted_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exactly ``n`` rows, weighted without replacement, deterministic.
+
+    Efraimidis-Spirakis A-ES: per-row uniform u, rank by u^(1/w) —
+    equivalently (and numerically safer) by the exponential draw
+    −ln(u)/w ascending. u comes from md5 of the key columns (no RNG:
+    any engine picks the same rows, same as the ``hash`` strategy),
+    mapped to (0,1) via (v+0.5)/2^32 over the first 8 hex digits.
+
+    Same TakeOrderedAndProject shape as ``sample_exact_n`` — per-
+    partition heaps, no full sort. The training-data use: sample a
+    mixture proportional to per-row quality/length weights.
+    """
+    if n <= 0:
+        return df.limit(0)
+    h = _hash_order_col(df, key_cols)
+    v = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(float(1 << 32))
+    w = F.col(weight_col).cast("double")
+    score = -F.log(u) / w
+    return (
+        df.withColumn("_score", score)
+        .orderBy("_score", *[F.col(c) for c in (key_cols or [])])
+        .limit(n)
+        .drop("_score")
+    )

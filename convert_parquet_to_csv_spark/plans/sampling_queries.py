@@ -70,3 +70,39 @@ def sample_exact_n_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB — rows-only check by design."""
     df = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
     return sample_exact_n(df, _N, seed=721, strategy="rand")
+
+
+# --- weighted sampling (Efraimidis-Spirakis, hash-derived uniforms) -------
+
+_WEIGHTED_ORACLE = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) + 0.5) / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, n_chars
+FROM s
+ORDER BY -ln(u) / CAST(n_chars AS DOUBLE), doc_id
+LIMIT 50
+"""
+
+
+@query("sample_weighted_docs", oracle=_WEIGHTED_ORACLE)
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (A-ES via exponential
+    draws, operators/sample.sample_weighted_n): 50 documents chosen
+    proportional to length. The uniform comes from md5(doc_id) — no
+    RNG, so DuckDB draws the identical sample and the oracle checks
+    the exact chosen row set. TakeOrderedAndProject physical shape:
+    per-partition heaps, no global sort."""
+    from convert_parquet_to_csv_spark.operators.sample import (
+        sample_weighted_n,
+    )
+
+    docs = read_parquet(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "n_chars")
+    return sample_weighted_n(
+        docs, n=50, weight_col="n_chars", key_cols=["doc_id"]
+    )

@@ -241,3 +241,52 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum("_nt").alias("total_tokens"),
     )
+
+
+# --- context-window chunking ----------------------------------------------
+
+_CHUNK_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n_tok,
+         1 + CAST(ceil(greatest(len(toks) - 50, 0) / 40.0) AS INT)
+           AS n_chunks
+  FROM tok WHERE len(toks) > 0
+), idx AS (
+  SELECT doc_id, toks, n_tok,
+         unnest(range(0, n_chunks)) AS chunk_idx
+  FROM n
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(toks[chunk_idx * 40 + 1 : chunk_idx * 40 + 50]) AS INT)
+         AS n_chunk_tokens,
+       md5(array_to_string(
+           toks[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], ' '))
+         AS chunk_md5
+FROM idx
+"""
+
+
+@query("doc_chunking", oracle=_CHUNK_ORACLE)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/chunking.py): 50-token
+    chunks, stride 40 (10-token overlap) — curated text → training
+    sequences. Chunk contents are value-checked via md5 of the joined
+    tokens; explode fan-out is bounded by corpus tokens / stride and
+    needs no shuffle."""
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    chunks = chunk_documents(_docs(spark, sf_dir), size=50, stride=40)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk_tokens"))).alias("chunk_md5"),
+    )

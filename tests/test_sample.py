@@ -80,3 +80,22 @@ def test_stratified_exact_n_per_group(spark, orders):
         orders, strata_cols=["o_orderstatus"], n=20, key_cols=["o_orderkey"]
     )
     assert out.exceptAll(again).count() == 0
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    from convert_parquet_to_csv_spark.operators.sample import sample_weighted_n
+    from pyspark.sql import functions as F
+
+    # weights: id 0..99 gets weight 1, id 100..199 weight 100
+    df = spark.range(200).select(
+        F.col("id"),
+        F.when(F.col("id") < 100, 1.0).otherwise(100.0).alias("w"),
+    )
+    s1 = sample_weighted_n(df, 50, "w", key_cols=["id"])
+    s2 = sample_weighted_n(df, 50, "w", key_cols=["id"])
+    ids1 = sorted(r.id for r in s1.collect())
+    assert ids1 == sorted(r.id for r in s2.collect())  # deterministic
+    assert len(ids1) == 50
+    # heavy-weight rows dominate the sample
+    n_heavy = sum(1 for i in ids1 if i >= 100)
+    assert n_heavy > 40

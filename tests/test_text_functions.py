@@ -62,3 +62,28 @@ def test_shingles(spark):
     # short doc: whole text as single shingle
     assert _one(spark, "a b", T.shingles("text", 3)) == ["a b"]
     assert _one(spark, "", T.shingles("text", 3)) == []
+
+
+def test_chunk_documents_overlap_and_bounds(spark):
+    from convert_parquet_to_csv_spark.operators.chunking import chunk_documents
+    from pyspark.sql import functions as F
+
+    text = " ".join(f"t{i}" for i in range(95))
+    df = spark.createDataFrame(
+        [(1, text), (2, "one two"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, size=50, stride=40).orderBy(
+        "doc_id", "chunk_idx"
+    )
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 95 tokens -> chunks at 0, 40, 80 -> sizes 50, 50, 15
+    assert [r.n_chunk_tokens for r in by_doc[1]] == [50, 50, 15]
+    # overlap: chunk 1 starts at token 40
+    assert by_doc[1][1].chunk_tokens[0] == "t40"
+    # doc 2: single short chunk; doc 3 (whitespace only): no chunks
+    assert [r.n_chunk_tokens for r in by_doc[2]] == [2]
+    assert 3 not in by_doc
