@@ -406,10 +406,10 @@ SELECT (SELECT COUNT(*) FROM v) AS n_view,
 @query("funnel_view_click_purchase", oracle=_FUNNEL_ORACLE)
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: users whose first view precedes a click which
-    precedes a purchase. Three chained conditional-min aggregations,
-    all hash-partitioned on user_id — the exchanges reuse one
-    partitioning, and each stage's input shrinks to the surviving
-    cohort."""
+    precedes a purchase. Three chained conditional-min aggregations;
+    each stage's cohort shrinks, so AQE converts the cohort joins to
+    broadcast at runtime (verified in PLANS.md) — at 100 TB the first
+    join is the only shuffled one."""
     ev = _t(spark, sf_dir, "events")
     v = (
         ev.filter(F.col("event_type") == "view")
