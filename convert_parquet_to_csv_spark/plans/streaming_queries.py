@@ -161,3 +161,92 @@ def streaming_running_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("user_id")
         .agg(F.max("events_so_far").alias("events_so_far"))
     )
+
+
+# --- foreachBatch → MERGE: the streaming-upsert integration ---------------
+
+_STREAM_UPSERT_ORACLE = """
+WITH r AS (
+  SELECT user_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS _rn
+  FROM events
+)
+SELECT user_id, event_type, ts AS last_ts,
+       CAST(value AS DOUBLE) AS last_value
+FROM r WHERE _rn = 1
+"""
+
+
+@query("streaming_foreachbatch_upsert_live", oracle=_STREAM_UPSERT_ORACLE)
+def streaming_foreachbatch_upsert_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming-materialized-view pattern: every micro-batch is
+    reduced to one row per (user_id, event_type) — the batch's max-ts
+    observation — and MERGEd into a parquet state table via
+    ``foreachBatch`` + operators/upsert.py (update-wins).
+
+    Deterministic and SQL-replayable because the landing zone is
+    event-time-ordered (``_staged_events``): the last batch touching a
+    key carries that key's globally-latest row, so the final table is
+    exactly "latest row per key", which the oracle computes with one
+    window over the raw events."""
+    from pyspark.sql.window import Window
+
+    from convert_parquet_to_csv_spark.operators.upsert import (
+        upsert_parquet,
+    )
+
+    src = _staged_events(spark, sf_dir, "febupsert")
+    state = os.path.join(tempfile.gettempdir(), "cptc_stream_state")
+    shutil.rmtree(state, ignore_errors=True)
+
+    # Seed an empty state table with the output schema.
+    empty = (
+        spark.read.parquet(src)
+        .select("user_id", "event_type", "ts", "value", "event_id")
+        .limit(0)
+    )
+    empty.write.mode("overwrite").parquet(state)
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            batch.select("user_id", "event_type", "ts", "value", "event_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        upsert_parquet(
+            batch.sparkSession,
+            state,
+            latest,
+            key_cols=["user_id", "event_type"],
+        )
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), "cptc_stream_state_ckpt"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    shutil.rmtree(
+        os.path.join(tempfile.gettempdir(), "cptc_stream_state_ckpt"),
+        ignore_errors=True,
+    )
+
+    return spark.read.parquet(state).select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("last_ts"),
+        F.col("value").cast("double").alias("last_value"),
+    )
