@@ -465,3 +465,56 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("bucket_total"),
     )
+
+
+# --- array-function surface ----------------------------------------------
+
+_ARRAY_ZOO_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         list_sort(list(CAST(l_quantity AS DOUBLE))) AS q
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(q) AS n_lines,
+       q[1] AS min_qty,
+       q[-1] AS max_qty,
+       list_reverse(q) AS q_desc,
+       q[2:] AS q_tail,
+       len(list_distinct(q)) AS n_distinct_qty,
+       list_contains(q, 1.0) AS has_single_unit,
+       list_sum(list_transform(q, x -> x * x)) AS sum_sq
+FROM per_order
+"""
+
+
+@query("array_functions_zoo", oracle=_ARRAY_ZOO_ORACLE)
+def array_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array scalar surface in one query: sort, index (both ends),
+    reverse, slice-to-end, distinct, membership, and a higher-order
+    transform+aggregate — per-order quantity vectors. Everything is a
+    JVM Column expression over one collect_list aggregation; sum_sq is
+    exact (doubles here are small integral quantities, and the
+    left-to-right array fold matches DuckDB's list_sum order)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.col("l_quantity").cast("double"))
+        ).alias("q")
+    )
+    q = F.col("q")
+    return per_order.select(
+        "l_orderkey",
+        F.size(q).alias("n_lines"),
+        F.element_at(q, 1).alias("min_qty"),
+        F.element_at(q, -1).alias("max_qty"),
+        F.reverse(q).alias("q_desc"),
+        F.slice(q, 2, F.greatest(F.size(q) - 1, F.lit(1))).alias("q_tail"),
+        F.size(F.array_distinct(q)).alias("n_distinct_qty"),
+        F.array_contains(q, 1.0).alias("has_single_unit"),
+        F.aggregate(
+            F.transform(q, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("sum_sq"),
+    )

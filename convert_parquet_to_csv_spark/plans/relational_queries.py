@@ -641,3 +641,63 @@ def disjunctive_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count("*").alias("n_lines"),
     )
+
+
+_RECON_ORACLE = """
+WITH y94 AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS t94,
+         COUNT(*) AS n94
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1994
+  GROUP BY o_custkey
+), y95 AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS t95,
+         COUNT(*) AS n95
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+  GROUP BY o_custkey
+)
+SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+       a.t94, a.n94, b.t95, b.n95,
+       CASE WHEN a.o_custkey IS NULL THEN 'new'
+            WHEN b.o_custkey IS NULL THEN 'churned'
+            ELSE 'retained' END AS cohort
+FROM y94 a FULL OUTER JOIN y95 b ON a.o_custkey = b.o_custkey
+"""
+
+
+@query("customer_cohort_reconciliation", oracle=_RECON_ORACLE)
+def customer_cohort_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconciliation — the join flavor nothing else
+    exercises: 1994 vs 1995 per-customer totals, unmatched sides
+    classified churned/new. Both inputs pre-aggregate on the join key,
+    so the shuffled full-outer join carries one row per (customer,
+    year) — aggregate-before-join, the 100 TB ordering."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "_yr", F.year("o_orderdate")
+    )
+
+    def _year(yr: int, t: str, n: str) -> DataFrame:
+        return (
+            o.filter(F.col("_yr") == yr)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(_d("o_totalprice")).cast("double").alias(t),
+                F.count("*").alias(n),
+            )
+        )
+
+    a = _year(1994, "t94", "n94")
+    b = _year(1995, "t95", "n95").withColumnRenamed("o_custkey", "_ck_b")
+    j = a.join(b, a.o_custkey == F.col("_ck_b"), "full_outer")
+    return j.select(
+        F.coalesce("o_custkey", "_ck_b").alias("custkey"),
+        "t94",
+        "n94",
+        "t95",
+        "n95",
+        F.when(F.col("o_custkey").isNull(), "new")
+        .when(F.col("_ck_b").isNull(), "churned")
+        .otherwise("retained")
+        .alias("cohort"),
+    )
