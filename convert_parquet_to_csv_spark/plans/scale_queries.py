@@ -194,3 +194,45 @@ def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_d("o_totalprice")).cast("double").alias("total_price"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+_CHECKSUM_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       SUM(CAST('0x' || substring(md5(
+             CAST(o_orderkey AS VARCHAR) || chr(31) ||
+             o_orderstatus || chr(31) ||
+             CAST(o_custkey AS VARCHAR)), 1, 10) AS BIGINT)) AS checksum
+FROM orders
+"""
+
+
+@query("table_checksum_orders", oracle=_CHECKSUM_ORACLE)
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum: SUM over a 40-bit prefix of
+    each row's md5 — the replica/migration verification primitive (two
+    engines or two copies agree iff contents agree, no sort needed).
+    Addition commutes, so partial aggregation is map-side and the
+    shuffle is one row per partition. 40-bit values keep the BIGINT
+    sum exact to ~10M rows; at real scale route the sum through
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) instead."""
+    o = _t(spark, sf_dir, "orders")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.col("o_custkey").cast("string"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(row_hash).alias("checksum"),
+    )
