@@ -38,12 +38,18 @@ def chunk_documents(
         raise ValueError("size and stride must be positive")
     toks = tokens(text_col)
     n_tok = F.size(toks)
-    # number of chunks: 1 + ceil(max(n_tok - size, 0) / stride)
-    n_chunks = (
+    # Chunk count such that every chunk start lies inside the doc AND
+    # no trailing chunk is fully contained in the previous one:
+    # min(1 + ceil(max(n-size,0)/stride), ceil(n/stride)). The left
+    # term governs the usual stride <= size overlap case; the right
+    # term caps starts at < n_tok when stride > size (gapped
+    # sampling), which would otherwise emit empty phantom chunks.
+    n_chunks = F.least(
         F.lit(1)
         + F.ceil(
             F.greatest(n_tok - size, F.lit(0)) / F.lit(stride)
-        ).cast("int")
+        ).cast("int"),
+        F.ceil(n_tok / F.lit(stride)).cast("int"),
     )
     base = df.select(
         F.col(id_col),

@@ -57,6 +57,7 @@ def connected_components(
         F.col(id_col).alias("_u"), F.col(id_col).alias("_lbl")
     ).localCheckpoint()
 
+    converged = False
     for _ in range(max_iter):
         # min label over the closed neighborhood of each node
         neighbor_min = (
@@ -77,9 +78,18 @@ def connected_components(
         changed = new_labels.filter(F.col("_chg")).limit(1).count()
         labels = new_labels.drop("_chg")
         if changed == 0:
+            converged = True
             break
 
     sym.unpersist()
+    if not converged:
+        # Partially-propagated labels are silently WRONG (one component
+        # reported as several) — refuse rather than mislabel.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or "
+            "switch to large-star/small-star contraction"
+        )
     return labels.select(
         F.col("_u").alias(id_col), F.col("_lbl").alias("component")
     )

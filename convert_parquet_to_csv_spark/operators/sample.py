@@ -166,9 +166,14 @@ def sample_weighted_n(
     Same TakeOrderedAndProject shape as ``sample_exact_n`` — per-
     partition heaps, no full sort. The training-data use: sample a
     mixture proportional to per-row quality/length weights.
+
+    Rows with NULL or non-positive weight are never drawn (A-ES
+    semantics; also avoids ANSI-mode divide-by-zero and NULL scores
+    sorting first).
     """
     if n <= 0:
         return df.limit(0)
+    df = df.filter(F.col(weight_col).cast("double") > 0)
     h = _hash_order_col(df, key_cols)
     v = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
     u = (v + F.lit(0.5)) / F.lit(float(1 << 32))

@@ -82,8 +82,15 @@ def gap_fill_daily(
     measures) and the most recent prior value for ``ffill_cols``
     (level measures; leading gap stays NULL — there is nothing to
     carry). Columns in neither list keep their NULLs.
+
+    The daily rollup feeds both the spine bounds and the join; it is
+    deliberately NOT persisted here (a persist with no unpersist point
+    would pin cache blocks for the session). Recomputing it costs one
+    extra partial-agg scan; callers looping over many spans should
+    persist/unpersist the rollup themselves via :func:`daily_rollup` +
+    :func:`date_spine`.
     """
-    daily = daily_rollup(df, group_cols, ts_col, aggs, day_col).persist()
+    daily = daily_rollup(df, group_cols, ts_col, aggs, day_col)
     spine = date_spine(daily, group_cols, day_col)
     dense = spine.join(daily, [*group_cols, day_col], "left")
 

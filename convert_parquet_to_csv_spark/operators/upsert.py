@@ -66,6 +66,15 @@ def upsert_parquet(
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(path)
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-    fs.delete(hpath, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+    # Hadoop FileSystem reports most failures as a false return, not an
+    # exception; an unchecked failed rename after the delete would lose
+    # the table while appearing to succeed.
+    if not fs.delete(hpath, True):
+        raise IOError(f"upsert swap: failed to remove old table at {path}")
+    if not fs.rename(tmp_path, hpath):
+        raise IOError(
+            f"upsert swap: rename {tmp} -> {path} failed; "
+            f"merged data is intact at {tmp}"
+        )

@@ -453,15 +453,17 @@ def unpivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot (melt) — the inverse of Op-18's pivot,
     roundtripped: pivot to one column per status, then ``unpivot``
     back to (year, status, value) rows. Map-side Expand, no shuffle
-    beyond the pivot's own aggregation; NULL cells (statuses absent in
-    a year) drop in both engines."""
+    beyond the pivot's own aggregation. NULL cells (statuses absent in
+    a year) are dropped EXPLICITLY: Spark's DataFrame ``unpivot``
+    retains NULL value rows while SQL UNPIVOT (both engines) excludes
+    them — the filter aligns the two."""
     wide = pivot_status_by_year(spark, sf_dir)
     return wide.unpivot(
         ids=["order_year"],
         values=["O", "F", "P"],
         variableColumnName="status",
         valueColumnName="total_price",
-    )
+    ).filter(F.col("total_price").isNotNull())
 
 
 _WINDOW_ZOO_ORACLE = """

@@ -200,7 +200,11 @@ def streaming_foreachbatch_upsert_live(
 
     src = _staged_events(spark, sf_dir, "febupsert")
     state = os.path.join(tempfile.gettempdir(), "cptc_stream_state")
+    ckpt = os.path.join(tempfile.gettempdir(), "cptc_stream_state_ckpt")
     shutil.rmtree(state, ignore_errors=True)
+    # A stale checkpoint from an interrupted prior run would mark the
+    # staged files as already processed → zero batches → empty result.
+    shutil.rmtree(ckpt, ignore_errors=True)
 
     # Seed an empty state table with the output schema.
     empty = (
@@ -231,18 +235,12 @@ def streaming_foreachbatch_upsert_live(
     q = (
         stream.writeStream.foreachBatch(_merge_batch)
         .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), "cptc_stream_state_ckpt"),
-        )
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()
     q.stop()
-    shutil.rmtree(
-        os.path.join(tempfile.gettempdir(), "cptc_stream_state_ckpt"),
-        ignore_errors=True,
-    )
+    shutil.rmtree(ckpt, ignore_errors=True)
 
     return spark.read.parquet(state).select(
         "user_id",

@@ -253,8 +253,8 @@ WITH tok AS (
   FROM documents
 ), n AS (
   SELECT doc_id, toks, len(toks) AS n_tok,
-         1 + CAST(ceil(greatest(len(toks) - 50, 0) / 40.0) AS INT)
-           AS n_chunks
+         least(1 + CAST(ceil(greatest(len(toks) - 50, 0) / 40.0) AS INT),
+               CAST(ceil(len(toks) / 40.0) AS INT)) AS n_chunks
   FROM tok WHERE len(toks) > 0
 ), idx AS (
   SELECT doc_id, toks, n_tok,

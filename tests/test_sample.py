@@ -99,3 +99,16 @@ def test_weighted_sample_determinism_and_bias(spark):
     # heavy-weight rows dominate the sample
     n_heavy = sum(1 for i in ids1 if i >= 100)
     assert n_heavy > 40
+
+
+def test_weighted_sample_skips_nonpositive_and_null_weights(spark):
+    from convert_parquet_to_csv_spark.operators.sample import sample_weighted_n
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, None), (4, -1.0), (5, 2.0)],
+        "id long, w double",
+    )
+    ids = sorted(
+        r.id for r in sample_weighted_n(df, 10, "w", key_cols=["id"]).collect()
+    )
+    assert ids == [1, 5]  # zero/NULL/negative weights never drawn

@@ -183,6 +183,6 @@ def test_morton_code_locality(spark):
     assert z[(0, 1)] == 2
     assert z[(1, 1)] == 3
     assert z[(65535, 65535)] == (1 << 32) - 1
-    # clamped out-of-domain inputs
-    assert z[(70000, -5)] == z[(65535, 0)] if (65535, 0) in z else True
-    assert 0 <= z[(70000, -5)] < (1 << 32)
+    # clamped out-of-domain inputs: (70000, -5) -> (65535, 0), whose
+    # interleave is 0x55555555 (all even bits set)
+    assert z[(70000, -5)] == 0x55555555

@@ -87,3 +87,13 @@ def test_chunk_documents_overlap_and_bounds(spark):
     # doc 2: single short chunk; doc 3 (whitespace only): no chunks
     assert [r.n_chunk_tokens for r in by_doc[2]] == [2]
     assert 3 not in by_doc
+
+
+def test_chunk_documents_stride_exceeds_size_no_phantom(spark):
+    from convert_parquet_to_csv_spark.operators.chunking import chunk_documents
+
+    # 50 tokens, size 10, stride 100: exactly one chunk, no empty tail
+    text = " ".join(f"t{i}" for i in range(50))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(df, size=10, stride=100).collect()
+    assert [(r.chunk_idx, r.n_chunk_tokens) for r in rows] == [(0, 10)]
