@@ -290,3 +290,87 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", F.col("chunk_tokens"))).alias("chunk_md5"),
     )
+
+
+# --- grouped-agg pandas UDAF + python UDTF (completing the UDF surface) ---
+
+_UDAF_ORACLE = """
+SELECT lang, SUM(n_chars) AS total_chars, COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+@query("pandas_udaf_chars_by_lang", oracle=_UDAF_ORACLE)
+def pandas_udaf_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED_AGG pandas-UDF (UDAF) surface: per-language totals
+    where the aggregate body runs in pandas over Arrow batches. The
+    aggregated column is int64 (exact in pandas regardless of order),
+    so the UDAF result hash-matches the SQL oracle like any built-in.
+    Scale note: grouped-agg UDFs forbid partial aggregation — every
+    row crosses the shuffle, which is why built-ins win when they
+    exist; this query documents the escape hatch, not the default."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def total64(s: pd.Series) -> int:
+        return int(s.sum())
+
+    @pandas_udf("long")
+    def count64(s: pd.Series) -> int:
+        return int(len(s))
+
+    # Spark forbids mixing grouped-agg pandas UDFs with built-in
+    # aggregates in one agg() — both columns go through the UDAF path.
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        total64("n_chars").alias("total_chars"),
+        count64("n_chars").alias("n_docs"),
+    )
+
+
+_UDTF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents WHERE doc_id < 50
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, greatest(len(toks), 1)),
+             i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM tok
+)
+SELECT doc_id, bigram, COUNT(*) AS n
+FROM bg GROUP BY doc_id, bigram
+"""
+
+
+@query("udtf_bigrams", oracle=_UDTF_ORACLE)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The python UDTF surface (Spark 4): a table function exploding
+    each document into its token bigrams, invoked via LATERAL in SQL —
+    one input row → many output rows with arbitrary python logic, the
+    shape explode() can't reach when the expansion is imperative. The
+    bigram expansion itself is deterministic, so DuckDB replays it
+    with list ops and the output is value-hash-checked."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").strip().split() if t]
+            for a, b in zip(toks, toks[1:]):
+                yield (f"{a} {b}",)
+
+    spark.udtf.register("cptc_bigrams", Bigrams)
+    _docs(spark, sf_dir).filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "_docs_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.bigram, COUNT(*) AS n
+        FROM _docs_udtf d, LATERAL cptc_bigrams(d.text) b
+        GROUP BY d.doc_id, b.bigram
+        """
+    )
