@@ -185,3 +185,34 @@ def sample_weighted_n(
         .limit(n)
         .drop("_score")
     )
+
+
+def split_train_val_test(
+    df: DataFrame,
+    strata_cols: list[str] | None = None,
+    weights: tuple[int, int, int] = (8, 1, 1),
+    key_cols: list[str] | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment, stratum-balanced.
+
+    Rows are ordered by md5 of the key (engine-independent, no RNG)
+    within each stratum and dealt round-robin into buckets sized by
+    ``weights`` (8/1/1 → 80/10/10): every stratum's split sizes differ
+    by at most one row from the exact ratio — unlike hash-threshold
+    splits, which only converge in expectation. One window shuffle on
+    the strata (or one global window when unstratified — for that
+    case, at scale, prefer stratifying on anything coarse first).
+    """
+    total = sum(weights)
+    order = _hash_order_col(df, key_cols)
+    w = (
+        Window.partitionBy(*strata_cols) if strata_cols else Window.partitionBy()
+    ).orderBy(order, *[F.col(c) for c in (key_cols or [])])
+    pos = (F.row_number().over(w) - 1) % total
+    label = (
+        F.when(pos < weights[0], "train")
+        .when(pos < weights[0] + weights[1], "val")
+        .otherwise("test")
+    )
+    return df.withColumn(split_col, label)

@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from convert_parquet_to_csv_spark.operators.sample import (
     sample_exact_n,
@@ -106,3 +107,41 @@ def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_weighted_n(
         docs, n=50, weight_col="n_chars", key_cols=["doc_id"]
     )
+
+
+# --- deterministic stratified train/val/test split ------------------------
+
+_SPLIT_ORACLE = """
+WITH r AS (
+  SELECT lang, source,
+         (row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 10
+           AS pos
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN pos < 8 THEN 'train'
+            WHEN pos < 9 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM r GROUP BY lang, split
+"""
+
+
+@query("split_train_val_test", oracle=_SPLIT_ORACLE)
+def split_train_val_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8/1/1 train/val/test split, stratified by language
+    (operators/sample.split_train_val_test): md5 round-robin dealing
+    gives every stratum split sizes within one row of exact —
+    hash-threshold splits only achieve the ratio in expectation. No
+    RNG, so the oracle deals the identical split."""
+    from convert_parquet_to_csv_spark.operators.sample import (
+        split_train_val_test,
+    )
+
+    docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+    out = split_train_val_test(
+        docs, strata_cols=["lang"], key_cols=["doc_id"]
+    )
+    return out.groupBy("lang", "split").agg(F.count("*").alias("n_docs"))

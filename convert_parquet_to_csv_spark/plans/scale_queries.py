@@ -236,3 +236,39 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(row_hash).alias("checksum"),
     )
+
+
+_SKEW_ORACLE = """
+WITH per_key AS (
+  SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(MAX(n) AS BIGINT) AS max_rows,
+       quantile_cont(n, 0.5) AS p50_rows,
+       quantile_cont(n, 0.99) AS p99_rows,
+       CAST(MAX(n) / (SUM(n) / COUNT(*)) AS DOUBLE) AS skew_ratio
+FROM per_key
+"""
+
+
+@query("skew_diagnostic_events", oracle=_SKEW_ORACLE)
+def skew_diagnostic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-join skew check every big pipeline should run: the
+    per-key row-count distribution (count, max, p50/p99, max/mean
+    ratio) that tells you whether a key needs salting/AQE before it
+    becomes a straggler. Two small aggregations — per-key counts, then
+    stats over the counts (second stage input = one row per key)."""
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_rows"),
+        F.expr("percentile(n, 0.5)").alias("p50_rows"),
+        F.expr("percentile(n, 0.99)").alias("p99_rows"),
+        (F.max("n") / (F.sum("n") / F.count("*")))
+        .cast("double")
+        .alias("skew_ratio"),
+    )

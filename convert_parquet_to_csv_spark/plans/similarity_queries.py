@@ -261,3 +261,20 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.max("_n").alias("n_vectors"),
     )
+
+
+@query("similarity_ivf_kmeans_recall", oracle=_RECALL_ORACLE)
+def similarity_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with 5 spherical-Lloyd refinement rounds
+    (operators/similarity.kmeans_refine_centroids): recall@3 ≥ 1/3 per
+    query at probe 8/16 (measured min 1, typically 2-3, at all fixture
+    scales). Deterministic end to end — fixed-point centroid sums and
+    cosine tie-breaks make the trained index a pure function of the
+    data."""
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < _NQ)
+    exact = S.topk_bruteforce(vecs, queries, k=_K)
+    approx = S.topk_ivf(
+        vecs, queries, k=_K, n_centroids=16, nprobe=8, kmeans_iters=5
+    )
+    return _recall_ok(exact, approx, queries, min_hits=1)
