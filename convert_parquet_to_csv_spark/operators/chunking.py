@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from convert_parquet_to_csv_spark.functions.text import tokens
 
@@ -67,4 +68,39 @@ def chunk_documents(
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         chunk.alias("chunk_tokens"),
         F.size(chunk).alias("n_chunk_tokens"),
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    count_col: str = "n_chunk_tokens",
+    part_col: str | None = None,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Assign chunks to fixed-token-budget bins (sequence packing).
+
+    Contiguous-fill packing: chunks in (id, idx) order fill a bin
+    until the budget would roll over; the bin id is
+    floor(exclusive-running-sum / budget). Deterministic, one window
+    pass, no driver loop — and unlike greedy best-fit it is exactly
+    SQL-replayable. A chunk is never split; a bin may exceed the
+    budget by at most one chunk's tokens (first-fit-with-overflow, the
+    standard trade when items must stay whole).
+
+    ``part_col``: optional coarse partition (e.g. a doc-hash bucket)
+    so the running sum shuffles per partition instead of through one
+    global window — required at scale; bins are then per-partition.
+    """
+    parts = [part_col] if part_col else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(id_col, idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(count_col)).over(w) - F.col(count_col)
+    return chunks.withColumn(
+        bin_col, F.floor(cum / F.lit(budget)).cast("long")
     )

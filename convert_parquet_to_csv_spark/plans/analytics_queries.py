@@ -518,3 +518,53 @@ def array_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         ).alias("sum_sq"),
     )
+
+
+# --- corrupt-record handling ----------------------------------------------
+
+_CORRUPT_ORACLE = """
+WITH mangled AS (
+  SELECT event_type,
+         CASE WHEN event_id % 10 = 0 THEN 'x' || props ELSE props END AS p
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN json_valid(p) THEN 1 ELSE 0 END) AS n_parsed,
+       SUM(CASE WHEN json_valid(p) THEN 0 ELSE 1 END) AS n_corrupt
+FROM mangled GROUP BY event_type
+"""
+
+
+@query("json_corrupt_handling", oracle=_CORRUPT_ORACLE)
+def json_corrupt_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input resilience, the PERMISSIVE contract: corrupt
+    JSON yields NULL from ``from_json`` and the pipeline keeps going,
+    counting rather than crashing. A tenth of the rows are
+    deterministically mangled (leading junk byte — invalid JSON in
+    every parser, so both engines classify identically); real
+    pipelines meter ``n_corrupt`` exactly like this before deciding to
+    quarantine a batch."""
+    ev = _t(spark, sf_dir, "events")
+    mangled = ev.withColumn(
+        "_p",
+        F.when(
+            F.col("event_id") % 10 == 0, F.concat(F.lit("x"), F.col("props"))
+        ).otherwise(F.col("props")),
+    )
+    parsed = mangled.withColumn(
+        "_j",
+        F.from_json(
+            "_p",
+            "k INT, _corrupt_record STRING",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    # PERMISSIVE mode never nulls the struct itself — corrupt input
+    # surfaces in the designated corrupt-record column.
+    ok = F.col("_j._corrupt_record").isNull()
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(ok.cast("long")).alias("n_parsed"),
+        F.sum((~ok).cast("long")).alias("n_corrupt"),
+    )

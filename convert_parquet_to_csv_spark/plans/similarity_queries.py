@@ -7,7 +7,10 @@ DuckDB's ``list_dot_product`` (same sequential order) — so even the
 top-k *membership* agrees and no rounding is needed. (DuckDB's own
 ``list_cosine_similarity`` is NOT used: it clamps differently.)
 
-LSH / IVF variants depend on Spark-side hash signatures → rows-only.
+LSH / IVF top-k variants depend on Spark-side hash signatures, so the
+row sets themselves are rows-only — but each has an oracle-checked
+recall gate (``similarity_*_recall``) asserting per-query quality
+bounds against the exact brute-force result.
 """
 
 from __future__ import annotations

@@ -374,3 +374,62 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.doc_id, b.bigram
         """
     )
+
+
+# --- sequence packing -----------------------------------------------------
+
+_PACK_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n_tok,
+         least(1 + CAST(ceil(greatest(len(toks) - 50, 0) / 40.0) AS INT),
+               CAST(ceil(len(toks) / 40.0) AS INT)) AS n_chunks
+  FROM tok WHERE len(toks) > 0
+), chunks AS (
+  SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_idx,
+         toks, n_tok
+  FROM n
+), sized AS (
+  SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         len(toks[chunk_idx * 40 + 1 : chunk_idx * 40 + 50]) AS n_tokens
+  FROM chunks
+), packed AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+         CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / 512.0) AS BIGINT) AS bin_id
+  FROM sized
+)
+SELECT bin_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM packed GROUP BY bin_id
+"""
+
+
+@query("sequence_packing", oracle=_PACK_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→pack, the last step before training batches: 512-token
+    bins filled contiguously in (doc, chunk) order via one
+    running-sum window (operators/chunking.pack_sequences) — bins
+    never split a chunk and overflow by at most one chunk. Per-bin
+    chunk counts and token totals are value-checked; the single
+    global window here is the verification flavor (pass ``part_col``
+    for the sharded production layout)."""
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    chunks = chunk_documents(_docs(spark, sf_dir), size=50, stride=40)
+    packed = pack_sequences(
+        chunks.select("doc_id", "chunk_idx", "n_chunk_tokens"), budget=512
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("bigint").alias("bin_tokens"),
+    )

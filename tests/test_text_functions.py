@@ -97,3 +97,16 @@ def test_chunk_documents_stride_exceeds_size_no_phantom(spark):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     rows = chunk_documents(df, size=10, stride=100).collect()
     assert [(r.chunk_idx, r.n_chunk_tokens) for r in rows] == [(0, 10)]
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    from convert_parquet_to_csv_spark.operators.chunking import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 300), (1, 1, 300), (2, 0, 300), (2, 1, 100)],
+        "doc_id long, chunk_idx int, n_chunk_tokens long",
+    )
+    out = pack_sequences(chunks, budget=512).orderBy("doc_id", "chunk_idx")
+    rows = [(r.doc_id, r.chunk_idx, r.bin_id) for r in out.collect()]
+    # exclusive cumsums: 0, 300, 600, 900 -> bins 0, 0, 1, 1
+    assert rows == [(1, 0, 0), (1, 1, 0), (2, 0, 1), (2, 1, 1)]
