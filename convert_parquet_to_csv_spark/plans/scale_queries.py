@@ -272,3 +272,48 @@ def skew_diagnostic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("skew_ratio"),
     )
+
+
+_INCR_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("incremental_agg_refresh", oracle=_INCR_ORACLE)
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance without recompute: the base
+    aggregate (orders before 1996) is stored, the delta batch (1996+)
+    is aggregated alone, and the refresh merges the two partial states
+    (counts add, decimal sums add) — touching only the delta, the way
+    a daily refresh over an append-only 100 TB fact table must work.
+    The oracle aggregates the full table directly: merged partials
+    must equal the full recompute exactly (decimal sums are exact, so
+    associativity holds)."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01")
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_d("o_totalprice")).alias("_sum_dec"),
+        )
+
+    base = _agg(o.filter(F.col("o_orderdate") < cutoff))
+    delta = _agg(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("_sum_dec").alias("_sum_dec"),
+        )
+    )
+    return merged.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("_sum_dec").cast("double").alias("total_price"),
+    )
