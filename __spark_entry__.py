@@ -35,10 +35,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["convert_roundtrip"](spark, SF_SMALL)
 
 
+def _utc_pinned(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin the session timezone before running a query.
+
+    The driver owns the SparkSession; every oracle assumes UTC
+    rendering of naive timestamps (registry docstring), so the
+    contract is enforced here rather than hoped for."""
+
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    wrapper.__doc__ = fn.__doc__
+    wrapper.__name__ = getattr(fn, "__name__", "query")
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + §7.2."""
     registry.load_all()
-    return dict(registry.QUERIES)
+    return {name: _utc_pinned(fn) for name, fn in registry.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
