@@ -197,22 +197,26 @@ def split_train_val_test(
     """Deterministic train/val/test assignment, stratum-balanced.
 
     Rows are ordered by md5 of the key (engine-independent, no RNG)
-    within each stratum and dealt round-robin into buckets sized by
-    ``weights`` (8/1/1 → 80/10/10): every stratum's split sizes differ
-    by at most one row from the exact ratio — unlike hash-threshold
-    splits, which only converge in expectation. One window shuffle on
-    the strata (or one global window when unstratified — for that
-    case, at scale, prefer stratifying on anything coarse first).
+    within each stratum and dealt by Bresenham-interleaved proportional
+    assignment: row n is 'train' iff ⌊n·w0/T⌋ increments at n, 'val'
+    iff ⌊n·(w0+w1)/T⌋ increments otherwise, else 'test'. After ANY
+    prefix of n rows each class holds within one row of its exact
+    share — contiguous block dealing (pos % 10 < 8) deviates by up to
+    w−1 rows and starves small strata of val/test entirely, and
+    hash-threshold splits only converge in expectation. One window
+    shuffle on the strata (or one global window when unstratified —
+    at scale, stratify on anything coarse first).
     """
     total = sum(weights)
+    c1, c2 = weights[0], weights[0] + weights[1]
     order = _hash_order_col(df, key_cols)
     w = (
         Window.partitionBy(*strata_cols) if strata_cols else Window.partitionBy()
     ).orderBy(order, *[F.col(c) for c in (key_cols or [])])
-    pos = (F.row_number().over(w) - 1) % total
+    n = F.row_number().over(w)
     label = (
-        F.when(pos < weights[0], "train")
-        .when(pos < weights[0] + weights[1], "val")
+        F.when(F.floor(n * c1 / total) > F.floor((n - 1) * c1 / total), "train")
+        .when(F.floor(n * c2 / total) > F.floor((n - 1) * c2 / total), "val")
         .otherwise("test")
     )
     return df.withColumn(split_col, label)

@@ -176,6 +176,30 @@ def topk_lsh(
 # IVF
 # --------------------------------------------------------------------------
 
+def _assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Argmax-cosine centroid assignment (broadcast, deterministic).
+
+    THE assignment rule shared by index build, k-means training, and
+    post-training reassignment — one definition so the
+    determinism-critical tie-break (cosine desc, then ``_list_id``)
+    can never drift between them. Adds ``_list_id`` to ``vectors``.
+    """
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "_csim", cosine_similarity(vec_col, "_cv")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("_list_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_csim", "_cv")
+    )
+
+
 def ivf_index(
     vectors: DataFrame,
     n_centroids: int = 16,
@@ -197,15 +221,7 @@ def ivf_index(
             F.col(id_col).alias("_list_id"), F.col(vec_col).alias("_cv")
         )
     )
-    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-        "_csim", cosine_similarity(vec_col, "_cv")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("_list_id"))
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_csim", "_cv")
-    )
+    assigned = _assign_to_centroids(vectors, centroids, id_col, vec_col)
     return centroids, assigned
 
 
@@ -232,17 +248,7 @@ def topk_ivf(
         centroids = kmeans_refine_centroids(
             vectors, centroids, kmeans_iters, id_col, vec_col
         )
-        scored0 = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-            "_csim", cosine_similarity(vec_col, "_cv")
-        )
-        w0 = Window.partitionBy(id_col).orderBy(
-            F.desc("_csim"), F.asc("_list_id")
-        )
-        assigned = (
-            scored0.withColumn("_rn", F.row_number().over(w0))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_csim", "_cv")
-        )
+        assigned = _assign_to_centroids(vectors, centroids, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
     )
@@ -339,17 +345,9 @@ def kmeans_refine_centroids(
     from convert_parquet_to_csv_spark.functions.vectors import l2_normalize
 
     for _ in range(n_iters):
-        scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-            "_csim", cosine_similarity(vec_col, "_cv")
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.desc("_csim"), F.asc("_list_id")
-        )
-        assigned = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("_list_id", vec_col)
-        )
+        assigned = _assign_to_centroids(
+            vectors, centroids, id_col, vec_col
+        ).select("_list_id", vec_col)
         flat = assigned.select(
             "_list_id", F.posexplode(vec_col).alias("_pos", "_val")
         ).select(

@@ -526,7 +526,7 @@ _CORRUPT_ORACLE = """
 WITH mangled AS (
   SELECT event_type,
          CASE WHEN event_id % 10 = 0 THEN 'x' || props ELSE props END AS p
-  FROM events
+  FROM events WHERE props IS NOT NULL
 )
 SELECT event_type,
        COUNT(*) AS n_events,
@@ -545,7 +545,9 @@ def json_corrupt_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     every parser, so both engines classify identically); real
     pipelines meter ``n_corrupt`` exactly like this before deciding to
     quarantine a batch."""
-    ev = _t(spark, sf_dir, "events")
+    # NULL props would classify as parsed here but corrupt in the
+    # oracle (json_valid(NULL) is NULL) — exclude them on both sides.
+    ev = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
     mangled = ev.withColumn(
         "_p",
         F.when(

@@ -114,15 +114,14 @@ def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_ORACLE = """
 WITH r AS (
   SELECT lang, source,
-         (row_number() OVER (
+         row_number() OVER (
             PARTITION BY lang
-            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 10
-           AS pos
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS n
   FROM documents
 )
 SELECT lang,
-       CASE WHEN pos < 8 THEN 'train'
-            WHEN pos < 9 THEN 'val'
+       CASE WHEN floor(n * 8 / 10) > floor((n - 1) * 8 / 10) THEN 'train'
+            WHEN floor(n * 9 / 10) > floor((n - 1) * 9 / 10) THEN 'val'
             ELSE 'test' END AS split,
        COUNT(*) AS n_docs
 FROM r GROUP BY lang, split
@@ -132,10 +131,11 @@ FROM r GROUP BY lang, split
 @query("split_train_val_test", oracle=_SPLIT_ORACLE)
 def split_train_val_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8/1/1 train/val/test split, stratified by language
-    (operators/sample.split_train_val_test): md5 round-robin dealing
-    gives every stratum split sizes within one row of exact —
-    hash-threshold splits only achieve the ratio in expectation. No
-    RNG, so the oracle deals the identical split."""
+    (operators/sample.split_train_val_test): Bresenham-interleaved
+    dealing over the md5 order keeps every stratum's split sizes
+    within one row of exact at every prefix — hash-threshold splits
+    only achieve the ratio in expectation. No RNG, so the oracle deals
+    the identical split."""
     from convert_parquet_to_csv_spark.operators.sample import (
         split_train_val_test,
     )

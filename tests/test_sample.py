@@ -112,3 +112,29 @@ def test_weighted_sample_skips_nonpositive_and_null_weights(spark):
         r.id for r in sample_weighted_n(df, 10, "w", key_cols=["id"]).collect()
     )
     assert ids == [1, 5]  # zero/NULL/negative weights never drawn
+
+
+def test_split_small_stratum_within_one_row_of_exact(spark):
+    from convert_parquet_to_csv_spark.operators.sample import (
+        split_train_val_test,
+    )
+
+    # 6-row stratum: exact shares are 4.8/0.6/0.6 — every class must be
+    # within one row (block dealing would give 6/0/0).
+    df = spark.createDataFrame([(i, "s") for i in range(6)], "id long, g string")
+    out = split_train_val_test(df, strata_cols=["g"], key_cols=["id"])
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert counts.get("train", 0) in (4, 5)
+    assert counts.get("val", 0) in (0, 1)
+    assert counts.get("test", 0) in (0, 1)
+    assert sum(counts.values()) == 6
+    # prefix property at a larger size: every class within 1 of exact
+    df2 = spark.createDataFrame([(i, "s") for i in range(97)], "id long, g string")
+    c2 = {
+        r.split: r["count"]
+        for r in split_train_val_test(df2, strata_cols=["g"], key_cols=["id"])
+        .groupBy("split").count().collect()
+    }
+    assert abs(c2["train"] - 77.6) <= 1
+    assert abs(c2["val"] - 9.7) <= 1
+    assert abs(c2["test"] - 9.7) <= 1
