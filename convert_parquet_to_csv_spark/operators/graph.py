@@ -93,3 +93,77 @@ def connected_components(
     return labels.select(
         F.col("_u").alias(id_col), F.col("_lbl").alias("component")
     )
+
+
+def pagerank_fixed_point(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iters: int = 5,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """PageRank with damping 0.85, entirely in integer arithmetic.
+
+    Ranks live as fixed-point BIGINTs (``scale`` = 1e12): every step is
+    integer division / multiplication / summation, so the result is
+    bitwise identical in ANY engine that repeats the recurrence — what
+    makes an iterative float algorithm value-hash checkable (the same
+    trick as the centroid sums, compounded across iterations without
+    drift). Dangling nodes keep the teleport term only (their mass is
+    not redistributed — a documented simplification both sides share).
+
+    Per iteration: one join ranks⨝edges on the source + one groupBy on
+    the destination — O(edges) shuffle rows, localCheckpoint'ed to keep
+    the plan flat. Undirected graphs: pass both orientations in
+    ``edges``.
+    """
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            F.col(id_col), F.lit(0.0).alias("rank")
+        )
+    base = (15 * scale) // (100 * n_nodes)
+    init = scale // n_nodes
+
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).distinct().persist()
+    outdeg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
+
+    ranks = nodes.select(
+        F.col(id_col).alias("_n"), F.lit(init).cast("long").alias("_r")
+    ).localCheckpoint()
+
+    for _ in range(n_iters):
+        contribs = (
+            e.join(ranks, e._src == ranks._n)
+            .join(outdeg, "_src")
+            .select(
+                F.col("_dst").alias("_n"),
+                F.expr("_r DIV _deg").alias("_c"),
+            )
+            .groupBy("_n")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            ranks.select("_n")
+            .join(contribs, "_n", "left")
+            .select(
+                "_n",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"coalesce(_s, CAST(0 AS BIGINT)) * 85 DIV 100"
+                    )
+                ).alias("_r"),
+            )
+            .localCheckpoint()
+        )
+
+    e.unpersist()
+    return ranks.select(
+        F.col("_n").alias(id_col),
+        (F.col("_r").cast("double") / F.lit(float(scale))).alias("rank"),
+    )

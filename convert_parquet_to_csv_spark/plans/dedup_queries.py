@@ -283,3 +283,124 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy_title_pairs) — byte-noise dups that token-level Jaccard
     misses. Identical levenshtein metric in both engines."""
     return D.fuzzy_title_pairs(_docs(spark, sf_dir))
+
+
+# --- PageRank over the near-dup graph (operators/graph.py) ----------------
+#
+# Iterative float algorithms normally can't be value-hash checked: each
+# engine's summation order drifts and five iterations compound it. The
+# fixed-point formulation makes every step integer-exact, so the oracle
+# can replay the recurrence with five unrolled SQL iterations and match
+# bitwise.
+
+_PAGERANK_ORACLE = """WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(0, greatest(len(toks) - {k}, 0) + 1),
+             i -> array_to_string(toks[i + 1 : i + {k}], ' ')))) AS s
+  FROM tok WHERE len(toks) > 0
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN cnt na ON na.doc_id = id_a
+  JOIN cnt nb ON nb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= {thresh}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), outdeg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+), consts AS (
+  SELECT (15000000000000 // (100 * COUNT(*))) AS base,
+         (1000000000000 // COUNT(*)) AS init
+  FROM documents
+), pr0 AS (
+  SELECT doc_id AS node, CAST((SELECT init FROM consts) AS BIGINT) AS r
+  FROM documents
+), pr1 AS (
+  SELECT d.doc_id AS node,
+         CAST((SELECT base FROM consts)
+              + (COALESCE(s.c, 0) * 85) // 100 AS BIGINT) AS r
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r // o.deg) AS c
+    FROM edges e
+    JOIN pr0 p ON p.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = d.doc_id
+), pr2 AS (
+  SELECT d.doc_id AS node,
+         CAST((SELECT base FROM consts)
+              + (COALESCE(s.c, 0) * 85) // 100 AS BIGINT) AS r
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r // o.deg) AS c
+    FROM edges e
+    JOIN pr1 p ON p.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = d.doc_id
+), pr3 AS (
+  SELECT d.doc_id AS node,
+         CAST((SELECT base FROM consts)
+              + (COALESCE(s.c, 0) * 85) // 100 AS BIGINT) AS r
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r // o.deg) AS c
+    FROM edges e
+    JOIN pr2 p ON p.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = d.doc_id
+), pr4 AS (
+  SELECT d.doc_id AS node,
+         CAST((SELECT base FROM consts)
+              + (COALESCE(s.c, 0) * 85) // 100 AS BIGINT) AS r
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r // o.deg) AS c
+    FROM edges e
+    JOIN pr3 p ON p.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = d.doc_id
+), pr5 AS (
+  SELECT d.doc_id AS node,
+         CAST((SELECT base FROM consts)
+              + (COALESCE(s.c, 0) * 85) // 100 AS BIGINT) AS r
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r // o.deg) AS c
+    FROM edges e
+    JOIN pr4 p ON p.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = d.doc_id
+)
+SELECT node AS doc_id,
+       CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+FROM pr5""".format(k=3, thresh=0.1)
+
+
+@query("pagerank_dup_graph", oracle=_PAGERANK_ORACLE)
+def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five PageRank iterations (damping 0.85) over the symmetrized
+    exact-Jaccard near-dup graph — centrality inside dedup clusters
+    picks the canonical representative. All integer arithmetic
+    (operators/graph.pagerank_fixed_point): bitwise identical to the
+    oracle's five unrolled SQL iterations."""
+    from convert_parquet_to_csv_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, k=_K, threshold=_THRESH)
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return pagerank_fixed_point(
+        docs.select("doc_id"), sym, n_iters=5, id_col="doc_id"
+    )

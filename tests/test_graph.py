@@ -36,3 +36,21 @@ def test_long_path_converges(spark):
 def test_two_components(spark):
     got = _cc(spark, [1, 2, 3, 4], [(1, 2), (3, 4)])
     assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_pagerank_fixed_point_properties(spark):
+    from convert_parquet_to_csv_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    # star graph: 1<->2, 1<->3, 1<->4 (symmetrized); hub 1 must rank
+    # highest; isolated node 9 keeps the teleport floor.
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 9)], "id long")
+    pairs = [(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (4, 1)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    r = {x.id: x.rank for x in pagerank_fixed_point(nodes, edges).collect()}
+    assert r[1] > r[2] == r[3] == r[4] > r[9]
+    assert abs(r[9] - 0.15 / 5) < 1e-9  # teleport-only floor
+    # determinism across runs
+    r2 = {x.id: x.rank for x in pagerank_fixed_point(nodes, edges).collect()}
+    assert r == r2
