@@ -78,3 +78,47 @@ def upsert_parquet(
             f"upsert swap: rename {tmp} -> {path} failed; "
             f"merged data is intact at {tmp}"
         )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Classify every key across two table snapshots: added / removed /
+    changed / unchanged — the CDC/migration audit primitive (what did
+    the upsert actually do; did the backfill touch anything it
+    shouldn't).
+
+    One full-outer join on the key; change detection compares md5 over
+    the normalized ``compare_cols`` rendering (NULL-safe via a sentinel)
+    so arbitrarily wide rows diff by one string each. Returns
+    (key_cols..., change) — aggregate downstream for counts.
+    """
+    cmp_cols = compare_cols or [
+        c for c in old.columns if c not in key_cols
+    ]
+
+    def _sig(df: DataFrame, name: str) -> DataFrame:
+        fp = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in cmp_cols
+                ],
+            )
+        )
+        return df.select(*key_cols, fp.alias(name))
+
+    o = _sig(old, "_old_fp")
+    n = _sig(new, "_new_fp")
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_old_fp").isNull(), "added")
+        .when(F.col("_new_fp").isNull(), "removed")
+        .when(F.col("_old_fp") != F.col("_new_fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(*key_cols, change.alias("change"))

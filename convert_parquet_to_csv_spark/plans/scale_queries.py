@@ -317,3 +317,59 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("_sum_dec").cast("double").alias("total_price"),
     )
+
+
+_DIFF_ORACLE = """
+WITH old_t AS (
+  SELECT o_orderkey,
+         md5(COALESCE(o_orderstatus, chr(0)) || chr(31) ||
+             COALESCE(CAST(o_totalprice AS VARCHAR), chr(0))) AS fp
+  FROM orders
+), new_t AS (
+  SELECT o_orderkey,
+         md5(COALESCE(o_orderstatus, chr(0)) || chr(31) ||
+             COALESCE(CAST(CASE WHEN o_orderkey % 7 = 0
+                           THEN o_totalprice * 2
+                           ELSE o_totalprice END AS VARCHAR), chr(0))) AS fp
+  FROM orders WHERE o_orderkey % 5 != 0
+)
+SELECT CASE WHEN o.fp IS NULL THEN 'added'
+            WHEN n.fp IS NULL THEN 'removed'
+            WHEN o.fp != n.fp THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       COUNT(*) AS n_keys
+FROM old_t o FULL OUTER JOIN new_t n USING (o_orderkey)
+GROUP BY change
+"""
+
+
+@query("snapshot_diff_orders", oracle=_DIFF_ORACLE)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff (operators/upsert.snapshot_diff): the
+    'new' snapshot deterministically drops keys %5==0 and doubles
+    prices of keys %7==0; the diff must classify exactly those as
+    removed/changed and the rest unchanged. One full-outer join on the
+    key over md5 row signatures — constant bytes per row regardless of
+    width. Each engine hashes its OWN value rendering; that is fine
+    because classification depends only on within-engine fingerprint
+    equality (old-vs-new under the same renderer), never on the two
+    engines producing identical hashes."""
+    from convert_parquet_to_csv_spark.operators.upsert import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 5 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    diff = snapshot_diff(
+        orders, new, key_cols=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+    return diff.groupBy("change").agg(F.count("*").alias("n_keys"))

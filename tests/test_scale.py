@@ -186,3 +186,22 @@ def test_morton_code_locality(spark):
     # clamped out-of-domain inputs: (70000, -5) -> (65535, 0), whose
     # interleave is 0x55555555 (all even bits set)
     assert z[(70000, -5)] == 0x55555555
+
+
+def test_snapshot_diff_classification(spark):
+    from convert_parquet_to_csv_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (5, "e"), (4, None)], "k long, v string"
+    )
+    got = {r.k: r.change for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",  # NULL-safe: NULL == NULL via sentinel
+        5: "added",
+    }
