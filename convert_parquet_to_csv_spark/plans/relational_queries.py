@@ -703,3 +703,35 @@ def customer_cohort_reconciliation(spark: SparkSession, sf_dir: str) -> DataFram
         .otherwise("retained")
         .alias("cohort"),
     )
+
+
+_LEFT_ENRICH_ORACLE = """
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+         AS n_unmatched,
+       COUNT(c.c_name) AS n_enriched
+FROM events e
+LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 50) c
+  ON e.user_id = c.c_custkey
+GROUP BY e.event_type
+"""
+
+
+@query("left_join_enrichment", oracle=_LEFT_ENRICH_ORACLE)
+def left_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER enrichment with deliberate misses (only customers
+    with key < 50 exist on the right): unmatched facts survive with
+    NULLs and are counted, the partial-dimension reality of every
+    landing zone. The filtered dim broadcasts; null-counting
+    distinguishes preserved-but-unmatched from enriched rows."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    j = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey, "left"
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("c_custkey").isNull().cast("long")).alias("n_unmatched"),
+        F.count("c_name").alias("n_enriched"),
+    )
