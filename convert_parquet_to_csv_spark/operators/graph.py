@@ -129,8 +129,11 @@ def pagerank_fixed_point(
 
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).distinct().persist()
+    ).distinct()
     outdeg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
+    # Loop-invariant: edges carrying their source's out-degree — join
+    # once, persist, and only the ranks side changes per iteration.
+    ew = e.join(outdeg, "_src").persist()
 
     ranks = nodes.select(
         F.col(id_col).alias("_n"), F.lit(init).cast("long").alias("_r")
@@ -138,8 +141,7 @@ def pagerank_fixed_point(
 
     for _ in range(n_iters):
         contribs = (
-            e.join(ranks, e._src == ranks._n)
-            .join(outdeg, "_src")
+            ew.join(ranks, ew._src == ranks._n)
             .select(
                 F.col("_dst").alias("_n"),
                 F.expr("_r DIV _deg").alias("_c"),
@@ -155,14 +157,14 @@ def pagerank_fixed_point(
                 (
                     F.lit(base).cast("long")
                     + F.expr(
-                        f"coalesce(_s, CAST(0 AS BIGINT)) * 85 DIV 100"
+                        "coalesce(_s, CAST(0 AS BIGINT)) * 85 DIV 100"
                     )
                 ).alias("_r"),
             )
             .localCheckpoint()
         )
 
-    e.unpersist()
+    ew.unpersist()
     return ranks.select(
         F.col("_n").alias(id_col),
         (F.col("_r").cast("double") / F.lit(float(scale))).alias("rank"),

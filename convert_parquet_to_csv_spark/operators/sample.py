@@ -39,6 +39,14 @@ DEFAULT_SEED = 721  # the reference's seed (utils.py:73)
 
 
 def _hash_order_col(df: DataFrame, key_cols: list[str] | None) -> Column:
+    """md5 over the concatenated key rendering.
+
+    NOTE: ``concat_ws`` SKIPS NULL columns, so multi-column keys with
+    NULLs can collide (('a', NULL, 'b') == ('a', 'b', NULL)) — fine
+    for the sampling use (keys here are non-null ids, and the DuckDB
+    oracles replay the same concat semantics), but for content
+    fingerprints use the NULL-safe sentinel variant in
+    operators/upsert.snapshot_diff."""
     cols = key_cols or df.columns
     return F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
 

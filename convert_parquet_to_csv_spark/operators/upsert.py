@@ -96,9 +96,11 @@ def snapshot_diff(
     so arbitrarily wide rows diff by one string each. Returns
     (key_cols..., change) — aggregate downstream for counts.
     """
-    cmp_cols = compare_cols or [
-        c for c in old.columns if c not in key_cols
-    ]
+    cmp_cols = (
+        compare_cols
+        if compare_cols is not None
+        else [c for c in old.columns if c not in key_cols]
+    )
 
     def _sig(df: DataFrame, name: str) -> DataFrame:
         fp = F.md5(

@@ -380,7 +380,7 @@ _PAGERANK_ORACLE = """WITH tok AS (
 )
 SELECT node AS doc_id,
        CAST(r AS DOUBLE) / 1000000000000.0 AS rank
-FROM pr5""".format(k=3, thresh=0.1)
+FROM pr5""".format(k=_K, thresh=_THRESH)
 
 
 @query("pagerank_dup_graph", oracle=_PAGERANK_ORACLE)
