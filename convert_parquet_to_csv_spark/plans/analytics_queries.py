@@ -479,8 +479,12 @@ SELECT l_orderkey,
        len(q) AS n_lines,
        q[1] AS min_qty,
        q[-1] AS max_qty,
-       list_reverse(q) AS q_desc,
-       q[2:] AS q_tail,
+       array_to_string(list_transform(list_reverse(q),
+                                      x -> CAST(x AS VARCHAR)), ',')
+         AS q_desc,
+       array_to_string(list_transform(q[2:],
+                                      x -> CAST(x AS VARCHAR)), ',')
+         AS q_tail,
        len(list_distinct(q)) AS n_distinct_qty,
        list_contains(q, 1.0) AS has_single_unit,
        list_sum(list_transform(q, x -> x * x)) AS sum_sq
@@ -495,7 +499,12 @@ def array_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform+aggregate — per-order quantity vectors. Everything is a
     JVM Column expression over one collect_list aggregation; sum_sq is
     exact (doubles here are small integral quantities, and the
-    left-to-right array fold matches DuckDB's list_sum order)."""
+    left-to-right array fold matches DuckDB's list_sum order).
+
+    Array-valued outputs (``q_desc``, ``q_tail``) are serialized to
+    comma-joined strings on BOTH engines: the driver's pandas
+    canonicalizer cannot sort raw list cells (round-1 ERR), and Spark
+    and DuckDB render CAST(double AS STRING) identically."""
     li = _t(spark, sf_dir, "lineitem")
     per_order = li.groupBy("l_orderkey").agg(
         F.array_sort(
@@ -508,8 +517,16 @@ def array_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(q).alias("n_lines"),
         F.element_at(q, 1).alias("min_qty"),
         F.element_at(q, -1).alias("max_qty"),
-        F.reverse(q).alias("q_desc"),
-        F.slice(q, 2, F.greatest(F.size(q) - 1, F.lit(1))).alias("q_tail"),
+        F.array_join(
+            F.transform(F.reverse(q), lambda x: x.cast("string")), ","
+        ).alias("q_desc"),
+        F.array_join(
+            F.transform(
+                F.slice(q, 2, F.greatest(F.size(q) - 1, F.lit(1))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("q_tail"),
         F.size(F.array_distinct(q)).alias("n_distinct_qty"),
         F.array_contains(q, 1.0).alias("has_single_unit"),
         F.aggregate(
@@ -530,8 +547,10 @@ WITH mangled AS (
 )
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN json_valid(p) THEN 1 ELSE 0 END) AS n_parsed,
-       SUM(CASE WHEN json_valid(p) THEN 0 ELSE 1 END) AS n_corrupt
+       CAST(SUM(CASE WHEN json_valid(p) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_parsed,
+       CAST(SUM(CASE WHEN json_valid(p) THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_corrupt
 FROM mangled GROUP BY event_type
 """
 

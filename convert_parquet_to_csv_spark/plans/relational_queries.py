@@ -708,8 +708,8 @@ def customer_cohort_reconciliation(spark: SparkSession, sf_dir: str) -> DataFram
 _LEFT_ENRICH_ORACLE = """
 SELECT e.event_type,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
-         AS n_unmatched,
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unmatched,
        COUNT(c.c_name) AS n_enriched
 FROM events e
 LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 50) c

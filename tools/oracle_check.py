@@ -1,10 +1,24 @@
-"""Local replica of the driver's t2 correctness gate.
+"""Local replica of the driver's t2 correctness gate — FAITHFUL edition.
 
-Runs every ``queries()`` entry on Spark and, where an oracle exists,
-the matching SQL on DuckDB over the same parquet tables; compares
-row count, schema (column names), and an order-insensitive value hash
-with float normalization. Lets us find hash mismatches *before* the
-round's official CORRECTNESS_r{N}.json does.
+Round-1 lesson (VERDICT.md "What's wrong"): the old replica normalized
+floats to 12 significant digits and serialized list cells itself, which
+masked exactly the two failure classes the driver found (DuckDB
+HUGEINT→pandas float64 renders ``1292.0`` vs Spark's ``1292``; raw
+ARRAY columns crash the driver's pandas ``sort_values`` canonicalizer
+with ``unhashable type: 'list'``).
+
+This version replicates the driver's pipeline instead:
+
+* the Spark result goes through ``DataFrame.toPandas()``;
+* the oracle result goes through duckdb's ``.df()`` (so HUGEINT lands
+  as float64, as it does for the driver);
+* columns are sorted by name, rows via pandas ``sort_values`` over all
+  columns (which raises on unhashable cells — the same ERR the driver
+  records);
+* each cell is hashed as its verbatim ``str()`` render — **no** float
+  collapsing, so ``1292.0`` != ``1292`` here too.
+
+Local red == driver red is the contract.
 
 Usage: python tools/oracle_check.py [--sf /root/testdata/sf0.01] [names...]
 """
@@ -13,7 +27,6 @@ from __future__ import annotations
 
 import argparse
 import hashlib
-import math
 import os
 import sys
 import time
@@ -28,30 +41,18 @@ TABLES = [
 ]
 
 
-def _norm_cell(v):
-    """Normalize a value for hashing, tolerant of float representation."""
-    import datetime as dt
-
-    if v is None:
-        return "∅"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        # round-trip repr at 12 significant digits absorbs ulp noise
-        return f"{v:.12g}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    if isinstance(v, dt.datetime):
-        return v.isoformat()
-    return str(v)
+def canon(pdf):
+    """Driver-style canonical form: name-sorted columns, row-sorted
+    frame, verbatim str() cell renders. Raises on unhashable cells
+    (lists/dicts) exactly like the driver's canonicalizer."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    pdf = pdf.sort_values(by=cols).reset_index(drop=True)
+    return ["\x1f".join(str(v) for v in row)
+            for row in pdf.itertuples(index=False, name=None)]
 
 
-def frame_signature(cols: list[str], rows: list[tuple]) -> str:
-    """Order-insensitive content hash with columns sorted by name."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted(
-        "\x1f".join(_norm_cell(r[i]) for i in order) for r in rows
-    )
+def frame_signature(lines: list[str]) -> str:
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
@@ -83,45 +84,40 @@ def main() -> int:
         t0 = time.perf_counter()
         try:
             sdf = qs[name](spark, args.sf)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
+            spdf = sdf.toPandas()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"ok?   {name}: rows-only check, {len(srows)} rows "
+            print(f"ok?   {name}: rows-only check, {len(spdf)} rows "
                   f"({time.perf_counter()-t0:.1f}s)")
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = rel.columns
-            drows = rel.fetchall()
+            dpdf = con.sql(oracles[name]).df()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures.append(name)
             continue
         problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount {len(srows)} vs {len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
+        if len(spdf) != len(dpdf):
+            problems.append(f"rowcount {len(spdf)} vs {len(dpdf)}")
+        if sorted(spdf.columns) != sorted(dpdf.columns):
+            problems.append(
+                f"cols {sorted(spdf.columns)} vs {sorted(dpdf.columns)}")
         if not problems:
-            hs = frame_signature(scols, srows)
-            hd = frame_signature(dcols, drows)
-            if hs != hd:
+            try:
+                s_lines = canon(spdf)
+                d_lines = canon(dpdf)
+            except Exception as ex:  # noqa: BLE001
+                print(f"FAIL  {name}: canonicalizer ERR (driver would too): "
+                      f"{type(ex).__name__}: {ex}")
+                failures.append(name)
+                continue
+            if frame_signature(s_lines) != frame_signature(d_lines):
                 problems.append("value-hash mismatch")
-                # show a diff sample
-                s_set = set(
-                    "\x1f".join(_norm_cell(r[i]) for i in
-                                sorted(range(len(scols)), key=lambda i: scols[i]))
-                    for r in srows)
-                d_set = set(
-                    "\x1f".join(_norm_cell(r[i]) for i in
-                                sorted(range(len(dcols)), key=lambda i: dcols[i]))
-                    for r in drows)
-                only_s = list(s_set - d_set)[:3]
-                only_d = list(d_set - s_set)[:3]
+                only_s = [x for x in s_lines if x not in set(d_lines)][:3]
+                only_d = [x for x in d_lines if x not in set(s_lines)][:3]
                 for x in only_s:
                     print(f"        spark-only: {x[:200]}")
                 for x in only_d:
@@ -131,7 +127,7 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)} ({dt_s:.1f}s)")
             failures.append(name)
         else:
-            print(f"PASS  {name}: {len(srows)} rows ({dt_s:.1f}s)")
+            print(f"PASS  {name}: {len(spdf)} rows ({dt_s:.1f}s)")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
     return 1 if failures else 0
