@@ -83,6 +83,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
     max_bucket: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
 
@@ -91,8 +92,17 @@ def ngram_jaccard_pairs(
     given, only those pairs are scored — the verify stage of LSH.
     ``max_bucket`` drops shingles shared by more than that many docs
     (stop-shingle skew guard) from *candidate generation* only.
+
+    ``persist`` caches the exploded shingle table (referenced 3× by the
+    returned plan). The cache is CALLER-MANAGED: it stays pinned until
+    ``spark.catalog.clearCache()`` or session end, because the returned
+    DataFrame is lazy and still references it. One-shot callers that
+    evaluate the result once can pass ``persist=False`` to trade ~2
+    recomputes of the shingle explode for zero pinned storage.
     """
-    sh = _shingle_table(df, id_col, text_col, k).persist()
+    sh = _shingle_table(df, id_col, text_col, k)
+    if persist:
+        sh = sh.persist()
     counts = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
 
     if candidates is None:

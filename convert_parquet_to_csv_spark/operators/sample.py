@@ -90,8 +90,18 @@ def sample_exact_n(
         # Narrow filter: ~n·safety survivors; everything below touches
         # only them.
         filtered = with_r.filter(F.col("_r") <= cutoff).persist()
-        exact = _take_n_smallest(filtered, "_r", n).drop("_r")
-        return exact
+        try:
+            # The Chernoff bound on the cutoff only makes under-selection
+            # negligible for n >= ~100; verify and fall back rather than
+            # silently returning fewer than n rows.
+            if filtered.count() < n:
+                return df.orderBy(F.rand(seed)).limit(n)
+            exact = _take_n_smallest(filtered, "_r", n).drop("_r")
+            # Materialize (≤ n rows) so the cache can be released here
+            # instead of pinning blocks for the session.
+            return exact.localCheckpoint(eager=True)
+        finally:
+            filtered.unpersist()
 
     raise ValueError(f"unknown sampling strategy: {strategy!r}")
 

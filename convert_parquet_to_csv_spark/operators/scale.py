@@ -21,7 +21,7 @@ are load-bearing at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -92,9 +92,20 @@ def compact_parquet(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
 
+    # Hadoop FileSystem reports most failures as a False return, not an
+    # exception — an unchecked swap can silently lose the table (the
+    # same contract upsert_parquet enforces for its swap).
     tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(hpath, True)
-    fs.rename(tmp_path, hpath)
+    if not fs.delete(hpath, True):
+        raise IOError(
+            f"compact_parquet: delete of {path} failed; compacted data "
+            f"is intact at {tmp}"
+        )
+    if not fs.rename(tmp_path, hpath):
+        raise IOError(
+            f"compact_parquet: rename {tmp} -> {path} failed after "
+            f"delete; compacted data is intact at {tmp}"
+        )
 
     out = 0
     it = fs.listFiles(hpath, True)
@@ -144,13 +155,30 @@ def salted_join(
     The left side gets a uniform random salt in [0, n_salts); the
     right side is replicated ``n_salts``× via an exploded literal
     array (map-side, no shuffle of the original rows beyond the join
-    itself). The join key becomes (on, salt). Results are identical
-    to ``left.join(right, on, how)`` — salt only changes placement.
+    itself). The join key becomes (on, salt).
+
+    Results are identical to ``left.join(right, on, how)`` only for
+    the salt-safe modes (inner, left outer, left semi, left anti):
+    every left row carries exactly one salt, and the right side is
+    replicated across all salts, so each left row sees the full right
+    key set exactly once. Right/full outer are rejected — an unmatched
+    right row exists once per salt replica and would be emitted
+    ``n_salts`` times.
 
     Use when one side is too big to broadcast AND specific keys are
     pathologically hot; for moderate skew prefer AQE
     (``spark.sql.adaptive.skewJoin.enabled``, on by default here).
     """
+    safe = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "left_anti", "leftanti",
+    }
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-safe (unmatched "
+            f"right rows would be replicated {n_salts}x); use "
+            f"inner/left/left_semi/left_anti, or an unsalted join"
+        )
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
     l_s = left.withColumn(
         "_salt", (F.rand() * n_salts).cast("int")

@@ -479,12 +479,12 @@ SELECT l_orderkey,
        len(q) AS n_lines,
        q[1] AS min_qty,
        q[-1] AS max_qty,
-       array_to_string(list_transform(list_reverse(q),
-                                      x -> CAST(x AS VARCHAR)), ',')
-         AS q_desc,
-       array_to_string(list_transform(q[2:],
-                                      x -> CAST(x AS VARCHAR)), ',')
-         AS q_tail,
+       COALESCE(array_to_string(list_transform(list_reverse(q),
+                                               x -> CAST(x AS VARCHAR)), ','),
+                '') AS q_desc,
+       COALESCE(array_to_string(list_transform(q[2:],
+                                               x -> CAST(x AS VARCHAR)), ','),
+                '') AS q_tail,
        len(list_distinct(q)) AS n_distinct_qty,
        list_contains(q, 1.0) AS has_single_unit,
        list_sum(list_transform(q, x -> x * x)) AS sum_sq

@@ -74,9 +74,19 @@ def load_all() -> None:
         "convert_parquet_to_csv_spark.plans.scale_queries",
     ]
     import importlib
+    import warnings
 
     for mod in _optional:
         try:
             importlib.import_module(mod)
-        except ModuleNotFoundError:
-            pass
+        except ModuleNotFoundError as exc:
+            # Only the module itself being absent is "optional" — a
+            # missing TRANSITIVE import is a real defect that would
+            # otherwise silently shrink the correctness gate.
+            if exc.name != mod:
+                raise
+            warnings.warn(
+                f"query module {mod} not found; its queries are "
+                f"excluded from the registry",
+                stacklevel=2,
+            )

@@ -230,7 +230,9 @@ def distinct_customers_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ARRAYAGG_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       list(DISTINCT l_quantity ORDER BY l_quantity) AS quantities,
+       array_to_string(list_transform(
+           list(DISTINCT l_quantity ORDER BY l_quantity),
+           x -> CAST(x AS VARCHAR)), ',') AS quantities,
        CAST(len(list(DISTINCT l_quantity)) AS INT) AS n_distinct,
        CAST(list_aggregate(list(DISTINCT l_quantity), 'sum')
             AS DOUBLE) AS qty_sum
@@ -245,18 +247,27 @@ def quantity_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity set per group (sorted, so both engines agree element-wise),
     then reduce it with ``F.aggregate`` — arrays as first-class values
     in the gate, the column shape embeddings pipelines live on.
-    Quantities are exact half-integers, so the array sum is exact."""
+    Quantities are exact half-integers, so the array sum is exact.
+
+    The ``quantities`` array is serialized to a comma-joined string on
+    BOTH engines: the driver's pandas canonicalizer cannot sort raw
+    list cells (round-1 ERR), and Spark and DuckDB render
+    CAST(double AS STRING) identically for these values."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    grouped = (
         li.groupBy("l_returnflag", "l_linestatus")
-        .agg(F.array_sort(F.collect_set("l_quantity")).alias("quantities"))
-        .select(
+        .agg(F.array_sort(F.collect_set("l_quantity")).alias("qarr"))
+    )
+    return (
+        grouped.select(
             "l_returnflag",
             "l_linestatus",
-            "quantities",
-            F.size("quantities").cast("int").alias("n_distinct"),
+            F.array_join(
+                F.transform("qarr", lambda x: x.cast("string")), ","
+            ).alias("quantities"),
+            F.size("qarr").cast("int").alias("n_distinct"),
             F.aggregate(
-                "quantities", F.lit(0.0), lambda acc, x: acc + x
+                "qarr", F.lit(0.0), lambda acc, x: acc + x
             ).cast("double").alias("qty_sum"),
         )
     )

@@ -128,6 +128,7 @@ def read_csv(
     header: bool = True,
     infer_schema: bool = True,
     schema=None,
+    multi_line: bool = True,
 ) -> DataFrame:
     """CSV source (reference main.py:14 manifest read via polars).
 
@@ -135,6 +136,14 @@ def read_csv(
     (DDL string or StructType) to skip the inference pass — at scale
     inference is a full extra scan, so production paths should always
     pin a schema.
+
+    ``multi_line`` (default True) parses quoted fields with embedded
+    newlines — required for byte-exact roundtrips of this module's own
+    CSV sink. The cost: multiLine makes every file UNSPLITTABLE (one
+    task per whole file), so a single large CSV input serializes onto
+    one core. Callers scanning big external CSVs whose fields are known
+    newline-free should pass ``multi_line=False`` to restore split
+    parallelism.
     """
     reader = spark.read.option("header", str(header).lower())
     if schema is not None:
@@ -145,8 +154,8 @@ def read_csv(
     # Match the sink's RFC-4180 double-quote escaping (Spark's default
     # escape is backslash, which no reference engine emits).
     reader = reader.option("escape", '"')
-    # Multiline fields (embedded newlines) are quoted by the sink.
-    reader = reader.option("multiLine", "true")
+    if multi_line:
+        reader = reader.option("multiLine", "true")
     return reader.csv(path)
 
 

@@ -54,6 +54,26 @@ def test_n_zero_and_negative(spark, orders):
         sample_exact_n(orders, -1)
 
 
+def test_threshold_small_n_still_exact(spark, orders):
+    """For n below the Chernoff-safe regime (~100) the threshold
+    strategy must fall back rather than silently under-select."""
+    for n in (1, 3, 17):
+        assert sample_exact_n(orders, n, strategy="threshold").count() == n
+
+
+def test_threshold_releases_cache(spark, orders):
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    sample_exact_n(orders, 137, strategy="threshold").count()
+    after = spark.sparkContext._jsc.getPersistentRDDs()
+    # the filtered survivor table must not stay pinned; the only new
+    # persisted entry allowed is the eager localCheckpoint of the ≤n
+    # result rows
+    leaked = [str(rdd) for rid, rdd in after.items()
+              if rid not in before
+              and "localcheckpoint" not in str(rdd).lower()]
+    assert leaked == [], leaked
+
+
 def test_rand_plan_is_take_ordered(spark, orders):
     """Scale guard: the rand strategy must compile to
     TakeOrderedAndProject (per-partition heaps), not a global sort."""

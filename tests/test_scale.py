@@ -77,6 +77,27 @@ def test_salted_join_left_outer(spark):
     assert rows == {"a": "x", "b": None}
 
 
+def test_salted_join_rejects_right_and_full_outer(spark):
+    left = spark.createDataFrame([(1, "a")], "k LONG, tag STRING")
+    right = spark.createDataFrame([(2, "x")], "k LONG, label STRING")
+    import pytest
+
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="not salt-safe"):
+            salted_join(left, right, on="k", n_salts=4, how=how)
+
+
+def test_salted_join_semi_anti(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k LONG, tag STRING"
+    )
+    right = spark.createDataFrame([(1, "x"), (3, "y")], "k LONG, label STRING")
+    semi = salted_join(left, right, on="k", n_salts=4, how="left_semi")
+    anti = salted_join(left, right, on="k", n_salts=4, how="left_anti")
+    assert sorted(r.tag for r in semi.collect()) == ["a", "c"]
+    assert [r.tag for r in anti.collect()] == ["b"]
+
+
 def test_compact_parquet_reduces_file_count(spark, sf_small, tmp_path):
     from convert_parquet_to_csv_spark.operators.scale import compact_parquet
 
