@@ -54,12 +54,20 @@ def _utc_pinned(
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 + §7.2."""
+    """One entry per implemented operator from SURVEY.md §2 + §7.2.
+
+    Priority-ordered (registry.ordered_queries): the round-1 gate
+    stopped after a 50-query prefix, so iteration order decides which
+    operators receive the hard correctness signal — every family puts
+    its representatives first."""
     registry.load_all()
-    return {name: _utc_pinned(fn) for name, fn in registry.QUERIES.items()}
+    return {
+        name: _utc_pinned(fn)
+        for name, fn in registry.ordered_queries().items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query."""
     registry.load_all()
-    return dict(registry.ORACLES)
+    return registry.ordered_oracles()

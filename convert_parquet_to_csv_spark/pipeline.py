@@ -39,6 +39,98 @@ from convert_parquet_to_csv_spark.sources import (
 
 MANIFEST_SCHEMA = "num_rows LONG, filename STRING"
 
+# The reference's public source-URL pattern (utils.py:97-105): one
+# parquet file per month from the NYC TLC public CDN.
+DEFAULT_URL_TEMPLATE = (
+    "https://d37ci6vzurychx.cloudfront.net/trip-data/"
+    "yellow_tripdata_2024-{month:02d}.parquet"
+)
+
+
+def build_month_urls(
+    month_start: int,
+    month_stop: int,
+    url_template: str = DEFAULT_URL_TEMPLATE,
+) -> list[str]:
+    """Month range → source URL list (reference utils.py:97-99)."""
+    validate_months(month_start, month_stop)
+    return [
+        url_template.format(month=m)
+        for m in range(month_start, month_stop + 1)
+    ]
+
+
+def fetch_to_local(
+    urls: list[str],
+    dest_dir: str,
+    max_workers: int = 4,
+    skip_if_exists: bool = True,
+) -> list[str]:
+    """Download each URL into ``dest_dir``; returns local paths in
+    input order.
+
+    This is ORCHESTRATION, not a distributed operator: the reference
+    streams four ~100 MB HTTPS files once (utils.py:97-105), and Spark
+    has no https:// Hadoop filesystem, so the parity path is a
+    threaded driver-side fetch feeding :func:`read_parquet_merged`.
+    At a real 100 TB scale the landing step is a distributed copy
+    (distcp / cloud transfer service) into object storage that Spark
+    then scans directly — this helper exists so entry point A
+    (extract_data.py:8-14) runs end-to-end from a URL list.
+
+    ``file://`` URLs work too (urllib handles them), which is how the
+    e2e test exercises the path hermetically. Partial downloads are
+    written to a ``.part`` name and renamed only on success, so an
+    interrupted fetch never leaves a truncated file that
+    ``skip_if_exists`` would later trust.
+    """
+    import shutil as _shutil
+    import urllib.parse
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    os.makedirs(dest_dir, exist_ok=True)
+
+    def _fetch(url: str) -> str:
+        name = os.path.basename(urllib.parse.urlparse(url).path)
+        if not name:
+            raise ValueError(f"URL has no file component: {url}")
+        dest = os.path.join(dest_dir, name)
+        if skip_if_exists and os.path.exists(dest):
+            return dest
+        part = dest + ".part"
+        with urllib.request.urlopen(url) as resp, open(part, "wb") as out:
+            _shutil.copyfileobj(resp, out)
+        os.replace(part, dest)
+        return dest
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(_fetch, urls))
+
+
+def extract_dataset_from_urls(
+    spark: SparkSession,
+    urls: list[str],
+    workdir: str,
+    sample_sizes: list[int],
+    manifest_path: str,
+    **extract_kwargs,
+) -> list[tuple[int, str]]:
+    """Entry point A end-to-end from a URL list (reference
+    extract_data.py:8-14 → utils.py:97-111): fetch each source to a
+    local staging dir, then merge-scan + sample + manifest via
+    :func:`extract_dataset`."""
+    staging = os.path.join(workdir, "staging")
+    local_paths = fetch_to_local(urls, staging)
+    return extract_dataset(
+        spark,
+        local_paths,
+        output_dir=os.path.join(workdir, "data", "parquet"),
+        sample_sizes=sample_sizes,
+        manifest_path=manifest_path,
+        **extract_kwargs,
+    )
+
 
 def validate_months(month_start: int, month_stop: int) -> None:
     """Input validation (reference utils.py:64-68, Op-3)."""

@@ -260,6 +260,111 @@ def props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- map-function zoo (map_keys/filter/zip_with/transform_values) ---------
+
+# Maps are UNORDERED: every map-valued output is serialized as
+# "k=v,..." sorted by key (the array-column lesson from round 1 —
+# the driver's canonicalizer cannot hash raw map cells either).
+# DuckDB replays the semantics over key-sorted entry lists.
+_MAPZOO_ORACLE = """
+WITH kv AS (
+  SELECT l_orderkey, l_linenumber AS k, SUM(l_quantity) AS v
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+), per AS (
+  SELECT l_orderkey,
+         list(struct_pack(k := k, v := v) ORDER BY k) AS ents
+  FROM kv GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(ents) AS INT) AS n_keys,
+       array_to_string(list_transform(ents,
+           e -> CAST(e.k AS VARCHAR)), ',') AS keys_csv,
+       array_to_string(list_transform(ents,
+           e -> CAST(e.k AS VARCHAR) || '=' || CAST(e.v AS VARCHAR)),
+           ',') AS entries_csv,
+       COALESCE(array_to_string(list_transform(
+           list_filter(ents, e -> e.v >= 25),
+           e -> CAST(e.k AS VARCHAR)), ','), '') AS heavy_keys_csv,
+       CAST(list_sum(list_transform(ents, e -> e.v * 2))
+            AS DOUBLE) AS doubled_total,
+       array_to_string(list_transform(ents,
+           e -> CAST(e.k AS VARCHAR) || '=' ||
+                CAST(e.v + CASE WHEN e.v >= 25 THEN e.v ELSE 0 END
+                     AS VARCHAR)), ',') AS zip_csv
+FROM per
+"""
+
+
+@query("map_functions_zoo", oracle=_MAPZOO_ORACLE)
+def map_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType function surface: build a real multi-key map per order
+    (line number → quantity via map_from_entries), then exercise
+    map_keys, element_at, map_filter, transform_values, map_values,
+    and map_zip_with — all JVM higher-order expressions, one shuffle
+    key (the order key — the per-(order, linenumber) pre-aggregation
+    that makes map keys unique co-partitions with the final groupBy).
+    Map-valued results are serialized sorted-by-key because maps are
+    unordered and the driver hashes rendered cells. Quantity sums are
+    exact: half-integer doubles add without rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    kv = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum("l_quantity").alias("v")
+    )
+    per = kv.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("k"),
+                        F.col("v").alias("v"),
+                    )
+                )
+            )
+        ).alias("m")
+    )
+    m = F.col("m")
+    ks = F.array_sort(F.map_keys(m))
+    heavy = F.map_filter(m, lambda k, v: v >= 25)
+    zipped = F.map_zip_with(
+        m, heavy, lambda k, a, b: a + F.coalesce(b, F.lit(0.0))
+    )
+
+    def _kv_csv(mp):
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.map_keys(mp)),
+                lambda k: F.concat(
+                    k.cast("string"),
+                    F.lit("="),
+                    F.element_at(mp, k).cast("string"),
+                ),
+            ),
+            ",",
+        )
+
+    return per.select(
+        "l_orderkey",
+        F.size(m).cast("int").alias("n_keys"),
+        F.array_join(
+            F.transform(ks, lambda k: k.cast("string")), ","
+        ).alias("keys_csv"),
+        _kv_csv(m).alias("entries_csv"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_keys(heavy)),
+                lambda k: k.cast("string"),
+            ),
+            ",",
+        ).alias("heavy_keys_csv"),
+        F.aggregate(
+            F.map_values(F.transform_values(m, lambda k, v: v * 2)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("double").alias("doubled_total"),
+        _kv_csv(zipped).alias("zip_csv"),
+    )
+
+
 # --- set ops + distinct (coverage: intersect/except/distinct) -------------
 
 _SETOP_ORACLE = """

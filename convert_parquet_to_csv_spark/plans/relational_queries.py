@@ -746,3 +746,43 @@ def left_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c_custkey").isNull().cast("long")).alias("n_unmatched"),
         F.count("c_name").alias("n_enriched"),
     )
+
+
+_RIGHT_ENRICH_ORACLE = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN e.user_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_without_events,
+       CAST(COALESCE(SUM(e.n_events), 0) AS BIGINT) AS total_events
+FROM (SELECT user_id, COUNT(*) AS n_events
+      FROM events GROUP BY user_id) e
+RIGHT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("right_join_enrichment", oracle=_RIGHT_ENRICH_ORACLE)
+def right_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER mirror of left_join_enrichment, completing the
+    join-type matrix (left / right / full / semi / anti): all
+    customers are preserved even when no event row matches — misses
+    are ON THE LEFT (most customers never produced an event). The
+    per-user pre-aggregation keeps the left side one-row-per-key, so
+    the preserved-side row count is exactly |customer| and the plan is
+    one shuffle for the pre-agg + a broadcastable right join."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    j = ev.join(cust, ev.user_id == cust.c_custkey, "right")
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias(
+            "n_without_events"
+        ),
+        F.coalesce(F.sum("n_events"), F.lit(0))
+        .cast("bigint")
+        .alias("total_events"),
+    )

@@ -45,6 +45,7 @@ _DEFAULT_CONF: dict[str, str] = {
     ),
     # Quieter, faster local runs; harmless on a cluster.
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

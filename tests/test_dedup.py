@@ -95,3 +95,59 @@ def test_max_bucket_guard(spark, corpus):
     # bucket cap of 1 drops every shared band bucket → no candidates
     cand = D.lsh_candidate_pairs(sigs, max_bucket=1)
     assert cand.count() == 0
+
+
+def test_hot_bucket_stress(spark):
+    """Pathological skew (VERDICT r1 item 6): 30% of the corpus is one
+    identical document, so every band funnels 30% of all docs into a
+    single bucket. Unguarded, that one bucket alone contributes
+    C(150,2) = 11 175 candidate pairs; ``max_bucket`` must bound the
+    candidate set so the quadratic hot-bucket blowup never reaches the
+    verify stage."""
+    n_hot, n_cold = 150, 350
+    rows = [(i, "the exact same viral chain letter forwarded everywhere "
+                "again and again with identical words") for i in range(n_hot)]
+    rows += [
+        (n_hot + i,
+         f"distinct article number {i} covering topic {i * 7} with "
+         f"unique tokens {i * 13} and {i * 31} nothing shared")
+        for i in range(n_cold)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    sigs = D.minhash_signatures(corpus, num_perm=16).persist()
+    try:
+        hot_pairs = n_hot * (n_hot - 1) // 2
+        unguarded = D.lsh_candidate_pairs(
+            sigs, num_perm=16, bands=4, max_bucket=None
+        ).count()
+        assert unguarded >= hot_pairs  # the blowup is real
+        guarded = D.lsh_candidate_pairs(
+            sigs, num_perm=16, bands=4, max_bucket=50
+        ).count()
+        # every hot-bucket pair is gone; only cold-corpus collisions
+        # (rare) survive
+        assert guarded <= unguarded - hot_pairs
+        assert guarded < n_cold  # candidate work is linear-ish, not n²
+    finally:
+        sigs.unpersist()
+
+
+def test_hot_shingle_guard_jaccard(spark):
+    """ngram_jaccard_pairs(max_bucket=...) drops stop-shingles from
+    candidate generation: docs sharing ONLY a ubiquitous phrase stop
+    pairing, while genuinely similar docs still pair."""
+    common = "as seen on every page header today"
+    rows = [(i, f"{common} article {i} about topic {i * 11}")
+            for i in range(40)]
+    rows.append((100, "two documents that are truly almost identical twins"))
+    rows.append((101, "two documents that are truly almost identical tins"))
+    corpus = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(
+            corpus, threshold=0.3, max_bucket=10, persist=False
+        ).collect()
+    }
+    assert (100, 101) in guarded
+    # no pair among the header-only docs
+    assert all(a >= 100 for a, _ in guarded)

@@ -45,6 +45,48 @@ def test_extract_dataset(spark, sf_small, tmp_path):
     assert extract_dataset(spark, src, out, [50, 150], manifest) == []
 
 
+def test_extract_dataset_from_urls(spark, sf_small, tmp_path):
+    """Entry point A from a URL manifest (hermetic via file:// URLs):
+    fetch → staging → merge-scan → samples → manifest CSV."""
+    from convert_parquet_to_csv_spark.pipeline import (
+        build_month_urls,
+        extract_dataset_from_urls,
+        fetch_to_local,
+    )
+
+    urls = [
+        "file://" + os.path.join(sf_small, "orders.parquet"),
+        "file://" + os.path.join(sf_small, "customer.parquet"),
+    ]
+    workdir = str(tmp_path / "wd")
+    manifest = str(tmp_path / "extracted_files.csv")
+    records = extract_dataset_from_urls(
+        spark, urls, workdir, [40, 120], manifest, name_prefix="mix"
+    )
+    assert [n for n, _ in records] == [40, 120]
+    # staged copies exist and fed the merged scan
+    staged = sorted(os.listdir(os.path.join(workdir, "staging")))
+    assert staged == ["customer.parquet", "orders.parquet"]
+    for n, fname in records:
+        df = read_parquet(
+            spark, os.path.join(workdir, "data", "parquet", fname)
+        )
+        assert df.count() == n
+        assert "filename" in df.columns  # provenance survived the merge
+
+    # re-fetch is idempotent (skip_if_exists)
+    paths = fetch_to_local(urls, os.path.join(workdir, "staging"))
+    assert [os.path.basename(p) for p in paths] == [
+        "orders.parquet", "customer.parquet",
+    ]
+
+    # URL builder reproduces the reference's month template
+    built = build_month_urls(1, 4)
+    assert len(built) == 4 and built[0].endswith("2024-01.parquet")
+    with pytest.raises(ValueError):
+        build_month_urls(5, 2)
+
+
 def test_run_benchmark_missing_manifest(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         run_benchmark(spark, str(tmp_path / "nope.csv"), ".", ".")
