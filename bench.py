@@ -54,7 +54,49 @@ BENCH_QUERY_NAMES = [
     "embedding_centroids",
     "promo_revenue_ratio",
     "salted_join_revenue",
+    # scalable ANN / dedup paths (VERDICT r1 item 5): the bucketed
+    # variants need numbers next to their exact baselines, not just
+    # recall gates.
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "dedup_minhash",
 ]
+
+DOCS_500K_PATH = "/tmp/cptc_bench_docs500k.parquet"
+DOCS_TARGET = 500_000
+
+
+def _build_docs_500k(spark) -> int:
+    """Replicate SF_DIR documents to ≥500k rows for the at-scale
+    minhash-LSH bench. Every token gets a per-copy suffix
+    (regexp_replace with a column replacement), so copies are NOT
+    near-duplicates of each other and the dup structure stays linear
+    in the replication factor — an unmangled replication would make
+    every document a 100-way dup cluster and the candidate set
+    quadratic, which benches the pathology instead of the operator."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(DOCS_500K_PATH, "_SUCCESS")):
+        n = read_parquet(spark, DOCS_500K_PATH).count()
+        if n >= DOCS_TARGET:
+            return n
+    shutil.rmtree(DOCS_500K_PATH, ignore_errors=True)
+    base = read_parquet(spark, os.path.join(SF_DIR, "documents.parquet"))
+    base_n = base.count()
+    copies = max(1, -(-DOCS_TARGET // base_n))  # ceil
+    rep = spark.range(copies).select(F.col("id").alias("_copy"))
+    big = base.crossJoin(F.broadcast(rep)).select(
+        (F.col("doc_id") * copies + F.col("_copy")).alias("doc_id"),
+        F.regexp_replace(
+            F.col("text"),
+            F.lit(r"(\S+)"),
+            F.concat(F.lit("$1x"), F.col("_copy").cast("string")),
+        ).alias("text"),
+    )
+    big.repartition(int(CPUS)).write.mode("overwrite").parquet(
+        DOCS_500K_PATH
+    )
+    return base_n * copies
 
 
 def _build_10m(spark) -> int:
@@ -136,13 +178,42 @@ def main() -> None:
     from convert_parquet_to_csv_spark.plans import registry
 
     registry.load_all()
+    # Warm job time per query (one untimed warmup run, then the timed
+    # run): single-shot numbers mix Catalyst/codegen compile into the
+    # measurement — measured 12 s vs ~1.5 s warm for the first query
+    # of the sweep — and BASELINE.md's comparison note prescribes warm
+    # job time since the baseline engines are warm in-process
+    # libraries (r1 VERDICT: "judge future rounds on the warm number").
     for name in BENCH_QUERY_NAMES:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
+
+        def _run(fn=fn):
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+        queries[name] = round(time_kernel(_run, warmup=1, repeat=1), 4)
+
+    # At-scale minhash-LSH dedup: full pipeline (shingle → signature →
+    # banded candidates → exact-Jaccard verify → survivors) over the
+    # 500k-doc replicated corpus. This is the 100 TB-shaped number the
+    # recall gates can't provide.
+    try:
+        from convert_parquet_to_csv_spark.operators.dedup import (
+            minhash_dedup,
+        )
+
+        n_docs = _build_docs_500k(spark)
+        docs = read_parquet(spark, DOCS_500K_PATH)
         t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.perf_counter() - t0, 4)
+        docs500k = minhash_dedup(docs, num_perm=32, bands=8, threshold=0.5)
+        docs500k.write.format("noop").mode("overwrite").save()
+        queries["dedup_minhash_500k_docs"] = round(
+            time.perf_counter() - t0, 4
+        )
+        queries["_n_docs_500k"] = n_docs
+    except Exception as ex:  # noqa: BLE001 — bench keeps reporting
+        print(f"dedup_minhash_500k_docs failed: {ex}", file=sys.stderr)
 
     print(
         json.dumps(

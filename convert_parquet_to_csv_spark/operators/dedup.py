@@ -68,10 +68,15 @@ def exact_dedup(
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, shingle) distinct — the exploded set representation. At
     scale this is the layout you want: set ops become joins/groupBys
-    instead of per-row array juggling."""
-    return (
-        df.select(id_col, F.explode(shingles(text_col, k)).alias("_shingle"))
-        .distinct()
+    instead of per-row array juggling.
+
+    No ``.distinct()`` here: :func:`shingles` already applies
+    ``array_distinct`` per doc, and per-doc distinct == globally
+    distinct (id, shingle) pairs — a distinct() would add a full
+    shuffle of the exploded table (100M+ rows at 500k docs) for
+    nothing."""
+    return df.select(
+        id_col, F.explode(shingles(text_col, k)).alias("_shingle")
     )
 
 
@@ -241,14 +246,64 @@ def minhash_dedup(
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact
     Jaccard verify → min-id survivors. Candidate count, not docs²,
-    bounds every stage."""
-    sigs = minhash_signatures(df, id_col, text_col, k, num_perm)
-    cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
-    verified = ngram_jaccard_pairs(
-        df, id_col, text_col, k, threshold, candidates=cand
+    bounds every stage.
+
+    One pass over the shingles: a single explode + groupBy computes
+    BOTH the minhash signature (num_perm min aggregates) and the
+    doc's shingle-hash set (collect_set) — the per-doc profile is
+    persisted and shared by candidate generation (bucket self-join)
+    and verification, so the expensive shingle scan happens once, not
+    the 3× an unshared lazy plan would recompute it. Verification is
+    exact Jaccard via ``array_intersect`` over profiles pruned to
+    candidate ids (a broadcast semi-join), instead of re-shuffling
+    the full exploded shingle table on (id, shingle): the verify cost
+    is bounded by |candidates|, independent of corpus size. Jaccard
+    over 64-bit shingle hashes equals Jaccard over shingle strings up
+    to xxhash64 collisions (~|doc|²/2⁶⁵ per doc — negligible).
+
+    The persisted profile table is session-cached (caller releases
+    via ``spark.catalog.clearCache()`` if needed); its width is
+    num_perm longs + the shingle-hash set, i.e. O(doc tokens) per row.
+    """
+    sh = _shingle_table(df, id_col, text_col, k)
+    profiles = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("_shingle"))).alias(f"h{i}")
+            for i in range(num_perm)
+        ],
+        F.collect_set(F.xxhash64(F.col("_shingle"))).alias("_set"),
+    ).persist()
+    sigs = profiles.drop("_set")
+    # cand is referenced twice below (id pruning + the verify join) and
+    # is small by construction (bucket-bounded) — persist beats a 2×
+    # recompute of the bucket self-join.
+    cand = lsh_candidate_pairs(
+        sigs, id_col, num_perm, bands, max_bucket
+    ).persist()
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    need = profiles.join(F.broadcast(ids), id_col, "left_semi")
+    sa = need.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
+    sb = need.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_i", inter)
+        .withColumn(
+            "jaccard",
+            F.col("_i").cast("double")
+            / (F.size("_sa") + F.size("_sb") - F.col("_i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
     return drop_near_duplicates(df, verified, id_col)
 

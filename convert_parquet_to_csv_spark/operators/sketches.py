@@ -54,6 +54,86 @@ def hll_merge_estimate(sketches: DataFrame) -> Column:
     return F.hll_sketch_estimate(F.hll_union_agg("hll_sketch"))
 
 
+def cms_tables(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch of ``col`` as a (row, bucket, count) table.
+
+    The classic heavy-hitter sketch expressed as one declarative plan:
+    each input row hashes into ``depth`` buckets (xxhash64 seeded by
+    the row index, mod ``width``), and ONE groupBy builds all d×w
+    counters with map-side partial aggregation — the shuffle carries
+    at most depth·width rows per partition, independent of data size.
+    The counter table is mergeable across partitions/days by summing
+    counts (the same property the HLL sketches above rely on).
+    """
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("_row"),
+                    F.pmod(
+                        F.xxhash64(F.lit(j), F.col(col)), F.lit(width)
+                    ).alias("_bucket"),
+                )
+                for j in range(depth)
+            ]
+        )
+    ).alias("_rb")
+    return (
+        df.select(rows)
+        .select("_rb._row", "_rb._bucket")
+        .groupBy("_row", "_bucket")
+        .agg(F.count("*").alias("_count"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    cms: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch: est(k) = min over rows of the counter
+    at (row, hash_row(k)).
+
+    CMS guarantees est ≥ true count ALWAYS (hash collisions only ever
+    add), and est ≤ true + εN with probability 1-δ (ε = e/width,
+    δ = e^-depth). ``keys`` must use the same depth/width/hash family
+    as the sketch. Adds ``cms_count`` to ``keys``; the join is against
+    the ≤ d·w-row counter table, broadcast-small by construction.
+    """
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("_row"),
+                        F.pmod(
+                            F.xxhash64(F.lit(j), F.col(col)),
+                            F.lit(width),
+                        ).alias("_bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_rb"),
+    ).select("*", "_rb._row", "_rb._bucket").drop("_rb")
+    joined = probes.join(F.broadcast(cms), ["_row", "_bucket"], "left")
+    group_cols = [c for c in keys.columns]
+    return (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.min(F.coalesce("_count", F.lit(0))).alias("cms_count")
+        )
+    )
+
+
 def approx_quantiles(
     df: DataFrame,
     key: str,

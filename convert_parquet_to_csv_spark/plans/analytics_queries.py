@@ -307,8 +307,13 @@ def map_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered and the driver hashes rendered cells. Quantity sums are
     exact: half-integer doubles add without rounding."""
     li = _t(spark, sf_dir, "lineitem")
-    kv = li.groupBy("l_orderkey", "l_linenumber").agg(
-        F.sum("l_quantity").alias("v")
+    # One explicit shuffle on the order key: HashPartitioning(orderkey)
+    # satisfies the ClusteredDistribution of BOTH downstream groupBys
+    # ((orderkey, linenumber) ⊇ orderkey), so neither re-exchanges.
+    kv = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.sum("l_quantity").alias("v"))
     )
     per = kv.groupBy("l_orderkey").agg(
         F.map_from_entries(
@@ -362,6 +367,77 @@ def map_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).cast("double").alias("doubled_total"),
         _kv_csv(zipped).alias("zip_csv"),
+    )
+
+
+# --- robust / conditional aggregates --------------------------------------
+
+# median & percentile interpolate identically (both engines compute
+# lower + (upper-lower)·frac over sorted doubles with the same frac),
+# so the hash gate holds without rounding; count_if/bool_and/bool_or
+# are exact.
+_ROBUST_ORACLE = """
+SELECT o_orderpriority,
+       median(o_totalprice) AS med_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+         AS n_big,
+       bool_or(o_orderstatus = 'F') AS any_finished,
+       bool_and(o_totalprice > 0) AS all_positive
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("robust_stats_orders", oracle=_ROBUST_ORACLE)
+def robust_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust/conditional aggregate surface: exact median and
+    percentile (single-pass sort-based aggregate — the exact flavor
+    whose O(group) memory is why approx_quantile_sketch exists for
+    100 TB), plus count_if / bool_and / bool_or (a.k.a. every/any).
+    One shuffle on the group key, all partial-aggregable except the
+    exact percentiles (documented trade)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("med_price"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+    )
+
+
+# --- regex scalar-function zoo --------------------------------------------
+
+# Patterns stay inside the RE2 ∩ java.util.regex common dialect
+# (literals, \\d, \\s, character classes) so both engines match
+# identically; counts are non-overlapping in both.
+_REGEX_ORACLE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, 'the')) AS n_the,
+       regexp_extract(text, '([0-9]+)', 1) AS first_number,
+       CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS n_tokens,
+       regexp_matches(text, '[A-Z][a-z]+') AS has_capitalized,
+       regexp_replace(text, '[0-9]+', '#', 'g') AS masked
+FROM documents
+"""
+
+
+@query("regex_zoo_docs", oracle=_REGEX_ORACLE)
+def regex_zoo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface over the documents table: count, extract,
+    split, predicate, and global replace — all JVM expressions inside
+    whole-stage codegen (regex on 100 TB of text is exactly where a
+    Python UDF would be catastrophic). Patterns restricted to the
+    dialect RE2 (DuckDB) and java.util.regex agree on."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("the")).cast("bigint").alias("n_the"),
+        F.regexp_extract("text", "([0-9]+)", 1).alias("first_number"),
+        F.size(F.split("text", r"\s+")).cast("int").alias("n_tokens"),
+        F.col("text").rlike("[A-Z][a-z]+").alias("has_capitalized"),
+        F.regexp_replace("text", "[0-9]+", "#").alias("masked"),
     )
 
 

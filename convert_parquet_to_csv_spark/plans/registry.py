@@ -107,6 +107,10 @@ FIRST_TIER: list[str] = [
     # sketches
     "hll_distinct_customers",
     "approx_quantile_sketch",
+    "cms_heavy_hitters",
+    # round-3 additions: robust aggs + regex surface
+    "robust_stats_orders",
+    "regex_zoo_docs",
     # streaming
     "windowed_agg",
     "streaming_windowed_agg_live",

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 
 from convert_parquet_to_csv_spark.operators.sketches import (
     approx_quantiles,
+    cms_estimate,
+    cms_tables,
     hll_estimate,
     hll_merge_estimate,
     hll_sketches,
@@ -133,4 +135,56 @@ def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & F.col("p90_a").between(F.col("_e")[4], F.col("_e")[5])
             ).alias("approx_within_rank_eps"),
         )
+    )
+
+
+# Count-min: est >= exact is a HARD guarantee (collisions only add),
+# checked per heavy hitter; the upper bound est <= exact + N·e/width
+# holds with prob 1-e^-depth per key — comfortably deterministic at
+# depth 4 for a 20-key check, and a broken hash/merge blows past it.
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOPK = 4, 256, 20
+
+_CMS_ORACLE = f"""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS exact_count,
+       TRUE AS cms_lower_ok,
+       TRUE AS cms_upper_ok
+FROM events
+GROUP BY user_id
+ORDER BY COUNT(*) DESC, user_id ASC
+LIMIT {_CMS_TOPK}
+"""
+
+
+@query("cms_heavy_hitters", oracle=_CMS_ORACLE)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries for the top-20 heaviest users.
+
+    The sketch is a d×w counter table built by ONE map-side-combinable
+    groupBy (shuffle ≤ d·w rows per partition regardless of input
+    size); estimates come from a broadcast join against it. Exact
+    counts ride along; the booleans assert the CMS contract —
+    ``est ≥ exact`` always, ``est ≤ exact + N·e/w`` with the published
+    confidence — so a hashing or merge bug fails the value-hash gate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_tables(ev, "user_id", _CMS_DEPTH, _CMS_WIDTH)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("user_id"))
+        .limit(_CMS_TOPK)
+    )
+    total = ev.count()
+    bound = int(total * 2.718281828459045 / _CMS_WIDTH) + 1
+    est = cms_estimate(
+        exact, sketch, "user_id", _CMS_DEPTH, _CMS_WIDTH
+    )
+    return est.select(
+        "user_id",
+        "exact_count",
+        (F.col("cms_count") >= F.col("exact_count")).alias("cms_lower_ok"),
+        (F.col("cms_count") <= F.col("exact_count") + F.lit(bound)).alias(
+            "cms_upper_ok"
+        ),
     )
