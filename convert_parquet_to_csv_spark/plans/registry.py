@@ -69,6 +69,19 @@ FIRST_TIER: list[str] = [
     "right_join_enrichment",
     "json_corrupt_handling",
     "map_functions_zoo",
+    # TPC-H suite (r3): correlated EXISTS / scalar subqueries /
+    # nation-pair joins — the relational shapes q1/q3/q5/q6 don't cover
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_line_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_suppliers_waiting",
+    "q22_sales_opportunity",
     # reference-parity ops (SURVEY §2 rows the judge checks by name)
     "merged_scan_provenance",
     "pivot_status_by_year",
@@ -186,6 +199,7 @@ def load_all() -> None:
         "convert_parquet_to_csv_spark.plans.kafka_queries",
         "convert_parquet_to_csv_spark.plans.sketch_queries",
         "convert_parquet_to_csv_spark.plans.scale_queries",
+        "convert_parquet_to_csv_spark.plans.tpch_queries",
     ]
     import importlib
     import warnings
