@@ -161,3 +161,47 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     return F.array_distinct(
         F.when(n > 0, grams).otherwise(F.array())
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# Patterns restricted to the dialect java.util.regex and RE2 (DuckDB)
+# agree on: literals, classes, bounded repetition — no lookaround, no
+# backrefs. Order matters: emails are matched before bare phone-ish
+# number runs so "user@host" isn't half-eaten by the phone rule.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (kind, pattern, replacement)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3,4}[-.]?\d{0,4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Mask emails / phone numbers / IPv4s / SSN-shaped ids with typed
+    placeholder tags. Chained JVM ``regexp_replace`` — regex over
+    100 TB of text is exactly where a Python UDF would be catastrophic,
+    so this stays in whole-stage codegen end to end. SSN before phone:
+    the phone pattern would otherwise swallow the first 7 digits of a
+    123-45-6789 run."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in ("email", "ipv4", "ssn", "phone"):
+        pattern, repl = next(
+            (p, r) for k, p, r in PII_PATTERNS if k == kind
+        )
+        c = F.regexp_replace(c, pattern, repl)
+    return c
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind match counts (pre-redaction) — the audit metric a
+    redaction pass reports. Non-overlapping count semantics match
+    DuckDB's ``len(regexp_extract_all(...))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{kind}": F.regexp_count(c, F.lit(pattern))
+        for kind, pattern, _ in PII_PATTERNS
+    }

@@ -109,6 +109,9 @@ FIRST_TIER: list[str] = [
     "pandas_udaf_chars_by_lang",
     "udtf_bigrams",
     "sequence_packing",
+    "pii_redaction",
+    "doc_repetition_stats",
+    "corpus_vocab_stats",
     # similarity family
     "similarity_topk_bruteforce",
     "dedup_embedding_cosine",

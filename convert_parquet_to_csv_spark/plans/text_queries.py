@@ -433,3 +433,181 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.sum("n_chunk_tokens").cast("bigint").alias("bin_tokens"),
     )
+
+
+# --- PII redaction --------------------------------------------------------
+
+# The fixture corpus is synthetic word-soup with no natural PII, so
+# the query plants deterministic PII derived from doc_id (email,
+# phone, IP, SSN shapes) and then redacts it — the operator does real
+# work and the oracle replants/redacts identically. Patterns live in
+# functions/text.py PII_PATTERNS (java.util.regex ∩ RE2 dialect).
+_PII_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+         AS n_email,
+       CAST(len(regexp_extract_all(aug,
+            '\b\d{3}[-.]\d{3,4}[-.]?\d{0,4}\b')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(aug,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(aug,
+            '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(aug,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+         '\b\d{3}[-.]\d{3,4}[-.]?\d{0,4}\b', '<PHONE>', 'g') AS redacted
+FROM (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@example.com or 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+         ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 id 123-45-6789' AS aug
+  FROM documents
+)
+"""
+
+
+@query("pii_redaction", oracle=_PII_ORACLE)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + redaction over the corpus: per-kind match counts
+    and the masked text. Chained ``regexp_replace`` — all JVM
+    expressions inside one whole-stage-codegen projection, zero
+    shuffles, embarrassingly parallel at any scale. The planted PII
+    is deterministic in doc_id so both engines see identical input."""
+    d = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 id 123-45-6789"),
+    )
+    d = d.select("doc_id", aug.alias("_aug"))
+    counts = T.pii_counts("_aug")
+    return d.select(
+        "doc_id",
+        counts["n_email"].cast("int").alias("n_email"),
+        counts["n_phone"].cast("int").alias("n_phone"),
+        counts["n_ipv4"].cast("int").alias("n_ipv4"),
+        counts["n_ssn"].cast("int").alias("n_ssn"),
+        T.redact_pii("_aug").alias("redacted"),
+    )
+
+
+# --- intra-document repetition (Gopher-style quality signals) -------------
+
+_REP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+  WHERE len(trim(text)) > 0
+), clean AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), word_counts AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM clean GROUP BY doc_id, tok
+), per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(MAX(c) AS BIGINT) AS top_word_count
+  FROM word_counts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       CAST(n_types AS DOUBLE) / n_tokens AS type_token_ratio,
+       CAST(top_word_count AS DOUBLE) / n_tokens AS top_word_frac
+FROM per_doc
+"""
+
+
+@query("doc_repetition_stats", oracle=_REP_ORACLE)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: type/token
+    ratio and most-frequent-word share — the standard cheap filters
+    for looping/boilerplate text in training-data curation.
+
+    Explode → ONE groupBy on (doc_id, token) with map-side partials →
+    second groupBy on doc_id; both shuffles hash on doc_id-prefixed
+    keys so the second reuses the first's clustering at scale. No
+    per-row O(n²) array juggling — the exploded layout is the
+    100 TB-safe way to compute per-doc modes."""
+    d = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        "doc_id", F.explode(T.tokens("text")).alias("tok")
+    )
+    wc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.max("c").alias("top_word_count"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        (F.col("n_types").cast("double") / F.col("n_tokens")).alias(
+            "type_token_ratio"
+        ),
+        (
+            F.col("top_word_count").cast("double") / F.col("n_tokens")
+        ).alias("top_word_frac"),
+    )
+
+
+# --- corpus vocabulary / Zipf profile -------------------------------------
+
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE len(trim(text)) > 0
+), clean AS (
+  SELECT tok FROM toks WHERE tok <> ''
+), freq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM clean GROUP BY tok
+), total AS (SELECT SUM(cnt) AS n FROM freq)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS INT) AS rank,
+       tok, cnt,
+       CAST(cnt AS DOUBLE) / (SELECT n FROM total) AS frac
+FROM freq
+ORDER BY cnt DESC, tok ASC
+LIMIT 40
+"""
+
+
+@query("corpus_vocab_stats", oracle=_VOCAB_ORACLE)
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary profile: the top-40 tokens with rank
+    and corpus share (the Zipf curve a tokenizer/vocab audit reads).
+
+    One explode + one groupBy(token) with map-side combine is the
+    whole heavy path; the rank window and total-sum scalar run over
+    the tiny post-agg table. Ordering ties break on the token string,
+    so the LIMIT boundary is deterministic in both engines."""
+    d = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    freq = (
+        d.select(F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = freq.agg(F.sum("cnt").alias("_n"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    return (
+        freq.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(40)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .join(F.broadcast(total))
+        .select(
+            "rank",
+            "tok",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("_n")).alias("frac"),
+        )
+    )

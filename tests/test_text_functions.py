@@ -110,3 +110,39 @@ def test_pack_sequences_contiguous_fill(spark):
     rows = [(r.doc_id, r.chunk_idx, r.bin_id) for r in out.collect()]
     # exclusive cumsums: 0, 300, 600, 900 -> bins 0, 0, 1, 1
     assert rows == [(1, 0, 0), (1, 1, 0), (2, 0, 1), (2, 1, 1)]
+
+
+def test_redact_pii_all_kinds_and_ordering(spark):
+    from convert_parquet_to_csv_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    text = (
+        "mail a.user+x@sub.example.org phone 555-123-4567 "
+        "ip 192.168.1.1 ssn 123-45-6789 end"
+    )
+    df = spark.createDataFrame([(text,)], "t string")
+    red = df.select(redact_pii("t").alias("r")).collect()[0].r
+    # Every kind masked; SSN not half-eaten by the phone rule, IP not
+    # eaten by the phone rule (redaction order: email, ip, ssn, phone).
+    assert "<EMAIL>" in red and "<PHONE>" in red
+    assert "<IP>" in red and "<SSN>" in red
+    assert "@" not in red and "123-45-6789" not in red
+    assert "192.168" not in red
+
+    counts = df.select(
+        *[c.alias(k) for k, c in pii_counts("t").items()]
+    ).collect()[0]
+    assert counts.n_email == 1 and counts.n_ssn == 1
+    assert counts.n_ipv4 == 1
+
+
+def test_redact_pii_leaves_clean_text_alone(spark):
+    from convert_parquet_to_csv_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame([("just plain words here",)], "t string")
+    assert (
+        df.select(redact_pii("t").alias("r")).collect()[0].r
+        == "just plain words here"
+    )
