@@ -32,7 +32,7 @@ WITH media AS (
 )
 SELECT kind,
        COUNT(*) AS n_items,
-       SUM(n_bytes) AS total_bytes,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        MAX(n_bytes) AS max_bytes
 FROM media GROUP BY kind ORDER BY kind
 """

@@ -543,10 +543,10 @@ def window_zoo_yearly_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROMO_ORACLE = """
 SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
        CAST(EXTRACT(month FROM l_shipdate) AS INT) AS ship_month,
-       CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
                 THEN CAST(l_extendedprice * (1 - l_discount)
-                     AS DECIMAL(18,4)) ELSE 0 END)
-            / SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
                   AS DECIMAL(18,4))) AS DOUBLE) AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY ship_year, ship_month
@@ -569,13 +569,20 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("l_shipdate").cast("int").alias("ship_month"),
         )
         .agg(
+            # Both DECIMAL sums are exact; cast each to DOUBLE *before*
+            # the divide so the ratio is one IEEE-exactly-rounded op on
+            # both engines. Dividing the decimals directly takes each
+            # engine's (different) decimal-division scale rules and
+            # drifts a ulp (r2 fixture exposed this).
             (
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0)))
-                / F.sum(disc)
-            )
-            .cast("double")
-            .alias("promo_pct")
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", disc).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum(disc).cast("double")
+            ).alias("promo_pct")
         )
     )
 

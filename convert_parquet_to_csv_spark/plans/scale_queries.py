@@ -198,10 +198,11 @@ def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHECKSUM_ORACLE = """
 SELECT COUNT(*) AS n_rows,
-       SUM(CAST('0x' || substring(md5(
+       CAST(SUM(CAST('0x' || substring(md5(
              CAST(o_orderkey AS VARCHAR) || chr(31) ||
              o_orderstatus || chr(31) ||
-             CAST(o_custkey AS VARCHAR)), 1, 10) AS BIGINT)) AS checksum
+             CAST(o_custkey AS VARCHAR)), 1, 10) AS BIGINT)) AS BIGINT)
+         AS checksum
 FROM orders
 """
 

@@ -203,8 +203,8 @@ WITH feat AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
-       SUM(n_tokens) AS total_tokens
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM kept WHERE _rn = 1
 GROUP BY source
 """
@@ -295,7 +295,8 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- grouped-agg pandas UDAF + python UDTF (completing the UDF surface) ---
 
 _UDAF_ORACLE = """
-SELECT lang, SUM(n_chars) AS total_chars, COUNT(*) AS n_docs
+SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(*) AS n_docs
 FROM documents GROUP BY lang
 """
 

