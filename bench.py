@@ -60,6 +60,10 @@ BENCH_QUERY_NAMES = [
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "dedup_minhash",
+    # curation family (r2 batch 2)
+    "decontaminate_ngram_overlap",
+    "distinctive_terms_tfidf",
+    "arrow_vector_checksum",
 ]
 
 DOCS_500K_PATH = "/tmp/cptc_bench_docs500k.parquet"

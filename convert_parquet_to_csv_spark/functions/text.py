@@ -163,6 +163,26 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
+def ngrams(col: Column | str, n: int = 13, lowercase: bool = True) -> Column:
+    """Ordered positional word n-grams → array<string> (duplicates
+    kept, one entry per start position). Unlike :func:`shingles` this
+    is the decontamination unit: test-set overlap checks compare every
+    occurrence, and the window is conventionally long (13 words) so a
+    match is near-certain verbatim copying. Docs with < n tokens yield
+    an empty array — a short doc can't contain a long benchmark gram.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c) if lowercase else c)
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(cnt >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 # --------------------------------------------------------------------------
 # PII redaction
 # --------------------------------------------------------------------------

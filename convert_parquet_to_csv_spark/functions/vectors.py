@@ -67,3 +67,62 @@ def quantize_scale(a: Column | str) -> Column:
     v = _c(a)
     mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     return F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+
+
+# --------------------------------------------------------------------------
+# Arrow-batch (mapInArrow) vector path
+# --------------------------------------------------------------------------
+
+
+def arrow_vector_stats(
+    df,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Per-vector (dim, integer checksum) via ``mapInArrow`` — the
+    zero-copy batch path for numeric kernels that outgrow Column
+    expressions (the real users are BLAS/FAISS-style libraries that
+    want a contiguous float buffer, not per-row Python objects).
+
+    ``mapInArrow`` hands each task an iterator of ``pyarrow.
+    RecordBatch`` — list<float> arrives as one contiguous values
+    buffer + offsets, which numpy views without copying. Contrast
+    operators/multimodal.py's ``mapInPandas`` (pandas conversion per
+    batch) and the row-at-a-time UDFs this repo bans.
+
+    The kernel is deliberately integer-exact so it cross-checks
+    against a DuckDB oracle bit-for-bit: checksum =
+    Σ floor(xᵢ·1000 + 0.5) over float64-upcast elements (float32→
+    float64 is exact; one multiply and the floor are exactly rounded;
+    integer summation is order-free). Returns (id_col, dim INT,
+    checksum BIGINT).
+    """
+    import pyarrow as pa
+
+    def _stats(batches):
+        import numpy as np
+
+        for b in batches:
+            ids = b.column(b.schema.get_field_index(id_col))
+            vecs = b.column(b.schema.get_field_index(vec_col))
+            # ListArray → flat float32 values + offsets, zero-copy.
+            flat = vecs.values.to_numpy(zero_copy_only=False)
+            offs = vecs.offsets.to_numpy(zero_copy_only=False)
+            q = np.floor(
+                flat.astype(np.float64) * 1000.0 + 0.5
+            ).astype(np.int64)
+            csum = np.add.reduceat(q, offs[:-1]) if len(q) else (
+                np.zeros(len(offs) - 1, dtype=np.int64))
+            dims = np.diff(offs).astype(np.int32)
+            # reduceat quirk: a zero-length slice returns q[offs[i]];
+            # force empty vectors to checksum 0.
+            csum = np.where(dims == 0, 0, csum)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(dims, pa.int32()),
+                 pa.array(csum, pa.int64())],
+                [id_col, "dim", "checksum"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        _stats, schema=f"{id_col} long, dim int, checksum long"
+    )

@@ -1,0 +1,190 @@
+"""Corpus-curation operators: test-set decontamination, distinctive-
+term extraction, and temperature-based source mixing.
+
+These are the pipeline steps between dedup (operators/dedup.py) and
+chunk/pack (operators/chunking.py) in an LLM data-prep flow:
+
+- **Decontamination** removes training documents that contain any
+  word n-gram from a held-out benchmark set, the standard guard
+  against evaluation leakage. The canonical window is 13 words —
+  long enough that a hit is near-certain verbatim copying.
+- **Distinctive terms** surface each document's most
+  corpus-distinctive vocabulary (tf·N/df): topic tagging, keyword
+  indexes, mixture diagnostics.
+- **Temperature mixing** rebalances a multi-source corpus by sampling
+  source s proportionally to weight(s)^alpha — alpha=1 keeps natural
+  proportions, alpha→0 flattens toward uniform; alpha=0.5 (sqrt) is
+  the common compromise for up-weighting small high-quality sources.
+
+All three are pure DataFrame compositions — no Python UDFs — and each
+float step is IEEE-exactly-rounded (sqrt, one multiply, one divide) so
+results are bit-identical across engines; see the oracle notes in
+plans/curation_queries.py.
+
+Scale notes: the benchmark n-gram set is DISTINCT'd then broadcast
+(benchmarks are small — MMLU-sized sets are ~10⁶ grams); the exploded
+training-gram stream never materializes, it feeds the broadcast
+semi-join map-side. tf/df term stats are two partial-agg shuffles over
+(doc, term) and (term); mixing is one tiny per-source aggregate
+cross-joined back plus one window per source partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from convert_parquet_to_csv_spark.functions.text import ngrams, tokens
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame, text_col: str = "text", n: int = 13
+) -> DataFrame:
+    """Distinct word n-grams of the benchmark set → one `gram` column.
+
+    Kept as its own step so callers can persist it when screening many
+    training shards against one benchmark.
+    """
+    return (
+        benchmark.select(
+            F.explode(ngrams(text_col, n=n)).alias("gram")
+        ).distinct()
+    )
+
+
+def flag_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Training docs sharing ≥1 word n-gram with the benchmark set.
+
+    Returns (id_col, n_overlap) — n_overlap counts DISTINCT
+    contaminated grams per doc, the number a removal report cites.
+    Docs with zero overlap are absent (join is inner): the caller
+    drops flagged ids with a left_anti join against this result.
+
+    Plan shape: the benchmark side is distinct'd and **broadcast**, so
+    the training side streams map-side — no shuffle of the exploded
+    gram table (bounded only by the final per-doc count aggregate,
+    which shuffles one row per (doc, matched gram)).
+    """
+    bench = benchmark_ngrams(benchmark, text_col=text_col, n=n)
+    grams = docs.select(
+        F.col(id_col), F.explode(ngrams(text_col, n=n)).alias("gram")
+    )
+    return (
+        grams.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_overlap"))
+    )
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document top-k corpus-distinctive terms.
+
+    Score = tf · N / df (term frequency × inverse document-frequency
+    ratio). The classical tf·ln(N/df) is deliberately avoided: ln is
+    NOT exactly rounded and differs in the last ulp between libm
+    implementations, which would make cross-engine rank order
+    unstable. tf·N/df is one integer product and one IEEE division —
+    bit-identical everywhere — and induces the same ranking family.
+
+    Ties broken by term ascending so top-k is deterministic.
+    Returns (id_col, term, score DOUBLE, rk INT).
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = words.groupBy("term").agg(
+        F.count_distinct(id_col).alias("df")
+    )
+    n_docs = docs.select(
+        F.count("*").alias("n_corpus")
+    )  # 1-row agg, broadcast below
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            (
+                (F.col("tf") * F.col("n_corpus")).cast("double")
+                / F.col("df").cast("double")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return scored.withColumn(
+        "rk", F.row_number().over(w).cast("int")
+    ).filter(F.col("rk") <= top_k)
+
+
+def mix_sources_temperature(
+    docs: DataFrame,
+    total: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Deterministic temperature-weighted multi-source sample.
+
+    Per-source target = floor(total · w_s / Σw) where
+    w_s = (Σ weight_col over source s)^alpha. Selection within a
+    source is by md5 hash of the id — a seedless deterministic
+    permutation, identical across engines and runs (the repo-wide
+    no-RNG rule, plans/registry.py).
+
+    alpha routes through ``pow`` only for the default 0.5 → ``sqrt``
+    (exactly rounded, engine-identical). Non-half alphas use pow,
+    which may drift a ulp across libms — fine for production, not for
+    the bit-exact oracle, so the gated query pins alpha=0.5. The Σw
+    accumulation goes through DECIMAL(24,6) to stay order-independent.
+
+    Returns the sampled (id_col, source_col) rows.
+    """
+    if alpha == 0.5:
+        weigh = F.sqrt
+    else:
+        weigh = lambda c: F.pow(c, F.lit(alpha))  # noqa: E731
+    vol = docs.groupBy(source_col).agg(
+        F.sum(weight_col).alias("w_raw")
+    )
+    vol = vol.withColumn(
+        "wt", weigh(F.col("w_raw").cast("double"))
+    )
+    tot = vol.select(
+        F.sum(F.col("wt").cast("decimal(24,6)"))
+        .cast("double")
+        .alias("wsum")
+    )
+    tgt = vol.join(F.broadcast(tot)).select(
+        source_col,
+        F.floor(
+            F.lit(float(total)) * F.col("wt") / F.col("wsum")
+        ).alias("target_n"),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = docs.select(id_col, source_col).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return (
+        ranked.join(F.broadcast(tgt), source_col)
+        .filter(F.col("rk") <= F.col("target_n"))
+        .select(id_col, source_col)
+    )

@@ -1,0 +1,173 @@
+"""Driver-checked queries: corpus curation (decontamination,
+distinctive terms, temperature mixing) over the documents table.
+
+Cross-engine determinism notes (why these exact formulas):
+
+- Tokenization is the repo-standard ``split(lower(trim(text)), '\\s+')``
+  + drop-empties, mirrored as DuckDB ``string_split_regex`` +
+  ``list_filter`` (same pairing as text_queries.py — both regex
+  engines agree on ``\\s+`` over this corpus).
+- Every float step is IEEE-exactly-rounded (sqrt, one multiply, one
+  divide) → bit-identical across JVM and DuckDB; no ln/exp/pow
+  anywhere (see operators/curation.py docstrings).
+- The gated gram width is 3 (the fixture docs are 10–99 tokens;
+  13-grams would make an empty result). Production decontamination
+  uses the operator default n=13.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.operators import curation as C
+from convert_parquet_to_csv_spark.plans.registry import query
+from convert_parquet_to_csv_spark.sources import read_parquet
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+
+
+# --- test-set decontamination ---------------------------------------------
+
+# Benchmark set = doc_id % 97 == 0: a deterministic pseudo-"eval set"
+# carved from the corpus itself so the fixture needs no extra table.
+_DECON_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t != '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1),
+                             i -> array_to_string(w[i:i+2], ' '))
+         ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM words
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+SELECT grams.doc_id,
+       CAST(COUNT(DISTINCT grams.gram) AS BIGINT) AS n_overlap
+FROM grams JOIN bench USING (gram)
+WHERE grams.doc_id % 97 <> 0
+GROUP BY grams.doc_id
+"""
+
+
+@query("decontaminate_ngram_overlap", oracle=_DECON_ORACLE)
+def decontaminate_ngram_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Training docs that share ≥1 word 3-gram with the benchmark
+    subset (doc_id % 97 == 0) — the eval-leakage guard every LLM
+    training pipeline runs before chunking.
+
+    Plan: benchmark grams distinct'd and broadcast; the training-side
+    exploded gram stream is filtered map-side, so the only shuffle is
+    the final per-doc distinct-count. At 100 TB the benchmark side is
+    the (small) eval suite and this stays a broadcast semi-join.
+    """
+    docs = _docs(spark, sf_dir)
+    is_bench = F.col("doc_id") % 97 == 0
+    return C.flag_contaminated(
+        docs.filter(~is_bench), docs.filter(is_bench), n=3
+    )
+
+
+# --- distinctive terms (tf·N/df) ------------------------------------------
+
+_TERMS_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, unnest(
+    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                t -> t != '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words
+       GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM words
+       GROUP BY term),
+n AS (SELECT COUNT(*) AS n_corpus FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * n.n_corpus AS DOUBLE) / CAST(df.df AS DOUBLE)
+           AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT)
+           AS rk
+  FROM scored
+)
+SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3
+"""
+
+
+@query("distinctive_terms_tfidf", oracle=_TERMS_ORACLE)
+def distinctive_terms_tfidf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-3 corpus-distinctive terms per document, score = tf·N/df.
+
+    ln-free idf variant so the score is bit-identical across engines
+    (ln drifts a ulp between libms; products and divisions don't —
+    operators/curation.py:distinctive_terms). Two partial-agg shuffles
+    (doc,term)/(term) + one broadcast of the 1-row corpus count; the
+    per-doc window is a WindowGroupLimit (top-k, no full sort).
+    """
+    return C.distinctive_terms(_docs(spark, sf_dir), top_k=3)
+
+
+# --- temperature-based source mixing --------------------------------------
+
+_MIX_ORACLE = r"""
+WITH vol AS (
+  SELECT source, SUM(n_chars) AS w_raw FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, sqrt(CAST(w_raw AS DOUBLE)) AS wt FROM vol
+),
+tot AS (
+  SELECT CAST(SUM(CAST(wt AS DECIMAL(24,6))) AS DOUBLE) AS wsum FROM w
+),
+tgt AS (
+  SELECT source, CAST(floor(100.0 * wt / wsum) AS BIGINT) AS target_n
+  FROM w CROSS JOIN tot
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source
+FROM ranked r JOIN tgt USING (source)
+WHERE r.rk <= tgt.target_n
+"""
+
+
+@query("source_mix_temperature", oracle=_MIX_ORACLE)
+def source_mix_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """~100-doc sample rebalanced across sources by char-volume^0.5 —
+    temperature mixing (alpha=0.5), the standard way to up-weight
+    small high-quality sources in a training mixture.
+
+    sqrt is exactly rounded and the weight sum routes through
+    DECIMAL(24,6), so per-source targets are bit-identical across
+    engines; within-source selection is the md5-of-id deterministic
+    permutation. One tiny per-source agg + broadcast target join +
+    one window per source partition — no global funnel.
+    """
+    return C.mix_sources_temperature(
+        _docs(spark, sf_dir), total=100, alpha=0.5
+    )

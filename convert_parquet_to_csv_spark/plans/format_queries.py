@@ -154,3 +154,56 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = os.path.join(tempfile.gettempdir(), "cptc_orc_roundtrip")
     docs.write.mode("overwrite").orc(dst)
     return _agg(spark.read.orc(dst))
+
+
+_BINARY_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id % 41 = 0
+"""
+
+
+@query("binaryfile_ingest", oracle=_BINARY_ORACLE)
+def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-bytes ingest via Spark's ``binaryFile`` source — the
+    entry point for multimodal corpora (operators/multimodal.py): one
+    row per file with (path, length, content BINARY).
+
+    The fixture materializes a small deterministic subset of documents
+    as UTF-8 ``.txt`` files, reads them back through binaryFile, and
+    proves byte fidelity with md5(content) — DuckDB's md5 over the
+    source string hashes the identical UTF-8 bytes. doc_id is
+    recovered from the file stem with regexp_extract.
+
+    Scale: binaryFile lists + reads files partition-parallel and
+    supports ``pathGlobFilter``/``recursiveFileLookup`` for lake
+    layouts; content is one cell per file, so the format is for
+    payloads (images/audio), not splittable text — large-corpus text
+    lands as parquet/JSON-lines instead.
+    """
+    import hashlib
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 41 == 0)
+    sub = docs.select("doc_id", "text").collect()  # tiny: |corpus|/41
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dst = os.path.join(
+        tempfile.gettempdir(), f"cptc_binaryfile_{tag}"
+    )
+    os.makedirs(dst, exist_ok=True)
+    for row in sub:
+        with open(os.path.join(dst, f"{row.doc_id}.txt"), "wb") as fh:
+            fh.write(row.text.encode("utf-8"))
+    media = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(dst)
+    )
+    return media.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

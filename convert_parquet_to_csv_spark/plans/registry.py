@@ -112,6 +112,10 @@ FIRST_TIER: list[str] = [
     "pii_redaction",
     "doc_repetition_stats",
     "corpus_vocab_stats",
+    # curation family (r2 batch 2): decontamination / tf-idf / mixing
+    "decontaminate_ngram_overlap",
+    "distinctive_terms_tfidf",
+    "source_mix_temperature",
     # similarity family
     "similarity_topk_bruteforce",
     "dedup_embedding_cosine",
@@ -120,6 +124,7 @@ FIRST_TIER: list[str] = [
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "similarity_ivf_recall",
+    "arrow_vector_checksum",
     # sketches
     "hll_distinct_customers",
     "approx_quantile_sketch",
@@ -129,6 +134,8 @@ FIRST_TIER: list[str] = [
     "regex_zoo_docs",
     # streaming
     "windowed_agg",
+    "hopping_window_agg",
+    "streaming_stream_join_live",
     "streaming_windowed_agg_live",
     "streaming_session_windows_live",
     "streaming_running_counts_live",
@@ -140,6 +147,7 @@ FIRST_TIER: list[str] = [
     # format / layout
     "partition_pruned_scan",
     "range_layout_scan",
+    "binaryfile_ingest",
     # scale ops (position 50 boundary)
     "salted_join_revenue",
     "json_roundtrip",
@@ -203,6 +211,7 @@ def load_all() -> None:
         "convert_parquet_to_csv_spark.plans.sketch_queries",
         "convert_parquet_to_csv_spark.plans.scale_queries",
         "convert_parquet_to_csv_spark.plans.tpch_queries",
+        "convert_parquet_to_csv_spark.plans.curation_queries",
     ]
     import importlib
     import warnings

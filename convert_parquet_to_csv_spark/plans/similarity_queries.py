@@ -178,7 +178,8 @@ WITH vd AS (
 )
 SELECT vec_id,
        scale,
-       list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS q
+       to_json(list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)))
+         AS q
 FROM s
 """
 
@@ -195,16 +196,23 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     vecs = _vecs(spark, sf_dir)
+    # int8 codes ship as a JSON string: raw ARRAY cells crash the
+    # driver's pandas canonicalizer, and int-array JSON renders are
+    # byte-identical across engines (unlike doubles).
     return vecs.select(
         "vec_id",
         quantize_scale("embedding").alias("scale"),
-        quantize_int8("embedding").alias("q"),
+        F.to_json(quantize_int8("embedding")).alias("q"),
     )
 
 
 # Fixed-point accumulation: floor(x·1e9) longs sum exactly and
 # order-independently (double SUM would drift in the last ulp per
-# engine/partition order), then one double division at the end.
+# engine/partition order). The gated projection keeps the exact
+# per-dimension SUM as a JSON-serialized bigint array — raw ARRAY
+# columns crash the driver's pandas canonicalizer (r1 lesson), and
+# JSON *double* rendering differs across engines, so the one safe
+# wire form is integers-in-JSON. mean = fx/n/1e9, derivable exactly.
 _CENTROID_ORACLE = """
 WITH flat AS (
   SELECT label, u.pos AS pos, u.fx AS fx FROM (
@@ -215,14 +223,13 @@ WITH flat AS (
            ))) AS u
     FROM embeddings)
 ), agg AS (
-  SELECT label, pos,
-         CAST(SUM(fx) AS DOUBLE) / COUNT(*) / 1000000000 AS m
+  SELECT label, pos, CAST(SUM(fx) AS BIGINT) AS sfx, COUNT(*) AS n
   FROM flat GROUP BY label, pos
 )
-SELECT label, list(m ORDER BY pos) AS centroid, MAX(n) AS n_vectors
-FROM (SELECT a.*, c.n FROM agg a
-      JOIN (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label) c
-      USING (label))
+SELECT label,
+       to_json(list(sfx ORDER BY pos)) AS centroid_fx,
+       CAST(MAX(n) AS BIGINT) AS n_vectors
+FROM agg
 GROUP BY label
 """
 
@@ -248,21 +255,19 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fx"),
     )
     agg = flat.groupBy("label", "pos").agg(
-        (
-            F.sum("fx").cast("double")
-            / F.count("*")
-            / F.lit(1_000_000_000)
-        ).alias("m"),
+        F.sum("fx").alias("sfx"),
         F.count("*").alias("_n"),
     )
     return agg.groupBy("label").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("pos"), F.col("m")))
-            ),
-            lambda s: s["m"],
-        ).alias("centroid"),
-        F.max("_n").alias("n_vectors"),
+        F.to_json(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("sfx")))
+                ),
+                lambda s: s["sfx"],
+            )
+        ).alias("centroid_fx"),
+        F.max("_n").cast("bigint").alias("n_vectors"),
     )
 
 
@@ -281,3 +286,35 @@ def similarity_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs, queries, k=_K, n_centroids=16, nprobe=8, kmeans_iters=5
     )
     return _recall_ok(exact, approx, queries, min_hits=1)
+
+
+# --- mapInArrow zero-copy batch path --------------------------------------
+
+# Integer-exact kernel (see functions/vectors.arrow_vector_stats):
+# float32→float64 upcast is exact, one multiply and the floor are
+# exactly rounded, and the int64 sum is order-free — so the Arrow-path
+# result is bit-identical to DuckDB's sequential list fold.
+_ARROW_STATS_ORACLE = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       CAST(list_sum(list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)
+                   AS BIGINT))) AS BIGINT) AS checksum
+FROM embeddings
+"""
+
+
+@query("arrow_vector_checksum", oracle=_ARROW_STATS_ORACLE)
+def arrow_vector_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector dim + integer checksum through ``mapInArrow`` — the
+    zero-copy RecordBatch path for numeric kernels that outgrow Column
+    expressions (BLAS/FAISS-style libraries want the contiguous float
+    buffer). The numpy kernel reads the list column's values buffer
+    without copying and reduces per-vector via ``reduceat``; Arrow
+    batch size bounds memory per task. Embarrassingly parallel — no
+    shuffle anywhere."""
+    from convert_parquet_to_csv_spark.functions.vectors import (
+        arrow_vector_stats,
+    )
+
+    return arrow_vector_stats(_vecs(spark, sf_dir))

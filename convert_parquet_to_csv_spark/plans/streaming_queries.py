@@ -248,3 +248,95 @@ def streaming_foreachbatch_upsert_live(
         F.col("ts").alias("last_ts"),
         F.col("value").cast("double").alias("last_value"),
     )
+
+
+# --- stream-stream interval join ------------------------------------------
+
+_SS_JOIN_ORACLE = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT event_id AS view_id, user_id AS view_user_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.click_id, c.user_id, c.click_ts, v.view_id, v.view_ts
+FROM c JOIN v ON c.user_id = v.view_user_id
+ AND v.view_ts <= c.click_ts
+ AND v.view_ts >= c.click_ts - INTERVAL 5 MINUTE
+"""
+
+
+@query("streaming_stream_join_live", oracle=_SS_JOIN_ORACLE)
+def streaming_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-STREAM interval join run as a real stream:
+    clicks matched to same-user views in the preceding 5 minutes
+    (streaming/events.join_click_view_streams), drained availableNow
+    into a memory sink in append mode. Both sides carry watermarks and
+    the join bounds event time on both sides — the pair of constraints
+    that lets Spark evict join state instead of holding both streams
+    forever. Single-batch drain (no maxFilesPerTrigger) so every match
+    is emitted before the stream stops; the oracle is the equivalent
+    batch range join."""
+    from convert_parquet_to_csv_spark.streaming import (
+        join_click_view_streams,
+    )
+
+    src = _staged_events(spark, sf_dir, "ssjoin")
+    ev = read_events_stream(spark, src)
+    joined = join_click_view_streams(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        window_minutes=5,
+    )
+    run_stream_to_memory(joined, "cptc_gate_ssjoin", output_mode="append")
+    return spark.table("cptc_gate_ssjoin")
+
+
+# --- hopping (sliding) windows --------------------------------------------
+
+# 1h window hopping every 30min ⇒ each event belongs to exactly two
+# windows: starts floor30(ts) and floor30(ts) − 30min. The oracle
+# materializes that membership with unnest — exact, no approximation.
+_HOPPING_ORACLE = """
+WITH m AS (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)),
+                 time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+                   - INTERVAL 30 MINUTE]) AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM m GROUP BY window_start, event_type
+"""
+
+
+@query("hopping_window_agg", oracle=_HOPPING_ORACLE)
+def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (``F.window`` with a
+    slide) — the overlapping-window flavor: each event lands in two
+    windows, Spark expands the membership JVM-side before one
+    (window, type) partial→final aggregation. Same plan streaming
+    (windowed_event_agg) or batch, as with the tumbling flavor."""
+    ev = read_parquet_nanos_ts(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

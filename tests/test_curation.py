@@ -1,0 +1,152 @@
+"""Tests for operators/curation.py and functions.vectors.arrow_vector_stats."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.functions.text import ngrams
+from convert_parquet_to_csv_spark.functions.vectors import (
+    arrow_vector_stats,
+)
+from convert_parquet_to_csv_spark.operators import curation as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, source STRING, n_chars LONG"
+    )
+
+
+def test_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",)], "text STRING")
+    assert df.select(ngrams("text", n=3).alias("g")).first()["g"] == []
+
+
+def test_ngrams_positional_and_lowercased(spark):
+    df = spark.createDataFrame([("The cat Sat on",)], "text STRING")
+    got = df.select(ngrams("text", n=3).alias("g")).first()["g"]
+    assert got == ["the cat sat", "cat sat on"]
+
+
+def test_flag_contaminated_finds_verbatim_copy(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta", "b", 22)])
+    train = _docs(
+        spark,
+        [
+            # contains "alpha beta gamma" verbatim
+            (1, "x alpha beta gamma y", "t", 20),
+            # shares words but no 3-gram window
+            (2, "alpha x beta y gamma", "t", 20),
+            (3, "unrelated text entirely here", "t", 28),
+        ],
+    )
+    got = C.flag_contaminated(train, bench, n=3).collect()
+    assert {(r.doc_id, r.n_overlap) for r in got} == {(1, 1)}
+
+
+def test_flag_contaminated_counts_distinct_grams(spark):
+    bench = _docs(spark, [(100, "a b c d e", "b", 9)])
+    # contains "a b c", "b c d", "c d e" (3 distinct benchmark grams),
+    # one of them twice — count must be distinct grams, not hits.
+    train = _docs(spark, [(1, "a b c d e z a b c", "t", 17)])
+    got = C.flag_contaminated(train, bench, n=3).collect()
+    assert {(r.doc_id, r.n_overlap) for r in got} == {(1, 3)}
+
+
+def test_distinctive_terms_ranks_rare_terms_first(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "common zebra common", "s", 19),
+            (2, "common yak", "s", 10),
+            (3, "common common", "s", 13),
+        ],
+    )
+    got = C.distinctive_terms(docs, top_k=1).collect()
+    top = {r.doc_id: r.term for r in got}
+    # 'zebra'/'yak' appear in one doc each (df=1) → beat 'common' (df=3)
+    assert top[1] == "zebra"
+    assert top[2] == "yak"
+    assert top[3] == "common"  # only term present
+
+
+def test_mix_sources_temperature_targets(spark):
+    rows = []
+    # source A: 90 docs of 100 chars; source B: 10 docs of 100 chars
+    for i in range(90):
+        rows.append((i, "t", "A", 100))
+    for i in range(90, 100):
+        rows.append((i, "t", "B", 100))
+    docs = _docs(spark, rows)
+    got = C.mix_sources_temperature(docs, total=40, alpha=0.5)
+    by_src = {
+        r.source: r.n
+        for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # weights sqrt(9000)=94.87, sqrt(1000)=31.62 → exact shares are
+    # 30.0/10.0, but the operator routes Σw through DECIMAL(24,6)
+    # (order-independence), so the ratio lands a hair below the
+    # integer boundary and floor gives 29/9 — replicate that here.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    wa, wb = math.sqrt(9000), math.sqrt(1000)
+    wsum = float(
+        sum(
+            Decimal(repr(w)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            for w in (wa, wb)
+        )
+    )
+    assert by_src["A"] == math.floor(40 * wa / wsum) == 29
+    assert by_src["B"] == math.floor(40 * wb / wsum) == 9
+    # alpha=1 (natural proportions) skews further toward A
+    nat = C.mix_sources_temperature(docs, total=40, alpha=1.0)
+    nat_by = {
+        r.source: r.n
+        for r in nat.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert nat_by["A"] > by_src["A"]
+
+
+def test_mix_deterministic_across_runs(spark):
+    rows = [(i, "t", f"s{i % 3}", 50 + i) for i in range(60)]
+    docs = _docs(spark, rows)
+    a = sorted(
+        r.doc_id
+        for r in C.mix_sources_temperature(docs, total=30).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in C.mix_sources_temperature(docs, total=30).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_arrow_vector_stats_matches_reference(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.5, -0.75]),
+            (2, []),
+            (3, [0.0004999, -0.0005]),
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    got = {
+        r.vec_id: (r.dim, r.checksum)
+        for r in arrow_vector_stats(df).collect()
+    }
+
+    def ref(vals):
+        return sum(
+            int(math.floor(float(np32(v)) * 1000.0 + 0.5)) for v in vals
+        )
+
+    import numpy as np
+
+    def np32(v):
+        return np.float32(v)
+
+    assert got[1] == (3, ref([1.0, 2.5, -0.75]))
+    assert got[2] == (0, 0)
+    assert got[3] == (2, ref([0.0004999, -0.0005]))

@@ -226,3 +226,52 @@ def test_snapshot_diff_classification(spark):
         4: "unchanged",  # NULL-safe: NULL == NULL via sentinel
         5: "added",
     }
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_small):
+    """Spark's runtime row-level filtering: a selective filter on one
+    join side injects a bloom filter into the other side's scan, so
+    fact rows that cannot match die before the shuffle. At 100 TB this
+    is the difference between shuffling the whole fact table and
+    shuffling the matching slice; here we force the thresholds down so
+    the tiny fixture exercises the same plan rewrite."""
+    li = spark.read.parquet(os.path.join(sf_small, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_small, "orders.parquet"))
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        # no broadcast: a broadcast join would make the runtime filter
+        # pointless (and Spark skips injection for build sides)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sel = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey", "o_totalprice"
+        )
+        joined = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy().agg(
+            F.count("*").alias("n")
+        )
+        joined.write.format("noop").mode("overwrite").save()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloomfilter" in plan.lower() or "BloomFilter" in plan, plan[
+            :2000
+        ]
+        # result unchanged vs the filter-free plan
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        n_plain = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey).count()
+        )
+        assert joined.first()["n"] == n_plain
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
