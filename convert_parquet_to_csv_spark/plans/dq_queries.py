@@ -1,0 +1,224 @@
+"""Driver-checked queries: data-quality expectations, SCD2 history
+building, and contrastive negative sampling.
+
+The DQ report shape is (constraint, n_violations, ok) — ok is what a
+promotion gate branches on; n_violations is what the on-call reads.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from convert_parquet_to_csv_spark.operators import dq as Q
+from convert_parquet_to_csv_spark.plans.common import load_table as _t
+from convert_parquet_to_csv_spark.plans.registry import query
+
+# --- DQ expectations over the orders/lineitem star -----------------------
+
+_DQ_ORACLE = """
+WITH rowlevel AS (
+  SELECT * FROM (VALUES
+    ('not_null(o_custkey)',
+     (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)),
+    ('accepted_values(o_orderstatus)',
+     (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P'))),
+    ('in_range(o_totalprice)',
+     (SELECT COUNT(*) FROM orders WHERE o_totalprice < 0)),
+    ('discount_bounds',
+     (SELECT COUNT(*) FROM lineitem
+      WHERE NOT (l_discount >= 0 AND l_discount <= 1))),
+    ('unique(o_orderkey)',
+     (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)),
+    ('fk(l_orderkey->o_orderkey)',
+     (SELECT COUNT(*) FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))),
+    ('fk(o_custkey->c_custkey)',
+     (SELECT COUNT(*) FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+  ) AS t(check_name, n_violations)
+)
+SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS ok
+FROM rowlevel
+"""
+
+
+@query("dq_constraint_checks", oracle=_DQ_ORACLE)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-gate expectations over the star: null/domain/range
+    checks fused into ONE orders scan + one lineitem scan
+    (operators/dq.check_rowlevel compiles every row-level constraint
+    to a conditional count in the same aggregate), uniqueness in the
+    same pass shape, and two FK orphan checks as broadcast left-anti
+    joins. Output is the canonical (constraint, n_violations, ok)
+    report — tiny, collectable, branchable."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    parts = [
+        Q.check_rowlevel(
+            orders,
+            [
+                Q.not_null("o_custkey"),
+                Q.accepted_values("o_orderstatus", ["O", "F", "P"]),
+                Q.in_range("o_totalprice", lo=0),
+            ],
+        ),
+        Q.check_rowlevel(
+            lineitem,
+            [
+                Q.expression_ok(
+                    "discount_bounds",
+                    (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
+                )
+            ],
+        ),
+        Q.check_unique(orders, ["o_orderkey"]),
+        Q.check_foreign_key(lineitem, "l_orderkey", orders, "o_orderkey",
+                            broadcast_parent=False),
+        Q.check_foreign_key(orders, "o_custkey", customer, "c_custkey"),
+    ]
+    return Q.dq_report(parts)
+
+
+# --- SCD2 history from an event stream ------------------------------------
+
+_SCD2_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_id
+  FROM events
+), changes AS (
+  SELECT user_id, ts AS valid_from, event_type
+  FROM seq
+  WHERE prev_type IS NULL OR event_type <> prev_type
+), versions AS (
+  SELECT user_id, event_type AS state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, event_type)
+           AS valid_to
+  FROM changes
+)
+SELECT user_id, state, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM versions
+"""
+
+
+@query("scd2_user_state_history", oracle=_SCD2_ORACLE)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the raw event
+    stream: collapse consecutive same-state events per user, then
+    close each version with the next version's start
+    (valid_from/valid_to/is_current). The lag→filter→lead pipeline
+    runs on ONE user_id exchange reused by both windows — the standard
+    way a 100 TB event log becomes a point-in-time joinable dimension.
+    Deterministic tiebreak: (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_type",
+            F.lag("event_type").over(w).alias("_prev"),
+        )
+        .filter(
+            F.col("_prev").isNull() | (F.col("event_type") != F.col("_prev"))
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.col("event_type").alias("state"),
+        )
+    )
+    # (valid_from, state) ordering: two same-ts change rows for one
+    # user would otherwise make lead() assignment engine-dependent.
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "state")
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+# --- contrastive negative sampling ----------------------------------------
+
+_NEG_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+anchors AS (
+  SELECT doc_id AS anchor_id FROM documents WHERE doc_id % 29 = 0
+),
+cand AS (
+  SELECT a.anchor_id, k.k,
+         CAST('0x' || substring(md5(CAST(a.anchor_id AS VARCHAR) || ':' ||
+                        CAST(k.k AS VARCHAR)), 1, 12) AS BIGINT)
+           % (SELECT n_docs FROM n) AS neg_idx
+  FROM anchors a CROSS JOIN (SELECT unnest(range(4)) AS k) k
+)
+SELECT anchor_id, CAST(k AS INT) AS k, d.doc_id AS negative_id
+FROM cand JOIN documents d ON d.doc_id = cand.neg_idx
+WHERE d.doc_id <> cand.anchor_id
+"""
+
+
+@query("negative_sampling_pairs", oracle=_NEG_ORACLE)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor doc draws 4 pseudo-random negatives via md5(anchor,k) mod N
+    — seedless, reproducible, engine-identical (the repo-wide no-RNG
+    rule). Accidental self-pairs are dropped rather than re-drawn
+    (standard practice: a contrastive batch tolerates k-1 negatives).
+
+    Plan: anchors × 4 is an explode, the candidate index joins the
+    docs table on its key — one broadcast (anchors are a sample) or
+    one key shuffle at scale. No collect, no RNG state."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    anchors = docs.filter(F.col("doc_id") % 29 == 0).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    cand = (
+        anchors.join(F.broadcast(n_docs))
+        .select(
+            "anchor_id",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+            "n_docs",
+        )
+        .select(
+            "anchor_id",
+            F.col("k").cast("int").alias("k"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("anchor_id").cast("string"),
+                                F.col("k").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n_docs")
+            ).alias("neg_idx"),
+        )
+    )
+    return (
+        cand.join(docs, cand.neg_idx == docs.doc_id)
+        .filter(F.col("doc_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id", "k", F.col("doc_id").alias("negative_id")
+        )
+    )

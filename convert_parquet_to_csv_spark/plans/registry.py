@@ -160,6 +160,10 @@ FIRST_TIER: list[str] = [
     "skew_diagnostic_events",
     "incremental_agg_refresh",
     "snapshot_diff_orders",
+    # DQ / dimension-history / contrastive-sampling family (r2)
+    "dq_constraint_checks",
+    "scd2_user_state_history",
+    "negative_sampling_pairs",
     # the four slowest gate queries — still new signal, but placed
     # after the cheap wide-coverage block so a budget cut costs least
     "similarity_lsh_recall",
@@ -212,6 +216,7 @@ def load_all() -> None:
         "convert_parquet_to_csv_spark.plans.scale_queries",
         "convert_parquet_to_csv_spark.plans.tpch_queries",
         "convert_parquet_to_csv_spark.plans.curation_queries",
+        "convert_parquet_to_csv_spark.plans.dq_queries",
     ]
     import importlib
     import warnings

@@ -1,0 +1,94 @@
+"""Tests for operators/dq.py — the expectations gate must actually
+catch seeded violations (a DQ framework that only ever passes is
+untested by construction)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.operators import dq as Q
+
+
+def _report_map(df):
+    return {
+        r.check_name: (r.n_violations, r.ok) for r in df.collect()
+    }
+
+
+def test_rowlevel_checks_catch_seeded_violations(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0),
+            (2, None, -5.0),   # bad status (null), negative price
+            (3, "X", 20.0),    # bad status (domain)
+            (None, "F", 30.0), # null key
+        ],
+        "k LONG, status STRING, price DOUBLE",
+    )
+    rep = Q.dq_report(
+        [
+            Q.check_rowlevel(
+                df,
+                [
+                    Q.not_null("k"),
+                    Q.accepted_values("status", ["O", "F", "P"]),
+                    Q.in_range("price", lo=0.0),
+                ],
+            )
+        ]
+    )
+    got = _report_map(rep)
+    assert got["not_null(k)"] == (1, False)
+    # NULL status: isin(NULL) is NULL → NOT NULL is NULL → row not
+    # counted; the null case belongs to not_null, domain check counts
+    # only non-null out-of-domain values.
+    assert got["accepted_values(status)"] == (1, False)
+    assert got["in_range(price)"] == (1, False)
+
+
+def test_unique_and_fk_checks(spark):
+    parent = spark.createDataFrame([(1,), (2,)], "pk LONG")
+    child = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 9)], "ck LONG, fk LONG"
+    )
+    dup = spark.createDataFrame([(1,), (1,), (2,)], "k LONG")
+    rep = Q.dq_report(
+        [
+            Q.check_unique(dup, ["k"]),
+            Q.check_foreign_key(child, "fk", parent, "pk"),
+        ]
+    )
+    got = _report_map(rep)
+    assert got["unique(k)"] == (1, False)
+    assert got["fk(fk->pk)"] == (1, False)
+
+
+def test_clean_table_all_ok(spark):
+    df = spark.createDataFrame([(1, "O"), (2, "F")], "k LONG, s STRING")
+    rep = Q.dq_report(
+        [
+            Q.check_rowlevel(
+                df,
+                [Q.not_null("k"), Q.accepted_values("s", ["O", "F"])],
+            ),
+            Q.check_unique(df, ["k"]),
+        ]
+    )
+    assert all(r.ok for r in rep.collect())
+
+
+def test_rowlevel_is_single_scan(spark):
+    """Every row-level constraint must fuse into one aggregate over one
+    scan — no per-constraint re-reads."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    plan = (
+        Q.check_rowlevel(
+            df, [Q.not_null("k"), Q.in_range("v", lo=0, hi=3)]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Range (0, 100") <= 1

@@ -62,6 +62,9 @@ CASES = {
     "distinctive_terms_tfidf": "tf-idf: (doc,term)/(term) partial-agg shuffles, 1-row corpus count broadcast, WindowGroupLimit top-k",
     "source_mix_temperature": "mixing: per-source agg broadcast back as targets, one per-source window shuffle",
     "arrow_vector_checksum": "mapInArrow: ArrowEvalPython-free batch op, zero exchanges",
+    "dq_constraint_checks": "DQ: all row-level checks fused into one scan per table, FK checks as left-anti joins",
+    "scd2_user_state_history": "SCD2: lag->filter->lead on ONE reused user_id exchange",
+    "streaming_stream_join_live": "stream-stream join: watermarked interval join, state-evicting",
 }
 
 KEY_MARKERS = (
