@@ -770,3 +770,40 @@ def json_corrupt_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ok.cast("long")).alias("n_parsed"),
         F.sum((~ok).cast("long")).alias("n_corrupt"),
     )
+
+
+# --- nested struct zoo ----------------------------------------------------
+
+# All-integer/string payloads only: JSON double rendering differs
+# across engines, ints and strings are byte-identical (the array/map
+# zoo lesson).
+_STRUCT_ZOO_ORACLE = """
+SELECT o_custkey,
+       to_json(list(struct_pack(okey := o_orderkey,
+                                status := o_orderstatus)
+                    ORDER BY o_orderkey)) AS orders_json,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@query("nested_struct_zoo", oracle=_STRUCT_ZOO_ORACLE)
+def nested_struct_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type construction surface: struct creation, collect_list
+    into array<struct>, deterministic array_sort over struct fields,
+    JSON serialization of the nested value — the denormalize-to-
+    document shape (one row per customer, orders nested inside) every
+    export-to-serving pipeline runs. One groupBy shuffle; the struct
+    assembly is map-side."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.struct(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("s"),
+    )
+    return o.groupBy("o_custkey").agg(
+        F.to_json(F.array_sort(F.collect_list("s"))).alias("orders_json"),
+        F.count("*").alias("n_orders"),
+    )

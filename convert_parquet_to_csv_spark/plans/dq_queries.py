@@ -222,3 +222,67 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_id", "k", F.col("doc_id").alias("negative_id")
         )
     )
+
+
+# --- multi-touch attribution ----------------------------------------------
+
+_MTA_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT event_id AS view_id, user_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+), touched AS (
+  SELECT p.purchase_id, v.view_id, v.view_ts
+  FROM p JOIN v ON p.user_id = v.user_id
+   AND v.view_ts > p.purchase_ts - INTERVAL 30 MINUTE
+   AND v.view_ts <= p.purchase_ts
+)
+SELECT purchase_id, view_id,
+       1.0 / COUNT(*) OVER (PARTITION BY purchase_id) AS weight
+FROM touched
+"""
+
+
+@query("multi_touch_attribution", oracle=_MTA_ORACLE)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view in the 30 minutes
+    before a purchase shares credit equally (weight 1/n per touch) —
+    the n-touch generalization of the as-of join's last-touch model
+    (asof_click_attribution).
+
+    The interval pairing reuses operators/rangejoin.interval_join —
+    (user, time-bin) equi-join, never a cross join — and the 1/n is
+    one count window per purchase. 1/n is a single IEEE division, so
+    weights are bit-identical across engines."""
+    from convert_parquet_to_csv_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    touched = interval_join(
+        p,
+        v,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        lower_us=-30 * 60 * 1_000_000,
+        upper_us=0,
+    )
+    w = Window.partitionBy("purchase_id")
+    return touched.select(
+        "purchase_id",
+        "view_id",
+        (F.lit(1.0) / F.count("*").over(w)).alias("weight"),
+    )

@@ -164,6 +164,8 @@ FIRST_TIER: list[str] = [
     "dq_constraint_checks",
     "scd2_user_state_history",
     "negative_sampling_pairs",
+    "multi_touch_attribution",
+    "nested_struct_zoo",
     # the four slowest gate queries — still new signal, but placed
     # after the cheap wide-coverage block so a budget cut costs least
     "similarity_lsh_recall",

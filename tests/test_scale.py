@@ -275,3 +275,53 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_small):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling: a hot key whose shuffle partition dwarfs
+    the others is split into subpartitions at runtime (plan shows
+    skew=true) without changing the join result — the built-in
+    complement to operators/scale.salted_join for moderate skew."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # left: 200k rows on hot key 0, a trickle elsewhere
+        left = spark.range(220_000).select(
+            F.when(F.col("id") < 200_000, F.lit(0))
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            (F.col("id") * 7).alias("payload"),
+        )
+        right = spark.range(97).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        # No groupBy on the join key downstream: a same-key requirement
+        # would forbid the split (AQE preserves required distributions),
+        # which is itself part of the contract this test documents.
+        joined = left.join(right, "k").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("payload").alias("checksum"),
+        )
+        # Drive the action on THIS Dataset: a .write spawns a separate
+        # QueryExecution, whose cached plan stays isFinalPlan=false —
+        # the skew rewrite only exists in the final adaptive plan.
+        row = joined.collect()[0]
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert row.n_rows == 220_000
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
