@@ -13,7 +13,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from convert_parquet_to_csv_spark.functions import text as T
 from convert_parquet_to_csv_spark.operators import dedup as D
 from convert_parquet_to_csv_spark.plans.registry import query
 from convert_parquet_to_csv_spark.sources import read_parquet
@@ -403,4 +405,60 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pagerank_fixed_point(
         docs.select("doc_id"), sym, n_iters=5, id_col="doc_id"
+    )
+
+
+# --- incremental dedup: new batch vs historical store ---------------------
+
+_INCR_DEDUP_ORACLE = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           AS fingerprint,
+         doc_id % 7 = 3 AS is_new
+  FROM documents
+),
+history AS (SELECT DISTINCT fingerprint FROM fp WHERE NOT is_new),
+batch AS (
+  SELECT doc_id, fingerprint,
+         row_number() OVER (PARTITION BY fingerprint
+                            ORDER BY doc_id) AS _rn
+  FROM fp WHERE is_new
+)
+SELECT b.doc_id, b.fingerprint
+FROM batch b
+WHERE b._rn = 1
+  AND NOT EXISTS (SELECT 1 FROM history h
+                  WHERE h.fingerprint = b.fingerprint)
+"""
+
+
+@query("dedup_incremental_batch", oracle=_INCR_DEDUP_ORACLE)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the steady-state production shape:
+    today's batch (doc_id % 7 == 3 stands in for the new partition)
+    dedups within itself (keep min doc_id per fingerprint), then
+    anti-joins the historical fingerprint store so previously-ingested
+    content never re-enters the corpus.
+
+    At 100 TB the history side is a compact fingerprint table (one
+    md5 per unique doc ever seen — operators/upsert.py appends
+    today's survivors to it), so the anti join shuffles only
+    (fingerprint) pairs, never text; within-batch dedup is the same
+    WindowGroupLimit as dedup_exact."""
+    docs = _docs(spark, sf_dir)
+    fp = docs.select(
+        "doc_id", T.doc_fingerprint("text").alias("fingerprint")
+    )
+    is_new = F.col("doc_id") % 7 == 3
+    history = fp.filter(~is_new).select("fingerprint").distinct()
+    batch = fp.filter(is_new)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    kept = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return kept.join(history, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
     )

@@ -98,6 +98,7 @@ FIRST_TIER: list[str] = [
     "dedup_simhash",
     "dedup_clusters_cc",
     "dedup_fuzzy_levenshtein",
+    "dedup_incremental_batch",
     # text family (all driver-uncovered in r01)
     "text_quality_stats",
     "lang_id_heuristic",
@@ -166,6 +167,8 @@ FIRST_TIER: list[str] = [
     "negative_sampling_pairs",
     "multi_touch_attribution",
     "nested_struct_zoo",
+    "null_semantics_zoo",
+    "datetime_zoo",
     # the four slowest gate queries — still new signal, but placed
     # after the cheap wide-coverage block so a budget cut costs least
     "similarity_lsh_recall",

@@ -793,3 +793,112 @@ def right_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_events"),
     )
+
+
+# --- NULL semantics zoo ---------------------------------------------------
+
+# The fixture has no NULLs, so the query synthesizes them (nullif) and
+# then exercises every aggregate/predicate NULL rule that differs
+# between naive implementations: count(*) vs count(col), count
+# distinct, conditional counting of NULLs, coalesce defaults,
+# null-safe equality, and avg's ignore-null denominator.
+_NULLZOO_ORACLE = """
+WITH base AS (
+  SELECT o_orderstatus,
+         nullif(o_custkey % 7, 0) AS nk,
+         o_totalprice
+  FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       COUNT(nk) AS n_nonnull,
+       CAST(COUNT(DISTINCT nk) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(SUM(coalesce(nk, -1)) AS BIGINT) AS sum_defaulted,
+       CAST(SUM(CASE WHEN nk IS NOT DISTINCT FROM NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+       CAST(SUM(CAST(nk AS DECIMAL(18,4))) AS DOUBLE)
+         / CAST(COUNT(nk) AS DOUBLE) AS avg_ignoring_null
+FROM base
+GROUP BY o_orderstatus
+"""
+
+
+@query("null_semantics_zoo", oracle=_NULLZOO_ORACLE)
+def null_semantics_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics surface, pinned cross-engine: count(*) counts
+    NULL rows, count(col)/count_distinct/avg skip them, coalesce
+    defaults them, `<=>` (IS NOT DISTINCT FROM) matches them. One
+    grouped aggregate — everything fuses into a single scan pass."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderstatus",
+        F.nullif(F.col("o_custkey") % 7, F.lit(0)).alias("nk"),
+    )
+    return base.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count("nk").alias("n_nonnull"),
+        F.count_distinct("nk").cast("bigint").alias("n_distinct"),
+        F.sum(F.when(F.col("nk").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null"),
+        F.sum(F.coalesce("nk", F.lit(-1))).cast("bigint").alias(
+            "sum_defaulted"
+        ),
+        F.sum(
+            F.when(F.col("nk").eqNullSafe(F.lit(None)), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_nullsafe_eq"),
+        # exact decimal sum, then ONE double divide (each engine's
+        # avg-over-decimal has different internal scale rules)
+        (
+            F.sum(F.col("nk").cast("decimal(18,4)")).cast("double")
+            / F.count("nk").cast("double")
+        ).alias("avg_ignoring_null"),
+    )
+
+
+# --- datetime zoo ---------------------------------------------------------
+
+# Calendar-function parity: month truncation, month-end, ISO weekday
+# and week numbers, day arithmetic against an epoch, month shifting,
+# and string formatting. Spark's dayofweek is 1=Sunday while DuckDB's
+# is 0=Sunday, so both sides use the ISO convention (Spark weekday+1 ==
+# DuckDB isodow, Monday=1) — the classic off-by-one this query pins.
+_DATEZOO_ORACLE = """
+SELECT o_orderkey,
+       date_trunc('month', o_orderdate) AS month_start,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(isodow(o_orderdate) AS INT) AS iso_weekday,
+       CAST(week(CAST(o_orderdate AS DATE)) AS INT) AS iso_week,
+       CAST(datediff('day', DATE '1992-01-01',
+                     CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3_months,
+       strftime(o_orderdate, '%Y-%m') AS month_label
+FROM orders
+WHERE o_orderkey % 101 = 0
+"""
+
+
+@query("datetime_zoo", oracle=_DATEZOO_ORACLE)
+def datetime_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function surface with the cross-engine conventions
+    pinned: ISO weekday (Monday=1; Spark ``weekday``+1 == DuckDB
+    ``isodow``), ISO week-of-year, month truncation/end, day diffs,
+    month arithmetic, and yyyy-MM formatting. Pure projection under
+    a pushed modulus filter."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 101 == 0).select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("iso_weekday"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01"))
+        .cast("int")
+        .alias("days_since_epoch"),
+        F.add_months("o_orderdate", 3).alias("plus_3_months"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month_label"),
+    )

@@ -256,3 +256,42 @@ def test_stream_stream_join_drops_late_rows_past_watermark(spark, tmp_path):
 
     run_stream_to_memory(joined, "ss_join_late_t", output_mode="append")
     assert spark.table("ss_join_late_t").count() == 0
+
+
+def test_stream_checkpoint_resume_no_reprocessing(spark, tmp_path):
+    """Checkpointed file-source stream restarts process ONLY files that
+    arrived since the last run — the exactly-once ingestion contract a
+    landing-zone pipeline relies on (no re-reads, no duplicates)."""
+    src = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(lo, hi, name):
+        spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 5).alias("user_id"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema("event_id LONG, user_id LONG")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120_000)
+
+    land(0, 100, "a")
+    drain()
+    first = spark.read.parquet(sink)
+    assert first.count() == 100
+
+    land(100, 130, "b")
+    drain()
+    final = spark.read.parquet(sink)
+    # exactly once: every id present, none twice
+    assert final.count() == 130
+    assert final.select("event_id").distinct().count() == 130
