@@ -59,6 +59,7 @@ def flag_contaminated(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 13,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Training docs sharing ≥1 word n-gram with the benchmark set.
 
@@ -71,11 +72,24 @@ def flag_contaminated(
     the training side streams map-side — no shuffle of the exploded
     gram table (bounded only by the final per-doc count aggregate,
     which shuffles one row per (doc, matched gram)).
+
+    ``hash_grams=True`` is the 100 TB form: join on xxhash64(gram)
+    longs instead of the gram strings — an 8-byte broadcast key per
+    benchmark gram instead of ~13 words of text (~10× smaller
+    broadcast and shuffle rows). A false positive needs an xxhash64
+    collision against the benchmark set (~2⁻⁶⁴·|bench| per gram —
+    negligible, and this screen is a conservative filter anyway). The
+    gated oracle query keeps strings so the DuckDB replay is exact.
     """
     bench = benchmark_ngrams(benchmark, text_col=text_col, n=n)
     grams = docs.select(
         F.col(id_col), F.explode(ngrams(text_col, n=n)).alias("gram")
     )
+    if hash_grams:
+        bench = bench.select(F.xxhash64("gram").alias("gram")).distinct()
+        grams = grams.select(
+            id_col, F.xxhash64("gram").alias("gram")
+        )
     return (
         grams.join(F.broadcast(bench), "gram")
         .groupBy(id_col)

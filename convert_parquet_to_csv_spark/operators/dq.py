@@ -58,21 +58,36 @@ def expression_ok(name: str, ok: Column) -> Constraint:
     return Constraint(name, ~ok)
 
 
-def check_rowlevel(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
+def check_rowlevel(
+    df: DataFrame,
+    constraints: list[Constraint],
+    unique: list[list[str]] | None = None,
+) -> DataFrame:
     """All row-level constraints in ONE scan: each compiles to a
-    conditional count inside the same aggregate."""
+    conditional count inside the same aggregate. ``unique`` key lists
+    fold into the same pass as count-minus-count-distinct columns, so
+    a table's whole single-table expectation suite costs one job."""
+    names = [c.name for c in constraints]
     aggs = [
         F.sum(F.when(c.violation, 1).otherwise(0))
         .cast("bigint")
         .alias(c.name)
         for c in constraints
     ]
+    for cols in unique or []:
+        name = f"unique({','.join(cols)})"
+        names.append(name)
+        aggs.append(
+            (F.count("*") - F.count_distinct(*[F.col(c) for c in cols]))
+            .cast("bigint")
+            .alias(name)
+        )
     wide = df.agg(*aggs)
-    # long form: (constraint, n_violations)
+    # long form: (check_name, n_violations)
     stack = F.expr(
         "stack({n}, {pairs}) as (check_name, n_violations)".format(
-            n=len(constraints),
-            pairs=", ".join(f"'{c.name}', `{c.name}`" for c in constraints),
+            n=len(names),
+            pairs=", ".join(f"'{n}', `{n}`" for n in names),
         )
     )
     return wide.select(stack)

@@ -67,6 +67,7 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Q.accepted_values("o_orderstatus", ["O", "F", "P"]),
                 Q.in_range("o_totalprice", lo=0),
             ],
+            unique=[["o_orderkey"]],
         ),
         Q.check_rowlevel(
             lineitem,
@@ -77,7 +78,6 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ],
         ),
-        Q.check_unique(orders, ["o_orderkey"]),
         Q.check_foreign_key(lineitem, "l_orderkey", orders, "o_orderkey",
                             broadcast_parent=False),
         Q.check_foreign_key(orders, "o_custkey", customer, "c_custkey"),

@@ -150,3 +150,18 @@ def test_arrow_vector_stats_matches_reference(spark):
     assert got[1] == (3, ref([1.0, 2.5, -0.75]))
     assert got[2] == (0, 0)
     assert got[3] == (2, ref([0.0004999, -0.0005]))
+
+
+def test_flag_contaminated_hashed_matches_string_path(spark, sf_small):
+    """The 100 TB form (xxhash64 gram keys) must agree with the exact
+    string-key path on real corpus data."""
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_small, "documents.parquet"))
+    is_bench = F.col("doc_id") % 97 == 0
+    train, bench = docs.filter(~is_bench), docs.filter(is_bench)
+    a = C.flag_contaminated(train, bench, n=3, hash_grams=False)
+    b = C.flag_contaminated(train, bench, n=3, hash_grams=True)
+    rows_a = {(r.doc_id, r.n_overlap) for r in a.collect()}
+    rows_b = {(r.doc_id, r.n_overlap) for r in b.collect()}
+    assert rows_a == rows_b and len(rows_a) > 0

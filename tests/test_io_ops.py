@@ -206,3 +206,29 @@ def test_partition_by_single_file_conflict(spark, sf_small, tmp_path):
             orders, str(tmp_path / "x"), single_file=True,
             partition_by=["o_orderstatus"],
         )
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(
+    spark, tmp_path
+):
+    """partitionOverwriteMode=dynamic: rewriting one partition's data
+    must leave sibling partitions intact — the incremental-landing
+    pattern (static mode would truncate the whole table root)."""
+    from pyspark.sql import functions as F
+
+    dst = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "v LONG, p STRING"
+    )
+    base.write.partitionBy("p").mode("overwrite").parquet(dst)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        patch = spark.createDataFrame([(99, "b")], "v LONG, p STRING")
+        patch.write.partitionBy("p").mode("overwrite").parquet(dst)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    got = {
+        (r.v, r.p) for r in spark.read.parquet(dst).collect()
+    }
+    assert got == {(1, "a"), (2, "a"), (99, "b")}
