@@ -156,8 +156,15 @@ def main() -> None:
 
     def _run_10m():
         shutil.rmtree(out, ignore_errors=True)
+        # 2×CPUS round-robin: evens out writer splits and hides
+        # per-file close stalls (measured 2.6× vs the raw scan splits
+        # on this workload — io_ops.convert_parquet_to_csv docstring).
         convert_parquet_to_csv(
-            spark, TENM_PATH, out, max_records_per_file=500_000
+            spark,
+            TENM_PATH,
+            out,
+            max_records_per_file=500_000,
+            repartition_to=2 * CPUS,
         )
 
     headline = time_kernel(_run_10m, warmup=3, repeat=3)

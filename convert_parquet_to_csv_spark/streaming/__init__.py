@@ -7,6 +7,7 @@ from convert_parquet_to_csv_spark.streaming.events import (
     read_events_stream,
     run_stream_to_memory,
     running_user_counts,
+    running_user_counts_tws,
     sessionized_events,
     windowed_event_agg,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "read_events_stream",
     "run_stream_to_memory",
     "running_user_counts",
+    "running_user_counts_tws",
     "sessionized_events",
     "windowed_event_agg",
 ]

@@ -214,6 +214,73 @@ def join_click_view_streams(
     )
 
 
+def running_user_counts_tws(events: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` flavor of
+    :func:`running_user_counts` — the Spark 4 stateful API: typed
+    state handles (``getValueState``) instead of one opaque tuple,
+    per-key timers, composable state variables.
+
+    Requires the RocksDB state store (the caller sets
+    ``spark.sql.streaming.stateStore.providerClass`` before starting
+    the query — transformWithState does not run on the default HDFS
+    store). Same output contract as the legacy flavor: one
+    (user_id, events_so_far) update row per (user, micro-batch).
+
+    The processor class is defined LOCALLY on purpose: the
+    transformWithState runner is a separate Python process that
+    unpickles the processor before any ``addPyFile`` path exists, so a
+    module-level class (pickled by reference) raises
+    ModuleNotFoundError there. A local class makes cloudpickle
+    serialize it by value — fully self-contained.
+
+    ENVIRONMENT SEAM: that same runner speaks protobuf to the JVM
+    state server; without the ``protobuf`` package the query crashes
+    at init, so this guard raises immediately with the real reason
+    (this container ships no protobuf — the operator is exercised by
+    a skip-gated test, the legacy ``applyInPandasWithState`` flavor
+    carries the driver-gated coverage).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(its Python runner speaks protobuf to the JVM state "
+            "server); install protobuf or use running_user_counts "
+            "(applyInPandasWithState) instead"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+    )
+
+    class _RunningCountProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._count = handle.getValueState("count", "total LONG")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            total = (
+                self._count.get()[0] if self._count.exists() else 0
+            )
+            for pdf in rows:
+                total += len(pdf)
+            self._count.update((total,))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "events_so_far": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningCountProcessor(),
+        outputStructType="user_id LONG, events_so_far LONG",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,

@@ -295,3 +295,58 @@ def test_stream_checkpoint_resume_no_reprocessing(spark, tmp_path):
     # exactly once: every id present, none twice
     assert final.count() == 130
     assert final.select("event_id").distinct().count() == 130
+
+
+def test_transform_with_state_running_counts(spark, events_dir):
+    """transformWithStateInPandas (the Spark 4 stateful API) must
+    produce the same final per-user totals as the batch count — and as
+    the legacy applyInPandasWithState flavor it re-expresses.
+
+    Skips where protobuf is absent (this container): the TWS Python
+    runner speaks protobuf to the JVM state server."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from convert_parquet_to_csv_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        running_user_counts_tws,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = read_events_stream(
+            spark, events_dir, max_files_per_trigger=1
+        )
+        run_stream_to_memory(
+            running_user_counts_tws(stream),
+            "tws_counts_t",
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    final = (
+        spark.table("tws_counts_t")
+        .groupBy("user_id")
+        .agg(F.max("events_so_far").alias("n"))
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {r.user_id: r.n for r in final.collect()}
+    want = {r.user_id: r.n for r in batch.collect()}
+    assert got == want and len(got) > 0
