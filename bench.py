@@ -164,7 +164,7 @@ def main() -> None:
             TENM_PATH,
             out,
             max_records_per_file=500_000,
-            repartition_to=2 * CPUS,
+            repartition_to=2 * int(CPUS),
         )
 
     headline = time_kernel(_run_10m, warmup=3, repeat=3)

@@ -807,3 +807,48 @@ def nested_struct_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.array_sort(F.collect_list("s"))).alias("orders_json"),
         F.count("*").alias("n_orders"),
     )
+
+
+# --- quantile-bucket feature binning --------------------------------------
+
+_DECILE_ORACLE = """
+WITH r AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+         CAST(ntile(10) OVER (
+           PARTITION BY EXTRACT(year FROM o_orderdate)
+           ORDER BY o_totalprice, o_orderkey) AS INT) AS price_decile
+  FROM orders
+)
+SELECT order_year, price_decile,
+       COUNT(*) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS decile_floor,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS decile_ceil
+FROM r
+GROUP BY order_year, price_decile
+"""
+
+
+@query("price_decile_binning", oracle=_DECILE_ORACLE)
+def price_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-bucket feature engineering: per-year price deciles via
+    ``ntile`` (deterministic tiebreak on the key), summarized to the
+    bin boundary table a feature store materializes. One window
+    shuffle on the year partition, then a cheap (year, decile)
+    aggregate on the same distribution."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(F.year("o_orderdate")).orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    r = o.select(
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.ntile(10).over(w).cast("int").alias("price_decile"),
+    )
+    return r.groupBy("order_year", "price_decile").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").cast("double").alias("decile_floor"),
+        F.max("o_totalprice").cast("double").alias("decile_ceil"),
+    )

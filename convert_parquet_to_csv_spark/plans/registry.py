@@ -169,6 +169,8 @@ FIRST_TIER: list[str] = [
     "nested_struct_zoo",
     "null_semantics_zoo",
     "datetime_zoo",
+    "bigram_collocations_lift",
+    "price_decile_binning",
     # the four slowest gate queries — still new signal, but placed
     # after the cheap wide-coverage block so a budget cut costs least
     "similarity_lsh_recall",

@@ -612,3 +612,95 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cnt").cast("double") / F.col("_n")).alias("frac"),
         )
     )
+
+
+# --- bigram collocation mining (lift) -------------------------------------
+
+# Lift instead of PMI: PMI's log is not exactly rounded and drifts a
+# ulp between libms; lift = N·c(ab)/(c(a)·c(b)) is one integer product
+# and one IEEE division — bit-identical — and induces the same ranking.
+_COLLOC_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t != '') AS w
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, u.tk AS token, u.pos AS pos FROM (
+    SELECT doc_id, unnest(list_transform(w, (t, i) ->
+        struct_pack(tk := t, pos := i))) AS u
+    FROM words)
+),
+uni AS (SELECT token, COUNT(*) AS c1 FROM tok GROUP BY token),
+n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_tokens FROM uni),
+big AS (
+  SELECT a.token AS w1, b.token AS w2, COUNT(*) AS c2
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY w1, w2
+),
+scored AS (
+  SELECT w1, w2, c2,
+         CAST(c2 * n.n_tokens AS DOUBLE)
+           / CAST(ua.c1 * ub.c1 AS DOUBLE) AS lift
+  FROM big, n
+  JOIN uni ua ON big.w1 = ua.token
+  JOIN uni ub ON big.w2 = ub.token
+  WHERE c2 >= 5
+)
+SELECT w1, w2, CAST(c2 AS BIGINT) AS n_pair, lift
+FROM scored
+"""
+
+
+@query("bigram_collocations_lift", oracle=_COLLOC_ORACLE)
+def bigram_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — the tokenizer-vocabulary / merge-rule
+    precursor: adjacent-token pairs scored by lift
+    (N·c(ab)/(c(a)·c(b))), support ≥5.
+
+    Spark-first shape: ONE posexplode produces the positional token
+    stream; bigrams come from a self-join on (doc, pos+1) — shuffled
+    once on (doc_id) — and the unigram counts broadcast back onto the
+    pair table. All counting is integer; the one float op is the final
+    division (exactly rounded ⇒ engine-identical)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(T.tokens(F.lower(F.col("text")))).alias(
+            "pos", "token"
+        ),
+    )
+    uni = tok.groupBy("token").agg(F.count("*").alias("c1"))
+    n = uni.agg(F.sum("c1").cast("bigint").alias("n_tokens"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    big = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(
+            F.col("a.token").alias("w1"), F.col("b.token").alias("w2")
+        )
+        .agg(F.count("*").alias("c2"))
+        .filter(F.col("c2") >= 5)
+    )
+    ua = uni.select(F.col("token").alias("w1"), F.col("c1").alias("ca"))
+    ub = uni.select(F.col("token").alias("w2"), F.col("c1").alias("cb"))
+    return (
+        big.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .join(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("bigint").alias("n_pair"),
+            (
+                (F.col("c2") * F.col("n_tokens")).cast("double")
+                / (F.col("ca") * F.col("cb")).cast("double")
+            ).alias("lift"),
+        )
+    )

@@ -402,7 +402,9 @@ def convert_parquet_to_csv(
     else:
         df = read_parquet(spark, src)
     if repartition_to is not None:
-        df = df.repartition(repartition_to)
+        # int() guard: a stray string would silently select the
+        # repartition-by-COLUMN overload instead of a partition count.
+        df = df.repartition(int(repartition_to))
     write_csv(
         df,
         dst,
