@@ -80,6 +80,7 @@ FIRST_TIER: list[str] = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
+    "q16_parts_supplier_relationship",
     "q21_suppliers_waiting",
     "q22_sales_opportunity",
     # reference-parity ops (SURVEY §2 rows the judge checks by name)

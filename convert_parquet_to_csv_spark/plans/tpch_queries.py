@@ -8,8 +8,10 @@ drops several columns (l_commitdate/l_receiptdate/l_shipmode,
 c_phone/o_comment/p_container), so queries that depend on them are
 ADAPTED — the relational shape (correlated EXISTS, scalar subqueries,
 nation-pair joins, CASE aggregation) is preserved and each docstring
-states the substitution. q2/q11/q16/q20 are partsupp-centric with no
-faithful analog and are intentionally absent.
+states the substitution. q16 survives via the DISTINCT
+(l_partkey, l_suppkey) pairs of lineitem standing in for partsupp;
+q2/q11/q20 additionally need supplycost/availqty VALUES with no
+analog and are intentionally absent.
 
 Scale notes common to all: dimension tables (nation/region/supplier/
 part at fixture scale; on a real TPC-H layout part is mid-size and
@@ -649,5 +651,73 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("numcust"),
             F.sum(_d("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# --- q16: parts/supplier relationship (adapted) ---------------------------
+
+# The fixture has no partsupp; the DISTINCT (l_partkey, l_suppkey)
+# pairs of lineitem ARE a faithful part-supplier association (every
+# TPC-H lineitem references a partsupp row), so q16's shape — count
+# distinct suppliers per part profile, excluding a supplier denylist
+# via NOT IN — survives with that substitution. p_container is also
+# absent; the profile keys on (p_brand, p_type, p_size).
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem) partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'BRAND_1'
+  AND p_type NOT LIKE 'TYPE_1%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("q16_parts_supplier_relationship", oracle=_Q16_ORACLE)
+def q16_parts_supplier_relationship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H q16 shape: distinct-supplier counts per part profile with
+    a NOT-IN supplier denylist (negative-balance suppliers stand in
+    for the complaints LIKE — the column is absent). partsupp is
+    derived as DISTINCT (l_partkey, l_suppkey) from lineitem — see
+    module docstring; the other partsupp queries (q2/q11/q20) need
+    supplycost/availqty values that have no analog, so the shape alone
+    survives only here.
+
+    Plan: the distinct-pair derivation is one lineitem shuffle; part
+    (filtered, small) broadcasts onto it; the denylist is a broadcast
+    LEFT ANTI (NULL-safe NOT IN is safe here — s_suppkey is a
+    non-null key, stated in the plan rather than discovered at
+    runtime)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    p = part.filter(
+        (F.col("p_brand") != "BRAND_1")
+        & (~F.col("p_type").startswith("TYPE_1"))
+        & (F.col("p_size").isin([1, 4, 7, 10, 13, 16, 19, 22]))
+    )
+    deny = supplier.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("ps_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(deny), "ps_suppkey", "left_anti")
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.count_distinct("ps_suppkey")
+            .cast("bigint")
+            .alias("supplier_cnt")
         )
     )

@@ -232,3 +232,44 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(
         (r.v, r.p) for r in spark.read.parquet(dst).collect()
     }
     assert got == {(1, "a"), (2, "a"), (99, "b")}
+
+
+def test_ignore_corrupt_files_reads_the_rest(spark, tmp_path):
+    """A torn/garbage file in a landing directory must not take down
+    the whole scan when ignoreCorruptFiles is on — the 100 TB reality
+    where one bad upload out of a million files is routine."""
+    import os
+
+    d = str(tmp_path / "mixed")
+    spark.range(10).write.mode("overwrite").parquet(d)
+    with open(os.path.join(d, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not really parquet")
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        assert spark.read.parquet(d).count() == 10
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+def test_observe_metrics_piggyback_on_the_action(spark):
+    """df.observe(): pipeline metrics collected DURING the main action
+    — no second scan. The curation-pipeline shape wants this for
+    filter-rate dashboards."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("filter_stats")
+    df = (
+        spark.range(1000)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(F.when(F.col("id") % 3 == 0, 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+        )
+        .filter(F.col("id") % 3 == 0)
+    )
+    assert df.count() == 334
+    assert obs.get == {"n_in": 1000, "n_kept": 334}
