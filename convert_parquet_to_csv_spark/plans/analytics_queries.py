@@ -852,3 +852,43 @@ def price_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").cast("double").alias("decile_floor"),
         F.max("o_totalprice").cast("double").alias("decile_ceil"),
     )
+
+
+# --- cohort retention matrix ----------------------------------------------
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+  FROM events
+)
+SELECT f.cohort_week, a.activity_week,
+       CAST(COUNT(*) AS BIGINT) AS n_active_users
+FROM firsts f JOIN activity a USING (user_id)
+GROUP BY f.cohort_week, a.activity_week
+"""
+
+
+@query("cohort_retention_matrix", oracle=_COHORT_ORACLE)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week, then
+    counted in every week they return — the triangle the growth
+    dashboard plots. Two aggregations share ONE user_id exchange (the
+    min-ts cohort and the distinct activity months), then a user_id
+    join that reuses the same distribution — Catalyst elides the
+    re-shuffles; the output is weeks² rows (the fixture spans one month, so weekly granularity)."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("activity_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.count("*").cast("bigint").alias("n_active_users"))
+    )

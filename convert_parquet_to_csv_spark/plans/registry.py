@@ -172,6 +172,7 @@ FIRST_TIER: list[str] = [
     "datetime_zoo",
     "bigram_collocations_lift",
     "price_decile_binning",
+    "cohort_retention_matrix",
     # the four slowest gate queries — still new signal, but placed
     # after the cheap wide-coverage block so a budget cut costs least
     "similarity_lsh_recall",
