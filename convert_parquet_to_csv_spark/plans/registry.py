@@ -173,6 +173,11 @@ FIRST_TIER: list[str] = [
     "bigram_collocations_lift",
     "price_decile_binning",
     "cohort_retention_matrix",
+    # Spark 4 SQL surface
+    "recursive_cte_hierarchy",
+    "variant_json_path",
+    "group_by_all_sugar",
+    "sql_udf_scalar",
     # the four slowest gate queries — still new signal, but placed
     # after the cheap wide-coverage block so a budget cut costs least
     "similarity_lsh_recall",
@@ -226,6 +231,7 @@ def load_all() -> None:
         "convert_parquet_to_csv_spark.plans.tpch_queries",
         "convert_parquet_to_csv_spark.plans.curation_queries",
         "convert_parquet_to_csv_spark.plans.dq_queries",
+        "convert_parquet_to_csv_spark.plans.modern_sql_queries",
     ]
     import importlib
     import warnings
