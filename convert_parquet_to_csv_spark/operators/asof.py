@@ -41,9 +41,13 @@ def asof_join(
     right_cols: list[str],
     suffix: str = "_right",
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` and the same ``on`` key.
+    ``right.ts <= left.ts`` and the same ``on`` key (``backward``,
+    the default), or the earliest right row with
+    ``right.ts >= left.ts`` (``forward`` — the "next quote after the
+    order" flavor).
 
     Parameters
     ----------
@@ -60,6 +64,10 @@ def asof_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
 
     carried = [f"{ts}{suffix}"] + [f"{c}{suffix}" for c in right_cols]
     left_cols = left.columns
@@ -83,9 +91,18 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
 
+    # backward: walk time ascending, carry the last right row seen.
+    # forward: the mirror — walk time DESCENDING, so "last seen" is
+    # the earliest right row at-or-after the left row. Either way a
+    # same-ts right row must sort BEFORE the left row to be visible
+    # to it (ties match: <= / >=), hence _side ASC (right=0) in both.
+    ts_order = (
+        F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
+    )
+    order = [ts_order, F.col("_side").asc()]
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

@@ -178,6 +178,10 @@ FIRST_TIER: list[str] = [
     "variant_json_path",
     "group_by_all_sugar",
     "sql_udf_scalar",
+    # temporal/text additions (r2 batch 4)
+    "asof_forward_next_error",
+    "time_weighted_avg_value",
+    "inverted_index_postings",
     # the four slowest gate queries — still new signal, but placed
     # after the cheap wide-coverage block so a budget cut costs least
     "similarity_lsh_recall",

@@ -302,3 +302,117 @@ def trailing_7d_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_7d"),
         F.count("*").over(w).alias("n_7d"),
     )
+
+
+# --- forward as-of: next error after each purchase ------------------------
+
+_ASOF_FWD_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts,
+       e.ts AS ts_right, e.event_id AS next_error_id
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'error') e
+  ON p.user_id = e.user_id AND e.ts >= p.ts
+"""
+
+
+@query("asof_forward_next_error", oracle=_ASOF_FWD_ORACLE)
+def asof_forward_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase attached to the user's next
+    error at-or-after it — the mirror of the last-touch backward
+    flavor (asof_click_attribution), same single union+window
+    exchange, just walked in descending time
+    (operators/asof.asof_join(direction='forward')). DuckDB's native
+    ASOF JOIN with a >= condition is the oracle."""
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("next_error_id"), "user_id", "ts"
+    )
+    return asof_join(
+        p,
+        e,
+        on="user_id",
+        ts="ts",
+        right_cols=["next_error_id"],
+        how="inner",
+        direction="forward",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "ts_right",
+        F.col("next_error_id_right").alias("next_error_id"),
+    )
+
+
+# --- time-weighted average ------------------------------------------------
+
+# Each observation holds until the next one (step interpolation); its
+# weight is that duration in exact integer microseconds. Everything
+# stays INTEGER-exact to the end: value → fixed-point micro-units,
+# weighted sum as a wide integer, then floor division by the span.
+# (A decimal→double cast of the ~1e22 numerator is NOT portable:
+# Spark rounds once via BigDecimal, DuckDB rounds hugeint→double and
+# again dividing by the scale — measured 1-ulp drift on 44/150
+# groups. Values are positive, so floor division == truncation and
+# Spark's `div` agrees with DuckDB's `//`.)
+_TWA_ORACLE = """
+WITH seg AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_fx,
+         CAST(datediff('microsecond', ts,
+              lead(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id)) AS BIGINT) AS dur_us
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CAST(v_fx AS HUGEINT) * dur_us)
+            // SUM(dur_us) AS BIGINT) AS twa_micro,
+       CAST(SUM(CAST(v_fx AS HUGEINT) * dur_us)
+            // SUM(dur_us) AS DOUBLE) / 1000000.0 AS twa_value,
+       CAST(SUM(dur_us) AS BIGINT) AS span_us
+FROM seg WHERE dur_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@query("time_weighted_avg_value", oracle=_TWA_ORACLE)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the value signal per user — the
+    irregular-sampling mean (a plain AVG over-weights burst periods).
+    Step interpolation: each observation holds until the next, weight
+    = exact integer µs duration via one lead() window; the weighted
+    mean stays integer-exact to the end (fixed-point micro-units and
+    floor division — see the oracle comment for why the decimal→
+    double cast is not portable). One user_id exchange shared by the
+    window and the aggregate."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("v_fx"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    agg = seg.groupBy("user_id").agg(
+        F.sum(
+            F.col("v_fx").cast("decimal(38,0)") * F.col("dur_us")
+        ).alias("_num"),
+        F.sum("dur_us").cast("bigint").alias("span_us"),
+    )
+    return agg.select(
+        "user_id",
+        F.expr("CAST(_num div span_us AS BIGINT)").alias("twa_micro"),
+        (
+            F.expr("CAST(_num div span_us AS BIGINT)").cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("twa_value"),
+        "span_us",
+    )

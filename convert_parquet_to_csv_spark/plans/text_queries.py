@@ -704,3 +704,49 @@ def bigram_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --- inverted index (posting lists) ---------------------------------------
+
+_POSTINGS_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, unnest(
+    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                t -> t != '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM words GROUP BY term, doc_id
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS cf,
+       to_json(list(doc_id ORDER BY doc_id)) AS postings
+FROM tf
+WHERE term >= 'q'
+GROUP BY term
+"""
+
+
+@query("inverted_index_postings", oracle=_POSTINGS_ORACLE)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-engine building block: term → sorted posting list of
+    doc_ids, with document and collection frequencies. One
+    (term, doc) partial-agg shuffle then a term-keyed list assembly;
+    postings serialize to JSON (integer payload — the array-cell
+    rule). The `term >= 'q'` shard stands in for the alphabetical
+    term-range partitioning an index build would write (one output
+    file per term range)."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("term"),
+    ).filter(F.col("term") >= "q")
+    tf = words.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    return tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.to_json(F.array_sort(F.collect_list("doc_id"))).alias(
+            "postings"
+        ),
+    )

@@ -102,3 +102,38 @@ def test_asof_matches_duckdb_oracle_on_events(spark, sf_med):
         """
     ).fetchall()
     assert sorted((r.event_id, r.ts_right) for r in got) == sorted(want)
+
+
+def test_asof_forward_direction(spark):
+    from convert_parquet_to_csv_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 40)], "k LONG, ts LONG"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 25, "b"), (1, 30, "c")],
+        "k LONG, ts LONG, v STRING",
+    )
+    got = {
+        (r.ts, r.v_right, r.ts_right)
+        for r in asof_join(
+            left, right, on="k", ts="ts", right_cols=["v"],
+            how="left", direction="forward",
+        ).collect()
+    }
+    # ts=10 → next right at 25; ts=25 → tie matches (>=); ts=40 → none
+    assert got == {(10, "b", 25), (25, "b", 25), (40, None, None)}
+
+
+def test_asof_backward_unchanged_by_direction_param(spark):
+    from convert_parquet_to_csv_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 25)], "k LONG, ts LONG")
+    right = spark.createDataFrame(
+        [(1, 20, "x"), (1, 25, "y"), (1, 30, "z")],
+        "k LONG, ts LONG, v STRING",
+    )
+    row = asof_join(
+        left, right, on="k", ts="ts", right_cols=["v"]
+    ).first()
+    assert (row.v_right, row.ts_right) == ("y", 25)
