@@ -207,3 +207,35 @@ def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+_PYSOURCE_ORACLE = """
+SELECT i AS id,
+       md5(CAST(i AS VARCHAR)) AS fingerprint,
+       CAST(10 + CAST('0x' || substring(md5(CAST(i AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 100 AS INT) AS n_tokens
+FROM (SELECT unnest(range(50, 150)) AS i)
+"""
+
+
+@query("python_datasource_scan", oracle=_PYSOURCE_ORACLE)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python data source (Spark 4 ``pyspark.sql.datasource``)
+    through the driver gate: the synthdocs generator source scans
+    partition-parallel with id-range ``pushFilters`` pruning — the
+    [50, 150) predicate narrows the range BEFORE partition planning
+    (sources/pysource.py), the Python-source analog of row-group
+    skipping. Every cell derives from md5(id), so the DuckDB oracle
+    replays the generator exactly."""
+    from convert_parquet_to_csv_spark.sources.pysource import (
+        SynthDocsDataSource,
+    )
+
+    spark.dataSource.register(SynthDocsDataSource)
+    return (
+        spark.read.format("synthdocs")
+        .option("n_rows", 1000)
+        .option("n_parts", 8)
+        .load()
+        .filter((F.col("id") >= 50) & (F.col("id") < 150))
+    )

@@ -150,6 +150,7 @@ FIRST_TIER: list[str] = [
     "partition_pruned_scan",
     "range_layout_scan",
     "binaryfile_ingest",
+    "python_datasource_scan",
     # scale ops (position 50 boundary)
     "salted_join_revenue",
     "json_roundtrip",

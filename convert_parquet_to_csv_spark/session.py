@@ -34,6 +34,10 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Vectorized parquet reader is on by default; pinned here as doc.
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # Custom Python data sources (sources/pysource.py) implement
+    # pushFilters; Spark refuses to plan them unless pushdown is
+    # explicitly enabled.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # 128 MiB input splits — the right granularity for large scans; on
     # tiny local fixtures each file is one split anyway.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),

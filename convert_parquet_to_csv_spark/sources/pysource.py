@@ -1,0 +1,119 @@
+"""Custom Python data source (Spark 4 ``pyspark.sql.datasource``) —
+the extension seam for sources Spark has no connector for (internal
+services, bespoke formats, synthetic generators).
+
+``SynthDocsDataSource`` generates a deterministic synthetic document
+table (id, fingerprint, n_tokens) without any input files:
+
+- **Partition-parallel**: the id range splits into ``n_parts`` input
+  partitions; each task generates only its slice. At 100 TB-equivalent
+  row counts the generator scales exactly like a file scan — no
+  driver-side materialization anywhere.
+- **Filter pushdown** (Spark 4.1 ``pushFilters``): ``id >= / > / <= /
+  < / =`` predicates narrow the id range BEFORE partition planning, so
+  non-matching partitions are never created, let alone scheduled —
+  the Python-source equivalent of parquet row-group pruning. All
+  other predicates are returned as unsupported and Spark re-applies
+  them post-scan (correctness never depends on the pushdown).
+- **Deterministic content**: every cell derives from md5(id), so two
+  scans — or Spark and a SQL oracle — produce identical values with
+  no RNG state (the repo-wide no-RNG rule).
+
+Register per-session with ``spark.dataSource.register(
+SynthDocsDataSource)`` then ``spark.read.format("synthdocs")``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+
+@dataclass
+class _IdSlice(InputPartition):
+    start: int
+    end: int  # exclusive
+
+
+def _row_for(i: int) -> tuple[int, str, int]:
+    h = hashlib.md5(str(i).encode()).hexdigest()
+    # deterministic pseudo token count in [10, 109]
+    n_tokens = 10 + int(h[:8], 16) % 100
+    return (i, h, n_tokens)
+
+
+class _SynthDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_parts = int(options.get("n_parts", 8))
+        self.lo = 0
+        self.hi = self.n_rows  # exclusive
+
+    def pushFilters(self, filters):
+        """Narrow [lo, hi) from id comparisons; return whatever we
+        can't handle so Spark re-applies it post-scan. Eager (no
+        generator): the range must be final before ``partitions()``
+        runs, not whenever Spark drains the iterator."""
+        unsupported = []
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            if col == ("id",) and isinstance(
+                getattr(f, "value", None), int
+            ):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, f.value)
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+            unsupported.append(f)
+        return unsupported
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
+        if hi <= lo:
+            return [_IdSlice(0, 0)]
+        span = hi - lo
+        n = min(self.n_parts, span)
+        step = (span + n - 1) // n
+        return [
+            _IdSlice(s, min(s + step, hi))
+            for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _IdSlice):
+        for i in range(partition.start, partition.end):
+            yield _row_for(i)
+
+
+class SynthDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs"
+
+    def schema(self) -> str:
+        return "id BIGINT, fingerprint STRING, n_tokens INT"
+
+    def reader(self, schema) -> _SynthDocsReader:
+        return _SynthDocsReader(self.options)

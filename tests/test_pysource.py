@@ -1,0 +1,84 @@
+"""Tests for the custom Python data source (sources/pysource.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.sources.pysource import (
+    SynthDocsDataSource,
+    _IdSlice,
+    _SynthDocsReader,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(SynthDocsDataSource)
+    return spark
+
+
+def test_reads_deterministic_rows(registered):
+    df = (
+        registered.read.format("synthdocs")
+        .option("n_rows", 100)
+        .option("n_parts", 7)
+        .load()
+    )
+    rows = {r.id: (r.fingerprint, r.n_tokens) for r in df.collect()}
+    assert len(rows) == 100
+    h = hashlib.md5(b"42").hexdigest()
+    assert rows[42] == (h, 10 + int(h[:8], 16) % 100)
+
+
+def test_filter_pushdown_prunes_partitions():
+    """id-range predicates must narrow the range BEFORE partition
+    planning — the Python-source equivalent of row-group pruning."""
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual,
+        IsNotNull,
+        LessThan,
+    )
+
+    r = _SynthDocsReader({"n_rows": "1000", "n_parts": "10"})
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("id",), 900),
+                LessThan(("id",), 950),
+                IsNotNull(("fingerprint",)),
+            ]
+        )
+    )
+    # the two range filters are consumed; IsNotNull comes back
+    assert len(leftover) == 1
+    parts = r.partitions()
+    assert all(isinstance(p, _IdSlice) for p in parts)
+    assert min(p.start for p in parts) == 900
+    assert max(p.end for p in parts) == 950
+    # 50 ids over 10 requested parts → ≤10 small slices, never 1000-row
+    assert sum(p.end - p.start for p in parts) == 50
+
+
+def test_filtered_scan_end_to_end(registered):
+    df = (
+        registered.read.format("synthdocs")
+        .option("n_rows", 1000)
+        .option("n_parts", 10)
+        .load()
+        .filter((F.col("id") >= 990) & (F.col("id") < 995))
+    )
+    assert sorted(r.id for r in df.collect()) == [990, 991, 992, 993, 994]
+
+
+def test_empty_range_yields_zero_rows(registered):
+    df = (
+        registered.read.format("synthdocs")
+        .option("n_rows", 10)
+        .load()
+        .filter(F.col("id") > 100)
+    )
+    assert df.count() == 0
