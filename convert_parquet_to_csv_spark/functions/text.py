@@ -217,11 +217,20 @@ def redact_pii(col: Column | str) -> Column:
 
 
 def pii_counts(col: Column | str) -> dict[str, Column]:
-    """Per-kind match counts (pre-redaction) — the audit metric a
-    redaction pass reports. Non-overlapping count semantics match
-    DuckDB's ``len(regexp_extract_all(...))``."""
+    """Per-kind REDACTION counts — how many replacements
+    :func:`redact_pii` actually makes, not independent raw-text match
+    counts. Each kind counts on text with the prior kinds already
+    replaced, in redact_pii's order (email→ipv4→ssn→phone): the
+    patterns overlap (the phone regex matches inside an IPv4 like
+    192.168.1.100), so independent counting would report phone
+    redactions that never happen. Still pure chained JVM regex —
+    one codegen projection."""
     c = F.col(col) if isinstance(col, str) else col
-    return {
-        f"n_{kind}": F.regexp_count(c, F.lit(pattern))
-        for kind, pattern, _ in PII_PATTERNS
-    }
+    out: dict[str, Column] = {}
+    for kind in ("email", "ipv4", "ssn", "phone"):
+        pattern, repl = next(
+            (p, r) for k, p, r in PII_PATTERNS if k == kind
+        )
+        out[f"n_{kind}"] = F.regexp_count(c, F.lit(pattern))
+        c = F.regexp_replace(c, pattern, repl)
+    return out

@@ -111,11 +111,20 @@ def arrow_vector_stats(
             q = np.floor(
                 flat.astype(np.float64) * 1000.0 + 0.5
             ).astype(np.int64)
-            csum = np.add.reduceat(q, offs[:-1]) if len(q) else (
-                np.zeros(len(offs) - 1, dtype=np.int64))
             dims = np.diff(offs).astype(np.int32)
-            # reduceat quirk: a zero-length slice returns q[offs[i]];
-            # force empty vectors to checksum 0.
+            idx = offs[:-1]
+            csum = np.zeros(len(idx), dtype=np.int64)
+            if len(q):
+                # reduceat requires every index < len(q); BATCH-FINAL
+                # empty vectors put len(q) into idx. Run reduceat over
+                # the valid prefix only (the last valid segment
+                # correctly runs to the end of q) and scatter back —
+                # clamping instead would silently truncate the segment
+                # before a trailing empty vector. Mid-batch empties
+                # (duplicate indices) hit reduceat's q[idx[i]] quirk
+                # and are zeroed by the dims==0 mask.
+                valid = idx < len(q)
+                csum[valid] = np.add.reduceat(q, idx[valid])
             csum = np.where(dims == 0, 0, csum)
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(dims, pa.int32()),

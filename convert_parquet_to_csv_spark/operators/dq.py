@@ -68,8 +68,12 @@ def check_rowlevel(
     fold into the same pass as count-minus-count-distinct columns, so
     a table's whole single-table expectation suite costs one job."""
     names = [c.name for c in constraints]
+    # coalesce to 0: on an EMPTY table sum() is NULL, and a NULL
+    # n_violations makes dq_report's ok flag NULL — a promotion gate
+    # filtering on ok would silently drop the check. An empty table
+    # violates nothing; it must read as a pass.
     aggs = [
-        F.sum(F.when(c.violation, 1).otherwise(0))
+        F.coalesce(F.sum(F.when(c.violation, 1).otherwise(0)), F.lit(0))
         .cast("bigint")
         .alias(c.name)
         for c in constraints
@@ -81,6 +85,11 @@ def check_rowlevel(
             (F.count("*") - F.count_distinct(*[F.col(c) for c in cols]))
             .cast("bigint")
             .alias(name)
+        )
+    if not names:
+        raise ValueError(
+            "check_rowlevel needs at least one constraint or unique "
+            "key list (stack(0, ...) does not parse)"
         )
     wide = df.agg(*aggs)
     # long form: (check_name, n_violations)
@@ -110,12 +119,22 @@ def check_foreign_key(
     parent_col: str,
     broadcast_parent: bool = True,
 ) -> DataFrame:
-    """Referential integrity: child keys with no parent row."""
+    """Referential integrity: NON-NULL child keys with no parent row.
+
+    NULL child keys are skipped (the dbt relationship-test and SQL
+    ``NOT IN`` convention — a NULL key makes the predicate NULL, not
+    a violation; pair with :func:`not_null` to police the NULLs
+    themselves). A left_anti join would otherwise count every NULL
+    as an orphan and diverge from the NOT-IN oracle."""
     name = f"fk({child_col}->{parent_col})"
     keys = parent.select(F.col(parent_col).alias(child_col)).distinct()
     if broadcast_parent:
         keys = F.broadcast(keys)
-    orphans = child.select(child_col).join(keys, child_col, "left_anti")
+    orphans = (
+        child.select(child_col)
+        .filter(F.col(child_col).isNotNull())
+        .join(keys, child_col, "left_anti")
+    )
     return orphans.agg(
         F.count("*").cast("bigint").alias("n_violations")
     ).select(F.lit(name).alias("check_name"), "n_violations")

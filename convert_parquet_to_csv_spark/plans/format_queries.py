@@ -184,6 +184,7 @@ def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands as parquet/JSON-lines instead.
     """
     import hashlib
+    import shutil
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 41 == 0)
     sub = docs.select("doc_id", "text").collect()  # tiny: |corpus|/41
@@ -191,7 +192,12 @@ def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = os.path.join(
         tempfile.gettempdir(), f"cptc_binaryfile_{tag}"
     )
-    os.makedirs(dst, exist_ok=True)
+    # Recreate from scratch: the dir is keyed by sf_dir only, so
+    # leftover files from a previous fixture generation (regenerated
+    # every round) would otherwise leak into the scan and mismatch an
+    # oracle computed from the CURRENT documents table.
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
     for row in sub:
         with open(os.path.join(dst, f"{row.doc_id}.txt"), "wb") as fh:
             fh.write(row.text.encode("utf-8"))

@@ -72,8 +72,11 @@ def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VARIANT_ORACLE = """
 SELECT event_id,
-       CAST(json_extract(props, '$.k') AS INT) AS k_val,
-       json_type(json(props)) AS top_type
+       CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                 THEN json_extract(props, '$.k') END AS INT) AS k_val,
+       CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+            WHEN json_type(json(props)) = 'OBJECT' THEN 'OBJECT'
+            ELSE 'OTHER' END AS top_type
 FROM events
 WHERE event_id % 17 = 0
 """
@@ -89,11 +92,19 @@ def variant_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields concrete INT/STRING columns. DuckDB's JSON type plays the
     oracle role."""
     _view(spark, sf_dir, "events")
+    # try_parse_json + explicit NULL branch: NULL or corrupt props
+    # must surface as NULL (as the oracle's json_valid guard does) —
+    # plain parse_json would throw on corrupt rows, and NULL LIKE
+    # '...' would silently fall through to 'OTHER'. The current
+    # fixture has neither, but fixtures regenerate every round.
     return spark.sql(
         """
         SELECT event_id,
-               variant_get(parse_json(props), '$.k', 'int') AS k_val,
-               CASE WHEN schema_of_variant(parse_json(props))
+               variant_get(try_parse_json(props), '$.k', 'int')
+                 AS k_val,
+               CASE WHEN try_parse_json(props) IS NULL
+                    THEN CAST(NULL AS STRING)
+                    WHEN schema_of_variant(try_parse_json(props))
                          LIKE 'OBJECT%' THEN 'OBJECT'
                     ELSE 'OTHER' END AS top_type
         FROM events

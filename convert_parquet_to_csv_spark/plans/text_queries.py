@@ -443,33 +443,46 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # phone, IP, SSN shapes) and then redacts it — the operator does real
 # work and the oracle replants/redacts identically. Patterns live in
 # functions/text.py PII_PATTERNS (java.util.regex ∩ RE2 dialect).
+# Counts mirror redact_pii's SEQUENTIAL replacement: each kind counts
+# on text with the prior kinds already masked (email→ip→ssn→phone) —
+# the patterns overlap (the phone regex matches inside an IPv4), so
+# counting independently on the raw text would report redactions that
+# never happen.
 _PII_ORACLE = r"""
-SELECT doc_id,
-       CAST(len(regexp_extract_all(aug,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
-         AS n_email,
-       CAST(len(regexp_extract_all(aug,
-            '\b\d{3}[-.]\d{3,4}[-.]?\d{0,4}\b')) AS INT) AS n_phone,
-       CAST(len(regexp_extract_all(aug,
-            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
-       CAST(len(regexp_extract_all(aug,
-            '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(aug,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-               '<EMAIL>', 'g'),
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-           '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-         '\b\d{3}[-.]\d{3,4}[-.]?\d{0,4}\b', '<PHONE>', 'g') AS redacted
-FROM (
+WITH aug AS (
   SELECT doc_id,
          text || ' contact user' || doc_id ||
          '@example.com or 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
-         ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 id 123-45-6789' AS aug
+         ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 id 123-45-6789' AS t0
   FROM documents
+), s1 AS (
+  SELECT doc_id, t0,
+         regexp_replace(t0,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g') AS t1
+  FROM aug
+), s2 AS (
+  SELECT *, regexp_replace(t1,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT *, regexp_replace(t2,
+         '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t3
+  FROM s2
 )
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t0,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+         AS n_email,
+       CAST(len(regexp_extract_all(t3,
+            '\b\d{3}[-.]\d{3,4}[-.]?\d{0,4}\b')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(t1,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t2,
+            '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+       regexp_replace(t3,
+         '\b\d{3}[-.]\d{3,4}[-.]?\d{0,4}\b', '<PHONE>', 'g') AS redacted
+FROM s3
 """
 
 

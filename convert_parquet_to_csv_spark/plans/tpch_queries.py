@@ -452,27 +452,30 @@ WHERE s_suppkey = supplier_no
 @query("q15_top_supplier", oracle=_Q15_ORACLE)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q15: supplier(s) achieving the maximum quarterly revenue
-    — the aggregate-view + scalar-subquery pattern. The revenue view
-    is computed once and reused for both the max and the final filter
-    (persist beats Spark's lack of CTE materialization); the max is a
-    1-row broadcast. Revenue stays DECIMAL for the equality test —
-    comparing doubles for the max-match would be engine-dependent."""
+    — the aggregate-view + scalar-subquery pattern, expressed as a
+    rank-1 window over the aggregated view instead of a persist +
+    self-join: the revenue table is already tiny (one row per
+    supplier), so a single-partition max-rank costs nothing, computes
+    the view exactly once with no cache-lifetime management (a
+    persist with no unpersist pins executor storage per invocation —
+    review finding), and keeps ties (rank, not row_number). Revenue
+    stays DECIMAL for the max-equality — comparing doubles would be
+    engine-dependent."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-04-01")
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    revenue0 = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_rev()).alias("total_revenue"))
-        .persist()
+    revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_revenue")
     )
-    max_rev = revenue0.agg(
-        F.max("total_revenue").alias("_max_rev")
-    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy(F.col("total_revenue").desc())
     return (
-        revenue0.join(F.broadcast(max_rev))
-        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        revenue0.withColumn("_rk", F.rank().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",

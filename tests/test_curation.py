@@ -129,9 +129,12 @@ def test_arrow_vector_stats_matches_reference(spark):
             (1, [1.0, 2.5, -0.75]),
             (2, []),
             (3, [0.0004999, -0.0005]),
+            # batch-FINAL empty vector: reduceat would see an index ==
+            # len(values) without the clamp (review finding)
+            (4, []),
         ],
         "vec_id LONG, embedding ARRAY<FLOAT>",
-    )
+    ).coalesce(1)
     got = {
         r.vec_id: (r.dim, r.checksum)
         for r in arrow_vector_stats(df).collect()
@@ -150,6 +153,7 @@ def test_arrow_vector_stats_matches_reference(spark):
     assert got[1] == (3, ref([1.0, 2.5, -0.75]))
     assert got[2] == (0, 0)
     assert got[3] == (2, ref([0.0004999, -0.0005]))
+    assert got[4] == (0, 0)
 
 
 def test_flag_contaminated_hashed_matches_string_path(spark, sf_small):

@@ -92,3 +92,41 @@ def test_rowlevel_is_single_scan(spark):
         .toString()
     )
     assert plan.count("Range (0, 100") <= 1
+
+
+def test_empty_table_passes_all_checks(spark):
+    """An empty table violates nothing: n_violations must be 0 (not
+    NULL — a NULL ok flag silently drops the check from pass AND fail
+    filters)."""
+    df = spark.createDataFrame([], "k LONG, s STRING")
+    rep = Q.dq_report(
+        [
+            Q.check_rowlevel(
+                df,
+                [Q.not_null("k")],
+                unique=[["k"]],
+            )
+        ]
+    )
+    rows = rep.collect()
+    assert all(r.n_violations == 0 and r.ok is True for r in rows)
+
+
+def test_rowlevel_rejects_zero_constraints(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "k LONG")
+    with pytest.raises(ValueError):
+        Q.check_rowlevel(df, [])
+
+
+def test_fk_skips_null_child_keys(spark):
+    parent = spark.createDataFrame([(1,)], "pk LONG")
+    child = spark.createDataFrame(
+        [(1, 1), (2, None), (3, 9)], "ck LONG, fk LONG"
+    )
+    got = _report_map(
+        Q.dq_report([Q.check_foreign_key(child, "fk", parent, "pk")])
+    )
+    # only ck=3 (fk=9) is an orphan; the NULL fk is not counted
+    assert got["fk(fk->pk)"] == (1, False)
