@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 
@@ -117,3 +118,58 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema) -> _SynthDocsReader:
         return _SynthDocsReader(self.options)
+
+
+# --------------------------------------------------------------------------
+# Streaming flavor
+# --------------------------------------------------------------------------
+
+
+class _SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """``SimpleDataSourceStreamReader``: offset = next id to emit.
+
+    Each micro-batch emits up to ``rows_per_batch`` ids; the offset
+    dict persists in the checkpoint log, so a restarted query resumes
+    exactly where it stopped (the same exactly-once contract the
+    file source's test pins). ``readBetweenOffsets`` replays a
+    committed range deterministically — trivial here because content
+    is a pure function of id.
+    """
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = start["next"]
+        hi = min(lo + self.rows_per_batch, self.n_rows)
+        end = {"next": hi}
+        return (self._rows(lo, hi), end)
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["next"], end["next"])
+
+    @staticmethod
+    def _rows(lo, hi):
+        return iter([_row_for(i) for i in range(lo, hi)])
+
+    def commit(self, end):
+        pass
+
+
+class SynthDocsStreamDataSource(DataSource):
+    """Streaming twin of :class:`SynthDocsDataSource` — registered as
+    ``synthdocs_stream`` for ``spark.readStream.format(...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs_stream"
+
+    def schema(self) -> str:
+        return "id BIGINT, fingerprint STRING, n_tokens INT"
+
+    def simpleStreamReader(self, schema) -> _SynthDocsStreamReader:
+        return _SynthDocsStreamReader(self.options)

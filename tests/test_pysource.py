@@ -82,3 +82,42 @@ def test_empty_range_yields_zero_rows(registered):
         .filter(F.col("id") > 100)
     )
     assert df.count() == 0
+
+
+def test_streaming_source_drains_deterministically(spark, tmp_path):
+    """The streaming flavor: offset-tracked micro-batches through a
+    checkpoint, exactly-once across a restart (same contract as the
+    file source, but via the Python SimpleDataSourceStreamReader)."""
+    from convert_parquet_to_csv_spark.sources.pysource import (
+        SynthDocsStreamDataSource,
+    )
+
+    spark.dataSource.register(SynthDocsStreamDataSource)
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    def drain_one_batch():
+        # PythonMicroBatchStream doesn't implement availableNow; Spark
+        # falls back to exactly ONE micro-batch per start — which
+        # makes each start() a clean offset-advance + restart test.
+        q = (
+            spark.readStream.format("synthdocs_stream")
+            .option("n_rows", 250)
+            .option("rows_per_batch", 100)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120_000)
+
+    for want in (100, 200, 250):
+        drain_one_batch()
+        assert spark.read.parquet(sink).count() == want
+    got = spark.read.parquet(sink)
+    assert got.select("id").distinct().count() == 250
+    # source exhausted: a further restart emits nothing new
+    drain_one_batch()
+    assert spark.read.parquet(sink).count() == 250
