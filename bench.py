@@ -62,6 +62,7 @@ BENCH_QUERY_NAMES = [
     "dedup_minhash",
     # curation family (r2 batch 2)
     "decontaminate_ngram_overlap",
+    "decontaminate_ngram_overlap_hashed",
     "distinctive_terms_tfidf",
     "arrow_vector_checksum",
 ]

@@ -171,3 +171,22 @@ def source_mix_temperature(
     return C.mix_sources_temperature(
         _docs(spark, sf_dir), total=100, alpha=0.5
     )
+
+
+@query("decontaminate_ngram_overlap_hashed")  # rows-only: xxhash64 keys
+def decontaminate_ngram_overlap_hashed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB form of decontamination: identical semantics to
+    decontaminate_ngram_overlap but joining on xxhash64(gram) longs
+    (~10× smaller broadcast keys). xxhash64 has no DuckDB twin, so
+    this is rows-only — the string-key flavor carries the value-hash
+    oracle and tests/test_curation.py pins the two paths equal."""
+    docs = _docs(spark, sf_dir)
+    is_bench = F.col("doc_id") % 97 == 0
+    return C.flag_contaminated(
+        docs.filter(~is_bench),
+        docs.filter(is_bench),
+        n=3,
+        hash_grams=True,
+    )

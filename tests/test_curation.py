@@ -169,3 +169,41 @@ def test_flag_contaminated_hashed_matches_string_path(spark, sf_small):
     rows_a = {(r.doc_id, r.n_overlap) for r in a.collect()}
     rows_b = {(r.doc_id, r.n_overlap) for r in b.collect()}
     assert rows_a == rows_b and len(rows_a) > 0
+
+
+def test_apply_in_arrow_grouped_agg(spark):
+    """groupBy().applyInArrow — the grouped zero-copy Arrow path
+    (complement of mapInArrow): per-source token totals computed on
+    pyarrow Tables, checked against the plain aggregate."""
+    import pyarrow as pa
+
+    docs = _docs(
+        spark,
+        [(i, "t", f"s{i % 3}", 10 + i) for i in range(30)],
+    )
+
+    def totals(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "source": [table.column("source")[0].as_py()],
+                "total_chars": [
+                    pc.sum(table.column("n_chars")).as_py()
+                ],
+            }
+        )
+
+    got = {
+        r.source: r.total_chars
+        for r in docs.groupBy("source")
+        .applyInArrow(totals, schema="source STRING, total_chars LONG")
+        .collect()
+    }
+    want = {
+        r.source: r.t
+        for r in docs.groupBy("source")
+        .agg(F.sum("n_chars").alias("t"))
+        .collect()
+    }
+    assert got == want
