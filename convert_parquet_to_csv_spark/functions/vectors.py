@@ -96,6 +96,12 @@ def arrow_vector_stats(
     float64 is exact; one multiply and the floor are exactly rounded;
     integer summation is order-free). Returns (id_col, dim INT,
     checksum BIGINT).
+
+    NULL vectors yield NULL dim/checksum (propagated from the Arrow
+    list validity bitmap) — distinct from an EMPTY vector's (0, 0).
+    SQL ``len``/``list_sum`` of NULL is NULL, so the distinction is
+    what a cross-engine oracle expects (review finding: null entries
+    share offsets with empties and were silently conflated).
     """
     import pyarrow as pa
 
@@ -126,9 +132,14 @@ def arrow_vector_stats(
                 valid = idx < len(q)
                 csum[valid] = np.add.reduceat(q, idx[valid])
             csum = np.where(dims == 0, 0, csum)
+            # List-validity → output nulls: a NULL vector must not
+            # masquerade as an empty one (dims==0 with valid bit set).
+            null_mask = ~np.asarray(
+                vecs.is_valid(), dtype=bool
+            ) if vecs.null_count else None
             yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(dims, pa.int32()),
-                 pa.array(csum, pa.int64())],
+                [ids, pa.array(dims, pa.int32(), mask=null_mask),
+                 pa.array(csum, pa.int64(), mask=null_mask)],
                 [id_col, "dim", "checksum"],
             )
 

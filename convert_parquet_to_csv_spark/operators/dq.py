@@ -46,16 +46,41 @@ def accepted_values(col: str, values: list) -> Constraint:
 
 def in_range(col: str, lo=None, hi=None) -> Constraint:
     cond = F.lit(False)
+    bounds = []
     if lo is not None:
         cond = cond | (F.col(col) < lo)
+        bounds.append(f"lo={lo}")
     if hi is not None:
         cond = cond | (F.col(col) > hi)
-    return Constraint(f"in_range({col})", cond)
+        bounds.append(f"hi={hi}")
+    # Bounds are part of the name: two in_range checks on the same
+    # column with different bounds must not collide into one aggregate
+    # alias (review finding — the bare in_range(col) name made them
+    # duplicate and fail at analysis).
+    return Constraint(f"in_range({col},{','.join(bounds)})", cond)
 
 
 def expression_ok(name: str, ok: Column) -> Constraint:
     """Generic row expectation: ``ok`` TRUE means the row passes."""
     return Constraint(name, ~ok)
+
+
+def _validate_check_names(names: list[str]) -> None:
+    """Reject names that cannot be safely spliced into the ``stack()``
+    literal of :func:`check_rowlevel` (quotes/backticks — easy to
+    produce via :func:`expression_ok`), and duplicates (two identical
+    aggregate aliases fail analysis with an opaque error)."""
+    for n in names:
+        if "'" in n or "`" in n:
+            raise ValueError(
+                f"constraint name {n!r} contains a quote or backtick; "
+                "these cannot be embedded in the stack() expression"
+            )
+    seen = set()
+    for n in names:
+        if n in seen:
+            raise ValueError(f"duplicate constraint name: {n!r}")
+        seen.add(n)
 
 
 def check_rowlevel(
@@ -66,7 +91,13 @@ def check_rowlevel(
     """All row-level constraints in ONE scan: each compiles to a
     conditional count inside the same aggregate. ``unique`` key lists
     fold into the same pass as count-minus-count-distinct columns, so
-    a table's whole single-table expectation suite costs one job."""
+    a table's whole single-table expectation suite costs one job.
+
+    Constraint names are embedded in a ``stack()`` SQL literal below,
+    so they are validated here: quotes/backticks would break parsing
+    (or worse, splice expressions), and duplicate names would collide
+    as aggregate aliases and fail at analysis with an opaque error.
+    """
     names = [c.name for c in constraints]
     # coalesce to 0: on an EMPTY table sum() is NULL, and a NULL
     # n_violations makes dq_report's ok flag NULL — a promotion gate
@@ -91,6 +122,7 @@ def check_rowlevel(
             "check_rowlevel needs at least one constraint or unique "
             "key list (stack(0, ...) does not parse)"
         )
+    _validate_check_names(names)
     wide = df.agg(*aggs)
     # long form: (check_name, n_violations)
     stack = F.expr(
@@ -125,9 +157,21 @@ def check_foreign_key(
     ``NOT IN`` convention — a NULL key makes the predicate NULL, not
     a violation; pair with :func:`not_null` to police the NULLs
     themselves). A left_anti join would otherwise count every NULL
-    as an orphan and diverge from the NOT-IN oracle."""
+    as an orphan and diverge from the NOT-IN oracle.
+
+    NULL PARENT keys are dropped before the anti join. SQL ``NOT IN``
+    degenerates when the parent side contains a NULL (every row's
+    predicate becomes NULL → zero violations reported), while a
+    left_anti join keeps matching on the non-null keys; filtering the
+    parent keeps this check reporting real orphans on a dirty parent
+    table and documents that policing NULL parent keys is
+    :func:`not_null`'s job, not this check's (review finding)."""
     name = f"fk({child_col}->{parent_col})"
-    keys = parent.select(F.col(parent_col).alias(child_col)).distinct()
+    keys = (
+        parent.select(F.col(parent_col).alias(child_col))
+        .filter(F.col(child_col).isNotNull())
+        .distinct()
+    )
     if broadcast_parent:
         keys = F.broadcast(keys)
     orphans = (

@@ -7,13 +7,17 @@ Spark's built-in ``DataFrame.sample`` is *fractional and approximate*
 RNG parity is a non-goal (SURVEY.md §7.3); determinism under our own
 seed is the requirement.
 
-Three strategies, chosen by data size:
+Three strategies, chosen by data size (``strategy="auto"`` — the
+default — picks ``rand`` for n below :data:`AUTO_THRESHOLD_N` and
+``threshold`` above, so a 100 TB caller asking for a billion rows
+never funnels them through the driver merge by accident):
 
 ``rand``
     ``orderBy(rand(seed)).limit(n)``. Catalyst compiles Sort+Limit to
     ``TakeOrderedAndProject``: each partition keeps a size-n heap, the
-    driver merges — **no full shuffle**, O(n) driver memory. The right
-    default for n up to ~10M.
+    driver merges — **no full shuffle**, but the driver-side merge
+    materializes up to n rows per partition heap: right for n up to
+    ~1M, the wrong tool beyond (hence ``auto``).
 
 ``threshold``
     Two-phase for huge n where a driver-side merge of n rows is too
@@ -37,6 +41,12 @@ from pyspark.sql.window import Window
 
 DEFAULT_SEED = 721  # the reference's seed (utils.py:73)
 
+# auto strategy cutoff: above this n, the TakeOrderedAndProject
+# driver merge (n rows per partition heap) stops being cheap and the
+# two-phase threshold strategy wins (VERDICT r2: the default must
+# pick by size, not silently total-sort for huge n).
+AUTO_THRESHOLD_N = 1_000_000
+
 
 def _hash_order_col(df: DataFrame, key_cols: list[str] | None) -> Column:
     """md5 over the concatenated key rendering.
@@ -51,15 +61,29 @@ def _hash_order_col(df: DataFrame, key_cols: list[str] | None) -> Column:
     return F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
 
 
+def choose_strategy(n: int) -> str:
+    """The ``auto`` policy: ``rand`` (TakeOrderedAndProject, driver
+    merges per-partition heaps) while n is driver-merge-cheap,
+    ``threshold`` (two-phase, never more than ~n·safety rows sorted,
+    distributed) beyond :data:`AUTO_THRESHOLD_N`."""
+    return "rand" if n <= AUTO_THRESHOLD_N else "threshold"
+
+
 def sample_exact_n(
     df: DataFrame,
     n: int,
     seed: int = DEFAULT_SEED,
-    strategy: str = "rand",
+    strategy: str = "auto",
     key_cols: list[str] | None = None,
     safety: float = 2.0,
 ) -> DataFrame:
     """Exactly ``n`` uniformly-chosen rows, deterministic under ``seed``.
+
+    ``strategy="auto"`` (default) delegates to :func:`choose_strategy`
+    so huge-n callers get the distributed two-phase path without
+    opting in; pass ``rand``/``threshold``/``hash`` explicitly to pin
+    a strategy (the gated ``sample_exact_n_rand`` query does, for
+    reference-parity semantics).
 
     ``key_cols`` (hash strategy): columns forming a unique-ish key;
     defaults to all columns. ``safety`` (threshold strategy): cutoff
@@ -72,6 +96,9 @@ def sample_exact_n(
         raise ValueError(f"sample size must be non-negative, got {n}")
     if n == 0:
         return df.limit(0)
+
+    if strategy == "auto":
+        strategy = choose_strategy(n)
 
     if strategy == "rand":
         return df.orderBy(F.rand(seed)).limit(n)

@@ -26,7 +26,7 @@ WITH rowlevel AS (
      (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)),
     ('accepted_values(o_orderstatus)',
      (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P'))),
-    ('in_range(o_totalprice)',
+    ('in_range(o_totalprice,lo=0)',
      (SELECT COUNT(*) FROM orders WHERE o_totalprice < 0)),
     ('discount_bounds',
      (SELECT COUNT(*) FROM lineitem

@@ -182,6 +182,13 @@ def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     layouts; content is one cell per file, so the format is for
     payloads (images/audio), not splittable text — large-corpus text
     lands as parquet/JSON-lines instead.
+
+    LOCAL-MODE ASSUMPTION (review finding): the fixture files are
+    written to the *driver's* local tmpdir and then scanned — visible
+    to executors only because local mode shares one filesystem. On a
+    real cluster the fixture path must be a shared filesystem
+    (HDFS/object store); the binaryFile scan itself is
+    cluster-correct, only this test-fixture materialization is not.
     """
     import hashlib
     import shutil

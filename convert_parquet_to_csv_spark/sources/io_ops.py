@@ -289,8 +289,20 @@ def _with_row_index(df: DataFrame, name: str = "index") -> DataFrame:
     a windowed ``row_number()`` over it would funnel everything through
     one partition. Instead: per-partition counter + broadcast of
     per-partition offsets — O(1) driver data, no shuffle of the rows.
+
+    CONSTRAINT (review finding): the offsets job and the final job
+    each evaluate ``df``'s plan, so per-partition contents must be
+    identical across the two evaluations. That holds for deterministic
+    scans (the CSV-export caller), but NOT after a shuffle whose
+    runtime partitioning can differ between jobs (AQE coalesce, rand).
+    Guard: any plan containing an Exchange is pinned with an eager
+    ``localCheckpoint`` first, so both jobs read the same materialized
+    blocks instead of re-running the non-deterministic stage.
     """
     spark = df.sparkSession
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        df = df.localCheckpoint(eager=True)
     part = df.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_mid", F.monotonically_increasing_id()
     )

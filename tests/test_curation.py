@@ -156,6 +156,31 @@ def test_arrow_vector_stats_matches_reference(spark):
     assert got[4] == (0, 0)
 
 
+def test_arrow_vector_stats_null_vs_empty(spark):
+    """A NULL embedding must yield NULL dim/checksum — NOT the empty
+    vector's (0, 0). NULL list entries share offsets with empties, so
+    without validity propagation the two are indistinguishable (review
+    finding); SQL len/list_sum of NULL is NULL and the oracle would
+    diverge."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, None),
+            (3, []),
+            (4, None),  # batch-final NULL
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    ).coalesce(1)
+    got = {
+        r.vec_id: (r.dim, r.checksum)
+        for r in arrow_vector_stats(df).collect()
+    }
+    assert got[1] == (2, 3000)
+    assert got[2] == (None, None)
+    assert got[3] == (0, 0)
+    assert got[4] == (None, None)
+
+
 def test_flag_contaminated_hashed_matches_string_path(spark, sf_small):
     """The 100 TB form (xxhash64 gram keys) must agree with the exact
     string-key path on real corpus data."""

@@ -43,7 +43,7 @@ def test_rowlevel_checks_catch_seeded_violations(spark):
     # counted; the null case belongs to not_null, domain check counts
     # only non-null out-of-domain values.
     assert got["accepted_values(status)"] == (1, False)
-    assert got["in_range(price)"] == (1, False)
+    assert got["in_range(price,lo=0.0)"] == (1, False)
 
 
 def test_unique_and_fk_checks(spark):
@@ -118,6 +118,59 @@ def test_rowlevel_rejects_zero_constraints(spark):
     df = spark.createDataFrame([(1,)], "k LONG")
     with pytest.raises(ValueError):
         Q.check_rowlevel(df, [])
+
+
+def test_rowlevel_rejects_unsafe_and_duplicate_names(spark):
+    """Names are spliced into a stack() literal: quotes/backticks must
+    be rejected, and two constraints compiling to the same name (e.g.
+    identical expression_ok labels) must fail loudly instead of
+    colliding as duplicate aggregate aliases."""
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "k LONG")
+    with pytest.raises(ValueError, match="quote or backtick"):
+        Q.check_rowlevel(
+            df, [Q.expression_ok("bad'name", F.col("k") > 0)]
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        Q.check_rowlevel(
+            df,
+            [
+                Q.expression_ok("same", F.col("k") > 0),
+                Q.expression_ok("same", F.col("k") < 100),
+            ],
+        )
+
+
+def test_in_range_names_include_bounds(spark):
+    """Two in_range checks on one column with different bounds must
+    produce distinct names (the bare in_range(col) name collided)."""
+    df = spark.createDataFrame([(5,)], "v LONG")
+    rep = Q.dq_report(
+        [
+            Q.check_rowlevel(
+                df,
+                [Q.in_range("v", lo=0), Q.in_range("v", lo=10, hi=20)],
+            )
+        ]
+    )
+    got = _report_map(rep)
+    assert got["in_range(v,lo=0)"] == (0, True)
+    assert got["in_range(v,lo=10,hi=20)"] == (1, False)
+
+
+def test_fk_ignores_null_parent_keys(spark):
+    """A NULL parent key must not mask real orphans (SQL NOT IN
+    degenerates to zero violations when the parent side has a NULL;
+    the left_anti path filters parent NULLs and keeps reporting)."""
+    parent = spark.createDataFrame([(1,), (None,)], "pk LONG")
+    child = spark.createDataFrame(
+        [(1, 1), (2, 9)], "ck LONG, fk LONG"
+    )
+    got = _report_map(
+        Q.dq_report([Q.check_foreign_key(child, "fk", parent, "pk")])
+    )
+    assert got["fk(fk->pk)"] == (1, False)
 
 
 def test_fk_skips_null_child_keys(spark):

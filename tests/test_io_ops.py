@@ -93,6 +93,27 @@ def test_with_index_contiguous(spark, sf_small, tmp_path):
     assert stats["mn"] == 0 and stats["mx"] == n - 1 and stats["dc"] == n
 
 
+def test_with_row_index_pins_shuffled_input(spark):
+    """_with_row_index's offsets job and final job each evaluate the
+    input plan; a plan with an Exchange must be pinned (eager
+    localCheckpoint) so both jobs see identical partition contents —
+    the latent misnumbering class from the r2 review."""
+    from convert_parquet_to_csv_spark.sources.io_ops import _with_row_index
+
+    df = spark.range(5000).repartition(7)  # Exchange in the plan
+    out = _with_row_index(df)
+    stats = out.agg(
+        F.min("index").alias("mn"),
+        F.max("index").alias("mx"),
+        F.countDistinct("index").alias("dc"),
+    ).first()
+    assert stats["mn"] == 0 and stats["mx"] == 4999 and stats["dc"] == 5000
+    # deterministic scans must NOT pay the checkpoint
+    plain = spark.range(100)
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_csv_dialect_nulls_and_quotes(spark, tmp_path):
     """SURVEY.md §2.2: empty-string nulls, minimal quoting, embedded
     separators/quotes/newlines survive a round-trip."""
