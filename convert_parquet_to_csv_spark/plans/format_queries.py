@@ -252,3 +252,53 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .filter((F.col("id") >= 50) & (F.col("id") < 150))
     )
+
+
+_PYSINK_ORACLE = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE doc_id % 7 = 0
+"""
+
+
+@query("python_datasource_write_roundtrip", oracle=_PYSINK_ORACLE)
+def python_datasource_write_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Writer half of the Python data source surface (VERDICT r2 item
+    2): a documents subset goes out through ``jsonlsink`` — a custom
+    ``DataSourceWriter`` with real two-phase task commit (staged
+    per-task files → driver-side rename + ``_SUCCESS``,
+    sources/pysource.py) — and is read back with an explicit schema.
+    The oracle checks the round-trip bytes against the source table,
+    so a lost task file, a double-committed speculative attempt, or a
+    stale leftover from a previous overwrite all surface as row/hash
+    mismatches.
+
+    Same local-mode fixture note as ``binaryfile_ingest``: the sink
+    directory lives on the driver's local FS, shared with executors
+    only under local mode; the commit protocol itself is
+    cluster-correct on a shared filesystem."""
+    import hashlib
+    import shutil
+
+    from convert_parquet_to_csv_spark.sources.pysource import (
+        JsonlSinkDataSource,
+    )
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    sub = _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "lang", "n_chars"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dst = os.path.join(
+        tempfile.gettempdir(), f"cptc_jsonlsink_{tag}"
+    )
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    sub.write.format("jsonlsink").mode("overwrite").option(
+        "path", dst
+    ).save()
+    return spark.read.schema(
+        "doc_id BIGINT, lang STRING, n_chars BIGINT"
+    ).json(dst)

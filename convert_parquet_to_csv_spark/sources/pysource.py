@@ -26,11 +26,13 @@ SynthDocsDataSource)`` then ``spark.read.format("synthdocs")``.
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -38,6 +40,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -173,3 +176,111 @@ class SynthDocsStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> _SynthDocsStreamReader:
         return _SynthDocsStreamReader(self.options)
+
+
+# --------------------------------------------------------------------------
+# Writer side (Spark 4 ``DataSourceWriter``) — the sink twin
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Task-commit JSONL sink with the classic two-phase protocol:
+
+    - ``write`` (executor, per task): serialize the task's rows to a
+      UNIQUELY-NAMED file in a staging directory and return its path
+      as the commit message. Unique names make speculative/retried
+      attempts collide-free; an attempt that loses the race simply
+      leaves an orphan in staging.
+    - ``commit`` (driver, all tasks succeeded): move exactly the
+      committed files into the final directory, drop the whole staging
+      dir (including loser-attempt orphans), write ``_SUCCESS``.
+      Readers that key on ``_SUCCESS`` therefore never observe a
+      partial write — the same atomicity contract as Spark's file
+      sinks.
+    - ``abort`` (driver, any task failed): remove the staging dir;
+      the final dir is untouched.
+
+    Filesystem note: staging/final live on whatever filesystem ``path``
+    names. In local mode that is the shared local FS; on a cluster it
+    must be a shared mount (the driver moves files the executors
+    wrote). Object-store deployments would swap the rename for a
+    copy — the protocol is the point here, not the FS client.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonlsink requires a path option")
+        self.path = path
+        self.overwrite = overwrite
+        self.staging = os.path.join(path, "_staging")
+
+    def write(self, iterator) -> _StagedFile:
+        import json
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.staging, exist_ok=True)
+        staged = os.path.join(
+            self.staging, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _StagedFile(staged=staged, rows=n)
+
+    def commit(self, messages) -> None:
+        import glob
+        import shutil
+
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(old)
+            _success = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(_success):
+                os.remove(_success)
+        total = 0
+        for m in messages:
+            if m is None:  # empty task: Spark may pass None
+                continue
+            os.replace(
+                m.staged,
+                os.path.join(self.path, os.path.basename(m.staged)),
+            )
+            total += m.rows
+        shutil.rmtree(self.staging, ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(f"{total}\n")
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class JsonlSinkDataSource(DataSource):
+    """Batch sink: ``df.write.format("jsonlsink").mode(...).save(path)``.
+
+    Completes the Python data source surface (sources/pysource.py):
+    batch reader with pushFilters, streaming reader, and now the
+    writer half with real two-phase task commit — the seam for sinks
+    Spark has no connector for (internal services, bespoke formats).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsink"
+
+    def writer(self, schema, overwrite: bool) -> _JsonlWriter:
+        return _JsonlWriter(self.options, overwrite)

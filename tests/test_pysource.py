@@ -84,6 +84,67 @@ def test_empty_range_yields_zero_rows(registered):
     assert df.count() == 0
 
 
+def test_jsonl_sink_writes_and_reads_back(spark, tmp_path):
+    """Writer half: two-phase commit must land exactly the written
+    rows plus a _SUCCESS marker, with no staging leftovers."""
+    import os
+
+    from convert_parquet_to_csv_spark.sources.pysource import (
+        JsonlSinkDataSource,
+    )
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    dst = str(tmp_path / "sink")
+    os.makedirs(dst)
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("tag")
+    ).repartition(5)
+    df.write.format("jsonlsink").mode("overwrite").option("path", dst).save()
+    assert os.path.exists(os.path.join(dst, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(dst, "_staging"))
+    with open(os.path.join(dst, "_SUCCESS")) as fh:
+        assert fh.read().strip() == "100"
+    back = spark.read.schema("id BIGINT, tag STRING").json(dst)
+    assert back.count() == 100
+    assert sorted(r.id for r in back.collect()) == list(range(100))
+
+
+def test_jsonl_sink_overwrite_replaces_append_accumulates(spark, tmp_path):
+    import os
+
+    from convert_parquet_to_csv_spark.sources.pysource import (
+        JsonlSinkDataSource,
+    )
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    dst = str(tmp_path / "sink2")
+    os.makedirs(dst)
+    df = spark.range(10).repartition(2)
+    w = lambda mode: df.write.format("jsonlsink").mode(mode).option(  # noqa: E731
+        "path", dst
+    ).save()
+    w("overwrite")
+    w("overwrite")  # stale part files must be replaced, not doubled
+    back = spark.read.schema("id BIGINT").json(dst)
+    assert back.count() == 10
+    w("append")
+    assert spark.read.schema("id BIGINT").json(dst).count() == 20
+
+
+def test_jsonl_sink_requires_path(spark):
+    from convert_parquet_to_csv_spark.sources.pysource import (
+        JsonlSinkDataSource,
+    )
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="path"):
+        spark.range(1).write.format("jsonlsink").mode(
+            "overwrite"
+        ).save()
+
+
 def test_streaming_source_drains_deterministically(spark, tmp_path):
     """The streaming flavor: offset-tracked micro-batches through a
     checkpoint, exactly-once across a restart (same contract as the
