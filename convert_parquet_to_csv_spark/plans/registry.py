@@ -51,92 +51,46 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The round-1 driver gate stopped after the first 50 registered
-# queries (CORRECTNESS_r01.json is an exact registration-order
-# prefix). Iteration order of QUERIES/ORACLES is therefore a
-# CORRECTNESS-COVERAGE decision, not cosmetics: FIRST_TIER hand-picks
-# the names every budget-limited prefix must include — reference-parity
-# ops first, then ≥2 representatives of every extended family
-# (dedup, similarity, text, streaming, multimodal, sketch, scale,
-# sampling). Unlisted queries follow in registration order.
+# The driver gate checks a ~50-query prefix of this ordering each
+# round (CORRECTNESS_r01/r02 are exact prefixes). Iteration order of
+# QUERIES/ORACLES is therefore a CORRECTNESS-COVERAGE decision, not
+# cosmetics.
+#
+# r3 strategy (VERDICT r2 item 1): rounds 1+2 gated 83 distinct
+# queries but spent both budgets on the same families, leaving the
+# similarity/sketch/streaming/multimodal/format/scale/DQ/Spark4
+# families with ZERO driver rows. This prefix is therefore exactly:
+# 2 canaries (flagship + an ex-red) → the 4 queries new in r3 → the
+# 44 highest-value never-gated names with ≥1 representative of every
+# family inside the 50 boundary. Positions 51+ hold the remaining
+# never-gated (family-duplicate or slow) queries, then the rows-only
+# ones, then everything already green in r1/r2 in registration order
+# — so a larger budget keeps adding new signal and a smaller one
+# cuts where it costs least.
 FIRST_TIER: list[str] = [
-    # flagship + the four queries red in r01 (fixed in r3 — their
-    # green rows are the proof) + the new map zoo
+    # canaries: flagship + an ex-red regression sentinel
     "convert_roundtrip",
     "quantity_array_agg",
-    "array_functions_zoo",
-    "left_join_enrichment",
-    "right_join_enrichment",
-    "json_corrupt_handling",
-    "map_functions_zoo",
-    # TPC-H suite (r3): correlated EXISTS / scalar subqueries /
-    # nation-pair joins — the relational shapes q1/q3/q5/q6 don't cover
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_late_line_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q16_parts_supplier_relationship",
-    "q21_suppliers_waiting",
-    "q22_sales_opportunity",
-    # reference-parity ops (SURVEY §2 rows the judge checks by name)
-    "merged_scan_provenance",
-    "pivot_status_by_year",
-    "sample_exact_n_hash",
-    "sample_stratified_hash",
-    "sample_exact_n_rand",
-    "sample_weighted_docs",
-    "split_train_val_test",
-    # dedup family
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_recall",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_clusters_cc",
-    "dedup_fuzzy_levenshtein",
-    "dedup_incremental_batch",
-    # text family (all driver-uncovered in r01)
-    "text_quality_stats",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "token_count_bpe",
-    "pandas_udf_token_count",
-    "curation_pipeline",
-    "doc_chunking",
-    "pandas_udaf_chars_by_lang",
-    "udtf_bigrams",
-    "sequence_packing",
-    "pii_redaction",
-    "doc_repetition_stats",
-    "corpus_vocab_stats",
-    # curation family (r2 batch 2): decontamination / tf-idf / mixing
-    "decontaminate_ngram_overlap",
-    "distinctive_terms_tfidf",
-    "source_mix_temperature",
-    # similarity family
+    # new in r3: Python sink roundtrip + the last TPC-H shapes
+    "python_datasource_write_roundtrip",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    # similarity / embeddings (zero driver rows before r3)
     "similarity_topk_bruteforce",
     "dedup_embedding_cosine",
-    "embedding_quantize_int8",
     "embedding_centroids",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
     "similarity_ivf_recall",
     "arrow_vector_checksum",
     # sketches
     "hll_distinct_customers",
     "approx_quantile_sketch",
     "cms_heavy_hitters",
-    # round-3 additions: robust aggs + regex surface
+    # robust aggs + regex surface
     "robust_stats_orders",
     "regex_zoo_docs",
-    # streaming
+    # streaming (5 live micro-batch drains + batch window shape)
     "windowed_agg",
-    "hopping_window_agg",
     "streaming_stream_join_live",
     "streaming_windowed_agg_live",
     "streaming_session_windows_live",
@@ -144,17 +98,15 @@ FIRST_TIER: list[str] = [
     "streaming_foreachbatch_upsert_live",
     # multimodal
     "multimodal_stats",
-    "multimodal_features",
     "multimodal_frame_sample",
     # format / layout
     "partition_pruned_scan",
     "range_layout_scan",
     "binaryfile_ingest",
     "python_datasource_scan",
-    # scale ops (position 50 boundary)
+    # scale ops
     "salted_join_revenue",
     "json_roundtrip",
-    "orc_roundtrip",
     "kafka_roundtrip_events",
     "compaction_roundtrip",
     "upsert_orders_roundtrip",
@@ -163,34 +115,45 @@ FIRST_TIER: list[str] = [
     "skew_diagnostic_events",
     "incremental_agg_refresh",
     "snapshot_diff_orders",
-    # DQ / dimension-history / contrastive-sampling family (r2)
+    # DQ / dimension history
     "dq_constraint_checks",
     "scd2_user_state_history",
+    # analytics family
     "negative_sampling_pairs",
     "multi_touch_attribution",
+    "price_decile_binning",
+    # type-surface zoos
     "nested_struct_zoo",
     "null_semantics_zoo",
-    "datetime_zoo",
-    "bigram_collocations_lift",
-    "price_decile_binning",
-    "cohort_retention_matrix",
     # Spark 4 SQL surface
     "recursive_cte_hierarchy",
     "variant_json_path",
-    "group_by_all_sugar",
     "sql_udf_scalar",
-    # temporal/text additions (r2 batch 4)
+    # temporal + text shapes
     "asof_forward_next_error",
-    "time_weighted_avg_value",
     "inverted_index_postings",
-    # the four slowest gate queries — still new signal, but placed
-    # after the cheap wide-coverage block so a budget cut costs least
+    # ---- position 50 boundary ----
+    # remaining never-gated, family-duplicate first (cheapest loss
+    # under a budget cut), then the four slow recall/complete checks
+    "hopping_window_agg",
+    "embedding_quantize_int8",
+    "orc_roundtrip",
+    "cohort_retention_matrix",
+    "datetime_zoo",
+    "group_by_all_sugar",
+    "time_weighted_avg_value",
+    "bigram_collocations_lift",
     "similarity_lsh_recall",
     "similarity_ivf_kmeans_recall",
     "dedup_simhash_complete",
     "pagerank_dup_graph",
-    # everything else (TPC-H-ish relational/analytics/temporal, all
-    # already driver-green in r01) follows in registration order
+    # rows-only (weaker check by contract — after every oracled name)
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "multimodal_features",
+    "decontaminate_ngram_overlap_hashed",
+    # everything else (TPC-H suite, text/dedup/sampling/curation —
+    # all already driver-green in r1/r2) follows in registration order
 ]
 
 

@@ -34,3 +34,14 @@ def test_every_oracle_has_a_query():
     registry.load_all()
     orphans = [n for n in registry.ORACLES if n not in registry.QUERIES]
     assert orphans == []
+
+
+def test_driver_budget_prefix_is_fully_oracled():
+    """The driver gates a ~50-query prefix; every slot spent on a
+    rows-only query is a slot of lost hash-match signal. Keep the
+    whole budget prefix oracled (rows-only queries belong after
+    position 50 by construction)."""
+    registry.load_all()
+    prefix = registry.ordered_names()[:50]
+    unoracled = [n for n in prefix if n not in registry.ORACLES]
+    assert unoracled == [], unoracled
