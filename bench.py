@@ -186,8 +186,13 @@ def main() -> None:
                 f"TO '/tmp/cptc_duck10m.csv' (HEADER, DELIMITER ',')"
             )
 
-        queries["baseline_duckdb_convert_10m"] = round(
-            time_kernel(_run_duck, warmup=1, repeat=3), 4
+        duck_sec = round(time_kernel(_run_duck, warmup=1, repeat=3), 4)
+        queries["baseline_duckdb_convert_10m"] = duck_sec
+        # One hardware-independent number for cross-round comparison
+        # (VERDICT r2 item 6): <1.0 means Spark beats same-box DuckDB
+        # on the identical input, whatever this round's VM speed is.
+        queries["calibration_ratio_vs_duckdb"] = round(
+            headline / duck_sec, 4
         )
         os.remove("/tmp/cptc_duck10m.csv")
     except Exception as ex:  # noqa: BLE001 — calibration is best-effort
