@@ -819,15 +819,19 @@ LIMIT 100
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q2: for each size-15 part, the European supplier(s)
     offering it at the region's minimum supply cost — the canonical
-    correlated scalar-MIN subquery. Decorrelated the standard way: a
-    per-part MIN aggregate over the region-restricted partsupp joined
-    back on (partkey, cost-equality). The region-supplier dimension
-    (supplier⋈nation⋈region) broadcasts into both the candidate and
-    the MIN branch, so partsupp — the only big input — is scanned
-    once per branch with no shuffle wider than the partkey groupBy.
+    correlated scalar-MIN subquery. Decorrelated PAST the textbook
+    per-part-aggregate + join-back (which scans partsupp twice and
+    shuffles both branches): a single ``min().over(partitionBy
+    partkey)`` window computes the minimum and filters in ONE pass —
+    one partkey exchange total, partsupp scanned once. The
+    region-supplier dimension (supplier⋈nation⋈region) broadcasts in
+    front of the window so non-European rows never enter the shuffle.
     Cost equality compares DECIMAL to DECIMAL (exact; a double
-    round-trip could drop ties). Top-100 order is tie-broken to full
-    row uniqueness for a deterministic LIMIT boundary."""
+    round-trip could drop ties — the window preserves ties by
+    construction). Top-100 order is tie-broken to full row uniqueness
+    for a deterministic LIMIT boundary."""
+    from pyspark.sql.window import Window as _W
+
     ps = synth_partsupp(spark, sf_dir)
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
@@ -842,17 +846,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    ps_eu = ps.join(
-        F.broadcast(eu_supp), ps.ps_suppkey == eu_supp.s_suppkey
-    )
-    min_cost = ps_eu.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost").alias("_min_cost")
-    )
+    min_w = _W.partitionBy("ps_partkey")
     return (
-        ps_eu.join(
-            min_cost,
-            ["ps_partkey"],
-        )
+        ps.join(F.broadcast(eu_supp), ps.ps_suppkey == eu_supp.s_suppkey)
+        .withColumn("_min_cost", F.min("ps_supplycost").over(min_w))
         .filter(F.col("ps_supplycost") == F.col("_min_cost"))
         .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")

@@ -69,6 +69,10 @@ CASES = {
     "q16_parts_supplier_relationship": "q16: distinct-pair derivation shuffle, broadcast part filter + anti denylist",
     "multi_touch_attribution": "attribution: binned interval join + one count window per purchase",
     "cohort_retention_matrix": "cohorts: two aggs + join reuse one user_id exchange",
+    "q2_min_cost_supplier": "q2: scalar-MIN via single window pass, region dims broadcast, ONE partkey exchange, partsupp scanned once",
+    "q11_important_stock": "q11: nation-filtered partsupp aggregated twice (per-part + 1-row total broadcast), no re-scan",
+    "q20_potential_promotion": "q20: part filter broadcast, correlated qty agg decorrelated to one pair-key shuffle, semi-join to suppliers",
+    "python_datasource_write_roundtrip": "python sink: BatchWrite over the custom writer, scan side unchanged",
 }
 
 KEY_MARKERS = (
