@@ -40,3 +40,13 @@ def sf_small() -> str:
 @pytest.fixture(scope="session")
 def sf_med() -> str:
     return SF_MED
+
+
+@pytest.fixture(scope="session")
+def sf_big() -> str:
+    """sf0.1 — the bench-scale fixture; skip tests that need it if the
+    driver did not generate it this round."""
+    path = os.path.join(TESTDATA, "sf0.1")
+    if not os.path.isdir(path):
+        pytest.skip("sf0.1 fixture not present")
+    return path
