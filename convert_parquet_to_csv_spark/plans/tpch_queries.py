@@ -862,11 +862,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q11: important stock identification (group vs global aggregate) ------
 
-# The value fraction is 1/400 (TPC-H's 0.0001/SF rescaled to the
-# fixture's ~1.2k parts per nation: 31 of 1204 qualify at sf0.01 —
-# selective but non-empty). All arithmetic is BIGINT-exact:
-# supplycost is integer-valued by construction, so value = Σ cost·qty
-# and the threshold compare value·400 > total carry no float anywhere.
+# The threshold is SCALE-FREE: a part qualifies when its value
+# exceeds 3× the nation's MEAN per-part value (value·n_parts >
+# 3·total, all BIGINT). TPC-H's literal 0.0001 needs manual 1/SF
+# rescaling per scale factor (and returns 0 rows at sf0.1 here); the
+# mean-relative form keeps a similar selective-but-non-empty fraction
+# at every SF (31/1204 at sf0.01). supplycost is integer-valued by
+# construction, so no float appears anywhere in the compare.
 _Q11_ORACLE = f"""
 WITH {_PARTSUPP_CTE}
 SELECT ps_partkey,
@@ -876,25 +878,30 @@ FROM partsupp, supplier, nation
 WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
   AND n_name = 'NATION_3'
 GROUP BY ps_partkey
-HAVING SUM(CAST(ps_supplycost AS BIGINT) * ps_availqty) * 400 >
-       (SELECT SUM(CAST(ps_supplycost AS BIGINT) * ps_availqty)
+HAVING SUM(CAST(ps_supplycost AS BIGINT) * ps_availqty) *
+       (SELECT COUNT(DISTINCT ps_partkey)
         FROM partsupp, supplier, nation
         WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
-          AND n_name = 'NATION_3')
+          AND n_name = 'NATION_3') >
+       3 * (SELECT SUM(CAST(ps_supplycost AS BIGINT) * ps_availqty)
+            FROM partsupp, supplier, nation
+            WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              AND n_name = 'NATION_3')
 """
 
 
 @query("q11_important_stock", oracle=_Q11_ORACLE)
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q11: parts whose stock value at one nation's suppliers
-    exceeds a fraction of that nation's total stock value — the
+    exceeds a threshold of that nation's total stock value — the
     group-filter-by-global-aggregate shape. The nation-filtered
-    partsupp is computed once; the per-part aggregate and the global
-    total are two partial→final aggregates over it, and the total (one
-    row) crosses back in as a broadcast — no re-scan, no correlated
-    evaluation. The threshold compare is integer (value·400 > total):
-    supplycost is whole-dollar by construction, so no decimal/double
-    boundary can flip a row between engines."""
+    partsupp is computed once; the per-part aggregate feeds BOTH the
+    output and (re-aggregated — one extra tiny agg, no re-scan of
+    partsupp) the 1-row (total, n_parts) that crosses back in as a
+    broadcast. The threshold is scale-free and integer-exact:
+    value·n_parts > 3·total, i.e. 3× the nation's mean per-part value
+    — supplycost is whole-dollar by construction, so no decimal/double
+    boundary can flip a row between engines at any SF."""
     ps = synth_partsupp(spark, sf_dir)
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = (
@@ -916,10 +923,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = ps_n.groupBy("ps_partkey").agg(
         F.sum("_val").alias("part_value")
     )
-    total = ps_n.agg(F.sum("_val").alias("_total"))
+    scalars = per_part.agg(
+        F.sum("part_value").alias("_total"),
+        F.count("*").alias("_n_parts"),
+    )
     return (
-        per_part.join(F.broadcast(total))
-        .filter(F.col("part_value") * 400 > F.col("_total"))
+        per_part.join(F.broadcast(scalars))
+        .filter(
+            F.col("part_value") * F.col("_n_parts") > 3 * F.col("_total")
+        )
         .select("ps_partkey", F.col("part_value").cast("bigint").alias("part_value"))
     )
 

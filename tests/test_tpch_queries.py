@@ -96,8 +96,10 @@ def test_q2_order_and_limit_boundary(spark, sf_small):
 
 
 def test_q11_rows_beat_the_national_threshold(spark, sf_small):
-    """Every returned part's value must exceed total/400 where total
-    is recomputed independently over the same synthesized partsupp."""
+    """Every returned part's value must exceed 3× the nation's mean
+    per-part value (the scale-free threshold), with total and n_parts
+    recomputed independently over the same synthesized partsupp — and
+    at least one part must fall below it (the filter must bind)."""
     from pyspark.sql import functions as F
 
     from convert_parquet_to_csv_spark.plans.common import load_table
@@ -110,19 +112,23 @@ def test_q11_rows_beat_the_national_threshold(spark, sf_small):
     n = load_table(spark, sf_small, "nation").filter(
         F.col("n_name") == "NATION_3"
     )
-    total = (
+    per_part = (
         ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("ps_partkey")
         .agg(
             F.sum(
                 F.col("ps_supplycost").cast("bigint") * F.col("ps_availqty")
-            )
+            ).alias("v")
         )
-        .collect()[0][0]
     )
+    total, n_parts = per_part.agg(
+        F.sum("v"), F.count("*")
+    ).collect()[0]
     rows = registry.QUERIES["q11_important_stock"](spark, sf_small).collect()
     assert rows
-    assert all(r.part_value * 400 > total for r in rows)
+    assert all(r.part_value * n_parts > 3 * total for r in rows)
+    assert len(rows) < n_parts  # the threshold binds
 
 
 def test_q20_returns_proper_subset_of_region_suppliers(spark, sf_small):
