@@ -65,6 +65,9 @@ BENCH_QUERY_NAMES = [
     "decontaminate_ngram_overlap_hashed",
     "distinctive_terms_tfidf",
     "arrow_vector_checksum",
+    # r3: cross-document span removal (C4 rule) — the other
+    # corpus-wide heavy-hitter pass worth trending
+    "span_dedup_c4",
 ]
 
 DOCS_500K_PATH = "/tmp/cptc_bench_docs500k.parquet"

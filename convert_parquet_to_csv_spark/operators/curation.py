@@ -202,3 +202,100 @@ def mix_sources_temperature(
         .filter(F.col("rk") <= F.col("target_n"))
         .select(id_col, source_col)
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    n: int = 4,
+    max_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4/RefinedWeb-style cross-document span removal: delete every
+    word covered by an ``n``-gram that occurs in more than
+    ``max_docs`` distinct documents, keeping the rest of each document
+    intact (word order preserved). Doc-level dedup (operators/dedup)
+    drops whole near-duplicate documents; this removes the boilerplate
+    SPANS (navigation chrome, license blocks, quoted headers) that
+    recur across otherwise-distinct pages — the C4 paper's
+    "three-sentence span" rule generalized to word shingles.
+
+    Plan (all built-ins, no UDFs):
+    1. one tokenize per doc (split on the single-space corpus
+       delimiter), shared by the shingle and word branches;
+    2. shingle branch: explode start positions, gram =
+       ``concat_ws(slice)``; hot grams = groupBy(gram) having
+       count_distinct(doc) > max_docs — one gram-key shuffle, the
+       corpus-wide heavy-hitter pass;
+    3. coverage: occurrences of hot grams re-explode to the n covered
+       positions, deduped per (doc, pos). The hot-gram join is left to
+       AQE: the hot set is usually tiny (broadcast) but is
+       data-dependent, and a wrong forced broadcast at 100 TB would
+       OOM the executors;
+    4. word branch left-joins coverage on (doc, pos); survivors
+       reassemble via ``array_sort(collect_list(struct(pos, word)))``
+       — per-doc data, one doc-key shuffle.
+
+    Docs shorter than ``n`` words contribute no shingles (guarded —
+    Spark's ``sequence(0, negative)`` counts DOWNWARD) and pass
+    through unchanged. Returns (id_col, clean_text, n_kept,
+    n_removed); a fully-boilerplate doc comes back with clean_text=''.
+    """
+    if n < 1:
+        raise ValueError(f"span width must be >= 1, got {n}")
+    arr = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("_a")
+    )
+    starts = F.when(
+        F.size("_a") >= n, F.sequence(F.lit(0), F.size("_a") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = arr.select(
+        id_col,
+        F.explode(starts).alias("pos"),
+        F.col("_a"),
+    ).select(
+        id_col,
+        "pos",
+        F.concat_ws(
+            " ", F.expr(f"slice(_a, pos + 1, {n})")
+        ).alias("gram"),
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") > max_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(hot, "gram")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    words = arr.select(
+        id_col, F.posexplode("_a").alias("pos", "word")
+    )
+    joined = words.join(
+        covered,
+        (words[id_col] == covered[id_col])
+        & (words.pos == covered.cpos),
+        "left",
+    ).select(words[id_col], "pos", "word", "cpos")
+    return joined.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list("
+                "CASE WHEN cpos IS NULL THEN struct(pos, word) END"
+                ")), x -> x.word)"
+            ),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("cpos").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.count("cpos").cast("bigint").alias("n_removed"),
+    )

@@ -173,6 +173,62 @@ def source_mix_temperature(
     )
 
 
+_SPAN_DEDUP_ORACLE = """
+WITH arr AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(p AS INT) AS pos,
+         array_to_string(a[CAST(p AS INT)+1:CAST(p AS INT)+4], ' ')
+           AS gram
+  FROM arr, UNNEST(range(0, greatest(len(a) - 3, 0))) AS t(p)
+),
+hot AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) > 2
+),
+covered AS (
+  SELECT DISTINCT g.doc_id, g.pos + CAST(c AS INT) AS cpos
+  FROM grams g JOIN hot USING (gram), UNNEST(range(0, 4)) AS u(c)
+),
+words AS (
+  SELECT doc_id, CAST(p AS INT) AS pos, a[CAST(p AS INT)+1] AS word
+  FROM arr, UNNEST(range(0, len(a))) AS t(p)
+)
+SELECT w.doc_id,
+       COALESCE(array_to_string(
+         list(w.word ORDER BY w.pos) FILTER (c.cpos IS NULL), ' '),
+         '') AS clean_text,
+       CAST(COUNT(*) FILTER (c.cpos IS NULL) AS BIGINT) AS n_kept,
+       CAST(COUNT(c.cpos) AS BIGINT) AS n_removed
+FROM words w LEFT JOIN covered c
+  ON w.doc_id = c.doc_id AND w.pos = c.cpos
+GROUP BY w.doc_id
+"""
+
+
+@query("span_dedup_c4", oracle=_SPAN_DEDUP_ORACLE)
+def span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span removal (operators/curation.
+    remove_duplicated_spans): every word covered by a 4-gram occurring
+    in >2 distinct documents is deleted, the rest of each document
+    survives in order — the C4 "repeated span" rule at word-shingle
+    granularity, complementing doc-level dedup (which drops whole
+    documents and would keep shared boilerplate inside survivors).
+
+    Gated settings n=4 / max_docs=2 are fixture-calibrated: 100 of
+    24k distinct 4-grams are corpus-hot at sf0.01, so the pass removes
+    real spans without degenerating (at n≥5 only the seeded
+    near-duplicate docs overlap; at n≤3 the small synthetic vocabulary
+    makes most text "hot"). Production web corpora use the operator
+    defaults over sentence-ish n. The oracle replays tokenize →
+    shingle → heavy-hitter → coverage → reassembly verbatim, so
+    clean_text hashes check word-exact reconstruction."""
+    return C.remove_duplicated_spans(
+        _docs(spark, sf_dir).select("doc_id", "text"), n=4, max_docs=2
+    )
+
+
 @query("decontaminate_ngram_overlap_hashed")  # rows-only: xxhash64 keys
 def decontaminate_ngram_overlap_hashed(
     spark: SparkSession, sf_dir: str

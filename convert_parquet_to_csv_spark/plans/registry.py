@@ -76,6 +76,7 @@ FIRST_TIER: list[str] = [
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q20_potential_promotion",
+    "span_dedup_c4",
     # similarity / embeddings (zero driver rows before r3)
     "similarity_topk_bruteforce",
     "dedup_embedding_cosine",
@@ -129,12 +130,12 @@ FIRST_TIER: list[str] = [
     "recursive_cte_hierarchy",
     "variant_json_path",
     "sql_udf_scalar",
-    # temporal + text shapes
+    # temporal shape
     "asof_forward_next_error",
-    "inverted_index_postings",
     # ---- position 50 boundary ----
     # remaining never-gated, family-duplicate first (cheapest loss
     # under a budget cut), then the four slow recall/complete checks
+    "inverted_index_postings",
     "hopping_window_agg",
     "embedding_quantize_int8",
     "orc_roundtrip",

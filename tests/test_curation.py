@@ -181,6 +181,48 @@ def test_arrow_vector_stats_null_vs_empty(spark):
     assert got[4] == (None, None)
 
 
+def test_remove_duplicated_spans_seeded_boilerplate(spark):
+    """A 4-gram shared by 3 documents must vanish from all of them,
+    position-exactly; unique text and sub-n docs pass through."""
+    boiler = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [
+            (1, f"one two {boiler} three"),
+            (2, f"{boiler} four five six"),
+            (3, f"seven {boiler}"),
+            (4, "unique words only here indeed"),
+            (5, "tiny doc"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in C.remove_duplicated_spans(df, n=4, max_docs=2).collect()
+    }
+    assert out[1] == ("one two three", 3, 4)
+    assert out[2] == ("four five six", 3, 4)
+    assert out[3] == ("seven", 1, 4)
+    assert out[4] == ("unique words only here indeed", 5, 0)
+    assert out[5] == ("tiny doc", 2, 0)  # shorter than n: no shingles
+
+
+def test_remove_duplicated_spans_overlapping_hot_grams(spark):
+    """Overlapping hot grams must union their coverage, not
+    double-remove or truncate (the DISTINCT on (doc, pos))."""
+    # 5-word run shared by 3 docs → two overlapping hot 4-grams
+    run = "a1 a2 a3 a4 a5"
+    df = spark.createDataFrame(
+        [(i, f"pre{i} {run} post{i}") for i in (1, 2, 3)],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in C.remove_duplicated_spans(df, n=4, max_docs=2).collect()
+    }
+    for i in (1, 2, 3):
+        assert out[i] == (f"pre{i} post{i}", 5)
+
+
 def test_flag_contaminated_hashed_matches_string_path(spark, sf_small):
     """The 100 TB form (xxhash64 gram keys) must agree with the exact
     string-key path on real corpus data."""
