@@ -97,6 +97,7 @@ FIRST_TIER: list[str] = [
     "streaming_session_windows_live",
     "streaming_running_counts_live",
     "streaming_foreachbatch_upsert_live",
+    "streaming_dedup_live",
     # multimodal
     "multimodal_stats",
     "multimodal_frame_sample",
@@ -130,11 +131,10 @@ FIRST_TIER: list[str] = [
     "recursive_cte_hierarchy",
     "variant_json_path",
     "sql_udf_scalar",
-    # temporal shape
-    "asof_forward_next_error",
     # ---- position 50 boundary ----
     # remaining never-gated, family-duplicate first (cheapest loss
     # under a budget cut), then the four slow recall/complete checks
+    "asof_forward_next_error",
     "inverted_index_postings",
     "hopping_window_agg",
     "embedding_quantize_int8",

@@ -163,6 +163,70 @@ def streaming_running_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --- at-least-once dedup (dropDuplicatesWithinWatermark) ------------------
+
+# The oracle is the ORIGINAL events table: the stream input is every
+# event delivered twice (the replica's ts drifted +1 s), so the dedup
+# must collapse the doubled stream back to exactly one row per
+# event_id. ts is excluded from the output because WHICH replica
+# survives (original vs +1 s) depends on in-batch arrival order; every
+# other column is identical between replicas, so the result is
+# deterministic without it.
+_STREAM_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type, value, props FROM events
+"""
+
+
+@query("streaming_dedup_live", oracle=_STREAM_DEDUP_ORACLE)
+def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once ingestion made exactly-once (Spark 4
+    ``dropDuplicatesWithinWatermark`` via streaming/events.
+    dedup_stream_within_watermark): the landing zone re-delivers every
+    event with a drifted timestamp — the Kafka-replay case where a
+    key+ts dedup would pass the replica through — and the drained
+    output must equal the original table exactly. Per-key state is
+    bounded by the 2 h watermark horizon, not the corpus size; a
+    replica split across micro-batches is still caught because the
+    1 s drift is far inside the horizon."""
+    import glob
+
+    from convert_parquet_to_csv_spark.streaming import (
+        dedup_stream_within_watermark,
+    )
+
+    ev = read_parquet_nanos_ts(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    redelivered = ev.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")
+    )
+    out = os.path.join(tempfile.gettempdir(), "cptc_stream_dedup")
+    parts = out + "_parts"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(parts, ignore_errors=True)
+    ev.unionByName(redelivered).repartitionByRange(
+        3, "ts"
+    ).write.mode("overwrite").parquet(parts)
+    os.makedirs(out)
+    for i, src_f in enumerate(
+        sorted(glob.glob(os.path.join(parts, "part-*.parquet")))
+    ):
+        dst = os.path.join(out, f"file_{i}.parquet")
+        shutil.move(src_f, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    shutil.rmtree(parts, ignore_errors=True)
+
+    stream = read_events_stream(spark, out, max_files_per_trigger=1)
+    run_stream_to_memory(
+        dedup_stream_within_watermark(stream, keys=["event_id"]).select(
+            "event_id", "user_id", "event_type", "value", "props"
+        ),
+        "cptc_gate_dedup",
+        output_mode="append",
+    )
+    return spark.table("cptc_gate_dedup")
+
+
 # --- foreachBatch → MERGE: the streaming-upsert integration ---------------
 
 _STREAM_UPSERT_ORACLE = """

@@ -2,6 +2,7 @@
 
 from convert_parquet_to_csv_spark.streaming.events import (
     dedup_stream,
+    dedup_stream_within_watermark,
     enrich_with_dim,
     join_click_view_streams,
     read_events_stream,
@@ -14,6 +15,7 @@ from convert_parquet_to_csv_spark.streaming.events import (
 
 __all__ = [
     "dedup_stream",
+    "dedup_stream_within_watermark",
     "enrich_with_dim",
     "join_click_view_streams",
     "read_events_stream",

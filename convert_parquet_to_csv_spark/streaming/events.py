@@ -178,6 +178,26 @@ def dedup_stream(
     )
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming dedup for at-least-once sources (Spark 4
+    ``dropDuplicatesWithinWatermark``): a re-delivered event is
+    dropped even when its event-time differs from the original's —
+    the real Kafka-replay/file-re-drop case, where
+    :func:`dedup_stream`'s key+ts match would let the replica
+    through. Per-key state lives only within the watermark horizon,
+    so memory is bounded by the lateness budget, not the corpus:
+    the property that makes at-least-once ingestion safe for a
+    training-data landing zone at any scale."""
+    return events.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(keys)
+
+
 def join_click_view_streams(
     clicks: DataFrame,
     views: DataFrame,

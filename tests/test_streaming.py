@@ -157,6 +157,55 @@ def test_stream_dedup_drops_redelivery(spark, events_dir, tmp_path):
     assert got.distinct().count() == n_unique
 
 
+def test_stream_dedup_within_watermark_catches_ts_drift(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must drop a re-delivered key even
+    when the replica's event-time drifted — the case dedup_stream's
+    key+ts match deliberately passes through."""
+    from pyspark.sql import functions as F
+
+    from convert_parquet_to_csv_spark.streaming import (
+        dedup_stream_within_watermark,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    src = str(tmp_path / "drift_src")
+    os.makedirs(src)
+    base = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 100, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:05:00", 101, "view", 2.0, "{}"),
+        ],
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    drifted = base.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 3 SECONDS")
+    )
+    import glob
+    import shutil
+
+    for i, df in enumerate((base, drifted)):
+        staging = str(tmp_path / f"stage_{i}")
+        df.coalesce(1).write.parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"f{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    run_stream_to_memory(
+        dedup_stream_within_watermark(stream, keys=["event_id"]).select(
+            "event_id", "user_id"
+        ),
+        "dedup_wm_t",
+        output_mode="append",
+    )
+    got = spark.table("dedup_wm_t")
+    assert got.count() == 2
+    assert sorted(r.event_id for r in got.collect()) == [1, 2]
+
+
 def test_stream_stream_join_equals_batch(spark, events_dir):
     """Watermarked stream-stream interval join must produce the same
     pairs as the equivalent batch join."""
