@@ -169,3 +169,73 @@ def pagerank_fixed_point(
         F.col("_n").alias(id_col),
         (F.col("_r").cast("double") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Exact global triangle count over an undirected graph — the
+    density/clustering companion to :func:`connected_components`
+    (a dup-cluster audit: triangle-rich components are genuine
+    near-dup families, triangle-free stars are often one hub false
+    positive away from over-merging).
+
+    Scale shape — DEGREE-ORDERED orientation (the MapReduce-classic
+    Suri & Vassilvitskii "last reducer" fix): each undirected edge is
+    oriented from its lower-(degree, id) endpoint to the higher one,
+    so every wedge is built at its lowest-order vertex. The wedge join
+    fan-out drops from Σ deg² (quadratic in the hottest vertex — the
+    exact hub pathology of co-occurrence graphs) to O(E^1.5) total,
+    and no single key dominates the shuffle. Three hash joins on edge
+    keys, no iteration. The count is orientation-invariant, so an
+    oracle may verify with the naive id-ordered form on small data.
+
+    Self-loops are dropped, parallel edges collapse via distinct.
+    Returns one row: (n_nodes, n_edges, n_triangles), all BIGINT.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(
+        F.col("n").alias("u"), F.col("d").alias("_du")
+    )
+    dv = deg.select(
+        F.col("n").alias("v"), F.col("d").alias("_dv")
+    )
+    lower_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    w1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    w2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    closing = oriented.select(
+        F.col("a").alias("x"), F.col("b").alias("z")
+    )
+    tri = (
+        w1.join(w2, "y")
+        .join(closing, ["x", "z"], "left_semi")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    return (
+        deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .crossJoin(e.agg(F.count("*").cast("bigint").alias("n_edges")))
+        .crossJoin(tri)
+    )

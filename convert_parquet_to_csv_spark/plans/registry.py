@@ -98,6 +98,7 @@ FIRST_TIER: list[str] = [
     "streaming_running_counts_live",
     "streaming_foreachbatch_upsert_live",
     "streaming_dedup_live",
+    "graph_triangle_copurchase",
     # multimodal
     "multimodal_stats",
     "multimodal_frame_sample",
@@ -130,10 +131,10 @@ FIRST_TIER: list[str] = [
     # Spark 4 SQL surface
     "recursive_cte_hierarchy",
     "variant_json_path",
-    "sql_udf_scalar",
     # ---- position 50 boundary ----
     # remaining never-gated, family-duplicate first (cheapest loss
     # under a budget cut), then the four slow recall/complete checks
+    "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",
     "hopping_window_agg",

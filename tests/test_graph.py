@@ -54,3 +54,24 @@ def test_pagerank_fixed_point_properties(spark):
     # determinism across runs
     r2 = {x.id: x.rank for x in pagerank_fixed_point(nodes, edges).collect()}
     assert r == r2
+
+
+def test_triangle_count_known_graphs(spark):
+    from convert_parquet_to_csv_spark.operators.graph import triangle_count
+
+    def count(pairs):
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        row = triangle_count(edges).collect()[0]
+        return (row.n_nodes, row.n_edges, row.n_triangles)
+
+    # K4: 4 triangles; reversed/duplicate/self edges must not matter
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+          (2, 1), (3, 3), (1, 2)]
+    assert count(k4) == (4, 6, 4)
+    # 4-cycle: no triangles
+    assert count([(1, 2), (2, 3), (3, 4), (4, 1)]) == (4, 4, 0)
+    # hub star (the degree-orientation stress case): no triangles
+    star = [(0, i) for i in range(1, 30)]
+    assert count(star) == (30, 29, 0)
+    # hub star + one rim edge: exactly 1 triangle
+    assert count(star + [(1, 2)]) == (30, 30, 1)
