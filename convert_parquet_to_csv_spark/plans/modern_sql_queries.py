@@ -1,5 +1,6 @@
 """Driver-checked queries: the Spark 4 SQL surface (recursive CTEs,
-VARIANT, GROUP BY ALL, SQL UDFs).
+VARIANT, GROUP BY ALL, SQL UDFs, SQL pipe syntax, LATERAL correlated
+subqueries, string collations).
 
 These go through the SQL front door (``spark.sql``) on purpose — the
 features are SQL-first, and the oracle side runs the closest DuckDB
@@ -169,5 +170,112 @@ def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT n_nationkey, region_tag(n_name, n_regionkey) AS region_tag
         FROM nation
+        """
+    )
+
+
+# --- SQL pipe syntax (|>) -------------------------------------------------
+
+_PIPE_ORACLE = """
+SELECT o_orderstatus,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+       AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE EXTRACT(year FROM o_orderdate) = 1995
+GROUP BY o_orderstatus
+"""
+
+
+@query("sql_pipe_syntax", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0, SPARK-49555): the same
+    filter→join→aggregate plan written as a left-to-right ``|>``
+    chain. Pure front-end sugar — Catalyst resolves each pipe stage
+    into the identical logical operators (the plan is the same
+    broadcast join + one-shuffle partial/final agg as the classic
+    form), so the oracle is the classic-syntax equivalent. Revenue
+    goes through DECIMAL per the registry determinism rules."""
+    _view(spark, sf_dir, "orders")
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE year(o_orderdate) = 1995
+        |> JOIN lineitem ON l_orderkey = o_orderkey
+        |> AGGREGATE CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+                                   AS DECIMAL(18,4))) AS DOUBLE)
+                       AS revenue,
+                     COUNT(*) AS n_lines
+           GROUP BY o_orderstatus
+        """
+    )
+
+
+# --- LATERAL correlated subquery ------------------------------------------
+
+_LATERAL_ORACLE = """
+SELECT n.n_nationkey, c.c_custkey, c.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+"""
+
+
+@query("lateral_topn_per_nation", oracle=_LATERAL_ORACLE)
+def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark 3.2+ syntax, correlated
+    ORDER BY/LIMIT supported in 4.x): top-3 customers by account
+    balance per nation, the classic top-n-per-group written as a
+    per-row subquery instead of a window. Catalyst decorrelates it
+    (DecorrelateInnerQuery) into a join + per-key ranking — same
+    scale shape as the explicit window form, no nested-loop per
+    nation row. Tie-broken on c_custkey so both engines pick the
+    same rows."""
+    _view(spark, sf_dir, "nation")
+    _view(spark, sf_dir, "customer")
+    return spark.sql(_LATERAL_ORACLE)
+
+
+# --- string collations (UTF8_LCASE) ---------------------------------------
+
+_COLLATE_ORACLE = """
+SELECT lower(seg) AS segment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+         AS acctbal_sum
+FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg, c_acctbal
+      FROM customer)
+GROUP BY lower(seg)
+"""
+
+
+@query("collation_casefold_group", oracle=_COLLATE_ORACLE)
+def collation_casefold_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4.0): grouping on a ``UTF8_LCASE``
+    collated key folds case inside the hash aggregate itself — no
+    lower() rewrite of the data. The fixture has no case diversity,
+    so the inner SELECT deterministically re-cases half the rows by
+    key parity; under the collation both casings land in one group.
+    Output casing is normalized explicitly (lower of MIN — group
+    members differ only by case, so lower() of any representative is
+    deterministic) and CAST back to plain STRING so no collation
+    leaks into the result schema. Oracle folds with lower() — the
+    pre-collation idiom the feature replaces."""
+    _view(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT lower(CAST(MIN(seg_mixed) AS STRING)) AS segment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                 AS acctbal_sum
+        FROM (SELECT collate(CASE WHEN c_custkey % 2 = 0
+                                  THEN upper(c_mktsegment)
+                                  ELSE lower(c_mktsegment) END,
+                             'UTF8_LCASE') AS seg_mixed,
+                     c_acctbal
+              FROM customer)
+        GROUP BY seg_mixed
         """
     )

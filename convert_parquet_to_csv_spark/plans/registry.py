@@ -132,8 +132,13 @@ FIRST_TIER: list[str] = [
     "recursive_cte_hierarchy",
     "variant_json_path",
     # ---- position 50 boundary ----
-    # remaining never-gated, family-duplicate first (cheapest loss
-    # under a budget cut), then the four slow recall/complete checks
+    # new-in-r3 surface past the boundary (next-best slots if the
+    # budget runs larger), then remaining never-gated family
+    # duplicates (cheapest loss under a budget cut), then the four
+    # slow recall/complete checks
+    "sql_pipe_syntax",
+    "lateral_topn_per_nation",
+    "collation_casefold_group",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

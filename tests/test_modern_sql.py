@@ -1,0 +1,72 @@
+"""Spark-4 SQL-surface invariants (pipe syntax, LATERAL, collations).
+
+Value-level correctness is the DuckDB oracle gate's job; these pin
+engine-internal equivalences that hold at ANY scale factor — each
+sugar form must produce exactly what the classic form it replaces
+produces.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from convert_parquet_to_csv_spark.plans import registry
+from convert_parquet_to_csv_spark.plans.common import load_table
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    registry.load_all()
+
+
+def test_pipe_syntax_matches_classic_form(spark, sf_small):
+    """|> chain and the classic SELECT resolve to the same result —
+    pipe syntax is front-end sugar, not a different evaluator."""
+    piped = registry.QUERIES["sql_pipe_syntax"](spark, sf_small)
+    classic = spark.sql(
+        """
+        SELECT o_orderstatus,
+          CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+                        AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_lines
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE year(o_orderdate) = 1995
+        GROUP BY o_orderstatus
+        """
+    )
+    assert sorted(piped.collect()) == sorted(classic.collect())
+
+
+def test_lateral_topn_matches_window_form(spark, sf_small):
+    """The correlated LATERAL LIMIT must select exactly the window
+    row_number() top-3 (same ordering, same tiebreak)."""
+    lat = registry.QUERIES["lateral_topn_per_nation"](spark, sf_small)
+    cust = load_table(spark, sf_small, "customer")
+    nation = load_table(spark, sf_small, "nation")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    win = (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_nationkey", "c_custkey", "c_acctbal")
+    )
+    assert sorted(lat.collect()) == sorted(win.collect())
+
+
+def test_collation_grouping_folds_case(spark, sf_small):
+    """Groups under UTF8_LCASE == distinct lower(segment); every
+    customer lands in exactly one group."""
+    res = registry.QUERIES["collation_casefold_group"](spark, sf_small)
+    rows = res.collect()
+    cust = load_table(spark, sf_small, "customer")
+    segs = {
+        r[0]
+        for r in cust.select(F.lower("c_mktsegment")).distinct().collect()
+    }
+    assert {r["segment"] for r in rows} == segs
+    assert sum(r["n_customers"] for r in rows) == cust.count()
