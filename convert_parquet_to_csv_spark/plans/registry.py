@@ -139,6 +139,8 @@ FIRST_TIER: list[str] = [
     "sql_pipe_syntax",
     "lateral_topn_per_nation",
     "collation_casefold_group",
+    "ohlc_bars_events",
+    "ewma_trailing_value",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -416,3 +416,117 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twa_value"),
         "span_us",
     )
+
+
+# --- OHLC resample bars ---------------------------------------------------
+
+# Oracle avoids arg_min/arg_max because DuckDB's overload set has no
+# composite-key form; the row_number() pair expresses the same
+# "first/last by (ts, event_id)" selection. high/low are raw MIN/MAX
+# of doubles (pure selection, no summation) so no DECIMAL routing is
+# needed anywhere in this query.
+_OHLC_ORACLE = """
+WITH base AS (
+  SELECT event_type, date_trunc('day', ts) AS bar_ts, value, ts, event_id
+  FROM events WHERE value IS NOT NULL
+),
+w AS (
+  SELECT event_type, bar_ts, value,
+    row_number() OVER (PARTITION BY event_type, bar_ts
+                       ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY event_type, bar_ts
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM base)
+SELECT event_type, bar_ts,
+  MAX(CASE WHEN rn_a=1 THEN value END) AS open,
+  MAX(value) AS high, MIN(value) AS low,
+  MAX(CASE WHEN rn_d=1 THEN value END) AS close,
+  COUNT(*) AS n_ticks
+FROM w GROUP BY event_type, bar_ts
+"""
+
+
+@query("ohlc_bars_events", oracle=_OHLC_ORACLE)
+def ohlc_bars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the irregular value stream into daily OHLC bars per
+    event type — the canonical time-series resample. Spark-native
+    form: ``min_by``/``max_by`` keyed on struct(ts, event_id) pick
+    open/close inside the same hash aggregate that computes high/low
+    and tick count, so the whole bar is ONE partial→final aggregate
+    on one (event_type, day) shuffle — no window, no second pass.
+    The struct tiebreak (event_id is unique) makes open/close
+    deterministic under equal timestamps; the oracle replays the
+    selection with a row_number() pair since DuckDB's arg_min lacks
+    a composite-key overload."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return ev.groupBy(
+        "event_type", F.date_trunc("DAY", "ts").alias("bar_ts")
+    ).agg(
+        F.min_by("value", F.struct("ts", "event_id")).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+# --- trailing EWMA --------------------------------------------------------
+
+# Cross-engine float exactness rests on three facts: (a) alpha=0.5 →
+# every weight power(0.5, k) is an exact power of two in IEEE double
+# (verified term-by-term against DuckDB), so x*w is an exact scaling;
+# (b) both sides fold the 20-term sum STRICTLY left-to-right in the
+# same window order (Spark ``aggregate`` and DuckDB ``list_reduce``
+# are both defined left folds; an earlier DECIMAL(28,12)-per-term
+# draft diverged at 1e-12 because the engines round double→decimal
+# differently — shortest-repr vs exact-value); (c) the weight-sum
+# divisor 2 - 2^-(n-1) is itself an exact double. Identical IEEE op
+# sequence → bit-identical output, no tolerance games.
+_EWMA_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+  FROM events WHERE value IS NOT NULL)
+SELECT user_id, event_id,
+  list_reduce(list_transform(vals, (x, i) -> x * power(0.5, len(vals) - i)),
+              (acc, x) -> acc + x)
+    / (2.0 - power(0.5, len(vals) - 1)) AS ewma
+FROM seq
+"""
+
+
+@query("ewma_trailing_value", oracle=_EWMA_ORACLE)
+def ewma_trailing_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.5) of each
+    user's value signal over a trailing 20-event window — the
+    smoothing primitive plain windowed AVG can't express (weights
+    decay with distance from the anchor row). The recursive form
+    s_i = a*x_i + (1-a)*s_{i-1} isn't window-expressible, but the
+    20-term truncation is: one collect_list window (bounded frame →
+    bounded array, no unbounded state) feeds a codegen'd
+    transform/aggregate fold — no UDF, no self-join row inflation.
+    Normalized by the weight sum so short prefixes aren't biased
+    toward zero. One user_id exchange total; at 100 TB the frame
+    bound keeps per-row cost constant. Exactness notes above the
+    oracle."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.collect_list("value").over(w).alias("vals"),
+    )
+    ewma = F.expr(
+        """
+        aggregate(transform(vals, (x, i) ->
+                    x * power(0.5, size(vals) - 1 - i)),
+                  CAST(0 AS DOUBLE), (acc, t) -> acc + t)
+          / (2.0 - power(0.5, size(vals) - 1))
+        """
+    ).alias("ewma")
+    return seq.select("user_id", "event_id", ewma)

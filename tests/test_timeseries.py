@@ -83,3 +83,69 @@ def test_date_spine_bounded_by_group_span(spark):
     assert spine.count() == 10 + 1  # user 1: 10 days; user 2: 1 day
     # spine never invents keys
     assert spine.select("user_id").distinct().count() == 2
+
+
+def test_ohlc_bars_invariants(spark, sf_small):
+    """low <= open/close <= high within every bar; tick counts
+    partition the non-null-value event stream."""
+    from convert_parquet_to_csv_spark.plans import registry
+    from convert_parquet_to_csv_spark.plans.common import load_table
+
+    registry.load_all()
+    bars = registry.QUERIES["ohlc_bars_events"](spark, sf_small).collect()
+    assert bars
+    for b in bars:
+        assert b["low"] <= b["open"] <= b["high"]
+        assert b["low"] <= b["close"] <= b["high"]
+        assert b["n_ticks"] >= 1
+    ev = load_table(spark, sf_small, "events")
+    n_nonnull = ev.filter(F.col("value").isNotNull()).count()
+    assert sum(b["n_ticks"] for b in bars) == n_nonnull
+
+
+def test_ewma_trailing_closed_form(spark, sf_small):
+    """EWMA output is a convex combination of the trailing window
+    (min <= ewma <= max), and the closed form checks out on a
+    hand-built series: [10] -> 10, [10, 20] -> (0.5*10 + 1*20)/1.5."""
+    from convert_parquet_to_csv_spark.plans import registry
+
+    registry.load_all()
+    res = registry.QUERIES["ewma_trailing_value"](spark, sf_small)
+    # convex-combination property on real data
+    import datetime as _dt
+
+    from pyspark.sql.window import Window as _W
+
+    from convert_parquet_to_csv_spark.plans.common import load_table
+
+    ev = load_table(spark, sf_small, "events").filter(
+        F.col("value").isNotNull()
+    )
+    w = (
+        _W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    bounds = ev.select(
+        "event_id",
+        F.min("value").over(w).alias("lo"),
+        F.max("value").over(w).alias("hi"),
+    )
+    joined = res.join(bounds, "event_id")
+    eps = 1e-9
+    bad = joined.filter(
+        (F.col("ewma") < F.col("lo") - eps)
+        | (F.col("ewma") > F.col("hi") + eps)
+    ).count()
+    assert bad == 0
+    # closed form on a two-row series via the same registered query
+    # shape (aggregate fold): weights 0.5^1, 0.5^0 normalized by 1.5
+    row = spark.sql(
+        """
+        SELECT aggregate(transform(array(10.0D, 20.0D), (x, i) ->
+                 x * power(0.5, 2 - 1 - i)),
+               CAST(0 AS DOUBLE), (acc, t) -> acc + t)
+               / (2.0 - power(0.5, 1)) AS e
+        """
+    ).collect()[0]
+    assert abs(row["e"] - (0.5 * 10.0 + 20.0) / 1.5) < 1e-12
