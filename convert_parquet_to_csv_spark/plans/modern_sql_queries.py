@@ -279,3 +279,56 @@ def collation_casefold_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY seg_mixed
         """
     )
+
+
+# --- DataFrame.transpose (Spark 4.0) --------------------------------------
+
+# Column names of the transposed frame come from the first column's
+# VALUES — pinned by the IN ('F','O','P') guard in both engines so a
+# fixture drift can't silently change the output schema. transpose
+# casts every measure to the least-common type (DOUBLE here), so the
+# oracle casts too.
+_TRANSPOSE_ORACLE = """
+SELECT 'n_orders' AS key,
+  CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS DOUBLE) AS F,
+  CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS DOUBLE) AS O,
+  CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS DOUBLE) AS P
+FROM orders WHERE o_orderstatus IN ('F','O','P')
+UNION ALL
+SELECT 'total_price' AS key,
+  CAST(SUM(CASE WHEN o_orderstatus='F'
+                THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+  CAST(SUM(CASE WHEN o_orderstatus='O'
+                THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS O,
+  CAST(SUM(CASE WHEN o_orderstatus='P'
+                THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS P
+FROM orders WHERE o_orderstatus IN ('F','O','P')
+"""
+
+
+@query("transpose_status_summary", oracle=_TRANSPOSE_ORACLE)
+def transpose_status_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (new in Spark 4.0): flip a small
+    aggregate summary so measures become rows and the status values
+    become columns — the report-layout twin of pivot/unpivot
+    (pivot_status_by_year / unpivot_status_totals cover the long↔wide
+    axes; transpose covers the full flip). Scale note: transpose
+    collects the FIRST COLUMN's values to name the output columns, so
+    it is only for already-aggregated frames — here a 3-row summary —
+    never raw data; the aggregation beneath it is the usual one-shuffle
+    partial/final agg."""
+    from pyspark.sql import functions as F
+
+    _view(spark, sf_dir, "orders")
+    summary = (
+        spark.table("orders")
+        .filter(F.col("o_orderstatus").isin("F", "O", "P"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+            ).alias("total_price"),
+        )
+    )
+    return summary.transpose()

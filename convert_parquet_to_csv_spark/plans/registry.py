@@ -141,6 +141,7 @@ FIRST_TIER: list[str] = [
     "collation_casefold_group",
     "ohlc_bars_events",
     "ewma_trailing_value",
+    "transpose_status_summary",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

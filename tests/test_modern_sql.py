@@ -70,3 +70,23 @@ def test_collation_grouping_folds_case(spark, sf_small):
     }
     assert {r["segment"] for r in rows} == segs
     assert sum(r["n_customers"] for r in rows) == cust.count()
+
+
+def test_transpose_round_trips_the_summary(spark, sf_small):
+    """transpose() of the status summary: measures become rows,
+    statuses become columns, and values survive the flip exactly
+    (modulo the documented least-common-type cast to DOUBLE)."""
+    res = registry.QUERIES["transpose_status_summary"](spark, sf_small)
+    rows = {r["key"]: r.asDict() for r in res.collect()}
+    assert set(rows) == {"n_orders", "total_price"}
+    orders = load_table(spark, sf_small, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O", "P")
+    )
+    counts = {
+        r["o_orderstatus"]: r["n"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for status, n in counts.items():
+        assert rows["n_orders"][status] == float(n)

@@ -73,6 +73,11 @@ CASES = {
     "q11_important_stock": "q11: nation-filtered partsupp aggregated twice (per-part + 1-row total broadcast), no re-scan",
     "q20_potential_promotion": "q20: part filter broadcast, correlated qty agg decorrelated to one pair-key shuffle, semi-join to suppliers",
     "python_datasource_write_roundtrip": "python sink: BatchWrite over the custom writer, scan side unchanged",
+    "sql_pipe_syntax": "pipe syntax: resolves to the classic plan — broadcast join + one-shuffle partial/final agg",
+    "lateral_topn_per_nation": "LATERAL: decorrelated to WindowGroupLimit (partial top-3 BEFORE the exchange) + broadcast nation join, no per-row subquery",
+    "collation_casefold_group": "collation: case folds inside one sort-agg on the collated key, single exchange",
+    "ohlc_bars_events": "OHLC: open/high/low/close fused in one (event_type,day) aggregate, single exchange, no window pass",
+    "ewma_trailing_value": "EWMA: one user_id exchange, bounded 20-row frame, codegen'd fold (no UDF)",
 }
 
 KEY_MARKERS = (
