@@ -892,3 +892,89 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "activity_week")
         .agg(F.count("*").cast("bigint").alias("n_active_users"))
     )
+
+
+# --- exact second moments (variance/stddev at scale) ----------------------
+
+# Built-in var_samp/stddev_samp over doubles are ORDER-DEPENDENT in
+# the last ulps (parallel partial sums), so they can never hash-match
+# a serial oracle — the same reason the registry routes SUMs through
+# DECIMAL. This query computes them deterministically: prices become
+# exact cents (BIGINT), pass 1 gets each group's count and floored
+# fixed-point mean, pass 2 sums integer-exact squared deviations
+# about that mean, and the textbook correction n*Σd² - (Σd)² shifts
+# the moment to the true mean — all integer arithmetic until one
+# final double divide + sqrt shared verbatim by both engines.
+# DECIMAL(38,0) bounds the exactness window (Σd² ≲ 10^38 holds past
+# sf1000 for 2-dp prices); beyond that, widen the scale split.
+_MOMENT_ORACLE = """
+WITH fx AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+  FROM lineitem),
+m AS (
+  SELECT flag, COUNT(*) AS n,
+         CAST(SUM(CAST(v AS HUGEINT)) // COUNT(*) AS BIGINT) AS mu_fx
+  FROM fx GROUP BY flag),
+d AS (
+  SELECT fx.flag, m.n, m.mu_fx, CAST(fx.v - m.mu_fx AS HUGEINT) AS d
+  FROM fx JOIN m ON fx.flag = m.flag),
+c AS (
+  SELECT flag, n, mu_fx, SUM(d) AS sd, SUM(d*d) AS sd2
+  FROM d GROUP BY flag, n, mu_fx)
+SELECT flag, n,
+  CAST(CAST(n AS HUGEINT) * sd2 - sd * sd AS DOUBLE)
+    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 10000.0) AS var_price,
+  sqrt(CAST(CAST(n AS HUGEINT) * sd2 - sd * sd AS DOUBLE)
+    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 10000.0))
+    AS stddev_price
+FROM c
+"""
+
+
+@query("moment_stats_exact", oracle=_MOMENT_ORACLE)
+def moment_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group variance/stddev — the two-pass exact
+    central-moment algorithm (see the oracle comment for why the
+    built-ins can't hash-match). Scale shape: two scans of the fact
+    table, each one partial→final agg shuffle on the group key; the
+    per-group means are a handful of rows broadcast back to pass 2
+    (never a shuffle of the fact stream for the join). Numerically
+    this is also the STABLE path at 100 TB — squared deviations about
+    a near-mean pivot, not the catastrophic-cancellation-prone
+    Σx² - (Σx)²/n over raw magnitudes."""
+    li = _t(spark, sf_dir, "lineitem")
+    fx = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+    )
+    m = fx.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(v AS DECIMAL(38,0))) div COUNT(*) AS BIGINT)"
+        ).alias("mu_fx"),
+    )
+    d = fx.join(F.broadcast(m), "flag").select(
+        "flag",
+        "n",
+        "mu_fx",
+        (F.col("v") - F.col("mu_fx")).cast("decimal(38,0)").alias("d"),
+    )
+    c = d.groupBy("flag", "n", "mu_fx").agg(
+        F.sum("d").alias("sd"),
+        F.sum(F.expr("d * d")).alias("sd2"),
+    )
+    num = F.expr("CAST(CAST(n AS DECIMAL(38,0)) * sd2 - sd * sd AS DOUBLE)")
+    den = (
+        F.col("n").cast("double")
+        * (F.col("n") - 1).cast("double")
+        * F.lit(10000.0)
+    )
+    return c.select(
+        "flag",
+        "n",
+        (num / den).alias("var_price"),
+        F.sqrt(num / den).alias("stddev_price"),
+    )

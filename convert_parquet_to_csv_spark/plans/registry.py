@@ -142,6 +142,7 @@ FIRST_TIER: list[str] = [
     "ohlc_bars_events",
     "ewma_trailing_value",
     "transpose_status_summary",
+    "moment_stats_exact",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

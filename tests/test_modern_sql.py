@@ -90,3 +90,30 @@ def test_transpose_round_trips_the_summary(spark, sf_small):
     }
     for status, n in counts.items():
         assert rows["n_orders"][status] == float(n)
+
+
+def test_moment_stats_match_builtin_within_float_tolerance(spark, sf_small):
+    """The exact fixed-point variance must agree with Spark's own
+    var_samp to ~1e-9 relative (the builtin is order-dependent in
+    the last ulps, which is the whole reason the exact path exists;
+    the fixed-point grid adds at most cent-quantization noise)."""
+    res = registry.QUERIES["moment_stats_exact"](spark, sf_small)
+    got = {r["flag"]: r for r in res.collect()}
+    li = load_table(spark, sf_small, "lineitem")
+    ref = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.var_samp("l_extendedprice").alias("v"),
+            F.stddev_samp("l_extendedprice").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for flag, r in got.items():
+        assert r["n"] == ref[flag]["n"]
+        assert abs(r["var_price"] - ref[flag]["v"]) < 1e-6 * ref[flag]["v"]
+        assert (
+            abs(r["stddev_price"] - ref[flag]["s"]) < 1e-6 * ref[flag]["s"]
+        )
