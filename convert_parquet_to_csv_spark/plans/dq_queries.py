@@ -286,3 +286,59 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         (F.lit(1.0) / F.count("*").over(w)).alias("weight"),
     )
+
+
+# --- observe(): single-pass piggyback metrics -----------------------------
+
+_OBSERVE_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_sum,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_discounted,
+       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_ship
+FROM lineitem
+"""
+
+
+@query("observe_metrics_single_pass", oracle=_OBSERVE_ORACLE)
+def observe_metrics_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.observe`` — DQ metrics that PIGGYBACK on a real
+    job instead of costing a second scan: the observation's
+    aggregates are evaluated inline by CollectMetricsExec while the
+    noop write streams the table through, and the driver reads them
+    from the query's metrics afterward (``Observation.get`` blocks on
+    the listener). At 100 TB this is the difference between free
+    row-count/null-count/sum audits on every production write and
+    doubling the pipeline's scan bill — the pattern behind Delta-
+    style write metrics. The returned 1-row frame re-materializes the
+    observed dict so the gate can hash it against a plain aggregate
+    oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql import Observation
+
+    obs = Observation("dq_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
+        ).alias("qty_sum"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_shipdate").isNull()).alias("n_null_ship"),
+    )
+    # the "real" job the metrics ride on — a full materialization
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["qty_sum"],
+                m["n_discounted"],
+                m["n_null_ship"],
+            )
+        ],
+        "n_rows bigint, qty_sum double, n_discounted bigint, "
+        "n_null_ship bigint",
+    )

@@ -143,6 +143,7 @@ FIRST_TIER: list[str] = [
     "ewma_trailing_value",
     "transpose_status_summary",
     "moment_stats_exact",
+    "observe_metrics_single_pass",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -183,3 +183,27 @@ def test_fk_skips_null_child_keys(spark):
     )
     # only ck=3 (fk=9) is an orphan; the NULL fk is not counted
     assert got["fk(fk->pk)"] == (1, False)
+
+
+def test_observe_metrics_match_direct_aggregate(spark, sf_small):
+    """The observed (piggybacked) metrics must equal the same
+    aggregates computed as a plain query — observe() changes where
+    the metrics are evaluated, never their values."""
+    from pyspark.sql import functions as F
+
+    from convert_parquet_to_csv_spark.plans import registry
+    from convert_parquet_to_csv_spark.plans.common import load_table
+
+    registry.load_all()
+    row = registry.QUERIES["observe_metrics_single_pass"](
+        spark, sf_small
+    ).collect()[0]
+    li = load_table(spark, sf_small, "lineitem")
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("l_discount") > 0.05).alias("nd"),
+        F.count_if(F.col("l_shipdate").isNull()).alias("nn"),
+    ).collect()[0]
+    assert row["n_rows"] == direct["n"]
+    assert row["n_discounted"] == direct["nd"]
+    assert row["n_null_ship"] == direct["nn"]

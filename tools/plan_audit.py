@@ -78,6 +78,7 @@ CASES = {
     "collation_casefold_group": "collation: case folds inside one sort-agg on the collated key, single exchange",
     "ohlc_bars_events": "OHLC: open/high/low/close fused in one (event_type,day) aggregate, single exchange, no window pass",
     "ewma_trailing_value": "EWMA: one user_id exchange, bounded 20-row frame, codegen'd fold (no UDF)",
+    "moment_stats_exact": "exact moments: two scans, two flag-key shuffles, per-group means BROADCAST back (no fact-stream join shuffle)",
 }
 
 KEY_MARKERS = (
