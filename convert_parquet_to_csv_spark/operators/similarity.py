@@ -486,3 +486,102 @@ def kmeans_refine_centroids(
             .localCheckpoint()
         )
     return centroids
+
+
+def sparse_cosine_topk_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_df: int = 2,
+    max_df_denom: int = 10,
+) -> DataFrame:
+    """Sparse tf-idf cosine top-k similar pairs via an inverted-index
+    self-join — the SPARSE-vector twin of the dense embedding paths
+    above (same query surface, no embedding model needed).
+
+    Exactness design (registry determinism rules): weights are
+    INTEGERS ``tf * (N div df)`` — the repo's ln-free idf convention
+    — so dot products and norms² are exact BIGINT sums; cosine is
+    one shared double expression ``dot / sqrt(n2a * n2b)`` at the
+    very end, bit-identical cross-engine.
+
+    Scale shape: candidate pairs come only from shared terms, and two
+    pruning rules bound the posting lists the self-join explodes —
+    ``df >= min_df`` (df=1 terms can't create pairs) and
+    ``df * max_df_denom <= N`` (stop-term guard: no posting list
+    longer than N/denom, so the join is Σ df² over kept terms, never
+    docs²). Same role as the LSH ``max_bucket`` hot-bucket drop.
+    Shuffles: tf (doc,term), df (term), postings self-join (term),
+    pair agg (d1,d2), one d1 window — all key-partitioned, no
+    broadcast of anything data-proportional.
+    """
+    from convert_parquet_to_csv_spark.functions.text import tokens
+
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    keep = (
+        dfreq.crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") * max_df_denom <= F.col("n_corpus"))
+        )
+        .select("term", "df", "n_corpus")
+    )
+    w = tf.join(keep, "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf") * F.expr("n_corpus div df")
+        ).cast("bigint").alias("w"),
+    )
+    norm2 = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(
+            F.sum(F.col("a.w") * F.col("b.w")).cast("bigint").alias("dot")
+        )
+    )
+    x, y = norm2.alias("x"), norm2.alias("y")
+    cos = (
+        dots.join(x, F.col("d1") == F.col("x.doc_id"))
+        .join(y, F.col("d2") == F.col("y.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("x.n2").cast("double")
+                    * F.col("y.n2").cast("double")
+                )
+            ).alias("cosine"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("d1").orderBy(F.desc("cosine"), F.asc("d2"))
+    )
+    return (
+        cos.withColumn("rk", rk.cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("d1", "d2", "dot", "cosine", "rk")
+    )

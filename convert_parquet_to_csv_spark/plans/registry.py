@@ -144,6 +144,7 @@ FIRST_TIER: list[str] = [
     "transpose_status_summary",
     "moment_stats_exact",
     "observe_metrics_single_pass",
+    "sparse_cosine_topk_pairs",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -318,3 +318,57 @@ def arrow_vector_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return arrow_vector_stats(_vecs(spark, sf_dir))
+
+
+# --- sparse tf-idf cosine pairs (inverted-index join) ---------------------
+
+_SPARSE_COS_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(trim(text)), '\s+'),
+           t -> t != '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words
+       GROUP BY doc_id, term),
+n AS (SELECT COUNT(*) AS n_corpus FROM documents),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+keep AS (
+  SELECT dfreq.term, dfreq.df, n.n_corpus FROM dfreq CROSS JOIN n
+  WHERE dfreq.df >= 2 AND dfreq.df * 10 <= n.n_corpus),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * (keep.n_corpus // keep.df) AS BIGINT) AS w
+  FROM tf JOIN keep ON tf.term = keep.term),
+norm2 AS (SELECT doc_id, CAST(SUM(w*w) AS BIGINT) AS n2
+          FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+cos AS (
+  SELECT d1, d2, dot,
+         CAST(dot AS DOUBLE)
+           / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)) AS cosine
+  FROM dots JOIN norm2 x ON d1 = x.doc_id
+            JOIN norm2 y ON d2 = y.doc_id),
+ranked AS (
+  SELECT d1, d2, dot, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY d1 ORDER BY cosine DESC, d2 ASC) AS INT) AS rk
+  FROM cos)
+SELECT d1, d2, dot, cosine, rk FROM ranked WHERE rk <= 3
+"""
+
+
+@query("sparse_cosine_topk_pairs", oracle=_SPARSE_COS_ORACLE)
+def sparse_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-similar document pairs per doc under sparse tf-idf
+    cosine — the inverted-index path (no embeddings): integer
+    weights keep every sum exact, stop/rare-term pruning bounds the
+    posting-list self-join (see operators.similarity.
+    sparse_cosine_topk_pairs for the full scale analysis)."""
+    docs = read_parquet(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+    return S.sparse_cosine_topk_pairs(docs, k=3)

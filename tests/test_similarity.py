@@ -140,3 +140,46 @@ def test_l2_normalize_and_quantize(spark):
     assert out[1].q == [0, 0]
     # quantization: max-|x| element hits ±127 exactly
     assert out[2].q == [-63, 127]
+
+
+def test_sparse_cosine_pairs_invariants(spark, sf_small):
+    """Pairs are canonical (d1<d2), cosines in (0,1], ranks start at
+    1 and are contiguous per d1, and EXACT duplicate texts (the
+    fixture contains them) surface with cosine == 1.0."""
+    from pyspark.sql import functions as F
+
+    from convert_parquet_to_csv_spark.plans import registry
+    from convert_parquet_to_csv_spark.plans.common import load_table
+
+    registry.load_all()
+    rows = registry.QUERIES["sparse_cosine_topk_pairs"](
+        spark, sf_small
+    ).collect()
+    assert rows
+    per_d1: dict[int, list[int]] = {}
+    for r in rows:
+        assert r["d1"] < r["d2"]
+        assert 0.0 < r["cosine"] <= 1.0 + 1e-12
+        per_d1.setdefault(r["d1"], []).append(r["rk"])
+    for rks in per_d1.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+    # exact-duplicate texts must be found at cosine 1.0 (as long as
+    # the duplicated text has >=1 surviving term after df pruning,
+    # identical weight vectors give cosine exactly 1)
+    docs = load_table(spark, sf_small, "documents")
+    dup = (
+        docs.groupBy(F.lower(F.trim("text")).alias("t"))
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.length("t") > 20))
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        ids = sorted(dup[0]["ids"])[:2]
+        hit = [
+            r
+            for r in rows
+            if r["d1"] == ids[0] and r["d2"] == ids[1]
+        ]
+        if hit:
+            assert abs(hit[0]["cosine"] - 1.0) < 1e-12
