@@ -145,6 +145,7 @@ FIRST_TIER: list[str] = [
     "moment_stats_exact",
     "observe_metrics_single_pass",
     "sparse_cosine_topk_pairs",
+    "zscore_anomaly_events",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

