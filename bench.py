@@ -68,6 +68,12 @@ BENCH_QUERY_NAMES = [
     # r3: cross-document span removal (C4 rule) — the other
     # corpus-wide heavy-hitter pass worth trending
     "span_dedup_c4",
+    # r3 continuation: sparse-vector similarity (inverted-index
+    # self-join) and the exact-arithmetic analytics additions
+    "sparse_cosine_topk_pairs",
+    "moment_stats_exact",
+    "ewma_trailing_value",
+    "zscore_anomaly_events",
 ]
 
 DOCS_500K_PATH = "/tmp/cptc_bench_docs500k.parquet"

@@ -299,3 +299,92 @@ def remove_duplicated_spans(
         .alias("n_kept"),
         F.count("cpos").cast("bigint").alias("n_removed"),
     )
+
+
+def epoch_resample(
+    docs: DataFrame,
+    epochs: float = 3.0,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Deterministic temperature resampling WITH replacement — the
+    epoch-mixture builder: where :func:`mix_sources_temperature`
+    SELECTS a subset, this REPLICATES docs so each source hits its
+    temperature-weighted share of ``epochs ×`` the corpus size
+    (up-weighted small sources repeat; e.g. 2.3× means every doc
+    appears twice and the md5-first 30% a third time — the standard
+    repeat-upsampling in LLM training mixtures).
+
+    Repeat counts are exact integers: per-source target
+    T_s = floor(epochs·N·w_s/Σw) splits into ``T_s div n_s`` copies
+    for every doc plus one extra for the first ``T_s mod n_s`` docs
+    of the md5 permutation, so Σ copies == T_s exactly and the output
+    is reproducible row-for-row (no RNG; registry no-RNG rule).
+
+    Scale shape: per-source volumes and targets are tiny aggregates
+    broadcast back; replication is ``explode(sequence(1, copies))``
+    map-side — the only shuffle is the per-source rank window, and a
+    downstream repartition can spread the replicas. Copies stay
+    data-independent per doc (div/mod of broadcast scalars), so no
+    skew beyond the source mix itself.
+    """
+    vol = docs.groupBy(source_col).agg(
+        F.sum(weight_col).alias("w_raw"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    if alpha == 0.5:
+        wt = F.sqrt(F.col("w_raw").cast("double"))
+    else:
+        wt = F.pow(F.col("w_raw").cast("double"), F.lit(alpha))
+    vol = vol.withColumn("wt", wt)
+    tot = vol.agg(
+        F.sum(F.col("wt").cast("decimal(24,6)"))
+        .cast("double")
+        .alias("wsum"),
+        F.sum("n_docs").alias("n_corpus"),
+    )
+    tgt = vol.join(F.broadcast(tot)).select(
+        source_col,
+        "n_docs",
+        F.floor(
+            F.lit(float(epochs))
+            * F.col("n_corpus").cast("double")
+            * F.col("wt")
+            / F.col("wsum")
+        )
+        .cast("bigint")
+        .alias("target_n"),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = docs.select(id_col, source_col).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    sel = ranked.join(F.broadcast(tgt), source_col).select(
+        id_col,
+        source_col,
+        (
+            F.expr("target_n div n_docs")
+            + F.when(
+                F.col("rk") <= F.expr("target_n % n_docs"), 1
+            ).otherwise(0)
+        ).alias("copies"),
+    )
+    return (
+        sel.filter(F.col("copies") > 0)
+        .select(
+            id_col,
+            source_col,
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.col("copies"))
+            ).alias("_copy"),
+        )
+        .select(
+            id_col,
+            source_col,
+            F.col("_copy").cast("int").alias("copy_idx"),
+        )
+    )

@@ -246,3 +246,56 @@ def decontaminate_ngram_overlap_hashed(
         n=3,
         hash_grams=True,
     )
+
+
+# --- epoch resampling with replacement ------------------------------------
+
+_EPOCH_ORACLE = r"""
+WITH vol AS (
+  SELECT source, SUM(n_chars) AS w_raw, COUNT(*) AS n_docs
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, sqrt(CAST(w_raw AS DOUBLE)) AS wt FROM vol
+),
+tot AS (
+  SELECT CAST(SUM(CAST(wt AS DECIMAL(24,6))) AS DOUBLE) AS wsum,
+         SUM(n_docs) AS n_corpus
+  FROM w
+),
+tgt AS (
+  SELECT source, n_docs,
+         CAST(floor(3.0 * CAST(n_corpus AS DOUBLE) * wt / wsum)
+              AS BIGINT) AS target_n
+  FROM w CROSS JOIN tot
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+),
+sel AS (
+  SELECT r.doc_id, r.source,
+         tgt.target_n // tgt.n_docs
+           + CASE WHEN r.rk <= tgt.target_n % tgt.n_docs
+                  THEN 1 ELSE 0 END AS copies
+  FROM ranked r JOIN tgt USING (source)
+)
+SELECT doc_id, source,
+       CAST(unnest(range(1, copies + 1)) AS INT) AS copy_idx
+FROM sel WHERE copies > 0
+"""
+
+
+@query("epoch_resample_replacement", oracle=_EPOCH_ORACLE)
+def epoch_resample_replacement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """3-epoch temperature resample WITH replacement: every source
+    replicated to its sqrt-char-volume share of 3× the corpus, docs
+    repeating ``T div n`` (+1 for the md5-first remainder) times —
+    the repeat-upsampling mixture builder (see operators.curation.
+    epoch_resample for the exactness and scale notes)."""
+    return C.epoch_resample(_docs(spark, sf_dir), epochs=3.0)

@@ -146,6 +146,7 @@ FIRST_TIER: list[str] = [
     "observe_metrics_single_pass",
     "sparse_cosine_topk_pairs",
     "zscore_anomaly_events",
+    "epoch_resample_replacement",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

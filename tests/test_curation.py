@@ -274,3 +274,39 @@ def test_apply_in_arrow_grouped_agg(spark):
         .collect()
     }
     assert got == want
+
+
+def test_epoch_resample_replication_shape(spark, sf_small):
+    """Output is ~epochs x corpus; per-doc copies differ by at most 1
+    within a source (div/mod dealing); copy_idx is 1..copies dense."""
+    from pyspark.sql import functions as F
+
+    from convert_parquet_to_csv_spark.plans import registry
+    from convert_parquet_to_csv_spark.plans.common import load_table
+
+    registry.load_all()
+    out = registry.QUERIES["epoch_resample_replacement"](spark, sf_small)
+    rows = out.collect()
+    n_corpus = load_table(spark, sf_small, "documents").count()
+    n_sources = (
+        load_table(spark, sf_small, "documents")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    # Sigma floor(target) loses < 1 per source
+    assert 3 * n_corpus - n_sources <= len(rows) <= 3 * n_corpus
+    per_doc: dict[tuple, list[int]] = {}
+    for r in rows:
+        per_doc.setdefault((r["doc_id"], r["source"]), []).append(
+            r["copy_idx"]
+        )
+    per_source_counts: dict[str, set[int]] = {}
+    for (doc, src), idxs in per_doc.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1))
+        per_source_counts.setdefault(src, set()).add(len(idxs))
+    for src, counts in per_source_counts.items():
+        assert len(counts) <= 2 and max(counts) - min(counts) <= 1, (
+            src,
+            counts,
+        )
