@@ -239,3 +239,82 @@ def triangle_count(
         .crossJoin(e.agg(F.count("*").cast("bigint").alias("n_edges")))
         .crossJoin(tri)
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Peel to the k-core: the maximal subgraph where every node has
+    degree ≥ k — the standard densest-region extractor (spam/boiler-
+    plate hubs in dup graphs, community nuclei in co-occurrence
+    graphs). Iterative peeling: drop all nodes with degree < k,
+    recompute, repeat to fixpoint.
+
+    Returns ``(node, core_deg)`` for k-core members, core_deg being
+    the degree WITHIN the core (≥ k by definition).
+
+    Scale shape per round: one degree groupBy (partial-agg'd) + two
+    semi-joins to keep edges between survivors — everything hash-
+    partitioned on node ids; edge set ``localCheckpoint``-ed per
+    round (same lineage hygiene as connected_components above).
+    Convergence = edge count unchanged (a count, never a collect).
+    Rounds needed = peeling depth, bounded by graph degeneracy — tiny
+    for real co-occurrence graphs. Early exit is safe at any cap: a
+    converged round is a no-op, so "at most N rounds" and "exactly N
+    rounds" produce identical results once fixpoint is inside N (the
+    oracle-replay property the gated query pins at N=5).
+
+    Raises if still shrinking after ``max_rounds`` — a partial peel
+    is NOT the k-core and must not be returned silently.
+    """
+    cur = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = cur.count()
+    converged = n_edges == 0
+    for _ in range(max_rounds):
+        if converged:
+            break
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= k).select("node")
+        nxt = (
+            cur.join(
+                alive.select(F.col("node").alias("u")), "u", "left_semi"
+            )
+            .join(
+                alive.select(F.col("node").alias("v")), "v", "left_semi"
+            )
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:
+            converged = True
+        n_edges = n_next
+    if not converged:
+        raise RuntimeError(
+            f"k_core still peeling after {max_rounds} rounds; raise "
+            "max_rounds (peeling depth exceeds the cap)"
+        )
+    return (
+        cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+    )

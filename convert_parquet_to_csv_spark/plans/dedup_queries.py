@@ -520,3 +520,76 @@ def graph_triangle_copurchase(
     )
 
     return triangle_count(edges)
+
+
+# --- k-core of the repeated co-purchase graph -----------------------------
+
+# The oracle unrolls the peel as _KCORE_UNROLL fixed SQL stages
+# (recursive CTEs can't host per-round aggregation in either
+# engine's dialect; each stage is AS MATERIALIZED or DuckDB's CTE
+# inlining re-expands every reference exponentially). A converged
+# peel round is a no-op, so "exactly
+# R rounds" equals "run to fixpoint" whenever the true peeling depth
+# is <= R; observed depth is 9 at sf0.01 / 3 at sf0.1, and
+# test_kcore_peel_depth_within_oracle_unroll pins depth <= R against
+# fixture drift. The Spark side genuinely runs to fixpoint
+# (operators/graph.k_core raises rather than return a partial peel).
+_KCORE_UNROLL = 20
+
+def _kcore_oracle() -> str:
+    stages = ["""
+WITH e0 AS MATERIALIZED (
+  SELECT least(a.l_partkey, b.l_partkey) AS u,
+         greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)"""]
+    for i in range(1, _KCORE_UNROLL + 1):
+        stages.append(f""",
+d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+        (SELECT u AS node FROM e{i-1}
+         UNION ALL SELECT v FROM e{i-1}) GROUP BY node),
+a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= 3),
+e{i} AS MATERIALIZED (SELECT u, v FROM e{i-1}
+        WHERE u IN (SELECT node FROM a{i})
+          AND v IN (SELECT node FROM a{i}))""")
+    last = f"e{_KCORE_UNROLL}"
+    stages.append(f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM (SELECT u AS node FROM {last} UNION ALL SELECT v FROM {last})
+GROUP BY node""")
+    return "".join(stages)
+
+
+@query("kcore_copurchase", oracle=_kcore_oracle())
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the REPEATED co-purchase graph (parts co-occurring
+    in >= 2 distinct orders): the dense nucleus that survives when
+    every marginal node is iteratively peeled — the graph-native
+    "dense region" extractor (spam/template hubs in dup graphs).
+    The weight filter keeps the graph heavy-tailed so the core is
+    non-trivial: at sf0.01 roughly half the nodes survive 9 peel
+    rounds; at sf0.1 the sparser relative co-occurrence collapses to
+    an empty core — both exact outcomes, oracle-confirmed. See
+    operators/graph.k_core for the per-round scale shape."""
+    li = read_parquet(
+        spark, os.path.join(sf_dir, "lineitem.parquet")
+    ).select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    from convert_parquet_to_csv_spark.operators.graph import k_core
+
+    return k_core(edges, 3, max_rounds=40)

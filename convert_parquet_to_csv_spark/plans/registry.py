@@ -147,6 +147,7 @@ FIRST_TIER: list[str] = [
     "sparse_cosine_topk_pairs",
     "zscore_anomaly_events",
     "epoch_resample_replacement",
+    "kcore_copurchase",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

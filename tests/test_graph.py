@@ -75,3 +75,90 @@ def test_triangle_count_known_graphs(spark):
     assert count(star) == (30, 29, 0)
     # hub star + one rim edge: exactly 1 triangle
     assert count(star + [(1, 2)]) == (30, 30, 1)
+
+
+def test_k_core_known_graph(spark):
+    """Triangle + pendant: the 2-core is exactly the triangle (the
+    pendant node and its edge peel away); a 4-clique's 3-core is the
+    whole clique."""
+    from convert_parquet_to_csv_spark.operators.graph import k_core
+
+    tri_plus_tail = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src int, dst int"
+    )
+    core2 = {
+        (r["node"], r["core_deg"])
+        for r in k_core(tri_plus_tail, 2).collect()
+    }
+    assert core2 == {(1, 2), (2, 2), (3, 2)}
+    clique4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src int, dst int",
+    )
+    core3 = {
+        (r["node"], r["core_deg"]) for r in k_core(clique4, 3).collect()
+    }
+    assert core3 == {(i, 3) for i in range(4)}
+    # cascade: a path has an empty 2-core
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src int, dst int"
+    )
+    assert k_core(path, 2).count() == 0
+
+
+def test_k_core_members_have_core_degree_at_least_k(spark, sf_small):
+    """Every gated-query core member's reported degree is >= k, and
+    the peel depth stays within the oracle's unrolled rounds."""
+    from convert_parquet_to_csv_spark.plans import registry
+    from convert_parquet_to_csv_spark.plans.dedup_queries import (
+        _KCORE_UNROLL,
+    )
+
+    registry.load_all()
+    rows = registry.QUERIES["kcore_copurchase"](spark, sf_small).collect()
+    assert rows, "3-core empty at sf0.001 — fixture drifted?"
+    for r in rows:
+        assert r["core_deg"] >= 3
+    # depth pin: replay the peel and count rounds to fixpoint
+    from pyspark.sql import functions as F
+
+    from convert_parquet_to_csv_spark.plans.common import load_table
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    cur = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    n = cur.count()
+    depth = None
+    for i in range(1, _KCORE_UNROLL + 1):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= 3).select("node")
+        cur = (
+            cur.join(alive.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(alive.select(F.col("node").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        m = cur.count()
+        if m == n:
+            depth = i
+            break
+        n = m
+    assert depth is not None and depth <= _KCORE_UNROLL, (
+        "peeling depth exceeds the oracle unroll — raise _KCORE_UNROLL"
+    )
