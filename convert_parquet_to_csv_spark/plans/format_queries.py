@@ -302,3 +302,31 @@ def python_datasource_write_roundtrip(
     return spark.read.schema(
         "doc_id BIGINT, lang STRING, n_chars BIGINT"
     ).json(dst)
+
+
+@query("xml_roundtrip", oracle=_AGG_ORACLE)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → XML sink → schema'd readback → aggregate, on the
+    XML data source built into Spark 4 (the spark-xml package
+    mainlined). Same contract as the JSON/ORC roundtrips: explicit
+    readback schema (no inference scan), partition-parallel sink,
+    markup escaping exercised by the free-text column (&, <, quotes
+    all appear in the fixture corpus). The aggregate hashes lang +
+    n_chars, so the gate proves values survive the markup layer
+    intact."""
+    docs = _docs(spark, sf_dir)
+    dst = os.path.join(tempfile.gettempdir(), "cptc_xml_roundtrip")
+    (
+        docs.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .save(dst)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema(docs.schema)
+        .load(dst)
+    )
+    return _agg(back)

@@ -148,6 +148,8 @@ FIRST_TIER: list[str] = [
     "zscore_anomaly_events",
     "epoch_resample_replacement",
     "kcore_copurchase",
+    "xml_roundtrip",
+    "streaming_static_enrich_live",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

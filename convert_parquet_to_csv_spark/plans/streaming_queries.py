@@ -404,3 +404,54 @@ def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+_STATIC_ENRICH_ORACLE = """
+SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
+@query("streaming_static_enrich_live", oracle=_STATIC_ENRICH_ORACLE)
+def streaming_static_enrich_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream–static enrichment drained live: each micro-batch
+    left-joins the (broadcast) customer dimension — the standard
+    attribute-enrichment shape, stateless because the static side is
+    re-planned per batch — then feeds a running per-segment
+    aggregate. Unmatched users keep flowing as 'UNKNOWN' (a LEFT
+    join; an inner join would silently drop them). The oracle is the
+    equivalent batch join+agg: stream execution, batch-checkable
+    answer, like every *_live gate."""
+    from convert_parquet_to_csv_spark.sources import read_parquet
+    from convert_parquet_to_csv_spark.streaming import enrich_with_dim
+
+    src = _staged_events(spark, sf_dir, "enrich")
+    dim = read_parquet(
+        spark, os.path.join(sf_dir, "customer.parquet")
+    ).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    enriched = enrich_with_dim(stream, dim, "user_id")
+    agg = (
+        enriched.withColumn(
+            "segment", F.coalesce("segment", F.lit("UNKNOWN"))
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    run_stream_to_memory(
+        agg, "cptc_gate_enrich", output_mode="complete"
+    )
+    return spark.table("cptc_gate_enrich")

@@ -294,3 +294,49 @@ def test_observe_metrics_piggyback_on_the_action(spark):
     )
     assert df.count() == 334
     assert obs.get == {"n_in": 1000, "n_kept": 334}
+
+
+def test_xml_roundtrip_row_level_fidelity(spark, sf_small):
+    """XML write→read preserves every documents row exactly (ids,
+    lang, n_chars) — stronger than the gate's aggregate check; text
+    markup-escapes and returns byte-identical for newline-free docs
+    (the XML reader's whitespace handling is only exercised, not
+    asserted, for multi-line text)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from convert_parquet_to_csv_spark.plans.common import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    dst = os.path.join(tempfile.gettempdir(), "cptc_xml_fidelity")
+    (
+        docs.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .save(dst)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema(docs.schema)
+        .load(dst)
+    )
+    a = sorted(
+        docs.select("doc_id", "lang", "n_chars", "source").collect()
+    )
+    b = sorted(
+        back.select("doc_id", "lang", "n_chars", "source").collect()
+    )
+    assert a == b
+    one_line = docs.filter(~F.col("text").contains("\n"))
+    if one_line.count():
+        ta = sorted(one_line.select("doc_id", "text").collect())
+        tb = sorted(
+            back.join(one_line.select("doc_id"), "doc_id")
+            .select("doc_id", "text")
+            .collect()
+        )
+        assert ta == tb
