@@ -978,3 +978,68 @@ def moment_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / den).alias("var_price"),
         F.sqrt(num / den).alias("stddev_price"),
     )
+
+
+# --- exact weighted median ------------------------------------------------
+
+# Weights (l_quantity) are integral, so the running cumulative weight
+# is an exact BIGINT — the crossing point 2·cum >= tot is integer
+# arithmetic and the reported median is a SELECTED price (no
+# interpolation, no float accumulation). Lower weighted median:
+# smallest price whose cumulative weight reaches half the total.
+_WMEDIAN_ORACLE = """
+WITH fx AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem),
+g AS (
+  SELECT flag, price, SUM(w) AS w FROM fx GROUP BY flag, price),
+c AS (
+  SELECT flag, price, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY price
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY flag) AS tot
+  FROM g)
+SELECT flag, MIN(price) AS weighted_median,
+       CAST(MAX(tot) AS BIGINT) AS total_weight
+FROM c WHERE 2 * cum >= tot GROUP BY flag
+"""
+
+
+@query("weighted_median_price", oracle=_WMEDIAN_ORACLE)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the
+    frequency-weighted quantile robust_stats' plain median can't
+    express (a 50-unit line should pull the median 50× harder than a
+    1-unit line). Pre-grouping by (flag, price) collapses duplicate
+    prices BEFORE the cumulative window, so the sort the window pays
+    is over distinct prices only; weights stay exact integers end to
+    end (see oracle comment). Shape: one (flag, price) partial agg +
+    one flag-partitioned window — the same single-sort budget as any
+    exact quantile; approx_quantile_sketch remains the 100 TB
+    alternative when even that sort is too much."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    fx = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    g = fx.groupBy("flag", "price").agg(F.sum("w").alias("w"))
+    win = Window.partitionBy("flag").orderBy("price")
+    c = g.select(
+        "flag",
+        "price",
+        F.sum("w").over(win.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.max("tot").cast("bigint").alias("total_weight"),
+        )
+    )

@@ -150,6 +150,7 @@ FIRST_TIER: list[str] = [
     "kcore_copurchase",
     "xml_roundtrip",
     "streaming_static_enrich_live",
+    "weighted_median_price",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

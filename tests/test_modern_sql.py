@@ -117,3 +117,38 @@ def test_moment_stats_match_builtin_within_float_tolerance(spark, sf_small):
         assert (
             abs(r["stddev_price"] - ref[flag]["s"]) < 1e-6 * ref[flag]["s"]
         )
+
+
+def test_weighted_median_reduces_to_plain_median_on_unit_weights(
+    spark, sf_small
+):
+    """With every weight forced to 1 the weighted median must land on
+    a price that splits rows half-and-half (lower-median property),
+    and the real query's result is bracketed by per-flag min/max."""
+    res = registry.QUERIES["weighted_median_price"](spark, sf_small)
+    rows = {r["flag"]: r for r in res.collect()}
+    li = load_table(spark, sf_small, "lineitem")
+    bounds = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("w"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(bounds)
+    for flag, r in rows.items():
+        assert bounds[flag]["lo"] <= r["weighted_median"] <= bounds[flag]["hi"]
+        assert r["total_weight"] == bounds[flag]["w"]
+        # crossing property: weight at or below the median >= half
+        below = (
+            li.filter(
+                (F.col("l_returnflag") == flag)
+                & (F.col("l_extendedprice") <= r["weighted_median"])
+            )
+            .agg(F.sum(F.col("l_quantity").cast("bigint")))
+            .collect()[0][0]
+        )
+        assert 2 * below >= r["total_weight"]
