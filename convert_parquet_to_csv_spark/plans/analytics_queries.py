@@ -1043,3 +1043,79 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tot").cast("bigint").alias("total_weight"),
         )
     )
+
+
+# --- winsorization (percentile capping) -----------------------------------
+
+# The winsorized sum is assembled from three exact pieces: in-range
+# prices (2-dp fixture money → safe DECIMAL routing), plus each
+# tail's count × its cap in DOUBLE arithmetic at the end. The caps
+# themselves are interpolated percentiles — NEVER cast to DECIMAL
+# (interpolated doubles can land on 4-dp halves where the engines'
+# double→decimal rounding modes disagree; the EWMA note in
+# temporal_queries documents the same trap).
+_WINSOR_ORACLE = """
+WITH caps AS (
+  SELECT l_returnflag AS flag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag),
+j AS (
+  SELECT c.flag, l.l_extendedprice AS price, c.lo, c.hi
+  FROM lineitem l JOIN caps c ON l.l_returnflag = c.flag)
+SELECT flag, MIN(lo) AS lo_cap, MIN(hi) AS hi_cap,
+  CAST(SUM(CASE WHEN price < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+  CAST(SUM(CASE WHEN price > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+  CAST(SUM(CASE WHEN price >= lo AND price <= hi
+                THEN CAST(price AS DECIMAL(18,4)) END) AS DOUBLE)
+    + CAST(SUM(CASE WHEN price < lo THEN 1 ELSE 0 END) AS DOUBLE)
+      * MIN(lo)
+    + CAST(SUM(CASE WHEN price > hi THEN 1 ELSE 0 END) AS DOUBLE)
+      * MIN(hi)
+    AS winsorized_sum
+FROM j GROUP BY flag
+"""
+
+
+@query("winsorize_prices", oracle=_WINSOR_ORACLE)
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — outlier capping at the 5th/95th percentile per
+    group, the robust-preprocessing step before means/regressions on
+    heavy-tailed values. Exact percentiles (Spark ``percentile`` and
+    DuckDB ``quantile_cont`` interpolate bitwise-identically, the
+    quantile_prices precedent) become per-group caps broadcast back
+    to the fact stream; tails are counted and re-priced at the caps.
+    Shape: one per-group percentile agg (tiny result, broadcast) +
+    one pass over the facts — clipping at 100 TB costs one extra
+    broadcast join, not a second sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    caps = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    j = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).join(F.broadcast(caps), "flag")
+    in_range = (F.col("price") >= F.col("lo")) & (
+        F.col("price") <= F.col("hi")
+    )
+    return j.groupBy("flag").agg(
+        F.min("lo").alias("lo_cap"),
+        F.min("hi").alias("hi_cap"),
+        F.count_if(F.col("price") < F.col("lo"))
+        .cast("bigint")
+        .alias("n_lo"),
+        F.count_if(F.col("price") > F.col("hi"))
+        .cast("bigint")
+        .alias("n_hi"),
+        (
+            F.sum(
+                F.when(in_range, F.col("price").cast("decimal(18,4)"))
+            ).cast("double")
+            + F.count_if(F.col("price") < F.col("lo")).cast("double")
+            * F.min("lo")
+            + F.count_if(F.col("price") > F.col("hi")).cast("double")
+            * F.min("hi")
+        ).alias("winsorized_sum"),
+    )

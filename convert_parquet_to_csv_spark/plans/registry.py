@@ -151,6 +151,7 @@ FIRST_TIER: list[str] = [
     "xml_roundtrip",
     "streaming_static_enrich_live",
     "weighted_median_price",
+    "winsorize_prices",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -152,3 +152,26 @@ def test_weighted_median_reduces_to_plain_median_on_unit_weights(
             .collect()[0][0]
         )
         assert 2 * below >= r["total_weight"]
+
+
+def test_winsorize_caps_and_counts(spark, sf_small):
+    """~5% of each group's rows fall in each tail; the winsorized sum
+    is bounded by n*lo <= sum <= n*hi and differs from the raw sum
+    only through the tails."""
+    res = registry.QUERIES["winsorize_prices"](spark, sf_small)
+    rows = {r["flag"]: r for r in res.collect()}
+    li = load_table(spark, sf_small, "lineitem")
+    per_flag = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(per_flag)
+    for flag, r in rows.items():
+        n = per_flag[flag]
+        assert r["lo_cap"] < r["hi_cap"]
+        # percentile tails: between 0 and ~7% of the group each
+        assert 0 <= r["n_lo"] <= 0.07 * n
+        assert 0 <= r["n_hi"] <= 0.07 * n
+        assert n * r["lo_cap"] <= r["winsorized_sum"] <= n * r["hi_cap"]

@@ -79,6 +79,12 @@ CASES = {
     "ohlc_bars_events": "OHLC: open/high/low/close fused in one (event_type,day) aggregate, single exchange, no window pass",
     "ewma_trailing_value": "EWMA: one user_id exchange, bounded 20-row frame, codegen'd fold (no UDF)",
     "moment_stats_exact": "exact moments: two scans, two flag-key shuffles, per-group means BROADCAST back (no fact-stream join shuffle)",
+    "observe_metrics_single_pass": "observe(): CollectMetrics piggybacks on the scan, no second aggregation pass over the table",
+    "sparse_cosine_topk_pairs": "sparse cosine: term-key postings self-join bounded by df pruning, pair agg, one d1 window",
+    "zscore_anomaly_events": "z-score: one user_id exchange, three frame aggregates share one window",
+    "epoch_resample_replacement": "epoch resample: tiny targets broadcast back, explode map-side, one source-rank window",
+    "weighted_median_price": "weighted median: (flag,price) pre-agg collapses duplicates before the flag-partition window",
+    "winsorize_prices": "winsorize: percentile caps broadcast back, single pass over facts",
 }
 
 KEY_MARKERS = (
