@@ -1119,3 +1119,56 @@ def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.min("hi")
         ).alias("winsorized_sum"),
     )
+
+
+# --- Pareto frontier (2-D skyline) ----------------------------------------
+
+# The oracle is the textbook O(n²) NOT-EXISTS dominance test; the
+# Spark side is the O(n log n) sweep (dedup to best-size-per-price,
+# one ascending-price window keeping rows that beat the running size
+# max). Two different algorithms agreeing is the verification — the
+# triangle-count pattern again.
+_SKYLINE_ORACLE = """
+SELECT p_partkey, p_retailprice, p_size FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
+
+
+@query("pareto_frontier_parts", oracle=_SKYLINE_ORACLE)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: parts not dominated on (cheaper price, bigger
+    size) — the multi-criteria shortlist query (every row on the
+    frontier is optimal for SOME price/size trade-off). Algorithm:
+    collapse to the best size per distinct price (one small agg),
+    then a single ascending-price sweep keeps prices that raise the
+    running size max — strictly-dominated points can never survive
+    the sweep. The global-order window runs on the already-collapsed
+    distinct-price table, not the facts; at 100 TB shard first and
+    exploit skyline(∪ parts) = skyline(∪ per-shard skylines) — each
+    shard's frontier is tiny, so the final sweep stays driver-scale
+    small. A left-semi join back recovers every part sharing a
+    frontier (price, size) point (ties are mutually non-dominating
+    and all belong in the skyline)."""
+    from pyspark.sql.window import Window
+
+    part = _t(spark, sf_dir, "part")
+    best = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("p_size")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky_pairs = (
+        best.withColumn("prev_max", F.max("p_size").over(w))
+        .filter(
+            F.col("prev_max").isNull()
+            | (F.col("p_size") > F.col("prev_max"))
+        )
+        .select("p_retailprice", "p_size")
+    )
+    return part.join(
+        sky_pairs, ["p_retailprice", "p_size"], "left_semi"
+    ).select("p_partkey", "p_retailprice", "p_size")

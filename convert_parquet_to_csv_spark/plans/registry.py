@@ -152,6 +152,7 @@ FIRST_TIER: list[str] = [
     "streaming_static_enrich_live",
     "weighted_median_price",
     "winsorize_prices",
+    "pareto_frontier_parts",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -175,3 +175,31 @@ def test_winsorize_caps_and_counts(spark, sf_small):
         assert 0 <= r["n_lo"] <= 0.07 * n
         assert 0 <= r["n_hi"] <= 0.07 * n
         assert n * r["lo_cap"] <= r["winsorized_sum"] <= n * r["hi_cap"]
+
+
+def test_pareto_frontier_is_mutually_nondominating(spark, sf_small):
+    """No skyline member dominates another, and every non-member is
+    dominated by some member (frontier completeness)."""
+    res = registry.QUERIES["pareto_frontier_parts"](spark, sf_small)
+    sky = [(r["p_retailprice"], r["p_size"]) for r in res.collect()]
+    assert sky
+    for i, (pa, sa) in enumerate(sky):
+        for j, (pb, sb) in enumerate(sky):
+            if i != j:
+                dominates = (
+                    pb <= pa and sb >= sa and (pb < pa or sb > sa)
+                )
+                assert not dominates, ((pa, sa), (pb, sb))
+    part = load_table(spark, sf_small, "part")
+    allp = [
+        (r["p_retailprice"], r["p_size"])
+        for r in part.select("p_retailprice", "p_size").collect()
+    ]
+    skyset = set(sky)
+    for pa, sa in allp:
+        if (pa, sa) in skyset:
+            continue
+        assert any(
+            pb <= pa and sb >= sa and (pb < pa or sb > sa)
+            for pb, sb in sky
+        ), (pa, sa)
