@@ -153,6 +153,7 @@ FIRST_TIER: list[str] = [
     "weighted_median_price",
     "winsorize_prices",
     "pareto_frontier_parts",
+    "schema_evolution_append",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

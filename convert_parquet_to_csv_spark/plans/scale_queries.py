@@ -374,3 +374,67 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         compare_cols=["o_orderstatus", "o_totalprice"],
     )
     return diff.groupBy("change").agg(F.count("*").alias("n_keys"))
+
+
+# --- schema evolution: append with a new column ---------------------------
+
+_EVOLVE_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS priority_tag
+  FROM orders WHERE o_orderkey % 2 = 0),
+v2 AS (
+  SELECT o_orderkey, o_totalprice,
+         'P-' || o_orderpriority AS priority_tag
+  FROM orders WHERE o_orderkey % 2 = 1),
+merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT COALESCE(priority_tag, '_missing') AS priority_tag,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_price
+FROM merged GROUP BY 1
+"""
+
+
+@query("schema_evolution_append", oracle=_EVOLVE_ORACLE)
+def schema_evolution_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a growing parquet dataset: generation 1 is
+    written WITHOUT ``priority_tag``, generation 2 appends WITH it,
+    and a ``mergeSchema`` read reconciles the footers — old files
+    surface the new column as NULL, by-name alignment (the write-side
+    twin of the reference's ``union_by_name`` ingest, SURVEY §2 Op-1).
+    The files really land on disk with different physical schemas;
+    without mergeSchema the scan would pick one footer and silently
+    drop the column for half the data. At 100 TB this is the routine
+    "new field added upstream" event — evolution costs a footer merge
+    at planning time, never a rewrite of old files."""
+    orders = _t(spark, sf_dir, "orders")
+    dst = os.path.join(
+        tempfile.gettempdir(), "cptc_schema_evolution"
+    )
+    shutil.rmtree(dst, ignore_errors=True)
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.concat(F.lit("P-"), F.col("o_orderpriority")).alias(
+            "priority_tag"
+        ),
+    )
+    v1.write.mode("overwrite").parquet(dst)
+    v2.write.mode("append").parquet(dst)
+    back = spark.read.option("mergeSchema", True).parquet(dst)
+    return (
+        back.withColumn(
+            "priority_tag",
+            F.coalesce("priority_tag", F.lit("_missing")),
+        )
+        .groupBy("priority_tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -389,3 +389,27 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_schema_evolution_merges_by_name(spark, sf_small):
+    """Old-generation rows surface the evolved column as NULL
+    ('_missing' after coalesce) and no rows are lost across the
+    two physical schemas."""
+    from pyspark.sql import functions as F
+
+    from convert_parquet_to_csv_spark.plans import registry
+    from convert_parquet_to_csv_spark.plans.common import load_table
+
+    registry.load_all()
+    rows = registry.QUERIES["schema_evolution_append"](
+        spark, sf_small
+    ).collect()
+    orders = load_table(spark, sf_small, "orders")
+    n_even = orders.filter(F.col("o_orderkey") % 2 == 0).count()
+    n_total = orders.count()
+    got = {r["priority_tag"]: r["n_orders"] for r in rows}
+    assert got["_missing"] == n_even
+    assert sum(got.values()) == n_total
+    assert all(
+        t.startswith("P-") for t in got if t != "_missing"
+    )

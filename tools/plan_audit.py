@@ -85,6 +85,7 @@ CASES = {
     "epoch_resample_replacement": "epoch resample: tiny targets broadcast back, explode map-side, one source-rank window",
     "weighted_median_price": "weighted median: (flag,price) pre-agg collapses duplicates before the flag-partition window",
     "winsorize_prices": "winsorize: percentile caps broadcast back, single pass over facts",
+    "pareto_frontier_parts": "skyline: sweep window over the COLLAPSED distinct-price table, semi-join back to facts",
 }
 
 KEY_MARKERS = (
