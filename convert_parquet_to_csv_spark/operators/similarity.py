@@ -536,12 +536,22 @@ def sparse_cosine_topk_pairs(
         )
         .select("term", "df", "n_corpus")
     )
-    w = tf.join(keep, "term").select(
-        "doc_id",
-        "term",
-        (
-            F.col("tf") * F.expr("n_corpus div df")
-        ).cast("bigint").alias("w"),
+    # Persist the weighted postings: they feed THREE consumers (both
+    # sides of the self-join and the norms) and Spark re-executes the
+    # whole tokenize→tf→df lineage per consumer otherwise (audited:
+    # 22 exchanges in the pre-persist executed plan; cached, the
+    # lineage runs once — same pattern as the shared shingle profiles
+    # in operators/dedup.py).
+    w = (
+        tf.join(keep, "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf") * F.expr("n_corpus div df")
+            ).cast("bigint").alias("w"),
+        )
+        .persist()
     )
     norm2 = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2")
