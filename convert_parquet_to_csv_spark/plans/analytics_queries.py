@@ -1172,3 +1172,65 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.join(
         sky_pairs, ["p_retailprice", "p_size"], "left_semi"
     ).select("p_partkey", "p_retailprice", "p_size")
+
+
+# --- deterministic A/B experiment readout ---------------------------------
+
+# Assignment is the md5-of-user-id coin (first hex digit < '8' → arm
+# A, ~50/50), the repo's standard RNG-free determinism device — the
+# property production experimentation actually needs (a user re-hashes
+# into the same arm on every event, every engine, every rerun).
+_AB_ORACLE = """
+WITH assign AS (
+  SELECT user_id, value,
+         CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+              THEN 'A' ELSE 'B' END AS arm
+  FROM events WHERE value IS NOT NULL),
+arms AS (
+  SELECT arm, COUNT(*) AS n_obs, COUNT(DISTINCT user_id) AS n_users,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM assign GROUP BY arm)
+SELECT arm, n_obs, n_users, sum_value,
+       sum_value / n_obs AS mean_value
+FROM arms
+"""
+
+
+@query("ab_experiment_readout", oracle=_AB_ORACLE)
+def ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout over hash-bucketed arms: users split
+    ~50/50 by the md5 coin, per-arm observation/user counts and the
+    DECIMAL-exact value sum with one closing mean divide. One
+    (arm) aggregate — the COUNT(DISTINCT user_id) expands to the
+    usual two-phase distinct under partial aggregation, still a
+    single shuffle pipeline. The hash coin is what makes the split
+    consistent at 100 TB (no assignment table to join, no RNG to
+    seed-coordinate across executors)."""
+    from convert_parquet_to_csv_spark.plans.common import (
+        load_table as _lt,
+    )
+
+    ev = _lt(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    assign = ev.select(
+        "user_id",
+        "value",
+        F.when(
+            F.md5(F.col("user_id").cast("string")) < "8", "A"
+        )
+        .otherwise("B")
+        .alias("arm"),
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return arms.select(
+        "arm",
+        "n_obs",
+        "n_users",
+        "sum_value",
+        (F.col("sum_value") / F.col("n_obs")).alias("mean_value"),
+    )

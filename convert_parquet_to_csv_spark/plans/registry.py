@@ -154,6 +154,7 @@ FIRST_TIER: list[str] = [
     "winsorize_prices",
     "pareto_frontier_parts",
     "schema_evolution_append",
+    "ab_experiment_readout",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

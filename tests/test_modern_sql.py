@@ -203,3 +203,25 @@ def test_pareto_frontier_is_mutually_nondominating(spark, sf_small):
             pb <= pa and sb >= sa and (pb < pa or sb > sa)
             for pb, sb in sky
         ), (pa, sa)
+
+
+def test_ab_assignment_is_consistent_and_balanced(spark, sf_small):
+    """A user lands in exactly one arm (hash consistency), and the
+    split is roughly balanced (the md5 coin is fair to within a wide
+    tolerance on a few hundred users)."""
+    res = registry.QUERIES["ab_experiment_readout"](spark, sf_small)
+    rows = {r["arm"]: r for r in res.collect()}
+    assert set(rows) == {"A", "B"}
+    ev = load_table(spark, sf_small, "events").filter(
+        F.col("value").isNotNull()
+    )
+    n_users = ev.select("user_id").distinct().count()
+    assert rows["A"]["n_users"] + rows["B"]["n_users"] == n_users
+    assert rows["A"]["n_obs"] + rows["B"]["n_obs"] == ev.count()
+    frac = rows["A"]["n_users"] / n_users
+    if n_users >= 100:
+        assert 0.3 < frac < 0.7
+    else:
+        # sf0.001 has ~15 distinct users — binomial noise swamps any
+        # tight bound; both arms populated is the meaningful check
+        assert rows["A"]["n_users"] >= 1 and rows["B"]["n_users"] >= 1
