@@ -332,3 +332,38 @@ def transpose_status_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return summary.transpose()
+
+
+# --- listagg / string_agg (SQL:2023, Spark 4.0) ---------------------------
+
+_LISTAGG_ORACLE = """
+SELECT r.r_name,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@query("listagg_nations_by_region", oracle=_LISTAGG_ORACLE)
+def listagg_nations_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``listagg(...) WITHIN GROUP (ORDER BY ...)`` — the SQL:2023
+    ordered string aggregation Spark 4.0 added (DuckDB's spelling is
+    string_agg with an inline ORDER BY). The WITHIN GROUP ordering is
+    what makes a concatenation aggregate deterministic at all — an
+    unordered listagg concatenates in partition-arrival order and can
+    never hash-match anything. Same one-shuffle partial/final agg
+    shape as any group-by; the per-group sort runs inside the
+    aggregate buffer."""
+    _view(spark, sf_dir, "region")
+    _view(spark, sf_dir, "nation")
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+                 AS nations,
+               COUNT(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )

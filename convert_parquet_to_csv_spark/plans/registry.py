@@ -155,6 +155,7 @@ FIRST_TIER: list[str] = [
     "pareto_frontier_parts",
     "schema_evolution_append",
     "ab_experiment_readout",
+    "listagg_nations_by_region",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",
