@@ -156,6 +156,7 @@ FIRST_TIER: list[str] = [
     "schema_evolution_append",
     "ab_experiment_readout",
     "listagg_nations_by_region",
+    "twohop_neighborhood_size",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

