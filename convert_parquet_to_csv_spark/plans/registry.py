@@ -157,6 +157,8 @@ FIRST_TIER: list[str] = [
     "ab_experiment_readout",
     "listagg_nations_by_region",
     "twohop_neighborhood_size",
+    "rolling_28d_active_users",
+    "mom_revenue_growth",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -630,3 +630,104 @@ def zscore_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("zscore").isNotNull() & (F.abs("zscore") > 3.0)
         ).alias("is_anomaly"),
     )
+
+
+# --- rolling 28-day active users ------------------------------------------
+
+_MAU_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0,
+         CAST(MAX(date_trunc('day', ts)) AS DATE) AS d1
+  FROM events),
+contrib AS (
+  SELECT DISTINCT user_id,
+         CAST(unnest(range(CAST(date_trunc('day', ts) AS DATE),
+                           CAST(date_trunc('day', ts) AS DATE) + 28,
+                           INTERVAL 1 DAY)) AS DATE) AS w_day
+  FROM events),
+mau AS (
+  SELECT w_day, COUNT(*) AS active_users_28d
+  FROM contrib GROUP BY w_day)
+SELECT m.w_day AS day, m.active_users_28d
+FROM mau m CROSS JOIN bounds b
+WHERE m.w_day BETWEEN b.d0 AND b.d1
+"""
+
+
+@query("rolling_28d_active_users", oracle=_MAU_ORACLE)
+def rolling_28d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-28-day distinct active users per day — the MAU curve,
+    and the canonical "sliding distinct" problem: windows can't
+    deduplicate across frames, so each activity day is EXPLODED into
+    the 28 window-days it funds, deduped (user, window-day) once, and
+    counted exactly. The fan-out is a fixed ×28 of the (user, day)
+    activity table — already collapsed from raw events, so the
+    explode multiplies days-with-activity, not events. At 100 TB the
+    alternatives are per-day HLL sketches merged over 28 days
+    (operators/sketches.py, ±2%) when exactness can yield; trimmed to
+    the observed day span so no partial windows leak out."""
+    ev = _events(spark, sf_dir)
+    d = F.to_date(F.date_trunc("DAY", F.col("ts")))
+    contrib = (
+        ev.select(
+            "user_id",
+            F.explode(F.sequence(d, F.date_add(d, 27))).alias("w_day"),
+        )
+        .distinct()
+    )
+    mau = contrib.groupBy("w_day").agg(
+        F.count(F.lit(1)).alias("active_users_28d")
+    )
+    bounds = ev.agg(
+        F.min(d).alias("d0"), F.max(d).alias("d1")
+    )
+    return (
+        mau.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("w_day") >= F.col("d0"))
+            & (F.col("w_day") <= F.col("d1"))
+        )
+        .select(F.col("w_day").alias("day"), "active_users_28d")
+    )
+
+
+# --- month-over-month revenue growth --------------------------------------
+
+_MOM_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1)
+SELECT month, revenue,
+       revenue / lag(revenue) OVER (ORDER BY month) - 1.0
+         AS mom_growth
+FROM monthly
+"""
+
+
+@query("mom_revenue_growth", oracle=_MOM_ORACLE)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the reporting staple: one
+    calendar-month aggregate (DECIMAL-exact sums), then a lag over
+    the tiny monthly table for the growth ratio (one shared double
+    divide; the first month's NULL growth stays NULL). The global-
+    order window runs on rows = number of months, never on facts."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.to_date(F.date_trunc("MONTH", "o_orderdate")).alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        (F.col("revenue") / F.lag("revenue").over(w) - 1.0).alias(
+            "mom_growth"
+        ),
+    )

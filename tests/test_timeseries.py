@@ -172,3 +172,41 @@ def test_zscore_anomaly_invariants(spark, sf_small):
             assert r["is_anomaly"] is False
         else:
             assert r["is_anomaly"] == (abs(r["zscore"]) > 3.0)
+
+
+def test_rolling_28d_active_users_bounds(spark, sf_small):
+    """MAU is monotone-bounded by total distinct users, >= any single
+    day's DAU, and the day spine has no gaps inside the span."""
+    import datetime as _dt
+
+    from convert_parquet_to_csv_spark.plans import registry
+    from convert_parquet_to_csv_spark.plans.common import load_table
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["rolling_28d_active_users"](
+            spark, sf_small
+        ).collect()
+    )
+    assert rows
+    ev = load_table(spark, sf_small, "events")
+    n_users = ev.select("user_id").distinct().count()
+    days = [r["day"] for r in rows]
+    assert days == [
+        days[0] + _dt.timedelta(days=i) for i in range(len(days))
+    ]
+    for r in rows:
+        assert 1 <= r["active_users_28d"] <= n_users
+
+
+def test_mom_growth_identity(spark, sf_small):
+    """growth = rev/prev - 1 exactly, first month NULL."""
+    from convert_parquet_to_csv_spark.plans import registry
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["mom_revenue_growth"](spark, sf_small).collect()
+    )
+    assert rows[0]["mom_growth"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["mom_growth"] == cur["revenue"] / prev["revenue"] - 1.0
