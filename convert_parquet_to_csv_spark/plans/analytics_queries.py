@@ -1234,3 +1234,65 @@ def ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         (F.col("sum_value") / F.col("n_obs")).alias("mean_value"),
     )
+
+
+# --- market concentration (HHI) -------------------------------------------
+
+# HHI = Σ share_i² — but summing squared double shares is order-
+# dependent. Rewritten as Σ cnt² / (Σ cnt)²: two exact integer sums
+# per group and ONE closing double divide, the same algebraic move as
+# moment_stats_exact.
+_HHI_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_nationkey AS nation, o.o_custkey AS cust, COUNT(*) AS cnt
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+agg AS (
+  SELECT nation,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq,
+         CAST(SUM(cnt) AS BIGINT) AS total,
+         COUNT(*) AS n_customers
+  FROM per_cust GROUP BY nation)
+SELECT nation, n_customers, total,
+       CAST(sum_sq AS DOUBLE)
+         / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) AS hhi
+FROM agg
+"""
+
+
+@query("market_concentration_hhi", oracle=_HHI_ORACLE)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of order volume across
+    customers, per nation — 1/n for a perfectly even market, →1 as
+    one customer dominates; the skew diagnostic on BUSINESS share
+    rather than partition bytes (skew_diagnostic_events covers the
+    physical side). Two stacked aggregates: per-(nation, customer)
+    counts, then per-nation integer power sums; the broadcast
+    customer-dim join is the only fact-stream touch. Exactness via
+    the integer rewrite above the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(
+            F.broadcast(
+                c.select("c_custkey", F.col("c_nationkey").alias("nation"))
+            ),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("nation", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = per_cust.groupBy("nation").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sum_sq"),
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    return agg.select(
+        "nation",
+        "n_customers",
+        "total",
+        (
+            F.col("sum_sq").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double"))
+        ).alias("hhi"),
+    )

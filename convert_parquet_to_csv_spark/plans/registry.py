@@ -159,6 +159,8 @@ FIRST_TIER: list[str] = [
     "twohop_neighborhood_size",
     "rolling_28d_active_users",
     "mom_revenue_growth",
+    "prefix_autocomplete_topk",
+    "market_concentration_hhi",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

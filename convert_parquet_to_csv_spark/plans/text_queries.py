@@ -763,3 +763,52 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "postings"
         ),
     )
+
+
+# --- prefix autocomplete top-k --------------------------------------------
+
+_PREFIX_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           string_split_regex(lower(trim(text)), '\s+'),
+           t -> t != '')) AS tok
+  FROM documents),
+freq AS (
+  SELECT substr(tok, 1, 3) AS prefix, tok, COUNT(*) AS cnt
+  FROM toks WHERE length(tok) >= 3
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT prefix, tok, cnt,
+         CAST(row_number() OVER (
+           PARTITION BY prefix ORDER BY cnt DESC, tok ASC) AS INT)
+           AS rk
+  FROM freq)
+SELECT prefix, tok, cnt, rk FROM ranked WHERE rk <= 3
+"""
+
+
+@query("prefix_autocomplete_topk", oracle=_PREFIX_ORACLE)
+def prefix_autocomplete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete index: top-3 corpus tokens per 3-char prefix —
+    the precomputed suggestion table a search box reads. One explode
+    + one (prefix, token) count + a per-prefix WindowGroupLimit
+    (partial top-k BEFORE the prefix exchange, so hot prefixes don't
+    funnel their full tail through the shuffle). Ties break on the
+    token string; lowercase fold matches the corpus tokenizer."""
+    d = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    from pyspark.sql.window import Window
+
+    toks = d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+    freq = (
+        toks.filter(F.length("tok") >= 3)
+        .groupBy(
+            F.substring("tok", 1, 3).alias("prefix"), F.col("tok")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("cnt"), F.asc("tok"))
+    return (
+        freq.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("prefix", "tok", "cnt", "rk")
+    )

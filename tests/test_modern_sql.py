@@ -225,3 +225,13 @@ def test_ab_assignment_is_consistent_and_balanced(spark, sf_small):
         # sf0.001 has ~15 distinct users — binomial noise swamps any
         # tight bound; both arms populated is the meaningful check
         assert rows["A"]["n_users"] >= 1 and rows["B"]["n_users"] >= 1
+
+
+def test_hhi_bounds_and_even_market_floor(spark, sf_small):
+    """1/n_customers <= hhi <= 1 for every nation (equality at the
+    floor iff order counts are perfectly even)."""
+    res = registry.QUERIES["market_concentration_hhi"](spark, sf_small)
+    rows = res.collect()
+    assert rows
+    for r in rows:
+        assert 1.0 / r["n_customers"] - 1e-12 <= r["hhi"] <= 1.0 + 1e-12
