@@ -367,3 +367,83 @@ def listagg_nations_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r.r_name
         """
     )
+
+
+# --- TRY_CAST semantics zoo ------------------------------------------------
+
+# Engine-parity notes: TRY_CAST agrees between Spark and DuckDB on
+# malformed→NULL, whitespace trimming, overflow→NULL, scientific
+# notation, 'inf', leap days, and boolean words. The one divergence
+# found probing: '3.9' → INT is NULL in Spark (no implicit
+# truncation through strings) but ROUNDS to 4 in DuckDB — excluded
+# below; portable code casts string→DOUBLE first and rounds
+# explicitly. Same family: '1e3' -> INT is NULL in Spark but 1000
+# in DuckDB (scientific notation only parses for floating targets in
+# Spark), so the sci literal is probed against DOUBLE where both
+# agree. Plain CAST(3.7 AS INT) diverges the same way
+# (truncate vs round), which is why every fixed-point conversion in
+# this repo spells floor(x + 0.5) out.
+_TRYCAST_ORACLE = """
+WITH probe AS (
+  SELECT c_custkey,
+         CASE c_custkey % 5
+           WHEN 0 THEN '123' WHEN 1 THEN '12abc' WHEN 2 THEN ''
+           WHEN 3 THEN ' 42 ' ELSE '999' END AS s,
+         c_custkey * 1000000000 AS big
+  FROM customer)
+SELECT c_custkey,
+       TRY_CAST(s AS INT) AS as_int,
+       TRY_CAST(s AS DOUBLE) AS as_double,
+       TRY_CAST('1e3' AS DOUBLE) AS sci_double,
+       CAST(TRY_CAST(s AS BOOLEAN) AS STRING) AS as_bool_str,
+       TRY_CAST(big AS INT) AS overflow_null,
+       TRY_CAST('2024-02-29' AS DATE) AS leap_ok,
+       CAST(TRY_CAST('2024-02-30' AS DATE) AS STRING) AS bad_date_str
+FROM probe
+"""
+
+
+@query("try_cast_zoo", oracle=_TRYCAST_ORACLE)
+def try_cast_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST semantics across the classic dirty-input shapes —
+    malformed strings, empty strings, padded whitespace, scientific
+    notation, BIGINT→INT overflow, impossible dates — all NULL-safe
+    and engine-identical (the one probed divergence is documented
+    above the oracle). The identical SQL text runs on both engines;
+    the value-hash match is the point: ingest code using TRY_CAST
+    gets the same nulls everywhere."""
+    _view(spark, sf_dir, "customer")
+    return spark.sql(_TRYCAST_ORACLE)
+
+
+# --- LIMIT/OFFSET pagination ----------------------------------------------
+
+_PAGINATE_ORACLE = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+ORDER BY o_orderdate, o_orderkey
+LIMIT 50 OFFSET 200
+"""
+
+
+@query("paginate_orders_page5", oracle=_PAGINATE_ORACLE)
+def paginate_orders_page5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless pagination (page 5 of 50): ``DataFrame.offset`` (Spark
+    3.4+) under a TOTAL order — the (o_orderdate, o_orderkey)
+    tiebreak is what makes a page deterministic at all; an ORDER BY
+    on a non-unique key hands back different pages run to run.
+    Physical shape: GlobalLimit(offset+limit) over a
+    TakeOrderedAndProject — executors keep only the top 250 rows
+    each, the driver drops the first 200. The docstring caveat every
+    pagination user needs: OFFSET cost grows with page depth (each
+    page re-ranks offset+limit rows); deep pagination should switch
+    to keyset/seek pagination (WHERE key > last_seen ORDER BY key
+    LIMIT n, which stays O(limit) forever)."""
+    _view(spark, sf_dir, "orders")
+    return (
+        spark.table("orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .offset(200)
+        .limit(50)
+    )

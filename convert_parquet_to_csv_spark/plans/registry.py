@@ -161,6 +161,8 @@ FIRST_TIER: list[str] = [
     "mom_revenue_growth",
     "prefix_autocomplete_topk",
     "market_concentration_hhi",
+    "try_cast_zoo",
+    "paginate_orders_page5",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",
