@@ -330,3 +330,60 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(dst)
     )
     return _agg(back)
+
+
+# --- dynamic partition pruning --------------------------------------------
+
+_DPP_ORACLE = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+GROUP BY 1
+"""
+
+
+@query("dynamic_partition_pruning_join", oracle=_DPP_ORACLE)
+def dynamic_partition_pruning_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition pruning: the fact side is year-partitioned
+    on disk and the year filter lives on the DIMENSION side of a
+    join, so no static filter can prune the scan — at runtime Spark
+    executes the dim subquery first and injects its year set into the
+    fact scan's PartitionFilters (``dynamicpruningexpression``,
+    asserted in tests/test_io_ops.py). This is the mechanism that
+    turns "join a 100 TB partitioned fact to a filtered date dim"
+    into a two-partition read — the star-schema workhorse
+    partition_pruned_scan's static pruning can't cover."""
+    from convert_parquet_to_csv_spark.sources import write_parquet
+
+    orders = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
+    dst = os.path.join(tempfile.gettempdir(), "cptc_dpp_orders_gate")
+    write_parquet(
+        orders.withColumn(
+            "order_year", F.year("o_orderdate").cast("int")
+        ),
+        dst,
+        partition_by=["order_year"],
+    )
+    fact = spark.read.parquet(dst)
+    dim = (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("year")
+        )
+        .distinct()
+        .filter(F.col("year").isin(1995, 1996))
+    )
+    return (
+        fact.join(dim, fact.order_year == dim.year)
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -163,6 +163,7 @@ FIRST_TIER: list[str] = [
     "market_concentration_hhi",
     "try_cast_zoo",
     "paginate_orders_page5",
+    "dynamic_partition_pruning_join",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -340,3 +340,17 @@ def test_xml_roundtrip_row_level_fidelity(spark, sf_small):
             .collect()
         )
         assert ta == tb
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_small):
+    """The year-partitioned fact scan must carry a dynamicpruning
+    PartitionFilter injected from the dim side at runtime."""
+    from convert_parquet_to_csv_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["dynamic_partition_pruning_join"](
+        spark, sf_small
+    )
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
