@@ -164,6 +164,7 @@ FIRST_TIER: list[str] = [
     "try_cast_zoo",
     "paginate_orders_page5",
     "dynamic_partition_pruning_join",
+    "rolling_28d_mau_hll",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

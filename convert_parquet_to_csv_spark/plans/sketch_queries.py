@@ -188,3 +188,84 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cms_upper_ok"
         ),
     )
+
+
+# --- HLL-merged rolling MAU -----------------------------------------------
+
+_MAU_HLL_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0,
+         CAST(MAX(date_trunc('day', ts)) AS DATE) AS d1
+  FROM events),
+contrib AS (
+  SELECT DISTINCT user_id,
+         CAST(unnest(range(CAST(date_trunc('day', ts) AS DATE),
+                           CAST(date_trunc('day', ts) AS DATE) + 28,
+                           INTERVAL 1 DAY)) AS DATE) AS w_day
+  FROM events),
+mau AS (
+  SELECT w_day, COUNT(*) AS exact_users FROM contrib GROUP BY w_day)
+SELECT m.w_day AS day, m.exact_users, TRUE AS within_1pct
+FROM mau m CROSS JOIN bounds b
+WHERE m.w_day BETWEEN b.d0 AND b.d1
+"""
+
+
+@query("rolling_28d_mau_hll", oracle=_MAU_HLL_ORACLE)
+def rolling_28d_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling_28d_active_users' AT-SCALE form: one lgK=14 HLL sketch
+    per activity day (a few KB each), each fanned out to the 28
+    window-days it funds and UNION-MERGED per window — the explode
+    carries sketches, not (user, day) rows, so window width scales
+    free and the daily sketches are reusable for any other window
+    (7d, 90d) without touching raw data. The oracle pins the EXACT
+    count per day and asserts the estimate lands within 1% of it
+    (TRUE for every day — HLL is deterministic, so this is a hard
+    gate, the dedup_minhash_recall pattern; at fixture cardinality
+    the sparse-mode sketch is exact outright)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date(F.date_trunc("DAY", F.col("ts")))
+    daily = (
+        ev.select(d.alias("day"), "user_id")
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_agg(
+                F.col("user_id").cast("string"), F.lit(14)
+            ).alias("sk")
+        )
+    )
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", 27))
+        ).alias("w_day"),
+        "sk",
+    )
+    approx = contrib.groupBy("w_day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+    )
+    exact = (
+        ev.select(
+            "user_id",
+            F.explode(F.sequence(d, F.date_add(d, 27))).alias("w_day"),
+        )
+        .distinct()
+        .groupBy("w_day")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    bounds = ev.agg(F.min(d).alias("d0"), F.max(d).alias("d1"))
+    return (
+        approx.join(exact, "w_day")
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("w_day") >= F.col("d0"))
+            & (F.col("w_day") <= F.col("d1"))
+        )
+        .select(
+            F.col("w_day").alias("day"),
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= 0.01 * F.col("exact_users")
+            ).alias("within_1pct"),
+        )
+    )

@@ -86,6 +86,13 @@ CASES = {
     "weighted_median_price": "weighted median: (flag,price) pre-agg collapses duplicates before the flag-partition window",
     "winsorize_prices": "winsorize: percentile caps broadcast back, single pass over facts",
     "pareto_frontier_parts": "skyline: sweep window over the COLLAPSED distinct-price table, semi-join back to facts",
+    "twohop_neighborhood_size": "2-hop: wedge join + distinct-union, hash-partitioned on node ids",
+    "rolling_28d_active_users": "MAU: bounded x28 day-explode, one dedup + one day agg, bounds broadcast",
+    "prefix_autocomplete_topk": "autocomplete: WindowGroupLimit partial top-k BEFORE the prefix exchange",
+    "market_concentration_hhi": "HHI: broadcast dim join, two stacked aggs, integer power sums",
+    "paginate_orders_page5": "pagination: TakeOrderedAndProject keeps offset+limit per task, no global sort",
+    "dynamic_partition_pruning_join": "DPP: dynamicpruningexpression in the fact scan's PartitionFilters",
+    "ab_experiment_readout": "A/B: one arm aggregate, two-phase distinct expand, md5 coin map-side",
 }
 
 KEY_MARKERS = (
