@@ -165,6 +165,7 @@ FIRST_TIER: list[str] = [
     "paginate_orders_page5",
     "dynamic_partition_pruning_join",
     "rolling_28d_mau_hll",
+    "udtf_analyze_first_tokens",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

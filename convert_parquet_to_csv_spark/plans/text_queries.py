@@ -812,3 +812,64 @@ def prefix_autocomplete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("prefix", "tok", "cnt", "rk")
     )
+
+
+# --- polymorphic UDTF (analyze(): dynamic output schema) ------------------
+
+_UDTF_ANALYZE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t != '') AS w
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN len(w) >= 1 THEN w[1] END AS tok0,
+       CASE WHEN len(w) >= 2 THEN w[2] END AS tok1,
+       CASE WHEN len(w) >= 3 THEN w[3] END AS tok2
+FROM toks
+"""
+
+
+@query("udtf_analyze_first_tokens", oracle=_UDTF_ANALYZE_ORACLE)
+def udtf_analyze_first_tokens(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4): the static ``analyze``
+    method computes the OUTPUT SCHEMA from the call's constant
+    argument — first_tokens(text, 3) materializes three columns,
+    first_tokens(text, 5) would materialize five, with no code
+    change. udtf_bigrams covers the fixed-schema UDTF; this covers
+    the schema-from-arguments seam (AnalyzeArgument.value is only
+    set for foldable arguments — the width must be a literal).
+    Tokenization matches the corpus tokenizer (lowercase, whitespace
+    split, empty-token filter) so the SQL oracle can replay it."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class FirstTokens:
+        @staticmethod
+        def analyze(
+            s: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            st = StructType()
+            for i in range(int(n.value)):
+                st = st.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, s, n):  # noqa: ANN001
+            parts = [t for t in (s or "").split() if t]
+            yield tuple(
+                parts[i] if i < len(parts) else None for i in range(n)
+            )
+
+    spark.udtf.register("cptc_first_tokens", FirstTokens)
+    _docs(spark, sf_dir).createOrReplaceTempView("cptc_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.tok0, t.tok1, t.tok2
+        FROM cptc_udtf_docs d,
+             LATERAL cptc_first_tokens(lower(trim(d.text)), 3) t
+        """
+    )
