@@ -447,3 +447,57 @@ def paginate_orders_page5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(200)
         .limit(50)
     )
+
+
+# --- SQL DDL/DML: catalog-table lifecycle ---------------------------------
+
+_DML_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("sql_table_lifecycle_dml", oracle=_DML_ORACLE)
+def sql_table_lifecycle_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-table lifecycle through the SQL front door — CTAS half
+    the rows, INSERT INTO the other half, aggregate the managed
+    table: the DDL/DML surface (every other query here is
+    path-based). The table is USING PARQUET with an explicit /tmp
+    LOCATION (no Hive metastore in play — Spark's in-memory catalog
+    carries the schema; the files are plain parquet any path-based
+    reader could scan). INSERT INTO appends files atomically via the
+    same task-commit protocol as DataFrameWriter; the oracle proves
+    no row was lost or doubled across the two DML generations."""
+    import shutil
+    import tempfile
+
+    _view(spark, sf_dir, "orders")
+    loc = os.path.join(tempfile.gettempdir(), "cptc_sql_dml_tbl")
+    spark.sql("DROP TABLE IF EXISTS cptc_orders_dml")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(
+        f"""
+        CREATE TABLE cptc_orders_dml USING PARQUET LOCATION '{loc}'
+        AS SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 2 = 0
+        """
+    )
+    spark.sql(
+        """
+        INSERT INTO cptc_orders_dml
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_price
+        FROM cptc_orders_dml
+        GROUP BY o_orderstatus
+        """
+    )

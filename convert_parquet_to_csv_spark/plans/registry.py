@@ -166,6 +166,7 @@ FIRST_TIER: list[str] = [
     "dynamic_partition_pruning_join",
     "rolling_28d_mau_hll",
     "udtf_analyze_first_tokens",
+    "sql_table_lifecycle_dml",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",
