@@ -167,6 +167,7 @@ FIRST_TIER: list[str] = [
     "rolling_28d_mau_hll",
     "udtf_analyze_first_tokens",
     "sql_table_lifecycle_dml",
+    "null_ordering_topk",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -731,3 +731,37 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mom_growth"
         ),
     )
+
+
+# --- NULL ordering pinned (NULLS FIRST/LAST in ranked limits) -------------
+
+_NULLORD_ORACLE = """
+WITH ranked AS (
+  SELECT event_id, value,
+         CAST(row_number() OVER (
+           ORDER BY value DESC NULLS LAST, event_id) AS INT)
+           AS rk_val_desc,
+         CAST(row_number() OVER (
+           ORDER BY value ASC NULLS FIRST, event_id) AS INT)
+           AS rk_nulls_first
+  FROM events)
+SELECT event_id, value, rk_val_desc, rk_nulls_first
+FROM ranked
+WHERE rk_val_desc <= 5 OR rk_nulls_first <= 5
+"""
+
+
+@query("null_ordering_topk", oracle=_NULLORD_ORACLE)
+def null_ordering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL ordering pinned EXPLICITLY in ranked top-k — the trap the
+    null_semantics_zoo doesn't cover: engine DEFAULTS diverge (Spark:
+    NULLS FIRST for ASC / LAST for DESC; DuckDB: NULLS LAST unless
+    configured), which silently changes which rows a LIMIT keeps
+    whenever the sort column is nullable. Any ranked query over
+    nullable keys must spell NULLS FIRST/LAST out — with it, both
+    engines select identical rows (this gate); without it, a top-5
+    by value could be five NULLs on one engine and five maxima on
+    the other. Identical SQL text runs on both engines."""
+    ev = _events(spark, sf_dir)
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_NULLORD_ORACLE)
