@@ -1296,3 +1296,56 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("total").cast("double") * F.col("total").cast("double"))
         ).alias("hhi"),
     )
+
+
+# --- Kolmogorov–Smirnov drift between A/B arms ----------------------------
+
+# KS = max_x |F_A(x) - F_B(x)| rewritten integer-exact:
+# max |cumA·nB - cumB·nA| / (nA·nB) — cumulative counts are window
+# sums of integers, the cross-multiplication keeps the argmax in
+# BIGINT, and the single closing divide is shared. Same md5 arm coin
+# as ab_experiment_readout, so the two queries read the same split.
+_KS_ORACLE = """
+WITH assign AS (
+  SELECT value,
+         CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+              THEN 'A' ELSE 'B' END AS arm
+  FROM events WHERE value IS NOT NULL),
+pts AS (
+  SELECT value,
+         SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS cb
+  FROM assign GROUP BY value),
+cum AS (
+  SELECT value,
+         SUM(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cuma,
+         SUM(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cumb
+  FROM pts),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM pts)
+SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       CAST(MAX(abs(c.cuma * t.nb - c.cumb * t.na)) AS BIGINT) AS ks_num,
+       CAST(MAX(abs(c.cuma * t.nb - c.cumb * t.na)) AS DOUBLE)
+         / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) AS ks_stat
+FROM cum c CROSS JOIN tot t
+GROUP BY t.na, t.nb
+"""
+
+
+@query("ks_drift_ab_arms", oracle=_KS_ORACLE)
+def ks_drift_ab_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the A/B arms'
+    value distributions — the drift/SRM check an experiment readout
+    needs next to its means (a hash coin should give KS ≈ 0; a real
+    treatment shifts it). The empirical-CDF sup-distance is computed
+    entirely rank-side (see the integer rewrite above the oracle) —
+    no binning, no density estimates, deterministic to the last bit.
+    Shape: one (value) pre-agg collapses ties, a global-order window
+    over DISTINCT values only (same reduced-table note as the
+    weighted median), two tiny broadcast totals."""
+    from convert_parquet_to_csv_spark.plans.common import (
+        load_table as _lt,
+    )
+
+    ev = _lt(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_KS_ORACLE.replace("AS VARCHAR", "AS STRING"))

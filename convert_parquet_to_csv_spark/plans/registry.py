@@ -168,6 +168,7 @@ FIRST_TIER: list[str] = [
     "udtf_analyze_first_tokens",
     "sql_table_lifecycle_dml",
     "null_ordering_topk",
+    "ks_drift_ab_arms",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

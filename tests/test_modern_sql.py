@@ -235,3 +235,18 @@ def test_hhi_bounds_and_even_market_floor(spark, sf_small):
     assert rows
     for r in rows:
         assert 1.0 / r["n_customers"] - 1e-12 <= r["hhi"] <= 1.0 + 1e-12
+
+
+def test_ks_statistic_properties(spark, sf_small):
+    """0 <= KS <= 1; the hash-coin split of one population should be
+    statistically indistinguishable (KS well under the ~5%
+    two-sample critical value at these n)."""
+    row = registry.QUERIES["ks_drift_ab_arms"](spark, sf_small).collect()[0]
+    assert 0.0 <= row["ks_stat"] <= 1.0
+    assert row["ks_num"] <= row["n_a"] * row["n_b"]
+    import math
+
+    crit = 1.63 * math.sqrt(
+        (row["n_a"] + row["n_b"]) / (row["n_a"] * row["n_b"])
+    )
+    assert row["ks_stat"] < crit
