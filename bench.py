@@ -74,6 +74,9 @@ BENCH_QUERY_NAMES = [
     "moment_stats_exact",
     "ewma_trailing_value",
     "zscore_anomaly_events",
+    # graph family at bench scale (edge derivation dominates)
+    "graph_triangle_copurchase",
+    "kcore_copurchase",
 ]
 
 DOCS_500K_PATH = "/tmp/cptc_bench_docs500k.parquet"
