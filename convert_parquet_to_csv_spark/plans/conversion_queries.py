@@ -64,3 +64,46 @@ def merged_scan_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn(
         "filename", F.regexp_extract(F.col("filename"), r"([^/]+)$", 1)
     )
+
+
+# --- Arrow engine hand-off (reference Op-2) -------------------------------
+
+_ARROW_INTEROP_ORACLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("arrow_interop_roundtrip", oracle=_ARROW_INTEROP_ORACLE)
+def arrow_interop_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's engine hand-off (SURVEY §2 Op-2, utils.py:105
+    ``.pl()``) made explicit and gated: an aggregate leaves Spark as
+    an Arrow table (``toArrow``), lives briefly as a foreign
+    in-memory frame (pandas via Arrow, zero-copy for numeric
+    columns), and re-enters through ``createDataFrame`` — values
+    must survive both boundary crossings bit-for-bit. Only the
+    AGGREGATE crosses (6 rows); the hand-off pattern is for results
+    and dimension tables, never the fact stream — at 100 TB the
+    fact-side equivalents are mapInArrow/mapInPandas, which keep
+    batches distributed (functions/vectors.py)."""
+    li = read_parquet(
+        spark, os.path.join(sf_dir, "lineitem.parquet")
+    )
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+    tbl = agg.toArrow()  # Spark -> Arrow (the .pl() seam)
+    pdf = tbl.to_pandas()  # Arrow -> foreign engine frame
+    back = spark.createDataFrame(pdf)  # foreign frame -> Spark
+    return back.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+    )

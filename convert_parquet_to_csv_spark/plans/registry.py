@@ -169,6 +169,7 @@ FIRST_TIER: list[str] = [
     "sql_table_lifecycle_dml",
     "null_ordering_topk",
     "ks_drift_ab_arms",
+    "arrow_interop_roundtrip",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",
