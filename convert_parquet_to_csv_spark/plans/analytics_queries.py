@@ -1349,3 +1349,49 @@ def ks_drift_ab_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _lt(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events")
     return spark.sql(_KS_ORACLE.replace("AS VARCHAR", "AS STRING"))
+
+
+# --- exact Pearson correlation --------------------------------------------
+
+# Same exactness doctrine as moment_stats_exact, extended to the
+# cross moment: quantity is integral and price is 2-dp money, so all
+# five power sums (Σx, Σy, Σx², Σy², Σxy) are exact integers
+# (DECIMAL(38,0) vs HUGEINT — (Σy)² needs ~10^27 past sf1) and the
+# whole Pearson formula collapses to one shared double expression.
+# The built-in corr() accumulates co-moments in doubles and is
+# order-dependent — unusable for a hash gate, same as var_samp.
+_CORR_TEMPLATE = """
+WITH fx AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_quantity AS {big}) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS {big}) AS y
+  FROM lineitem),
+s AS (
+  SELECT flag, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM fx GROUP BY flag)
+SELECT flag, CAST(n AS BIGINT) AS n,
+  CAST(CAST(n AS {big}) * sxy - sx * sy AS DOUBLE)
+    / (sqrt(CAST(CAST(n AS {big}) * sxx - sx * sx AS DOUBLE))
+       * sqrt(CAST(CAST(n AS {big}) * syy - sy * sy AS DOUBLE)))
+    AS corr_qty_price
+FROM s
+"""
+
+
+@query(
+    "correlation_exact",
+    oracle=_CORR_TEMPLATE.format(big="HUGEINT"),
+)
+def correlation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation between quantity and price,
+    deterministic to the last bit (exactness notes above the
+    template; near-zero on TPC-H's independent columns — itself a
+    fixture sanity check). One scan, one partial→final agg shuffle
+    computing all five power sums together — the single-pass shape
+    that scales; the two-pass centered form (moment_stats_exact) is
+    the numerically-stable alternative when magnitudes are extreme."""
+    _view_li = _t(spark, sf_dir, "lineitem")
+    _view_li.createOrReplaceTempView("lineitem")
+    return spark.sql(_CORR_TEMPLATE.format(big="DECIMAL(38,0)"))

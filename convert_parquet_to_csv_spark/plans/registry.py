@@ -170,6 +170,7 @@ FIRST_TIER: list[str] = [
     "null_ordering_topk",
     "ks_drift_ab_arms",
     "arrow_interop_roundtrip",
+    "correlation_exact",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

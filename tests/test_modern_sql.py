@@ -250,3 +250,22 @@ def test_ks_statistic_properties(spark, sf_small):
         (row["n_a"] + row["n_b"]) / (row["n_a"] * row["n_b"])
     )
     assert row["ks_stat"] < crit
+
+
+def test_correlation_matches_builtin_within_tolerance(spark, sf_small):
+    """The exact power-sum Pearson agrees with Spark's corr() to
+    float tolerance, and is bounded in [-1, 1]."""
+    res = registry.QUERIES["correlation_exact"](spark, sf_small)
+    got = {r["flag"]: r["corr_qty_price"] for r in res.collect()}
+    li = load_table(spark, sf_small, "lineitem")
+    ref = {
+        r["l_returnflag"]: r["c"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.corr("l_quantity", "l_extendedprice").alias("c"))
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for flag, c in got.items():
+        assert -1.0 <= c <= 1.0
+        # cent quantization of price perturbs corr by <1e-6 here
+        assert abs(c - ref[flag]) < 1e-5
