@@ -1395,3 +1395,48 @@ def correlation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view_li = _t(spark, sf_dir, "lineitem")
     _view_li.createOrReplaceTempView("lineitem")
     return spark.sql(_CORR_TEMPLATE.format(big="DECIMAL(38,0)"))
+
+
+# --- audience overlap (pairwise Jaccard between event types) --------------
+
+_AUDIENCE_ORACLE = """
+WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, COUNT(*) AS n_users
+          FROM aud GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_both
+  FROM aud a JOIN aud b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT i.type_a, i.type_b,
+       CAST(sa.n_users AS BIGINT) AS n_a,
+       CAST(sb.n_users AS BIGINT) AS n_b,
+       CAST(i.n_both AS BIGINT) AS n_both,
+       CAST(i.n_both AS DOUBLE)
+         / CAST(sa.n_users + sb.n_users - i.n_both AS DOUBLE)
+         AS jaccard
+FROM inter i JOIN sizes sa ON i.type_a = sa.event_type
+             JOIN sizes sb ON i.type_b = sb.event_type
+"""
+
+
+@query("audience_overlap_matrix", oracle=_AUDIENCE_ORACLE)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: exact
+    intersection sizes via a self-join of the deduped (type, user)
+    table on user_id, unions by inclusion–exclusion — all integers
+    until one closing Jaccard divide. The canonical segment-overlap
+    report (which behaviors share users). Scale shape: the self-join
+    fans out per user by (their distinct types)², bounded by the
+    type-alphabet squared — tiny here; for unbounded alphabets
+    (audiences = campaigns), swap exact intersections for the theta-
+    sketch family the HLL module anchors. The dedup groupBy is the
+    only data-sized shuffle."""
+    from convert_parquet_to_csv_spark.plans.common import (
+        load_table as _lt,
+    )
+
+    ev = _lt(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_AUDIENCE_ORACLE)

@@ -171,6 +171,7 @@ FIRST_TIER: list[str] = [
     "ks_drift_ab_arms",
     "arrow_interop_roundtrip",
     "correlation_exact",
+    "audience_overlap_matrix",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -269,3 +269,21 @@ def test_correlation_matches_builtin_within_tolerance(spark, sf_small):
         assert -1.0 <= c <= 1.0
         # cent quantization of price perturbs corr by <1e-6 here
         assert abs(c - ref[flag]) < 1e-5
+
+
+def test_audience_overlap_inclusion_exclusion(spark, sf_small):
+    """n_both <= min(n_a, n_b); jaccard in (0, 1]; symmetric pair set
+    covers every unordered type pair exactly once."""
+    rows = registry.QUERIES["audience_overlap_matrix"](
+        spark, sf_small
+    ).collect()
+    assert rows
+    pairs = set()
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 <= r["jaccard"] <= 1.0
+        pairs.add((r["type_a"], r["type_b"]))
+    types = sorted({t for p in pairs for t in p})
+    # with the fixture's small user base every pair should appear
+    assert len(pairs) == len(types) * (len(types) - 1) // 2

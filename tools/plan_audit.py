@@ -93,6 +93,8 @@ CASES = {
     "paginate_orders_page5": "pagination: TakeOrderedAndProject keeps offset+limit per task, no global sort",
     "dynamic_partition_pruning_join": "DPP: dynamicpruningexpression in the fact scan's PartitionFilters",
     "ab_experiment_readout": "A/B: one arm aggregate, two-phase distinct expand, md5 coin map-side",
+    "ks_drift_ab_arms": "KS: tie pre-agg, global-order window over DISTINCT values only, broadcast totals",
+    "correlation_exact": "corr: five power sums in ONE partial/final aggregate, single scan",
 }
 
 KEY_MARKERS = (
