@@ -1440,3 +1440,40 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _lt(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events")
     return spark.sql(_AUDIENCE_ORACLE)
+
+
+# --- order-status transition matrix (first-order Markov counts) -----------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, o_orderstatus AS cur,
+         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+           AS prev
+  FROM orders),
+trans AS (
+  SELECT prev, cur, COUNT(*) AS n_transitions
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur),
+outdeg AS (
+  SELECT prev, SUM(n_transitions) AS n_out FROM trans GROUP BY prev)
+SELECT t.prev AS from_status, t.cur AS to_status,
+       CAST(t.n_transitions AS BIGINT) AS n_transitions,
+       CAST(t.n_transitions AS DOUBLE) / CAST(o.n_out AS DOUBLE)
+         AS p_transition
+FROM trans t JOIN outdeg o ON t.prev = o.prev
+"""
+
+
+@query("status_transition_matrix", oracle=_MARKOV_ORACLE)
+def status_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each customer's
+    order-status sequence — the sequence-mining staple behind churn
+    and lifecycle models (which state follows which, how often).
+    One lag window per customer (date+key tiebreak), integer
+    transition counts, row-normalized by out-degree with one closing
+    divide per cell. Everything rides a single o_custkey exchange;
+    the matrix itself is |statuses|² rows — driver-tiny at any
+    scale."""
+    _view_o = _t(spark, sf_dir, "orders")
+    _view_o.createOrReplaceTempView("orders")
+    return spark.sql(_MARKOV_ORACLE)

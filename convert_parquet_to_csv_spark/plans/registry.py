@@ -172,6 +172,7 @@ FIRST_TIER: list[str] = [
     "arrow_interop_roundtrip",
     "correlation_exact",
     "audience_overlap_matrix",
+    "status_transition_matrix",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -287,3 +287,25 @@ def test_audience_overlap_inclusion_exclusion(spark, sf_small):
     types = sorted({t for p in pairs for t in p})
     # with the fixture's small user base every pair should appear
     assert len(pairs) == len(types) * (len(types) - 1) // 2
+
+
+def test_transition_matrix_rows_normalize(spark, sf_small):
+    """Outgoing probabilities sum to 1 per from_status; counts
+    account for every non-first order in a customer sequence."""
+    rows = registry.QUERIES["status_transition_matrix"](
+        spark, sf_small
+    ).collect()
+    assert rows
+    from collections import defaultdict
+
+    psum = defaultdict(float)
+    total = 0
+    for r in rows:
+        psum[r["from_status"]] += r["p_transition"]
+        total += r["n_transitions"]
+    for s, p in psum.items():
+        assert abs(p - 1.0) < 1e-9, (s, p)
+    orders = load_table(spark, sf_small, "orders")
+    n_orders = orders.count()
+    n_customers = orders.select("o_custkey").distinct().count()
+    assert total == n_orders - n_customers
