@@ -173,6 +173,7 @@ FIRST_TIER: list[str] = [
     "correlation_exact",
     "audience_overlap_matrix",
     "status_transition_matrix",
+    "conversion_latency_percentiles",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

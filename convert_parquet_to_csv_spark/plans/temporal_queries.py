@@ -765,3 +765,58 @@ def null_ordering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     ev.createOrReplaceTempView("events")
     return spark.sql(_NULLORD_ORACLE)
+
+
+# --- conversion latency percentiles ---------------------------------------
+
+_CONV_LAT_ORACLE = """
+WITH p AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+pairs AS (
+  SELECT p.event_id, date_diff('microsecond', v.ts, p.ts) AS latency_us
+  FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts)
+SELECT COUNT(*) AS n_converted,
+       CAST(quantile_cont(latency_us, 0.5) AS DOUBLE) AS p50_us,
+       CAST(quantile_cont(latency_us, 0.9) AS DOUBLE) AS p90_us
+FROM pairs
+"""
+
+
+@query("conversion_latency_percentiles", oracle=_CONV_LAT_ORACLE)
+def conversion_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """View→purchase conversion latency, percentile-summarized — the
+    funnel-timing readout product teams put next to conversion rates.
+    Composes the as-of join operator (union+window, one user_id
+    exchange — the same engine asof_click_attribution gates) with
+    exact integer-µs gaps and the bitwise-matching exact percentile
+    (quantile_prices precedent). Purchases with no prior view drop
+    out of the as-of inner match — unconverted traffic belongs to the
+    funnel query, not the latency one."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", ts="ts", right_cols=[],
+        suffix="_view",
+    )
+    pairs = joined.select(
+        (
+            F.unix_micros("ts") - F.unix_micros("ts_view")
+        ).alias("latency_us")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile("latency_us", F.lit(0.5))
+        .cast("double")
+        .alias("p50_us"),
+        F.percentile("latency_us", F.lit(0.9))
+        .cast("double")
+        .alias("p90_us"),
+    )
