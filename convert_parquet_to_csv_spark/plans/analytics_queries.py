@@ -1477,3 +1477,65 @@ def status_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view_o = _t(spark, sf_dir, "orders")
     _view_o.createOrReplaceTempView("orders")
     return spark.sql(_MARKOV_ORACLE)
+
+
+# --- OLS trend line per group ---------------------------------------------
+
+# Same exact-power-sum machinery as correlation_exact: x = integer
+# days since the fixture epoch, y = integer cents, four exact sums →
+# slope and intercept as shared double expressions. The 1992-01-01
+# origin keeps x small (≈0..2500), so x·y products stay ~10^13 and
+# the (Σx)² term well inside DECIMAL(38,0)/HUGEINT at any sf.
+_OLS_TEMPLATE = """
+WITH fx AS (
+  SELECT l_returnflag AS flag,
+         CAST({datediff} AS {big}) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS {big}) AS y
+  FROM lineitem),
+s AS (
+  SELECT flag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(x*y) AS sxy
+  FROM fx GROUP BY flag)
+SELECT flag, CAST(n AS BIGINT) AS n,
+  CAST(CAST(n AS {big}) * sxy - sx * sy AS DOUBLE)
+    / CAST(CAST(n AS {big}) * sxx - sx * sx AS DOUBLE) / 100.0
+    AS slope_dollars_per_day,
+  (CAST(sy AS DOUBLE) / 100.0) / CAST(n AS DOUBLE)
+    - (CAST(CAST(n AS {big}) * sxy - sx * sy AS DOUBLE)
+       / CAST(CAST(n AS {big}) * sxx - sx * sx AS DOUBLE) / 100.0)
+      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+    AS intercept_dollars
+FROM s
+"""
+
+
+@query(
+    "ols_price_trend",
+    oracle=_OLS_TEMPLATE.format(
+        big="HUGEINT",
+        datediff=(
+            "date_diff('day', DATE '1992-01-01', "
+            "CAST(l_shipdate AS DATE))"
+        ),
+    ),
+)
+def ols_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend line of price over ship date —
+    the "is this metric drifting?" fit behind every monitoring
+    dashboard, computed as closed-form OLS on exact integer power
+    sums (no iteration, no feature matrix; the built-in
+    regr_slope/regr_intercept are double-accumulated and
+    order-dependent like corr). Single pass, one partial→final agg
+    shuffle; slope ≈ 0 on TPC-H's stationary prices is the expected
+    readout."""
+    _view_li = _t(spark, sf_dir, "lineitem")
+    _view_li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        _OLS_TEMPLATE.format(
+            big="DECIMAL(38,0)",
+            datediff=(
+                "datediff(CAST(l_shipdate AS DATE), "
+                "DATE '1992-01-01')"
+            ),
+        )
+    )

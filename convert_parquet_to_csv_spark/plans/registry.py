@@ -174,6 +174,7 @@ FIRST_TIER: list[str] = [
     "audience_overlap_matrix",
     "status_transition_matrix",
     "conversion_latency_percentiles",
+    "ols_price_trend",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -309,3 +309,28 @@ def test_transition_matrix_rows_normalize(spark, sf_small):
     n_orders = orders.count()
     n_customers = orders.select("o_custkey").distinct().count()
     assert total == n_orders - n_customers
+
+
+def test_ols_trend_matches_builtin_regression(spark, sf_small):
+    """The exact power-sum OLS agrees with Spark's regr_slope /
+    regr_intercept to float tolerance (cent quantization aside)."""
+    res = registry.QUERIES["ols_price_trend"](spark, sf_small)
+    got = {r["flag"]: r for r in res.collect()}
+    li = load_table(spark, sf_small, "lineitem").selectExpr(
+        "l_returnflag AS flag",
+        "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01')"
+        " AS DOUBLE) AS x",
+        "l_extendedprice AS y",
+    )
+    ref = {
+        r["flag"]: r
+        for r in li.groupBy("flag")
+        .agg(
+            F.expr("regr_slope(y, x)").alias("slope"),
+            F.expr("regr_intercept(y, x)").alias("icpt"),
+        )
+        .collect()
+    }
+    for flag, r in got.items():
+        assert abs(r["slope_dollars_per_day"] - ref[flag]["slope"]) < 1e-4
+        assert abs(r["intercept_dollars"] - ref[flag]["icpt"]) < 1.0
