@@ -50,6 +50,15 @@ _DEFAULT_CONF: dict[str, str] = {
     # Quieter, faster local runs; harmless on a cluster.
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
+    # local[N] runs everything in the driver JVM, so the default 1g
+    # heap serves N executor threads AND the scheduler — badly
+    # undersized on a 32-thread/128 GiB box (a full-registry
+    # oracle_check run at sf0.1 OOM'd the JVM at the triangle-count
+    # query). On a real cluster spark-submit owns this knob and the
+    # env var / extra_conf override applies.
+    "spark.driver.memory": os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEMORY", "16g"
+    ),
 }
 
 

@@ -112,6 +112,16 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {ex}")
             failures.append(name)
             continue
+        finally:
+            # Several operators persist() shared subtrees (sparse
+            # cosine postings, dedup profiles); across a 180+-query
+            # session those caches accumulate into real heap
+            # pressure. Each query is self-contained, so drop
+            # everything between queries.
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001 — JVM already gone
+                pass
         if name not in oracles:
             print(f"ok?   {name}: rows-only check, {len(spdf)} rows "
                   f"({time.perf_counter()-t0:.1f}s)")
