@@ -23,17 +23,30 @@ from convert_parquet_to_csv_spark.plans.registry import query
 
 # --- Q1-style pricing summary --------------------------------------------
 
+# Fixed-point integer sums, one closing divide: the DECIMAL-sum →
+# DOUBLE cast is 1-ulp-UNPORTABLE when the exact value lands within
+# half an ulp of a double boundary (DuckDB converts via scaled
+# division, Java via correctly-rounded parse — observed divergent on
+# the r3 sf0.1 fixture for this very query's sum_disc_price).
+# int→double conversion is IEEE-correctly-rounded in both engines,
+# so exact integer cents/basis-point sums + one shared divide are
+# bit-safe. Identical SQL runs on both engines (HUGEINT-free).
 _Q1_ORACLE = """
+WITH fx AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02')
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-              * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-            / COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+       CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM(price_c * (100 - disc_pct)) AS DOUBLE) / 10000.0
+         AS sum_disc_price,
+       CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS avg_qty,
        COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+FROM fx
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -47,20 +60,32 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on (returnflag, linestatus).
     """
     li = _t(spark, sf_dir, "lineitem")
-    d = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(
-                d("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-            ).cast("double").alias("sum_disc_price"),
-            (F.sum(d("l_quantity")).cast("double") / F.count("*"))
-            .cast("double").alias("avg_qty"),
-            F.count("*").alias("count_order"),
-        )
+    fx = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_c"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("disc_pct"),
+    )
+    return fx.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").cast("double").alias("sum_qty"),
+        (F.sum("price_c").cast("double") / F.lit(100.0)).alias(
+            "sum_base_price"
+        ),
+        (
+            F.sum(F.col("price_c") * (100 - F.col("disc_pct"))).cast(
+                "double"
+            )
+            / F.lit(10000.0)
+        ).alias("sum_disc_price"),
+        (F.sum("qty").cast("double") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
     )
 
 

@@ -16,6 +16,16 @@ Cross-engine determinism rules every registered query follows
   both engines report the same column type.
 - **No RNG.** Deterministic "randomness" uses cryptographic hashes of
   key columns (md5), identical in both engines.
+- **The DECIMAL→DOUBLE closing cast is 1-ulp-unportable.** When the
+  exact decimal sum lands within half an ulp of a double boundary,
+  DuckDB (scaled division) and Java (correctly-rounded parse) pick
+  different neighbors — observed once on the r3 sf0.1 fixture
+  (q1's sum_disc_price). The fully-safe form is exact INTEGER
+  fixed-point sums with ONE closing double divide (int→double is
+  IEEE-correctly-rounded in both engines) — used by q1, the TWA,
+  moments, correlation, OLS, and z-score queries; the DECIMAL form
+  remains acceptable where gates stay green, but any future
+  hash-mismatch in the 7th+ significant digit is this class.
 - **Timestamps stay timestamps** (session TZ pinned to UTC; DuckDB is
   naive — values align).
 """
