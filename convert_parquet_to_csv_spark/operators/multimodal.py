@@ -156,3 +156,80 @@ def media_stats(media: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+_RESIZE_SCHEMA = (
+    "media_id LONG, width INT, height INT, new_width INT, "
+    "new_height INT, out_bytes LONG, resized BINARY"
+)
+
+
+def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Resize for image rows: interpret the payload as a row-major
+    width×height grayscale grid (zero-padded / truncated — the STUB
+    stand-in for a real decode; a PIL/torchvision kernel plugs into
+    the same batch loop), downsample by ``factor`` via exact integer
+    block means (sum of each f×f block // f²), and re-emit the
+    resized grid as binary plus its new geometry.
+
+    Plumbing is the real thing a production resize stage needs:
+    meta-struct geometry flattened INTO the Arrow batch (the kernel
+    must not re-parse metadata per row), ``mapInPandas`` iterator
+    memory bounded at batch granularity, numpy vectorized block
+    reduction (no per-pixel Python), deterministic output bytes
+    (integer arithmetic, no float rounding)."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    from convert_parquet_to_csv_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    images = media.filter(F.col("kind") == "image").select(
+        "media_id",
+        "content",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+    def _resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "width": [], "height": [],
+                "new_width": [], "new_height": [], "out_bytes": [],
+                "resized": [],
+            }
+            for mid, content, w, h in zip(
+                pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
+            ):
+                w, h = int(w), int(h)
+                buf = bytes(content) if content is not None else b""
+                need = w * h
+                buf = (buf + b"\x00" * need)[:need]
+                grid = np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
+                nh, nw = max(h // factor, 1), max(w // factor, 1)
+                ch, cw = nh * factor, nw * factor
+                if ch > h or cw > w:  # degenerate tiny image
+                    resized = grid[:nh, :nw]
+                else:
+                    blocks = (
+                        grid[:ch, :cw]
+                        .reshape(nh, factor, nw, factor)
+                        .astype(np.uint32)
+                    )
+                    resized = (
+                        blocks.sum(axis=(1, 3)) // (factor * factor)
+                    ).astype(np.uint8)
+                payload = resized.tobytes()
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["new_width"].append(resized.shape[1])
+                out["new_height"].append(resized.shape[0])
+                out["out_bytes"].append(len(payload))
+                out["resized"].append(payload)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(_resize, schema=_RESIZE_SCHEMA)

@@ -94,3 +94,48 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex("frame").alias("frame_hex"),
         "frame_bytes",
     )
+
+
+# --- resize (geometry gated, kernel pytest-pinned) ------------------------
+
+# The oracle replays the GEOMETRY contract from the same synthesized
+# metadata (kind/width/height derive from doc_id and text length —
+# see operators/multimodal.media_table_from_documents): new dims are
+# floor(dim/2) clamped to 1, out_bytes = new_w*new_h. The resized
+# PIXELS can't be SQL-replayed (block-mean over a byte grid);
+# tests/test_multimodal.py pins the kernel on hand-built grids
+# instead — same split as the frame-sample query.
+_RESIZE_ORACLE = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(coalesce(text, ''))) AS n_bytes,
+         doc_id % 3 AS k
+  FROM documents),
+img AS (
+  SELECT media_id,
+         CAST(n_bytes % 640 + 1 AS INT) AS width,
+         CAST(n_bytes % 480 + 1 AS INT) AS height
+  FROM media WHERE k = 0)
+SELECT media_id, width, height,
+       CAST(greatest(width // 2, 1) AS INT) AS new_width,
+       CAST(greatest(height // 2, 1) AS INT) AS new_height,
+       CAST(greatest(width // 2, 1) * greatest(height // 2, 1)
+            AS BIGINT) AS out_bytes
+FROM img
+"""
+
+
+@query("multimodal_resize_geometry", oracle=_RESIZE_ORACLE)
+def multimodal_resize_geometry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """2× image downsample through the real mapInPandas resize stage
+    (operators/multimodal.resize_images — exact integer block means,
+    geometry flattened into the Arrow batch). The gate hashes the
+    geometry contract; the pixel kernel is pinned by unit test (see
+    the oracle comment for the split)."""
+    resized = M.resize_images(_media(spark, sf_dir), factor=2)
+    return resized.select(
+        "media_id", "width", "height", "new_width", "new_height",
+        "out_bytes",
+    )

@@ -185,6 +185,7 @@ FIRST_TIER: list[str] = [
     "status_transition_matrix",
     "conversion_latency_percentiles",
     "ols_price_trend",
+    "multimodal_resize_geometry",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -113,3 +113,56 @@ def test_feature_vectors_feed_similarity(spark, media):
     q = feats.limit(2)
     out = topk_bruteforce(feats, q, k=2)
     assert out.count() == 4
+
+
+def test_resize_block_means_hand_computed(spark):
+    """4x4 known grid, factor 2 -> each output pixel is the exact
+    integer mean of its 2x2 block; payload bytes match."""
+    import pyspark.sql.functions as F
+
+    from convert_parquet_to_csv_spark.operators import multimodal as M
+
+    grid = bytes([0, 2, 10, 12,
+                  4, 6, 14, 16,
+                  100, 102, 200, 202,
+                  104, 106, 204, 206])
+    media = spark.createDataFrame(
+        [(1, "image", grid)], "media_id long, kind string, content binary"
+    ).select(
+        "media_id", "kind", "content",
+        F.expr(
+            "named_struct('width', 4, 'height', 4, "
+            "'sample_rate', CAST(NULL AS INT), "
+            "'n_frames', CAST(NULL AS INT))"
+        ).alias("meta"),
+    )
+    row = M.resize_images(media, factor=2).collect()[0]
+    assert (row["new_width"], row["new_height"]) == (2, 2)
+    # block means: (0+2+4+6)//4=3, (10+12+14+16)//4=13,
+    #              (100+102+104+106)//4=103, (200+202+204+206)//4=203
+    assert bytes(row["resized"]) == bytes([3, 13, 103, 203])
+    assert row["out_bytes"] == 4
+
+
+def test_resize_pads_short_payloads(spark):
+    """Payload shorter than width*height is zero-padded before the
+    grid reshape (the stub decode contract)."""
+    import pyspark.sql.functions as F
+
+    from convert_parquet_to_csv_spark.operators import multimodal as M
+
+    media = spark.createDataFrame(
+        [(2, "image", bytes([255, 255]))],
+        "media_id long, kind string, content binary",
+    ).select(
+        "media_id", "kind", "content",
+        F.expr(
+            "named_struct('width', 2, 'height', 2, "
+            "'sample_rate', CAST(NULL AS INT), "
+            "'n_frames', CAST(NULL AS INT))"
+        ).alias("meta"),
+    )
+    row = M.resize_images(media, factor=2).collect()[0]
+    # grid = [[255,255],[0,0]] -> single block mean (255+255+0+0)//4
+    assert bytes(row["resized"]) == bytes([127])
+    assert (row["new_width"], row["new_height"]) == (1, 1)
