@@ -1564,3 +1564,45 @@ def ols_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Gini coefficient -----------------------------------------------------
+
+# Rank formula Gini = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over ascending
+# ranks. Ties need no tiebreak: permuting equal values among their
+# consecutive ranks leaves Σi·xᵢ unchanged (same v times the same
+# rank set), so row_number is deterministic-by-construction here.
+# Integer cents keep both sums exact; one closing divide.
+_GINI_ORACLE = """
+WITH fx AS (
+  SELECT o_orderstatus AS status,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders),
+rk AS (
+  SELECT status, v,
+         row_number() OVER (PARTITION BY status ORDER BY v) AS i
+  FROM fx),
+s AS (
+  SELECT status, COUNT(*) AS n,
+         SUM(v) AS sv, SUM(i * v) AS siv
+  FROM rk GROUP BY status)
+SELECT status, CAST(n AS BIGINT) AS n,
+  CAST(2 * siv - (n + 1) * sv AS DOUBLE)
+    / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)) AS gini
+FROM s
+"""
+
+
+@query("gini_order_value", oracle=_GINI_ORACLE)
+def gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per status — the Lorenz-curve
+    inequality measure (0 = everyone spends alike, →1 = one order is
+    the whole book); HHI measures per-entity concentration, Gini the
+    distribution's overall skew. One rank window per status + one
+    aggregate, integer-exact to the last divide (see oracle comment
+    for why ties need no tiebreak). TPC-H's uniform prices land
+    around 1/3, the uniform-distribution expectation — a fixture
+    sanity check like correlation_exact's ≈0."""
+    _view_o = _t(spark, sf_dir, "orders")
+    _view_o.createOrReplaceTempView("orders")
+    return spark.sql(_GINI_ORACLE)

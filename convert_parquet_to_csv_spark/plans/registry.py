@@ -186,6 +186,7 @@ FIRST_TIER: list[str] = [
     "conversion_latency_percentiles",
     "ols_price_trend",
     "multimodal_resize_geometry",
+    "gini_order_value",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -334,3 +334,13 @@ def test_ols_trend_matches_builtin_regression(spark, sf_small):
     for flag, r in got.items():
         assert abs(r["slope_dollars_per_day"] - ref[flag]["slope"]) < 1e-4
         assert abs(r["intercept_dollars"] - ref[flag]["icpt"]) < 1.0
+
+
+def test_gini_bounds_and_uniform_expectation(spark, sf_small):
+    """0 <= gini < 1; TPC-H's ~uniform order values land near 1/3
+    (wide tolerance — it's a sanity anchor, not a spec)."""
+    rows = registry.QUERIES["gini_order_value"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0
+        assert 0.15 < r["gini"] < 0.55
