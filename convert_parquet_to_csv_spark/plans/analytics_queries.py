@@ -1606,3 +1606,84 @@ def gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view_o = _t(spark, sf_dir, "orders")
     _view_o.createOrReplaceTempView("orders")
     return spark.sql(_GINI_ORACLE)
+
+
+# --- cohort LTV cumulative curve ------------------------------------------
+
+# Integer cents per (cohort, age) cell, BIGINT running sum over the
+# age order — exact until the single /100 closing divide (no
+# DECIMAL→DOUBLE cast anywhere; registry 1-ulp rule). Spark and
+# DuckDB spell month arithmetic differently (months_between vs
+# date_diff('month')) but agree on month-truncated dates.
+_LTV_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+cohorts AS (
+  SELECT o_custkey, MIN(om) AS cohort FROM o GROUP BY o_custkey),
+cells AS (
+  SELECT c.cohort,
+         CAST(date_diff('month', c.cohort, o.om) AS INT) AS age_months,
+         COUNT(*) AS n_orders, SUM(o.cents) AS rev_c
+  FROM o JOIN cohorts c ON o.o_custkey = c.o_custkey
+  GROUP BY 1, 2),
+cum AS (
+  SELECT cohort, age_months, n_orders,
+         SUM(rev_c) OVER (PARTITION BY cohort ORDER BY age_months
+                          ROWS UNBOUNDED PRECEDING) AS cum_c
+  FROM cells)
+SELECT cohort, age_months, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(cum_c AS DOUBLE) / 100.0 AS cum_revenue
+FROM cum
+"""
+
+
+@query("cohort_ltv_curve", oracle=_LTV_ORACLE)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per acquisition cohort — the LTV
+    curve finance reads against acquisition cost (each cohort's
+    running revenue by months-since-first-order). The companion to
+    cohort_retention_matrix (heads counted there, dollars here).
+    Shape: first-order cohorts via one customer agg joined back
+    (broadcast — cohorts are one row per customer, but only
+    (custkey, cohort) wide), per-cell aggregation, then a running
+    sum over each cohort's ≤ |months| cells. Exactness above the
+    oracle."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date(F.date_trunc("MONTH", "o_orderdate")).alias("om"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cohorts = o.groupBy("o_custkey").agg(F.min("om").alias("cohort"))
+    cells = (
+        o.join(cohorts, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(F.col("om"), F.col("cohort"))
+            .cast("int")
+            .alias("age_months"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("rev_c"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.select(
+        "cohort",
+        "age_months",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        (F.sum("rev_c").over(w).cast("double") / F.lit(100.0)).alias(
+            "cum_revenue"
+        ),
+    )

@@ -187,6 +187,7 @@ FIRST_TIER: list[str] = [
     "ols_price_trend",
     "multimodal_resize_geometry",
     "gini_order_value",
+    "cohort_ltv_curve",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

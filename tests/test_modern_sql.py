@@ -344,3 +344,37 @@ def test_gini_bounds_and_uniform_expectation(spark, sf_small):
     for r in rows:
         assert 0.0 <= r["gini"] < 1.0
         assert 0.15 < r["gini"] < 0.55
+
+
+def test_ltv_curve_monotone_and_totals(spark, sf_small):
+    """Cumulative revenue is non-decreasing within each cohort, and
+    the final cumulative values sum to total book revenue (every
+    order lands in exactly one cohort cell)."""
+    rows = registry.QUERIES["cohort_ltv_curve"](spark, sf_small).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort"]].append((r["age_months"], r["cum_revenue"]))
+    finals = 0.0
+    n_orders = 0
+    for seq in by_cohort.values():
+        seq.sort()
+        for (a1, c1), (a2, c2) in zip(seq, seq[1:]):
+            assert c2 >= c1
+        finals += seq[-1][1]
+    n_orders = sum(r["n_orders"] for r in rows)
+    orders = load_table(spark, sf_small, "orders")
+    assert n_orders == orders.count()
+    total = (
+        orders.agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+        ).collect()[0][0]
+        / 100.0
+    )
+    assert abs(finals - total) < 1e-6 * total
