@@ -1687,3 +1687,59 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue"
         ),
     )
+
+
+# --- RFM segmentation -----------------------------------------------------
+
+# Quintiles are ntile over deterministic total orders (custkey
+# tiebreak — the price_decile_binning convention); recency anchors
+# on the data's own max date so the query is reproducible at any
+# time; money stays integer cents throughout.
+_RFM_ORACLE = """
+WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd
+                FROM orders),
+cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                        (SELECT maxd FROM anchor)) AS BIGINT)
+           AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary_cents,
+    CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS INT)
+      AS r,
+    CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT)
+      AS f,
+    CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+         AS INT) AS m
+  FROM scored_src)
+SELECT r, f, m, COUNT(*) AS n_customers,
+       CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+FROM scored GROUP BY r, f, m
+"""
+_RFM_ORACLE = _RFM_ORACLE.replace("scored_src", "cust")
+
+
+@query("rfm_segmentation", oracle=_RFM_ORACLE)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency/frequency/monetary quintile codes,
+    the classic CRM customer-value grid (1,1,1 = recent frequent big
+    spenders), aggregated to segment sizes and revenue. One customer
+    aggregate, three ntile windows sharing the tiny per-customer
+    table (global-order windows run post-aggregation — rows =
+    customers, not orders), one segment rollup. The 1-row recency
+    anchor is a scalar subquery both engines decorrelate to a
+    broadcast."""
+    _view_o = _t(spark, sf_dir, "orders")
+    _view_o.createOrReplaceTempView("orders")
+    return spark.sql(
+        _RFM_ORACLE.replace(
+            "date_diff('day', MAX(CAST(o_orderdate AS DATE)),\n"
+            "                        (SELECT maxd FROM anchor))",
+            "datediff((SELECT maxd FROM anchor), "
+            "MAX(CAST(o_orderdate AS DATE)))",
+        )
+    )

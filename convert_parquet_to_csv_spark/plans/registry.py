@@ -188,6 +188,7 @@ FIRST_TIER: list[str] = [
     "multimodal_resize_geometry",
     "gini_order_value",
     "cohort_ltv_curve",
+    "rfm_segmentation",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -378,3 +378,21 @@ def test_ltv_curve_monotone_and_totals(spark, sf_small):
         / 100.0
     )
     assert abs(finals - total) < 1e-6 * total
+
+
+def test_rfm_segments_partition_customers(spark, sf_small):
+    """Segment sizes sum to the customer base with orders; quintile
+    codes are 1..5; revenue partitions exactly."""
+    rows = registry.QUERIES["rfm_segmentation"](spark, sf_small).collect()
+    assert rows
+    orders = load_table(spark, sf_small, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["r"] <= 5 and 1 <= r["f"] <= 5 and 1 <= r["m"] <= 5
+    total_cents = orders.agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+    ).collect()[0][0]
+    assert sum(r["segment_cents"] for r in rows) == total_cents
