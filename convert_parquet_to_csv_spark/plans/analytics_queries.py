@@ -1743,3 +1743,51 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "MAX(CAST(o_orderdate AS DATE)))",
         )
     )
+
+
+# --- market-basket association lift ---------------------------------------
+
+# Identical SQL runs on both engines: lift assembled from three exact
+# integer counts with one shared double expression; min-support
+# (HAVING >= 3) bounds the pair table the same way the dedup/sparse
+# guards bound theirs; tie-broken top-20.
+_BASKET_ORACLE = """
+WITH n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders
+           FROM lineitem),
+item AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         FROM lineitem),
+freq AS (SELECT pk, COUNT(*) AS n_item FROM item GROUP BY pk),
+pairs AS (
+  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_both
+  FROM item a JOIN item b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+scored AS (
+  SELECT p.pa, p.pb, p.n_both, fa.n_item AS n_a, fb.n_item AS n_b,
+         CAST(p.n_both AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+           / (CAST(fa.n_item AS DOUBLE) * CAST(fb.n_item AS DOUBLE))
+           AS lift
+  FROM pairs p JOIN freq fa ON p.pa = fa.pk
+               JOIN freq fb ON p.pb = fb.pk
+               CROSS JOIN n),
+ranked AS (
+  SELECT pa, pb, CAST(n_both AS BIGINT) AS n_both, lift,
+         CAST(row_number() OVER (ORDER BY lift DESC, pa, pb) AS INT)
+           AS rk
+  FROM scored)
+SELECT pa, pb, n_both, lift, rk FROM ranked WHERE rk <= 20
+"""
+
+
+@query("basket_lift_part_pairs", oracle=_BASKET_ORACLE)
+def basket_lift_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: the top-20 part pairs by lift
+    (P(a,b)/P(a)P(b) — how much more often two parts ship together
+    than independence predicts), with a min-support floor so rare
+    coincidences can't fake a high lift. bigram_collocations_lift is
+    this exact shape on text; here it runs on transactions — the
+    recommender-seed query. One distinct pass, one order-key
+    self-join bounded by basket sizes (Σ basket² — TPC-H baskets are
+    ≤7 lines), broadcast part frequencies back, one top-k window."""
+    _view_li = _t(spark, sf_dir, "lineitem")
+    _view_li.createOrReplaceTempView("lineitem")
+    return spark.sql(_BASKET_ORACLE)

@@ -189,6 +189,7 @@ FIRST_TIER: list[str] = [
     "gini_order_value",
     "cohort_ltv_curve",
     "rfm_segmentation",
+    "basket_lift_part_pairs",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",
