@@ -1791,3 +1791,48 @@ def basket_lift_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view_li = _t(spark, sf_dir, "lineitem")
     _view_li.createOrReplaceTempView("lineitem")
     return spark.sql(_BASKET_ORACLE)
+
+
+# --- ABC / Pareto classification ------------------------------------------
+
+_ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT SUM(cents) AS total FROM rev),
+cum AS (
+  SELECT pk, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, pk
+                          ROWS UNBOUNDED PRECEDING) AS cum_cents
+  FROM rev),
+cls AS (
+  SELECT c.pk, c.cents,
+         CASE WHEN CAST(c.cum_cents AS DOUBLE)
+                   <= 0.8 * CAST(t.total AS DOUBLE) THEN 'A'
+              WHEN CAST(c.cum_cents AS DOUBLE)
+                   <= 0.95 * CAST(t.total AS DOUBLE) THEN 'B'
+              ELSE 'C' END AS abc
+  FROM cum c CROSS JOIN tot t)
+SELECT abc, COUNT(*) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS class_cents
+FROM cls GROUP BY abc
+"""
+
+
+@query("abc_pareto_classification", oracle=_ABC_ORACLE)
+def abc_pareto_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ABC (Pareto) classification: parts bucketed A/B/C at 80%/95%
+    of cumulative revenue — the inventory-prioritization standard
+    (the few A-parts that are most of the money get the attention).
+    Exact integer cents through the descending cumulative sum
+    (deterministic pk tiebreak), class boundaries as one shared
+    double comparison against the broadcast total; the global-order
+    window runs on the per-part aggregate, not the fact stream —
+    same reduced-table note as the weighted median and skyline."""
+    _view_li = _t(spark, sf_dir, "lineitem")
+    _view_li.createOrReplaceTempView("lineitem")
+    return spark.sql(_ABC_ORACLE)

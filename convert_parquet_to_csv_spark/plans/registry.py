@@ -190,6 +190,7 @@ FIRST_TIER: list[str] = [
     "cohort_ltv_curve",
     "rfm_segmentation",
     "basket_lift_part_pairs",
+    "abc_pareto_classification",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",
