@@ -1836,3 +1836,39 @@ def abc_pareto_classification(
     _view_li = _t(spark, sf_dir, "lineitem")
     _view_li.createOrReplaceTempView("lineitem")
     return spark.sql(_ABC_ORACLE)
+
+
+# --- new vs returning revenue split ---------------------------------------
+
+_NEWRET_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(o_orderdate AS DATE) AS od
+  FROM orders),
+firsts AS (
+  SELECT o_custkey, MIN(od) AS first_od FROM o GROUP BY o_custkey),
+tagged AS (
+  SELECT o.om,
+         CASE WHEN o.od = f.first_od THEN 'new' ELSE 'returning' END
+           AS segment,
+         o.cents
+  FROM o JOIN firsts f ON o.o_custkey = f.o_custkey)
+SELECT om AS month, segment, COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM tagged GROUP BY om, segment
+"""
+
+
+@query("new_vs_returning_revenue", oracle=_NEWRET_ORACLE)
+def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split between acquisition and retention: every
+    order on a customer's FIRST active day is 'new' (day-level
+    anchor — date equality, no timestamp tie games), everything
+    later 'returning' — the growth-accounting readout next to MoM
+    and the cohort curves. One per-customer MIN broadcast back, one
+    (month, segment) aggregate, integer cents."""
+    _view_o = _t(spark, sf_dir, "orders")
+    _view_o.createOrReplaceTempView("orders")
+    return spark.sql(_NEWRET_ORACLE)

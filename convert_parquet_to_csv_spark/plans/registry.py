@@ -191,6 +191,7 @@ FIRST_TIER: list[str] = [
     "rfm_segmentation",
     "basket_lift_part_pairs",
     "abc_pareto_classification",
+    "new_vs_returning_revenue",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",
