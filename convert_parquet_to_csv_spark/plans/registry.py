@@ -192,6 +192,7 @@ FIRST_TIER: list[str] = [
     "basket_lift_part_pairs",
     "abc_pareto_classification",
     "new_vs_returning_revenue",
+    "label_centroid_distances",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -372,3 +372,78 @@ def sparse_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(sf_dir, "documents.parquet")
     )
     return S.sparse_cosine_topk_pairs(docs, k=3)
+
+
+# --- inter-label centroid distance matrix ---------------------------------
+
+# d(a,b) from exact integers: per-dimension fixed-point sums sfx
+# (the embedding_centroids convention), cross-multiplied difference
+# sfx_a·n_b − sfx_b·n_a so no division happens before the squared
+# sum (DECIMAL(38,0) vs HUGEINT — diff² ≈ 10^29), one shared
+# sqrt+divide at the end.
+_CENTROID_DIST_ORACLE = """
+WITH flat AS (
+  SELECT label, u.pos AS pos, u.fx AS fx FROM (
+    SELECT label,
+           unnest(list_transform(embedding, (x, i) -> struct_pack(
+               pos := i,
+               fx := CAST(floor(CAST(x AS DOUBLE) * 1000000000)
+                          AS BIGINT)
+           ))) AS u
+    FROM embeddings)),
+agg AS (
+  SELECT label, pos, SUM(fx) AS sfx, COUNT(*) AS n
+  FROM flat GROUP BY label, pos),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+         SUM(CAST(a.sfx * b.n - b.sfx * a.n AS HUGEINT)
+             * CAST(a.sfx * b.n - b.sfx * a.n AS HUGEINT)) AS num
+  FROM agg a JOIN agg b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label)
+SELECT label_a, label_b,
+       sqrt(CAST(num AS DOUBLE))
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+            * 1000000000.0) AS centroid_dist
+FROM pairs
+"""
+
+
+@query("label_centroid_distances", oracle=_CENTROID_DIST_ORACLE)
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean distance matrix between per-label mean embeddings —
+    the class-separation audit (which labels are confusable, is the
+    embedding space collapsing) run entirely on the long-format
+    (label, pos) sums, never materializing centroid arrays: the
+    pairwise join is labels²·dims rows of integers. Exactness above
+    the oracle; extends embedding_centroids from the means to their
+    geometry."""
+    vecs = _vecs(spark, sf_dir)
+    vecs.createOrReplaceTempView("embeddings")
+    return spark.sql(
+        """
+        WITH flat AS (
+          SELECT label, pos + 1 AS pos,
+                 CAST(floor(CAST(val AS DOUBLE) * 1000000000)
+                      AS BIGINT) AS fx
+          FROM embeddings
+          LATERAL VIEW posexplode(embedding) AS pos, val),
+        agg AS (
+          SELECT label, pos, SUM(fx) AS sfx, COUNT(*) AS n
+          FROM flat GROUP BY label, pos),
+        pairs AS (
+          SELECT a.label AS label_a, b.label AS label_b,
+                 MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+                 SUM(CAST(a.sfx * b.n - b.sfx * a.n AS DECIMAL(38,0))
+                     * CAST(a.sfx * b.n - b.sfx * a.n
+                            AS DECIMAL(38,0))) AS num
+          FROM agg a JOIN agg b
+            ON a.pos = b.pos AND a.label < b.label
+          GROUP BY a.label, b.label)
+        SELECT label_a, label_b,
+               sqrt(CAST(num AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    * 1000000000.0) AS centroid_dist
+        FROM pairs
+        """
+    )
