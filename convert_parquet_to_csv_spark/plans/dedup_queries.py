@@ -666,3 +666,48 @@ def twohop_neighborhood_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_within_2_hops"))
     )
+
+
+# --- dedup audit: cluster-size histogram ----------------------------------
+
+_CLUSTER_HIST_ORACLE = """
+WITH fp AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS _fp
+  FROM documents
+), clusters AS (
+  SELECT _fp, COUNT(*) AS cluster_size FROM fp GROUP BY _fp
+)
+SELECT cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM clusters GROUP BY cluster_size
+"""
+
+
+@query("dedup_cluster_size_histogram", oracle=_CLUSTER_HIST_ORACLE)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dedup AUDIT readout: how many duplicate clusters of each
+    size exist (size 1 = unique docs; Σ n_docs = corpus size, Σ
+    n_clusters = post-dedup size — the numbers a curation run reports
+    before committing a destructive dedup). Two cheap aggregations:
+    fingerprint→size (the same single shuffle exact_dedup pays, so at
+    100 TB this rides the dedup job for free), then size→count over
+    at most |distinct sizes| rows. Shares dedup_exact's normalization
+    so the histogram describes exactly what that operator would
+    delete."""
+    from convert_parquet_to_csv_spark.functions.text import (
+        doc_fingerprint,
+    )
+
+    docs = _docs(spark, sf_dir)
+    clusters = docs.select(
+        doc_fingerprint("text").alias("_fp")
+    ).groupBy("_fp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
+    )

@@ -193,6 +193,10 @@ FIRST_TIER: list[str] = [
     "abc_pareto_classification",
     "new_vs_returning_revenue",
     "label_centroid_distances",
+    "bucketed_join_no_exchange",
+    "max_concurrent_intervals",
+    "kmv_distinct_sketch",
+    "dedup_cluster_size_histogram",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -438,3 +438,75 @@ def schema_evolution_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+_BUCKETED_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_price,
+       TRUE AS join_shuffle_free
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+@query("bucketed_join_no_exchange", oracle=_BUCKETED_ORACLE)
+def bucketed_join_no_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via write-time bucketing
+    (operators/scale.write_bucketed): lineitem and orders are
+    persisted ``bucketBy(8, orderkey)`` + in-bucket sorted, so the
+    fact-fact equi-join on the bucket key plans with ZERO Exchange —
+    the shuffle was paid once at write time and is amortized across
+    every later join/agg on that key. At 100 TB this turns the
+    recurring biggest-shuffle-in-the-warehouse into a layout
+    property.
+
+    ``join_shuffle_free`` is computed from the PHYSICAL PLAN STRING of
+    the join stage (no ``Exchange``/``BroadcastExchange`` operator —
+    the merge hint keeps AQE from substituting a broadcast, which
+    would trivialize the proof); the oracle pins the same aggregate
+    off the plain tables with a literal TRUE, so either a wrong
+    answer OR a planned shuffle fails the value-hash gate."""
+    from convert_parquet_to_csv_spark.operators.scale import (
+        write_bucketed,
+    )
+
+    # The in-memory catalog forgets tables across sessions but their
+    # warehouse directories persist — drop BOTH or a rerun in a fresh
+    # session dies on LOCATION_ALREADY_EXISTS.
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for tbl in ("cptc_gate_li_bucketed", "cptc_gate_o_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    write_bucketed(
+        li, "cptc_gate_li_bucketed",
+        bucket_by="l_orderkey", n_buckets=8, sort_by="l_orderkey",
+    )
+    write_bucketed(
+        o, "cptc_gate_o_bucketed",
+        bucket_by="o_orderkey", n_buckets=8, sort_by="o_orderkey",
+    )
+    li_b = spark.table("cptc_gate_li_bucketed")
+    o_b = spark.table("cptc_gate_o_bucketed")
+    joined = li_b.hint("merge").join(
+        o_b, li_b.l_orderkey == o_b.o_orderkey
+    )
+    plan = (
+        joined._jdf.queryExecution().executedPlan().toString()
+    )
+    shuffle_free = "Exchange" not in plan
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_d("l_extendedprice")).cast("double").alias("total_price"),
+        F.max(F.lit(shuffle_free)).alias("join_shuffle_free"),
+    )

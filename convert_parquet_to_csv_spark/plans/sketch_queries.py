@@ -269,3 +269,122 @@ def rolling_28d_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_1pct"),
         )
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch -------------------------------
+
+# 32-bit hash = first 8 hex chars of md5 — computable bit-identically
+# in both engines (the table_checksum_orders device), so unlike the
+# HLL/GK sketches above the ENTIRE sketch content hash-matches the
+# oracle: kth-min hash values, estimates, and the merged union row are
+# all exact cross-engine values, not just bounded ones.
+_KMV_K = 64
+
+_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS hv
+  FROM events
+), r AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+), g AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn <= {_KMV_K} THEN hv END) AS kth_min_hash,
+         COUNT(*) AS exact_distinct
+  FROM r GROUP BY event_type
+), ga AS (
+  SELECT 'ALL' AS event_type,
+         MAX(CASE WHEN rn <= {_KMV_K} THEN hv END) AS kth_min_hash,
+         COUNT(*) AS exact_distinct
+  FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+        FROM (SELECT DISTINCT hv FROM h)) ru
+), u AS (
+  SELECT * FROM g UNION ALL SELECT * FROM ga
+)
+SELECT event_type, kth_min_hash, exact_distinct,
+       CASE WHEN exact_distinct >= {_KMV_K}
+            THEN {float((_KMV_K - 1) * 4294967296)} / kth_min_hash
+            ELSE CAST(exact_distinct AS DOUBLE) END AS est_distinct,
+       TRUE AS within_2x
+FROM u
+"""
+
+
+@query("kmv_distinct_sketch", oracle=_KMV_ORACLE)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per event type + a MERGED global row.
+
+    KMV keeps the k smallest 32-bit hash values of the distinct keys;
+    the kth-minimum's position in [0, 2^32) estimates density:
+    ``est = (k-1)·2^32 / h_k`` (Bar-Yossef et al.'s bottom-k sketch —
+    fixed k·8 bytes per group, mergeable by taking the k smallest of
+    a union, the cheap cousin of HLL with exact set-operation
+    algebra). The ALL row is built by MERGING the per-group sketches
+    — the k smallest of the pooled per-group minima are provably the
+    global bottom-k, so the union estimate never rescans the data.
+
+    "Exact" distinct counts 32-bit hash values (collisions identical
+    in both engines by construction; ≪1 expected at fixture scale).
+    All sketch content is integer; the one closing divide is
+    IEEE-deterministic — full value-hash gate, no tolerance games.
+    The global window runs over ≤ groups×k surviving rows (a few KB),
+    not the input."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    h = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16, 10,
+        ).cast("bigint").alias("hv"),
+    ).distinct()
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("hv")
+    )
+    r = h.withColumn("rn", rn)
+    per_group = r.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") <= _KMV_K, F.col("hv"))).alias(
+            "kth_min_hash"
+        ),
+        F.count(F.lit(1)).alias("exact_distinct"),
+    )
+    # Merge: pooled per-group bottom-k rows → global bottom-k.
+    pooled = r.filter(F.col("rn") <= _KMV_K).select("hv").distinct()
+    grn = F.row_number().over(Window.orderBy("hv"))
+    global_row = (
+        pooled.withColumn("rn", grn)
+        .agg(
+            F.max(
+                F.when(F.col("rn") <= _KMV_K, F.col("hv"))
+            ).alias("kth_min_hash")
+        )
+        .crossJoin(
+            h.select("hv").distinct().agg(
+                F.count(F.lit(1)).alias("exact_distinct")
+            )
+        )
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "kth_min_hash",
+            "exact_distinct",
+        )
+    )
+    u = per_group.unionByName(global_row)
+    est = F.when(
+        F.col("exact_distinct") >= _KMV_K,
+        F.lit(float((_KMV_K - 1) * 4294967296)) / F.col("kth_min_hash"),
+    ).otherwise(F.col("exact_distinct").cast("double"))
+    return u.select(
+        "event_type",
+        "kth_min_hash",
+        "exact_distinct",
+        est.alias("est_distinct"),
+        (
+            (F.col("est_distinct") <= 2 * F.col("exact_distinct"))
+            & (F.col("est_distinct") * 2 >= F.col("exact_distinct"))
+        ).alias("within_2x"),
+    )

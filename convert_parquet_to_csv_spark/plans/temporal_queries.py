@@ -820,3 +820,86 @@ def conversion_latency_percentiles(
         .cast("double")
         .alias("p90_us"),
     )
+
+
+# --- sweep-line interval concurrency --------------------------------------
+
+_CONCURRENCY_ORACLE = """
+WITH iv AS (
+  SELECT event_type,
+         epoch_us(ts) AS s_us,
+         epoch_us(ts) + (event_id % 3600) * 1000000 AS e_us
+  FROM events
+), pts AS (
+  SELECT event_type, s_us AS t_us, 1 AS delta FROM iv
+  UNION ALL
+  SELECT event_type, e_us AS t_us, -1 AS delta FROM iv
+), run AS (
+  SELECT event_type,
+         SUM(delta) OVER (
+           PARTITION BY event_type
+           ORDER BY t_us, delta
+           ROWS UNBOUNDED PRECEDING
+         ) AS live
+  FROM pts
+)
+SELECT event_type,
+       CAST(MAX(live) AS BIGINT) AS max_concurrent,
+       (SELECT COUNT(*) FROM iv i WHERE i.event_type = run.event_type)
+         AS n_intervals
+FROM run GROUP BY event_type
+"""
+
+
+@query("max_concurrent_intervals", oracle=_CONCURRENCY_ORACLE)
+def max_concurrent_intervals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak interval concurrency per event type — the sweep-line
+    pattern (max simultaneous sessions / calls / jobs): each interval
+    emits a +1 at its start and a -1 at its end, one window running
+    sum over time gives the live count, max per group is the answer.
+
+    Scale shape: the explode is exactly 2× input rows and the single
+    window partitions by event_type — ONE exchange, no self-join (the
+    naive interval-overlap count is O(n²)). Skewed groups would
+    window-sort within one task; the daily-bucket split (run the
+    sweep per day with a carried-in offset) is the documented fix.
+    Determinism: interval ends are half-open ([s, e) — a -1 sorts
+    before a +1 at the same instant via the ``delta`` tiebreak) and
+    all arithmetic is integer microseconds, so the running sums are
+    exact in both engines.
+
+    Interval = [ts, ts + (event_id % 3600) s) — a deterministic
+    integer duration derived from the key (no RNG, registry rules)."""
+    ev = _events(spark, sf_dir)
+    iv = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + (F.col("event_id") % 3600) * F.lit(1000000)
+        ).alias("e_us"),
+    )
+    pts = iv.select(
+        "event_type", F.col("s_us").alias("t_us"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            "event_type",
+            F.col("e_us").alias("t_us"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t_us", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("live", F.sum("delta").over(w))
+    peaks = run.groupBy("event_type").agg(
+        F.max("live").cast("bigint").alias("max_concurrent")
+    )
+    counts = iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals")
+    )
+    return peaks.join(counts, "event_type")
