@@ -501,3 +501,41 @@ def sql_table_lifecycle_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+# --- parameterized SQL ----------------------------------------------------
+
+_PARAM_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_totalprice >= 150000.0 AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_parameterized_args", oracle=_PARAM_ORACLE)
+def sql_parameterized_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (``spark.sql(..., args={...})``) — the
+    injection-safe front door an application layer should use instead
+    of f-string splicing: parameters bind as TYPED literals in the
+    parsed plan (visible to Catalyst constant folding / pushdown
+    exactly like hand-written literals), so the text of the query is
+    a stable cache key across parameter values. The oracle runs the
+    same query with the literals spliced — binding must be
+    value-invariant."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 150000.0, "status": "F"},
+    )

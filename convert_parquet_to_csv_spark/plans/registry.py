@@ -197,6 +197,10 @@ FIRST_TIER: list[str] = [
     "max_concurrent_intervals",
     "kmv_distinct_sketch",
     "dedup_cluster_size_histogram",
+    "sql_parameterized_args",
+    "oov_rate_vs_topk_vocab",
+    "char_trigram_familiarity",
+    "embedding_power_iteration_pc1",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

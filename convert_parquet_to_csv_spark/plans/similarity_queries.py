@@ -447,3 +447,152 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs
         """
     )
+
+
+# --- power-iteration first principal component ----------------------------
+
+# Exact-arithmetic power iteration: every matvec sum runs over
+# integers (DECIMAL(38,0) vs HUGEINT), every re-quantization is
+# sign·((abs·2^20) trunc-div max) — verified trunc-div parity between
+# Spark `div` and DuckDB `//` — so TWO full iterations of an
+# iterative linear-algebra algorithm hash-match the oracle exactly,
+# with no tolerance anywhere. Magnitude audit (sf0.1): fx ≤ 2^30,
+# centered c = n·fx − S ≤ 2^47, y = Σ_64 c·v ≤ 2^72, abs(y)·2^20 ≤
+# 2^92, z = Σ_50k c·y′ ≤ 2^87 — all inside DECIMAL(38)/HUGEINT.
+_PC1_ORACLE = """
+WITH flat AS (
+  SELECT vec_id, u.pos AS pos,
+         CAST(floor(CAST(u.x AS DOUBLE) * 1000000000) AS BIGINT) AS fx
+  FROM (SELECT vec_id,
+               unnest(list_transform(embedding, (x, i) ->
+                   struct_pack(pos := i, x := x))) AS u
+        FROM embeddings)),
+st AS (
+  SELECT pos, SUM(fx) AS s, COUNT(*) AS n FROM flat GROUP BY pos),
+c AS (
+  SELECT f.vec_id, f.pos,
+         CAST(st.n AS HUGEINT) * f.fx - st.s AS c
+  FROM flat f JOIN st ON f.pos = st.pos),
+y1 AS (
+  SELECT vec_id, SUM(c) AS y FROM c GROUP BY vec_id),
+my1 AS (SELECT MAX(abs(y)) AS m FROM y1),
+yq1 AS (
+  SELECT vec_id,
+         (CASE WHEN y < 0 THEN -1 ELSE 1 END)
+           * ((abs(y) * 1048576) // (SELECT m FROM my1)) AS yq
+  FROM y1),
+z1 AS (
+  SELECT c.pos, SUM(c.c * yq1.yq) AS z
+  FROM c JOIN yq1 ON c.vec_id = yq1.vec_id GROUP BY c.pos),
+mz1 AS (SELECT MAX(abs(z)) AS m FROM z1),
+v1 AS (
+  SELECT pos,
+         (CASE WHEN z < 0 THEN -1 ELSE 1 END)
+           * ((abs(z) * 1048576) // (SELECT m FROM mz1)) AS vq
+  FROM z1),
+y2 AS (
+  SELECT c.vec_id, SUM(c.c * v1.vq) AS y
+  FROM c JOIN v1 ON c.pos = v1.pos GROUP BY c.vec_id),
+my2 AS (SELECT MAX(abs(y)) AS m FROM y2),
+yq2 AS (
+  SELECT vec_id,
+         (CASE WHEN y < 0 THEN -1 ELSE 1 END)
+           * ((abs(y) * 1048576) // (SELECT m FROM my2)) AS yq
+  FROM y2),
+z2 AS (
+  SELECT c.pos, SUM(c.c * yq2.yq) AS z
+  FROM c JOIN yq2 ON c.vec_id = yq2.vec_id GROUP BY c.pos),
+mz2 AS (SELECT MAX(abs(z)) AS m FROM z2),
+v2 AS (
+  SELECT pos,
+         (CASE WHEN z < 0 THEN -1 ELSE 1 END)
+           * ((abs(z) * 1048576) // (SELECT m FROM mz2)) AS vq
+  FROM z2)
+SELECT CAST(pos - 1 AS INT) AS pos, CAST(vq AS BIGINT) AS v_q FROM v2
+"""
+
+
+def _requant(df: DataFrame, val: str, key: str) -> DataFrame:
+    """sign(val)·((abs(val)·2^20) div max(abs(val))) → BIGINT in
+    [-2^20, 2^20]. Trunc-div of non-negative integers — exact and
+    engine-portable (verified: Spark ``div`` and DuckDB ``//`` both
+    truncate toward zero)."""
+    m = df.agg(F.max(F.abs(F.col(val))).alias("_m"))
+    return (
+        df.crossJoin(F.broadcast(m))
+        .select(
+            key,
+            (
+                F.when(F.col(val) < 0, -1).otherwise(1)
+                * F.expr(f"(abs({val}) * 1048576) div _m")
+            ).alias("q"),
+        )
+    )
+
+
+@query("embedding_power_iteration_pc1", oracle=_PC1_ORACLE)
+def embedding_power_iteration_pc1(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First principal component of the embedding cloud by TWO power
+    iterations on the centered Gram matrix — the dominant direction a
+    drift/collapse audit watches, and the template for any iterative
+    mat-vec algorithm on long-format vectors (PageRank's linear-
+    algebra cousin). v ← Cᵀ(Cv) per iteration: each matvec is one
+    join + one integer-sum groupBy on the (vec_id, pos, value) long
+    table; the 64-row vector side is BROADCAST, so the big side never
+    shuffles — at 100 TB each iteration is two broadcast-join scans.
+
+    Determinism device (new to this family): the entire iteration —
+    quantize (floor ×1e9), center (multiply-through: c = n·fx − S, no
+    division), matvec (DECIMAL(38,0) sums), re-normalize
+    (sign·trunc-div by the exact integer max) — stays in integer
+    arithmetic, so an ITERATIVE algorithm's output hash-matches the
+    oracle with zero tolerance. Sign convention inherited from v₀ =
+    ones; two iterations are gated (convergence is the caller's
+    knob, determinism holds at any count)."""
+    flat = _vecs(spark, sf_dir).select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1000000000)
+        .cast("bigint")
+        .alias("fx"),
+    )
+    st = flat.groupBy("pos").agg(
+        F.sum("fx").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    c = (
+        flat.join(F.broadcast(st), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            (F.col("n") * F.col("fx") - F.col("s"))
+            .cast("decimal(38,0)")
+            .alias("c"),
+        )
+        .persist()
+    )
+    # v0 = ones: first matvec is the row sum.
+    y = c.groupBy("vec_id").agg(F.sum("c").alias("y"))
+    for _ in range(2):
+        yq = _requant(y, "y", "vec_id").withColumnRenamed("q", "yq")
+        z = (
+            c.join(yq, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("c") * F.col("yq")).alias("z"))
+        )
+        v = _requant(z, "z", "pos").withColumnRenamed("q", "vq")
+        y = (
+            c.join(F.broadcast(v), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("c") * F.col("vq")).alias("y"))
+        )
+    # The loop computes one matvec past v2; return v (the loop's last
+    # re-quantized vector) — y is discarded.
+    return v.select(
+        F.col("pos").cast("int").alias("pos"),
+        F.col("vq").cast("bigint").alias("v_q"),
+    )

@@ -873,3 +873,162 @@ def udtf_analyze_first_tokens(
              LATERAL cptc_first_tokens(lower(trim(d.text)), 3) t
         """
     )
+
+
+# --- vocabulary coverage / OOV rate ---------------------------------------
+
+_OOV_V = 500
+
+_OOV_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(
+           string_split_regex(lower(trim(text)), '\\s+'),
+           t -> t != '')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ORDER BY cnt DESC, tok ASC LIMIT {_OOV_V}
+  )
+), flagged AS (
+  SELECT t.doc_id, t.lang,
+         CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v USING (tok)
+)
+SELECT lang,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM flagged GROUP BY lang
+"""
+
+
+@query("oov_rate_vs_topk_vocab", oracle=_OOV_ORACLE)
+def oov_rate_vs_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit: build a top-V corpus vocabulary and
+    report the out-of-vocabulary token rate per language — the number
+    a tokenizer/vocab-size decision reads (how much of each slice a
+    V-entry vocab fails to cover), and the cheap screen for corpus
+    slices that don't match the vocab's training distribution.
+
+    Two passes over ONE shared tokenize: pass 1 is a map-side-combined
+    token count whose top-V (deterministic ties on the token string)
+    is a V-row table; pass 2 re-walks the token stream with that
+    vocab BROADCAST, so the heavy side never shuffles — at 100 TB
+    the vocab stays a few MB however the corpus grows. Counts are
+    integers; the rate is one closing divide."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"),
+        )
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(_OOV_V)
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("_inv", F.lit(1))), "tok", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("_inv").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return flagged.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        (F.sum("oov").cast("double") / F.count(F.lit(1))).alias(
+            "oov_rate"
+        ),
+    )
+
+
+# --- character-trigram corpus familiarity ---------------------------------
+
+_TRIGRAM_ORACLE = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), tri AS (
+  SELECT doc_id, substring(t, i, 3) AS g
+  FROM norm, LATERAL unnest(range(1, length(t) - 1)) AS u(i)
+  WHERE length(t) >= 3
+), freq AS (
+  SELECT g, COUNT(*) AS cnt FROM tri GROUP BY g
+), scored AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_trigrams,
+         SUM(f.cnt) AS fam_sum
+  FROM tri t JOIN freq f USING (g)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_trigrams,
+       CAST(fam_sum AS DOUBLE) / n_trigrams AS familiarity
+FROM scored
+ORDER BY familiarity ASC, doc_id ASC
+LIMIT 20
+"""
+
+
+@query("char_trigram_familiarity", oracle=_TRIGRAM_ORACLE)
+def char_trigram_familiarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gibberish screen via a character-trigram "language model": each
+    doc is scored by the mean CORPUS frequency of its char trigrams,
+    and the 20 least-familiar docs surface — random bytes, wrong-
+    charset text, and encoding damage score far below natural prose
+    without any external model (the integer-exact stand-in for LM
+    perplexity filtering; a real KenLM pass slots into the same
+    two-pass shape).
+
+    Scale shape: ONE trigram explode feeds both the corpus frequency
+    table and the per-doc score join (~|text| rows each); the
+    frequency table is ≤ |alphabet|³ distinct keys — small enough to
+    broadcast at any corpus size, so the scoring join never shuffles
+    the trigram stream. Integer sums; the mean is one closing divide;
+    the top-20 boundary ties on doc_id."""
+    norm = _docs(spark, sf_dir).select(
+        "doc_id", T.normalize_text("text").alias("t")
+    )
+    tri = (
+        norm.filter(F.length("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t") - 2),
+                    lambda i: F.substring(F.col("t"), i, F.lit(3)),
+                )
+            ).alias("g"),
+        )
+    )
+    freq = tri.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        tri.join(F.broadcast(freq), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("cnt").alias("fam_sum"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_trigrams",
+            (F.col("fam_sum").cast("double") / F.col("n_trigrams")).alias(
+                "familiarity"
+            ),
+        )
+        .orderBy(F.asc("familiarity"), F.asc("doc_id"))
+        .limit(20)
+    )
