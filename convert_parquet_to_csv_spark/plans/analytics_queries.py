@@ -1872,3 +1872,127 @@ def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view_o = _t(spark, sf_dir, "orders")
     _view_o.createOrReplaceTempView("orders")
     return spark.sql(_NEWRET_ORACLE)
+
+
+# --- chi-square independence (per-cell contributions) ---------------------
+
+_CHISQ_ORACLE = """
+WITH obs AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+         COUNT(*) AS observed
+  FROM events GROUP BY event_type, dayofweek(ts) + 1
+), margins AS (
+  SELECT o.event_type, o.dow, o.observed,
+         SUM(o.observed) OVER (PARTITION BY o.event_type) AS row_tot,
+         SUM(o.observed) OVER (PARTITION BY o.dow) AS col_tot,
+         SUM(o.observed) OVER () AS n
+  FROM obs o
+)
+SELECT event_type, dow,
+       CAST(observed AS BIGINT) AS observed,
+       CAST(row_tot * col_tot AS DOUBLE) / n AS expected,
+       (CAST(observed AS DOUBLE)
+          - CAST(row_tot * col_tot AS DOUBLE) / n)
+       * (CAST(observed AS DOUBLE)
+          - CAST(row_tot * col_tot AS DOUBLE) / n)
+       / (CAST(row_tot * col_tot AS DOUBLE) / n) AS contribution
+FROM margins
+"""
+
+
+@query("chisq_independence_cells", oracle=_CHISQ_ORACLE)
+def chisq_independence_cells(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chi-square test of independence between event type and day of
+    week, emitted PER CELL (observed, expected, (O−E)²/E) — the
+    contingency-table audit behind "does behavior vary by weekday".
+    Per-cell output is deliberate determinism design: every number
+    is integer margins + scalar IEEE ops (one divide for E, one for
+    the contribution), while the χ² TOTAL would be a float sum over
+    cells — order-dependent, so the caller (or a DECIMAL cast) sums
+    the tiny cell table instead.
+
+    Scale shape: one (type,dow) count aggregate collapses the input
+    to ≤ |types|·7 rows; the three margin windows run over that tiny
+    table — the heavy path is a single map-side-combined groupBy."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    m = obs.select(
+        "event_type",
+        "dow",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("observed").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("observed").over(Window.partitionBy()).alias("n"),
+    )
+    expected = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n")
+    diff = F.col("observed").cast("double") - expected
+    return m.select(
+        "event_type",
+        "dow",
+        F.col("observed").cast("bigint").alias("observed"),
+        expected.alias("expected"),
+        (diff * diff / expected).alias("contribution"),
+    )
+
+
+# --- day-of-week seasonality index ----------------------------------------
+
+_DOW_SEASON_ORACLE = """
+WITH v AS (
+  SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+         CAST(floor(value * 10000) AS BIGINT) AS v4
+  FROM events WHERE value IS NOT NULL
+), per_dow AS (
+  SELECT dow, SUM(v4) AS s_dow, COUNT(*) AS n_dow FROM v GROUP BY dow
+), tot AS (
+  SELECT SUM(v4) AS s_all, COUNT(*) AS n_all FROM v
+)
+SELECT dow, n_dow,
+       CAST(s_dow AS DOUBLE) / (n_dow * 10000.0) AS mean_value,
+       CAST(s_dow * n_all AS DOUBLE) / CAST(n_dow * s_all AS DOUBLE)
+         AS seasonality_index
+FROM per_dow CROSS JOIN tot
+"""
+
+
+@query("dow_seasonality_index", oracle=_DOW_SEASON_ORACLE)
+def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: each weekday's mean event value as
+    a ratio to the overall mean (index 1.0 = no seasonality) — the
+    detrending factor a forecast or anomaly baseline divides by.
+
+    Determinism: values quantized to integer 1e-4 units (the q1
+    fixed-point device), so both sums are exact integers and the
+    index is ONE closing divide of two exact BIGINT products
+    (s_dow·n_all ≈ 2^60 at sf0.1 — audited within range); the
+    overall-mean denominator arrives via a 1-row broadcast, so the
+    heavy path is one map-side-combined weekday aggregate."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v4"),
+    )
+    per_dow = v.groupBy("dow").agg(
+        F.sum("v4").alias("s_dow"), F.count(F.lit(1)).alias("n_dow")
+    )
+    tot = v.agg(
+        F.sum("v4").alias("s_all"), F.count(F.lit(1)).alias("n_all")
+    )
+    return per_dow.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_dow",
+        (
+            F.col("s_dow").cast("double")
+            / (F.col("n_dow") * F.lit(10000.0))
+        ).alias("mean_value"),
+        (
+            (F.col("s_dow") * F.col("n_all")).cast("double")
+            / (F.col("n_dow") * F.col("s_all")).cast("double")
+        ).alias("seasonality_index"),
+    )

@@ -299,3 +299,67 @@ def epoch_resample_replacement(
     the repeat-upsampling mixture builder (see operators.curation.
     epoch_resample for the exactness and scale notes)."""
     return C.epoch_resample(_docs(spark, sf_dir), epochs=3.0)
+
+
+# --- source-level language pruning ----------------------------------------
+
+_SOURCE_PRUNE_ORACLE = r"""
+WITH stats AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+  FROM documents GROUP BY source
+), kept AS (
+  SELECT source, n_docs, n_en FROM stats
+  WHERE CAST(n_en AS DOUBLE) / n_docs >= 0.4
+)
+SELECT d.source,
+       CAST(MAX(k.n_docs) AS BIGINT) AS n_docs,
+       CAST(MAX(k.n_en) AS DOUBLE) / MAX(k.n_docs) AS en_frac,
+       CAST(SUM(len(regexp_extract_all(d.text,
+            '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n]'))) AS BIGINT)
+         AS total_bpe_tokens
+FROM documents d JOIN kept k ON d.source = k.source
+GROUP BY d.source
+"""
+
+
+@query("source_language_prune", oracle=_SOURCE_PRUNE_ORACLE)
+def source_language_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level curation: compute each source's English fraction
+    (pass 1 — a per-source aggregate a few rows wide), keep only
+    sources meeting the ≥40% bar, then semi-join the verdict BACK
+    onto the document stream (pass 2) and re-aggregate the survivors
+    with a DIFFERENT tokenizer (BPE-ish) to prove the join-back ran.
+    This is the "drop bad domains wholesale" stage every pretraining
+    pipeline runs before doc-level filtering — decided on aggregate
+    evidence, not per-doc scores.
+
+    Scale shape: the verdict table is |sources| rows → BROADCAST;
+    the document stream is filtered map-side and never shuffles
+    until the final per-source aggregate. Counts are integers; each
+    fraction is one closing divide."""
+    docs = _docs(spark, sf_dir)
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("lang") == "en", 1).otherwise(0)
+        ).alias("n_en"),
+    )
+    kept = stats.filter(
+        F.col("n_en").cast("double") / F.col("n_docs") >= 0.4
+    )
+    from convert_parquet_to_csv_spark.functions.text import (
+        token_count_bpe,
+    )
+
+    survivors = docs.join(F.broadcast(kept), "source")
+    return survivors.groupBy("source").agg(
+        F.max("n_docs").cast("bigint").alias("n_docs"),
+        (
+            F.max("n_en").cast("double") / F.max("n_docs")
+        ).alias("en_frac"),
+        F.sum(token_count_bpe("text").cast("long"))
+        .cast("bigint")
+        .alias("total_bpe_tokens"),
+    )

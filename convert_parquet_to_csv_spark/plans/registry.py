@@ -201,6 +201,9 @@ FIRST_TIER: list[str] = [
     "oov_rate_vs_topk_vocab",
     "char_trigram_familiarity",
     "embedding_power_iteration_pc1",
+    "source_language_prune",
+    "chisq_independence_cells",
+    "dow_seasonality_index",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -95,6 +95,14 @@ CASES = {
     "ab_experiment_readout": "A/B: one arm aggregate, two-phase distinct expand, md5 coin map-side",
     "ks_drift_ab_arms": "KS: tie pre-agg, global-order window over DISTINCT values only, broadcast totals",
     "correlation_exact": "corr: five power sums in ONE partial/final aggregate, single scan",
+    "bucketed_join_no_exchange": "bucketed join: SortMergeJoin over two bucketed scans, ZERO Exchange anywhere in the join stage",
+    "max_concurrent_intervals": "sweep-line: 2x union explode, ONE event_type window exchange, no interval self-join",
+    "kmv_distinct_sketch": "KMV: per-group bottom-k windows on the DISTINCT-hash table, merge over <=groups*k pooled rows",
+    "dedup_cluster_size_histogram": "dedup audit: fingerprint shuffle (shared with exact_dedup) + tiny size-histogram agg",
+    "oov_rate_vs_topk_vocab": "OOV: one tokenize feeds vocab top-V and the scoring pass, vocab BROADCAST, no token-stream shuffle in the join",
+    "char_trigram_familiarity": "trigram LM: one explode feeds corpus freq + scoring join, freq table broadcast (<=alphabet^3 keys)",
+    "embedding_power_iteration_pc1": "power iteration: per-matvec broadcast of the 64-row vector, long table never re-shuffles, DECIMAL(38) sums",
+    "sql_parameterized_args": "parameterized SQL: bound literals reach PushedFilters exactly like hand-written ones",
 }
 
 KEY_MARKERS = (
