@@ -1,0 +1,87 @@
+"""Unit tests for the round-3 continuation patterns: sweep-line
+concurrency boundary semantics, KMV bottom-k merge identity, and the
+power-iteration requantization helper.
+
+The gated queries verify these end-to-end against DuckDB; these tests
+pin the EDGE-CASE semantics on hand-built inputs the fixtures don't
+exercise (touching intervals, sub-k groups, negative requant)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _sweep_max(spark, intervals):
+    """Reference sweep-line over (start, end) integer intervals —
+    the same +1/-1 window pattern as max_concurrent_intervals."""
+    df = spark.createDataFrame(intervals, "s LONG, e LONG")
+    pts = df.select(
+        F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionByName(df.select(F.col("e").alias("t"), F.lit(-1).alias("d")))
+    w = (
+        Window.orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return pts.withColumn("live", F.sum("d").over(w)).agg(
+        F.max("live")
+    ).collect()[0][0]
+
+
+def test_sweepline_touching_intervals_do_not_overlap(spark):
+    """[0,10) and [10,20) are half-open: the -1 at t=10 sorts before
+    the +1 (delta tiebreak), so peak concurrency is 1, not 2."""
+    assert _sweep_max(spark, [(0, 10), (10, 20)]) == 1
+
+
+def test_sweepline_nested_and_staggered(spark):
+    # [0,100) ⊃ [10,20) ⊃ [12,15): triple overlap at t=12..14.
+    assert _sweep_max(spark, [(0, 100), (10, 20), (12, 15)]) == 3
+    # staggered chain: pairwise overlaps only.
+    assert _sweep_max(spark, [(0, 10), (5, 15), (11, 20)]) == 2
+
+
+def test_kmv_merge_equals_global_bottom_k(spark):
+    """The union-merge identity the ALL row relies on: the k smallest
+    of the pooled per-group bottom-k sets == the global bottom-k of
+    the full distinct-hash population (including sub-k groups)."""
+    k = 4
+    rows = [
+        ("a", h) for h in [5, 1, 9, 13, 21, 33]
+    ] + [("b", h) for h in [2, 40]] + [  # sub-k group
+        ("c", h) for h in [3, 7, 11, 15, 19]
+    ]
+    df = spark.createDataFrame(rows, "g STRING, hv LONG").distinct()
+    rn = F.row_number().over(Window.partitionBy("g").orderBy("hv"))
+    pooled = (
+        df.withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .select("hv")
+        .distinct()
+    )
+    merged_bottom_k = sorted(
+        r.hv for r in pooled.orderBy("hv").limit(k).collect()
+    )
+    global_bottom_k = sorted(
+        r.hv for r in df.select("hv").distinct().orderBy("hv").limit(k).collect()
+    )
+    assert merged_bottom_k == global_bottom_k == [1, 2, 3, 5]
+
+
+def test_requant_sign_and_range(spark):
+    """sign·((abs·2^20) div max) maps the max-magnitude entry to
+    ±2^20 exactly, preserves sign, and truncates toward zero —
+    the contract the power-iteration oracle replays with //."""
+    from convert_parquet_to_csv_spark.plans.similarity_queries import (
+        _requant,
+    )
+
+    df = spark.createDataFrame(
+        [(1, -400), (2, 100), (3, 399), (4, 0)], "k INT, y LONG"
+    ).select("k", F.col("y").cast("decimal(38,0)").alias("y"))
+    out = {r.k: r.q for r in _requant(df, "y", "k").collect()}
+    assert out[1] == -(1 << 20)  # max magnitude, negative
+    assert out[2] == (100 * (1 << 20)) // 400  # exact trunc-div
+    assert out[3] == (399 * (1 << 20)) // 400
+    assert out[4] == 0
+    assert all(abs(v) <= (1 << 20) for v in out.values())
