@@ -387,3 +387,104 @@ def dynamic_partition_pruning_join(
             .alias("total_price"),
         )
     )
+
+
+# --- line-oriented text format --------------------------------------------
+
+_TEXT_ORACLE = """
+WITH flat AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS line
+  FROM documents
+)
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(length(line)) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST('0x' || substring(md5(line), 1, 10) AS BIGINT))
+            AS BIGINT) AS content_checksum
+FROM flat
+"""
+
+
+@query("textfile_roundtrip", oracle=_TEXT_ORACLE)
+def textfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text format (``spark.read/write.text``) — the
+    rawest corpus interchange format (one doc per line, the common
+    LLM-corpus shape). Docs are whitespace-flattened first because
+    the format's contract IS the newline delimiter; the readback is
+    checksummed order-independently (sum of per-line md5 prefixes —
+    the table_checksum device) so the oracle proves content survived
+    byte-exactly without trusting row order, which a parallel text
+    write does not preserve."""
+    docs = read_parquet(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+    flat = docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace("text", r"\s+", " ")).alias("line"),
+    )
+    dst = os.path.join(tempfile.gettempdir(), "cptc_textfile_rt")
+    flat.select("line").write.mode("overwrite").text(dst)
+    back = spark.read.text(dst)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+        F.sum(
+            F.conv(F.substring(F.md5("value"), 1, 10), 16, 10).cast(
+                "bigint"
+            )
+        ).cast("bigint").alias("content_checksum"),
+    )
+
+
+# --- columnar compression codecs ------------------------------------------
+
+_CODEC_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_price,
+       TRUE AS codecs_agree
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("compression_codec_roundtrip", oracle=_CODEC_ORACLE)
+def compression_codec_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parquet compression codecs are a pure layout knob: the same
+    table written with snappy (the default: fast, ~2× ratio) and
+    zstd (the cold-storage choice: slower, better ratio — the codec
+    a 100 TB archive actually uses) must read back value-identical.
+    Both copies are aggregated and compared INSIDE the query;
+    ``codecs_agree`` folds the cross-codec equality into the gate,
+    and the oracle aggregates the original table — two independent
+    invariances in one row set."""
+    orders = read_parquet(
+        spark, os.path.join(sf_dir, "orders.parquet")
+    )
+    base = os.path.join(tempfile.gettempdir(), "cptc_codec_rt")
+    for codec in ("snappy", "zstd"):
+        orders.write.mode("overwrite").option(
+            "compression", codec
+        ).parquet(f"{base}_{codec}")
+
+    def agg(df: DataFrame, pfx: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias(f"{pfx}_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias(
+                f"{pfx}_sum"
+            ),
+        )
+
+    sn = agg(spark.read.parquet(f"{base}_snappy"), "sn")
+    zs = agg(spark.read.parquet(f"{base}_zstd"), "zs")
+    return sn.join(zs, "o_orderstatus").select(
+        "o_orderstatus",
+        F.col("sn_n").alias("n_orders"),
+        F.col("sn_sum").cast("double").alias("total_price"),
+        (
+            (F.col("sn_n") == F.col("zs_n"))
+            & (F.col("sn_sum") == F.col("zs_sum"))
+        ).alias("codecs_agree"),
+    )

@@ -204,6 +204,10 @@ FIRST_TIER: list[str] = [
     "source_language_prune",
     "chisq_independence_cells",
     "dow_seasonality_index",
+    "textfile_roundtrip",
+    "compression_codec_roundtrip",
+    "arrow_python_udf_tokens",
+    "tokenizer_fertility_by_lang",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

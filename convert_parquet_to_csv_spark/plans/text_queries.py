@@ -1032,3 +1032,87 @@ def char_trigram_familiarity(
         .orderBy(F.asc("familiarity"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# --- Arrow-optimized Python UDF -------------------------------------------
+
+_ARROW_UDF_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+WHERE doc_id % 10 = 0
+"""
+
+
+@query("arrow_python_udf_tokens", oracle=_ARROW_UDF_ORACLE)
+def arrow_python_udf_tokens(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Spark-4 Arrow-optimized scalar Python UDF
+    (``F.udf(..., useArrow=True)``) — the third Python boundary shape
+    next to pandas UDFs (Series-at-a-time) and classic pickled UDFs
+    (row-at-a-time): scalar Python semantics with Arrow batch
+    transfer, the right choice when per-row logic doesn't vectorize
+    but serialization must not be the bottleneck. Same BPE-ish
+    count as token_count_bpe, so the gate proves the Arrow UDF path
+    agrees with both the JVM expression AND the oracle."""
+    import re
+
+    from pyspark.sql.functions import udf
+
+    pat = re.compile(T.BPE_REGEX)
+
+    @udf("long", useArrow=True)
+    def n_bpe(s: str) -> int:
+        return len(pat.findall(s)) if s is not None else 0
+
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", n_bpe("text").alias("n_bpe_tokens"))
+    )
+
+
+# --- tokenizer fertility by language --------------------------------------
+
+_FERTILITY_ORACLE = r"""
+WITH t AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x != '')) AS n_ws,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n]')) AS n_bpe
+  FROM documents
+)
+SELECT lang,
+       CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS fertility
+FROM t GROUP BY lang
+"""
+
+
+@query("tokenizer_fertility_by_lang", oracle=_FERTILITY_ORACLE)
+def tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility (subword tokens per word) per language —
+    the standard multilingual-tokenizer equity metric: a language
+    with fertility ≫ the corpus mean pays more sequence length for
+    the same text, and the number drives vocab-allocation decisions.
+    One map-side aggregate over two JVM token counters; integer
+    sums, one closing divide per group."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.sum(F.size(T.tokens("text"))).cast("bigint").alias(
+            "total_ws_tokens"
+        ),
+        F.sum(T.token_count_bpe("text").cast("long"))
+        .cast("bigint")
+        .alias("total_bpe_tokens"),
+        (
+            F.sum(T.token_count_bpe("text").cast("long")).cast("double")
+            / F.sum(F.size(T.tokens("text")))
+        ).alias("fertility"),
+    )
