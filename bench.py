@@ -77,6 +77,11 @@ BENCH_QUERY_NAMES = [
     # graph family at bench scale (edge derivation dominates)
     "graph_triangle_copurchase",
     "kcore_copurchase",
+    # continuation batch: iterative linear algebra, vocab coverage,
+    # and the trigram corpus pass — the three heaviest new shapes
+    "embedding_power_iteration_pc1",
+    "oov_rate_vs_topk_vocab",
+    "char_trigram_familiarity",
 ]
 
 DOCS_500K_PATH = "/tmp/cptc_bench_docs500k.parquet"

@@ -342,3 +342,89 @@ def observe_metrics_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, qty_sum double, n_discounted bigint, "
         "n_null_ship bigint",
     )
+
+
+# --- GDPR erasure cascade -------------------------------------------------
+
+_GDPR_ORACLE = """
+WITH erase AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+)
+SELECT 'events' AS tbl,
+       (SELECT COUNT(*) FROM events) AS n_before,
+       (SELECT COUNT(*) FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM erase x
+                          WHERE x.user_id = e.user_id)) AS n_after,
+       (SELECT COUNT(*) FROM events e
+        WHERE EXISTS (SELECT 1 FROM erase x
+                      WHERE x.user_id = e.user_id)) AS n_erased
+UNION ALL
+SELECT 'orders' AS tbl,
+       (SELECT COUNT(*) FROM orders) AS n_before,
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM erase x
+                          WHERE x.user_id = o.o_custkey)) AS n_after,
+       (SELECT COUNT(*) FROM orders o
+        WHERE EXISTS (SELECT 1 FROM erase x
+                      WHERE x.user_id = o.o_custkey)) AS n_erased
+"""
+
+
+@query("gdpr_erasure_cascade", oracle=_GDPR_ORACLE)
+def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation: one erasure list (users with
+    ``user_id % 97 == 0`` stand in for the request queue) anti-joined
+    across EVERY table keyed by that identity, with a per-table
+    before/after/erased reconciliation row — the compliance receipt
+    (n_before = n_after + n_erased by construction, and the gate
+    hash-pins all three).
+
+    Scale shape: the erasure list is tiny and BROADCAST; each fact
+    table pays one map-side anti-join scan and a rewrite — no
+    shuffle of the fact stream. On real storage the rewrite targets
+    only files whose min/max user_id stats overlap the list (the
+    upsert.py MERGE machinery); here the filtered copies land in
+    scratch parquet to keep the write path honest."""
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    # Renamed key avoids the ambiguous self-name equality (Spark
+    # warns "trivially true predicate" when both sides share a name).
+    erase = (
+        ev.filter(F.col("user_id") % 97 == 0)
+        .select(F.col("user_id").alias("_erase_id"))
+        .distinct()
+    )
+    scratch = os.path.join(tempfile.gettempdir(), "cptc_gdpr_out")
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    rows = []
+    for name, df, key in (
+        ("events", ev, "user_id"),
+        ("orders", orders, "o_custkey"),
+    ):
+        kept = df.join(
+            F.broadcast(erase),
+            df[key] == erase["_erase_id"],
+            "left_anti",
+        )
+        kept.write.mode("overwrite").parquet(f"{scratch}/{name}")
+        back = spark.read.parquet(f"{scratch}/{name}")
+        rows.append(
+            df.agg(F.count(F.lit(1)).alias("n_before"))
+            .crossJoin(back.agg(F.count(F.lit(1)).alias("n_after")))
+            .select(
+                F.lit(name).alias("tbl"),
+                "n_before",
+                "n_after",
+                (F.col("n_before") - F.col("n_after")).alias(
+                    "n_erased"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -539,3 +539,79 @@ def sql_parameterized_args(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 150000.0, "status": "F"},
     )
+
+
+# --- UDTF with TABLE argument ---------------------------------------------
+
+_UDTF_TABLE_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS INT) AS n_events,
+       CAST(COALESCE(MAX(gap_us), -1) AS BIGINT) AS max_gap_us
+FROM g GROUP BY user_id
+HAVING COUNT(*) >= 40
+"""
+
+
+@query("udtf_table_argument", oracle=_UDTF_TABLE_ORACLE)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF consuming a TABLE argument with ``PARTITION BY …
+    ORDER BY …`` — the Spark-4 shape for per-entity SEQUENTIAL logic
+    that doesn't fit a window frame (session replay, custom state
+    machines): one UDTF instance per user sees that user's events in
+    timestamp order, carries imperative state between ``eval`` calls,
+    and emits on ``terminate``. Here it tracks event count and the
+    max inter-event gap (integer µs — exactly replayable by a lag
+    window, which is what the oracle does; a real use would carry
+    state no window can express).
+
+    Scale shape: PARTITION BY induces ONE hash exchange on user_id;
+    each partition streams through its instance — memory is O(state),
+    not O(partition). HAVING ≥40 keeps the gate row set stable."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events int, max_gap_us bigint")
+    class UserGapStats:
+        def __init__(self):
+            self._uid = None
+            self._n = 0
+            self._prev_us = None
+            self._max_gap = -1
+
+        def eval(self, row):
+            self._uid = row["user_id"]
+            # Exact integer micros: row ts is a naive UTC datetime
+            # (timegm, not mktime — no local-TZ dependence).
+            import calendar
+
+            us = (
+                calendar.timegm(row["ts"].timetuple()) * 1_000_000
+                + row["ts"].microsecond
+            )
+            if self._prev_us is not None:
+                gap = us - self._prev_us
+                if gap > self._max_gap:
+                    self._max_gap = gap
+            self._prev_us = us
+            self._n += 1
+
+        def terminate(self):
+            if self._uid is not None and self._n >= 40:
+                yield self._uid, self._n, self._max_gap
+
+    spark.udtf.register("cptc_user_gap_stats", UserGapStats)
+    _view(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT * FROM cptc_user_gap_stats(
+          TABLE(SELECT user_id, ts, event_id FROM events)
+          PARTITION BY user_id
+          ORDER BY (ts, event_id)
+        )
+        """
+    )

@@ -208,6 +208,11 @@ FIRST_TIER: list[str] = [
     "compression_codec_roundtrip",
     "arrow_python_udf_tokens",
     "tokenizer_fertility_by_lang",
+    "empty_input_semantics_zoo",
+    "gdpr_erasure_cascade",
+    "dynamic_partition_overwrite",
+    "join_hint_strategies",
+    "udtf_table_argument",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -902,3 +902,66 @@ def datetime_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months("o_orderdate", 3).alias("plus_3_months"),
         F.date_format("o_orderdate", "yyyy-MM").alias("month_label"),
     )
+
+
+# --- empty-input aggregate semantics --------------------------------------
+
+_EMPTYZOO_ORACLE = """
+WITH empty AS (SELECT * FROM orders WHERE o_totalprice < 0)
+SELECT 'global_agg' AS probe,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(o_custkey) AS BIGINT) AS n_vals,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+       CAST(AVG(o_totalprice) AS DOUBLE) AS avg_price
+FROM empty
+UNION ALL
+SELECT 'grouped_agg' AS probe,
+       COUNT(*) AS n_rows,
+       CAST(0 AS BIGINT) AS n_vals,
+       CAST(NULL AS DOUBLE) AS sum_price,
+       CAST(NULL AS DOUBLE) AS max_price,
+       CAST(NULL AS DOUBLE) AS avg_price
+FROM (SELECT o_orderstatus FROM empty GROUP BY o_orderstatus)
+"""
+
+
+@query("empty_input_semantics_zoo", oracle=_EMPTYZOO_ORACLE)
+def empty_input_semantics_zoo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The empty-relation parity trap: an UNGROUPED aggregate over
+    zero rows returns ONE row (COUNT=0, SUM/MAX/AVG=NULL — the SQL
+    standard both engines follow), while a GROUPED aggregate returns
+    ZERO rows — the difference that breaks naive "same query with
+    GROUP BY" refactors and every downstream join that assumed a row
+    would exist. The grouped probe folds its row COUNT (0) through a
+    second ungrouped aggregate so the contract lands in the gate as
+    values, not absence."""
+    empty = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") < 0
+    )
+    global_agg = empty.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").cast("bigint").alias("n_vals"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.avg("o_totalprice").cast("double").alias("avg_price"),
+    ).select(F.lit("global_agg").alias("probe"), "*")
+    grouped_rows = (
+        empty.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.lit("grouped_agg").alias("probe"),
+            "n_rows",
+            F.lit(0).cast("bigint").alias("n_vals"),
+            F.lit(None).cast("double").alias("sum_price"),
+            F.lit(None).cast("double").alias("max_price"),
+            F.lit(None).cast("double").alias("avg_price"),
+        )
+    )
+    return global_agg.unionByName(grouped_rows)

@@ -510,3 +510,120 @@ def bucketed_join_no_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_d("l_extendedprice")).cast("double").alias("total_price"),
         F.max(F.lit(shuffle_free)).alias("join_shuffle_free"),
     )
+
+
+_DPO_ORACLE = """
+WITH final AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(year(o_orderdate) AS INT) AS order_year
+  FROM orders WHERE year(o_orderdate) <> 1995
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+         CAST(year(o_orderdate) AS INT) AS order_year
+  FROM orders WHERE year(o_orderdate) = 1995
+)
+SELECT order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_price
+FROM final GROUP BY order_year
+"""
+
+
+@query("dynamic_partition_overwrite", oracle=_DPO_ORACLE)
+def dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-scoped reload: with
+    ``partitionOverwriteMode=dynamic``, an overwrite-mode write
+    replaces ONLY the partitions present in the incoming batch —
+    the daily-reload idiom (re-land one day into a years-deep table
+    without touching the rest; STATIC mode would silently truncate
+    every other partition, the classic data-loss footgun). Here the
+    1995 partition is re-landed with doubled prices; the oracle pins
+    the expected blended table, so survival of the untouched years
+    AND replacement (not append) of 1995 are both value-checked."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    )
+    dst = os.path.join(tempfile.gettempdir(), "cptc_dpo_orders")
+    shutil.rmtree(dst, ignore_errors=True)
+    base.write.partitionBy("order_year").mode("overwrite").parquet(dst)
+    patch = base.filter(F.col("order_year") == 1995).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    patch.write.partitionBy("order_year").mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(dst)
+    back = spark.read.parquet(dst)
+    return back.groupBy("order_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_d("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+_HINT_ORACLE = """
+SELECT n_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_acctbal,
+       TRUE AS broadcast_used, TRUE AS smj_used, TRUE AS shj_used
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@query("join_hint_strategies", oracle=_HINT_ORACLE)
+def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hints are a RESULT-INVARIANT planner override:
+    the same customer×nation join runs under BROADCAST, MERGE, and
+    SHUFFLE_HASH hints; each physical plan is string-asserted to
+    contain its requested operator, and all three must produce the
+    value-identical aggregate the oracle pins. This is the knob an
+    operator reaches for when AQE's choice is wrong for a specific
+    100 TB join (e.g. forcing SMJ when the build side would OOM, or
+    forcing broadcast when stats under-estimate a dimension)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+
+    def joined(hint: str):
+        return cust.join(
+            nation.hint(hint),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+
+    flags = {}
+    for hint, marker, col in (
+        ("broadcast", "BroadcastHashJoin", "broadcast_used"),
+        ("merge", "SortMergeJoin", "smj_used"),
+        ("shuffle_hash", "ShuffledHashJoin", "shj_used"),
+    ):
+        plan = (
+            joined(hint)._jdf.queryExecution().executedPlan().toString()
+        )
+        flags[col] = marker in plan
+    base = joined("broadcast")
+    agg = base.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_d("c_acctbal")).cast("double").alias("total_acctbal"),
+    )
+    # Cross-strategy value invariance: MERGE-hint aggregate must match
+    # the broadcast one exactly (anti-join both ways is empty).
+    other = joined("merge").groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_d("c_acctbal")).cast("double").alias("total_acctbal"),
+    )
+    mismatch = (
+        agg.exceptAll(other).count() + other.exceptAll(agg).count()
+    )
+    return agg.select(
+        "*",
+        F.lit(flags["broadcast_used"] and mismatch == 0).alias(
+            "broadcast_used"
+        ),
+        F.lit(flags["smj_used"]).alias("smj_used"),
+        F.lit(flags["shj_used"]).alias("shj_used"),
+    )

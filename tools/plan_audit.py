@@ -103,6 +103,18 @@ CASES = {
     "char_trigram_familiarity": "trigram LM: one explode feeds corpus freq + scoring join, freq table broadcast (<=alphabet^3 keys)",
     "embedding_power_iteration_pc1": "power iteration: per-matvec broadcast of the 64-row vector, long table never re-shuffles, DECIMAL(38) sums",
     "sql_parameterized_args": "parameterized SQL: bound literals reach PushedFilters exactly like hand-written ones",
+    "source_language_prune": "source prune: per-source verdicts BROADCAST back, doc stream filtered map-side",
+    "chisq_independence_cells": "chi-square: one (type,dow) agg collapses input, margin windows over the tiny cell table",
+    "dow_seasonality_index": "seasonality: one weekday agg, 1-row total broadcast, fixed-point sums",
+    "textfile_roundtrip": "text format: parallel line write + order-independent checksum agg",
+    "compression_codec_roundtrip": "codecs: two layout copies aggregated + equality folded into the row set",
+    "arrow_python_udf_tokens": "Arrow Python UDF: ArrowEvalPython batch transfer, filter pushed below the UDF",
+    "tokenizer_fertility_by_lang": "fertility: one map-side agg, two JVM token counters, no Python boundary",
+    "empty_input_semantics_zoo": "empty input: ungrouped agg yields 1 row, grouped yields 0 — both through one scan",
+    "gdpr_erasure_cascade": "GDPR erasure: tiny erase list broadcast, per-table map-side anti-join, no fact shuffle",
+    "dynamic_partition_overwrite": "dynamic overwrite: only incoming partitions replaced, partitioned readback scan",
+    "join_hint_strategies": "join hints: same values under forced BHJ/SMJ/SHJ, operators plan-string asserted",
+    "udtf_table_argument": "table-arg UDTF: ONE user_id exchange + in-partition sort feeding the Python instance stream",
 }
 
 KEY_MARKERS = (
