@@ -213,6 +213,9 @@ FIRST_TIER: list[str] = [
     "dynamic_partition_overwrite",
     "join_hint_strategies",
     "udtf_table_argument",
+    "band_join_nonequi",
+    "null_safe_join_semantics",
+    "not_in_null_trap",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -965,3 +965,158 @@ def empty_input_semantics_zoo(
         )
     )
     return global_agg.unionByName(grouped_rows)
+
+
+# --- non-equi band join ---------------------------------------------------
+
+_BAND_ORACLE = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('budget',   0.0,  930.0),
+         ('mid',    930.0,  966.0),
+         ('premium', 966.0, 1e9)
+)
+SELECT b.band,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_price
+FROM part p JOIN bands b
+  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.band
+"""
+
+
+@query("band_join_nonequi", oracle=_BAND_ORACLE)
+def band_join_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi join (price-band rate-card lookup): no equality
+    conjunct exists, so Spark plans BroadcastNestedLoopJoin — the
+    ONLY correct strategy here, and fine at 100 TB precisely because
+    the band table is tiny (each fact row scans B bands map-side;
+    cost B·|fact|, no shuffle). The scale rule this query documents:
+    BNLJ is safe iff one side is broadcastable — a fact-fact non-equi
+    join must be rewritten (binning → interval_join, the
+    error_click_pressure pattern)."""
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 930.0), ("mid", 930.0, 966.0),
+         ("premium", 966.0, 1e9)],
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    )
+    joined = part.join(
+        F.broadcast(bands),
+        (part.p_retailprice >= bands.lo)
+        & (part.p_retailprice < bands.hi),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+# --- null-key join semantics ----------------------------------------------
+
+_NULLJOIN_ORACLE = """
+WITH l AS (
+  SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE o_orderkey % 7 END AS k
+  FROM orders
+), r AS (
+  SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+              ELSE CAST(n_nationkey % 7 AS BIGINT) END AS k
+  FROM nation
+)
+SELECT 'equi' AS join_kind, COUNT(*) AS n_rows
+FROM l JOIN r ON l.k = r.k
+UNION ALL
+SELECT 'null_safe' AS join_kind, COUNT(*) AS n_rows
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+"""
+
+
+@query("null_safe_join_semantics", oracle=_NULLJOIN_ORACLE)
+def null_safe_join_semantics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The NULL-key join trap, gated as a pair: ordinary ``=`` drops
+    every NULL-keyed row (NULL = NULL is NULL, not TRUE), while the
+    null-safe operator (Spark ``eqNullSafe`` / SQL ``<=>``, DuckDB
+    ``IS NOT DISTINCT FROM``) matches NULLs to each other —
+    multiplying the NULL groups together. Both cardinalities land in
+    one gated row set, so an engine (or refactor) silently switching
+    semantics fails the hash. Null-safe equality also changes the
+    PHYSICAL plan: NULLs hash to one partition — at scale a null-safe
+    join on a NULL-heavy key needs the salted-join treatment."""
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    left = orders.select(
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderkey") % 7)
+        .alias("k")
+    )
+    right = nation.select(
+        F.when(F.col("n_nationkey") % 5 == 0, None)
+        .otherwise((F.col("n_nationkey") % 7).cast("bigint"))
+        .alias("k")
+    )
+    equi = left.join(
+        right, left["k"] == right["k"]
+    ).agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit("equi").alias("join_kind"), "n_rows"
+    )
+    nsafe = left.join(
+        right, left["k"].eqNullSafe(right["k"])
+    ).agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit("null_safe").alias("join_kind"), "n_rows"
+    )
+    return equi.unionByName(nsafe)
+
+
+# --- NOT IN vs NOT EXISTS with NULLs --------------------------------------
+
+_NOTIN_ORACLE = """
+WITH sub AS (
+  SELECT CASE WHEN n_nationkey = 0 THEN NULL
+              ELSE n_nationkey END AS k
+  FROM nation
+)
+SELECT 'not_in' AS probe, COUNT(*) AS n_rows
+FROM customer WHERE c_nationkey NOT IN (SELECT k FROM sub)
+UNION ALL
+SELECT 'not_exists' AS probe, COUNT(*) AS n_rows
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.k = c.c_nationkey)
+"""
+
+
+@query("not_in_null_trap", oracle=_NOTIN_ORACLE)
+def not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE classic SQL semantics trap, pinned cross-engine: one NULL
+    in a ``NOT IN`` subquery makes the predicate UNKNOWN for every
+    row (x <> NULL is never TRUE), so ``not_in`` returns 0 rows while
+    ``NOT EXISTS`` — which most authors actually mean — still
+    anti-joins correctly. Physically the two also diverge: NOT IN
+    needs a null-aware anti join (Spark: BroadcastNestedLoopJoin for
+    correctness), NOT EXISTS plans a plain left-anti hash join — on a
+    100 TB fact the difference between a map-side anti-join and a
+    nested loop. Both counts ride one gated row set through the SQL
+    front door so the decorrelation paths are exercised verbatim."""
+    _view = _t(spark, sf_dir, "customer")
+    _view.createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        WITH sub AS (
+          SELECT CASE WHEN n_nationkey = 0 THEN NULL
+                      ELSE n_nationkey END AS k
+          FROM nation
+        )
+        SELECT 'not_in' AS probe, COUNT(*) AS n_rows
+        FROM customer WHERE c_nationkey NOT IN (SELECT k FROM sub)
+        UNION ALL
+        SELECT 'not_exists' AS probe, COUNT(*) AS n_rows
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM sub s
+                          WHERE s.k = c.c_nationkey)
+        """
+    )

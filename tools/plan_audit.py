@@ -115,6 +115,8 @@ CASES = {
     "dynamic_partition_overwrite": "dynamic overwrite: only incoming partitions replaced, partitioned readback scan",
     "join_hint_strategies": "join hints: same values under forced BHJ/SMJ/SHJ, operators plan-string asserted",
     "udtf_table_argument": "table-arg UDTF: ONE user_id exchange + in-partition sort feeding the Python instance stream",
+    "band_join_nonequi": "non-equi band join: BroadcastNestedLoopJoin over the tiny band table, no shuffle",
+    "not_in_null_trap": "NOT IN vs NOT EXISTS: null-aware BNLJ anti vs plain left-anti hash join, both in one plan",
 }
 
 KEY_MARKERS = (
