@@ -216,6 +216,8 @@ FIRST_TIER: list[str] = [
     "band_join_nonequi",
     "null_safe_join_semantics",
     "not_in_null_trap",
+    "max_drawdown_daily_value",
+    "longest_daily_streak",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -903,3 +903,130 @@ def max_concurrent_intervals(
         F.count(F.lit(1)).alias("n_intervals")
     )
     return peaks.join(counts, "event_type")
+
+
+# --- max drawdown over the daily value curve ------------------------------
+
+_DRAWDOWN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CAST(floor(value * 10000) AS BIGINT)) AS v4
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, date_trunc('day', ts)
+), curve AS (
+  SELECT event_type, day, v4,
+         MAX(v4) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS peak4
+  FROM daily
+)
+SELECT event_type,
+       COUNT(*) AS n_days,
+       CAST(MAX(peak4 - v4) AS DOUBLE) / 10000.0 AS max_drawdown,
+       CAST(MAX(CASE WHEN peak4 > 0 THEN
+             CAST(peak4 - v4 AS DOUBLE) / peak4 ELSE 0 END) AS DOUBLE)
+         AS max_drawdown_frac
+FROM curve GROUP BY event_type
+"""
+
+
+@query("max_drawdown_daily_value", oracle=_DRAWDOWN_ORACLE)
+def max_drawdown_daily_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maximum drawdown of each event type's daily value curve — the
+    running-peak-minus-current metric (finance's risk statistic,
+    equally the "how far did this KPI fall from its best day"
+    readout). One daily pre-aggregation collapses the input, then a
+    running-max window + final max per group.
+
+    Determinism: daily sums are fixed-point integers (q1 device), so
+    peak−value differences are exact; the fractional drawdown is one
+    IEEE divide per day and MAX over doubles is order-independent —
+    no float summation anywhere."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("DAY", "ts")).alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 10000).cast("bigint")).alias(
+            "v4"
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = daily.withColumn("peak4", F.max("v4").over(w))
+    return curve.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.max(F.col("peak4") - F.col("v4")).cast("double") / 10000.0)
+        .alias("max_drawdown"),
+        F.max(
+            F.when(
+                F.col("peak4") > 0,
+                (F.col("peak4") - F.col("v4")).cast("double")
+                / F.col("peak4"),
+            ).otherwise(F.lit(0.0))
+        ).cast("double").alias("max_drawdown_frac"),
+    )
+
+
+# --- gaps-and-islands: longest daily streak -------------------------------
+
+_STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), grp AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+  FROM days
+), streaks AS (
+  SELECT user_id, anchor, COUNT(*) AS len FROM grp
+  GROUP BY user_id, anchor
+)
+SELECT CAST(len AS INT) AS streak_len,
+       COUNT(*) AS n_user_streaks,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM streaks GROUP BY len
+"""
+
+
+@query("longest_daily_streak", oracle=_STREAK_ORACLE)
+def longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands via the date-minus-row-number trick: within a
+    user, consecutive active days share ``day − row_number`` (each
+    gap shifts the anchor), so one window + one groupBy finds every
+    streak with no self-join — the engagement-streak / uptime-run
+    primitive. Output is the corpus-wide streak-length histogram
+    (stable under the driver's order-insensitive compare).
+
+    Scale shape: distinct (user, day) collapses the event stream
+    first; the window and both aggregates share the user_id
+    partitioning, and integer date arithmetic keeps both engines
+    exact."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("DAY", "ts")).alias("day")
+    ).distinct()
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("day")
+    )
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), rn)
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy(
+        F.col("len").cast("int").alias("streak_len")
+    ).agg(
+        F.count(F.lit(1)).alias("n_user_streaks"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
