@@ -1996,3 +1996,112 @@ def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_dow") * F.col("s_all")).cast("double")
         ).alias("seasonality_index"),
     )
+
+
+# --- exact trimmed mean ---------------------------------------------------
+
+_TRIMMED_ORACLE = """
+WITH r AS (
+  SELECT o_orderstatus,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(cents) AS DOUBLE) / (COUNT(*) * 100.0)
+         AS trimmed_mean_price
+FROM r
+WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
+  AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+GROUP BY o_orderstatus
+"""
+
+
+@query("trimmed_mean_price", oracle=_TRIMMED_ORACLE)
+def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean per order status — the robust
+    location estimate that, unlike winsorizing (caps) or the median
+    (discards all magnitude), simply EXCLUDES each tail. Membership
+    is decided by integer rank (deterministic o_orderkey tiebreak),
+    so the kept set is identical in both engines and the mean is
+    exact integer cents with one closing divide — no interpolated
+    percentile boundary anywhere.
+
+    Scale shape: one rank window per group feeds a filtered
+    aggregate on the same partitioning — a single exchange."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_orderstatus")
+    r = orders.select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+        F.row_number()
+        .over(wp.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    cut = F.floor(F.col("n") * 0.1).cast("bigint")
+    kept = r.filter((F.col("rn") > cut) & (F.col("rn") <= F.col("n") - cut))
+    return kept.groupBy("o_orderstatus").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        (
+            F.sum("cents").cast("double")
+            / (F.count(F.lit(1)) * F.lit(100.0))
+        ).alias("trimmed_mean_price"),
+    )
+
+
+# --- order-to-ship cycle time ---------------------------------------------
+
+_CYCLE_ORACLE = """
+WITH d AS (
+  SELECT date_diff('day', o_orderdate, l_shipdate) AS lag_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT CAST(lag_days // 7 AS INT) AS lag_weeks,
+       COUNT(*) AS n_lines,
+       CAST(MIN(lag_days) AS INT) AS min_days,
+       CAST(MAX(lag_days) AS INT) AS max_days
+FROM d GROUP BY lag_days // 7
+"""
+
+
+@query("order_to_ship_cycle_buckets", oracle=_CYCLE_ORACLE)
+def order_to_ship_cycle_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order→ship cycle-time distribution in week buckets — the
+    fulfillment-SLA histogram (where the p95 promise actually lands).
+    One fact-fact equi-join on the order key (AQE broadcasts the
+    filtered side when it fits; at 100 TB this is the bucketed-join
+    candidate — see bucketed_join_no_exchange) and one integer
+    date-diff bucket aggregate. The synthetic fixture's ship dates
+    are not anchored to order dates, so lags span negative weeks
+    too — covered because Spark ``div`` and DuckDB ``//`` both
+    truncate toward zero (verified — the power-iteration device)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    d = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        F.datediff("l_shipdate", "o_orderdate").alias("lag_days")
+    )
+    return d.groupBy(
+        F.expr("lag_days div 7").cast("int").alias("lag_weeks")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("lag_days").cast("int").alias("min_days"),
+        F.max("lag_days").cast("int").alias("max_days"),
+    )

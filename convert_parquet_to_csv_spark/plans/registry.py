@@ -218,6 +218,8 @@ FIRST_TIER: list[str] = [
     "not_in_null_trap",
     "max_drawdown_daily_value",
     "longest_daily_streak",
+    "trimmed_mean_price",
+    "order_to_ship_cycle_buckets",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",
