@@ -220,6 +220,8 @@ FIRST_TIER: list[str] = [
     "longest_daily_streak",
     "trimmed_mean_price",
     "order_to_ship_cycle_buckets",
+    "clamped_running_balance",
+    "wau_mau_stickiness",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -1030,3 +1030,153 @@ def longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_user_streaks"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# --- clamped running balance (non-associative fold) -----------------------
+
+_CLAMP_ORACLE = """
+WITH d AS (
+  SELECT user_id,
+         list_transform(
+           list_sort(list_zip(
+             list(epoch_us(ts)),
+             list(CAST(floor((value - 55) * 10000) AS BIGINT)))),
+           p -> p[2]) AS deltas
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(deltas) AS INT) AS n_deltas,
+       CAST(list_reduce(
+         list_prepend(CAST(0 AS BIGINT), deltas),
+         (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x))
+         AS BIGINT) AS final_balance4
+FROM d
+"""
+
+
+@query("clamped_running_balance", oracle=_CLAMP_ORACLE)
+def clamped_running_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Floor-clamped running balance per user (inventory that can't
+    go negative, a wallet that can't overdraw):
+    ``bal ← max(0, bal + Δ)`` is NON-ASSOCIATIVE, so no window frame
+    or two-pass trick computes it — the classic "needs a sequential
+    scan" recurrence. The engine device: collect each user's deltas
+    as an array SORTED by (event-time, delta) and run the recurrence
+    with the HIGHER-ORDER FOLD ``F.aggregate`` — sequential semantics
+    inside one codegen'd expression, no Python boundary, and the
+    oracle replays the identical left fold with DuckDB's
+    ``list_reduce``. Integer fixed-point deltas keep every
+    intermediate exact.
+
+    Scale shape: one groupBy(user) shuffle; per-user state is the
+    array (fine for per-entity event counts in the thousands — the
+    applyInPandasWithState streaming operator covers the unbounded
+    case). Deltas are (value − 55)·10⁴ so the fixture's balances
+    genuinely bounce off the clamp (≈20% end at 0)."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    d = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("t"),
+                    F.floor((F.col("value") - 55) * 10000)
+                    .cast("bigint")
+                    .alias("dx"),
+                )
+            )
+        ).alias("pairs")
+    )
+    deltas = F.transform(F.col("pairs"), lambda p: p["dx"])
+    return d.select(
+        "user_id",
+        F.size("pairs").cast("int").alias("n_deltas"),
+        F.aggregate(
+            deltas,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: F.greatest(F.lit(0).cast("bigint"), acc + x),
+        ).cast("bigint").alias("final_balance4"),
+    )
+
+
+# --- WAU/MAU stickiness ---------------------------------------------------
+
+_STICKINESS_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0,
+         CAST(MAX(date_trunc('day', ts)) AS DATE) AS d1
+  FROM events),
+contrib AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('day', ts) AS DATE) AS a_day
+  FROM events),
+wau AS (
+  SELECT w_day, COUNT(DISTINCT user_id) AS wau FROM (
+    SELECT user_id,
+           CAST(unnest(range(a_day, a_day + 7, INTERVAL 1 DAY))
+                AS DATE) AS w_day
+    FROM contrib) x GROUP BY w_day),
+mau AS (
+  SELECT w_day, COUNT(DISTINCT user_id) AS mau FROM (
+    SELECT user_id,
+           CAST(unnest(range(a_day, a_day + 28, INTERVAL 1 DAY))
+                AS DATE) AS w_day
+    FROM contrib) x GROUP BY w_day)
+SELECT w.w_day AS day, w.wau, m.mau,
+       CAST(w.wau AS DOUBLE) / m.mau AS stickiness
+FROM wau w JOIN mau m ON w.w_day = m.w_day
+CROSS JOIN bounds b
+WHERE w.w_day BETWEEN b.d0 AND b.d1
+"""
+
+
+@query("wau_mau_stickiness", oracle=_STICKINESS_ORACLE)
+def wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU-family stickiness: trailing-7d over trailing-28d
+    distinct actives per day — the product-engagement ratio ("what
+    fraction of the monthly audience shows up weekly"). Both curves
+    come from ONE distinct (user, day) table fanned by bounded
+    explodes (×7 and ×28), deduped, and counted — the
+    rolling_28d_active_users shape, twice, joined on the day spine.
+    Integer counts, one closing divide."""
+    ev = _events(spark, sf_dir)
+    d = F.to_date(F.date_trunc("DAY", F.col("ts")))
+    contrib = ev.select("user_id", d.alias("a_day")).distinct()
+
+    def rolling(width: int, name: str) -> DataFrame:
+        return (
+            contrib.select(
+                "user_id",
+                F.explode(
+                    F.sequence(
+                        F.col("a_day"),
+                        F.date_add("a_day", width - 1),
+                    )
+                ).alias("w_day"),
+            )
+            .distinct()
+            .groupBy("w_day")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    wau = rolling(7, "wau")
+    mau = rolling(28, "mau")
+    bounds = ev.agg(F.min(d).alias("d0"), F.max(d).alias("d1"))
+    return (
+        wau.join(mau, "w_day")
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("w_day") >= F.col("d0"))
+            & (F.col("w_day") <= F.col("d1"))
+        )
+        .select(
+            F.col("w_day").alias("day"),
+            "wau",
+            "mau",
+            (F.col("wau").cast("double") / F.col("mau")).alias(
+                "stickiness"
+            ),
+        )
+    )
