@@ -222,6 +222,8 @@ FIRST_TIER: list[str] = [
     "order_to_ship_cycle_buckets",
     "clamped_running_balance",
     "wau_mau_stickiness",
+    "binary_codec_zoo",
+    "surrogate_key_dimension",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -1120,3 +1120,96 @@ def not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHERE s.k = c.c_nationkey)
         """
     )
+
+
+# --- binary codec / digest zoo --------------------------------------------
+
+_CODECZOO_ORACLE = """
+SELECT doc_id,
+       md5(text) AS h_md5,
+       sha256(text) AS h_sha256,
+       base64(encode(text)) AS b64,
+       lower(hex(encode(substring(text, 1, 8)))) AS hex_prefix,
+       octet_length(from_base64(base64(encode(text)))) AS b64_roundtrip_len
+FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+@query("binary_codec_zoo", oracle=_CODECZOO_ORACLE)
+def binary_codec_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest and codec parity zoo: md5 / sha-256 / base64 / hex are
+    the content-addressing primitives (dedup fingerprints, cache
+    keys, integrity manifests) and any engine divergence here
+    corrupts cross-system joins silently. Each is pinned bit-exact
+    against the oracle on UTF-8 document text, plus a
+    base64→decode→length roundtrip. Two divergences documented in
+    code: Spark's base64 is MIME-chunked (CRLF per 76 chars) vs
+    DuckDB's continuous form, and sha-1 exists only on the Spark
+    side. All JVM codegen, no shuffle beyond the gate's own sort."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 25 == 0
+    )
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2(F.col("text"), 256).alias("h_sha256"),
+        # Spark's base64 is the Java MIME encoder — it chunks output
+        # with CRLF every 76 chars; DuckDB emits continuous base64.
+        # Normalize by stripping the line breaks (decoders accept
+        # both). THE documented divergence of this zoo.
+        F.regexp_replace(
+            F.base64(F.col("text").cast("binary")), "[\r\n]", ""
+        ).alias("b64"),
+        F.lower(F.hex(F.substring("text", 1, 8).cast("binary"))).alias(
+            "hex_prefix"
+        ),
+        F.length(
+            F.unbase64(F.base64(F.col("text").cast("binary")))
+        ).alias("b64_roundtrip_len"),
+    )
+
+
+# --- surrogate-key dimension build ----------------------------------------
+
+_SK_ORACLE = """
+WITH dim AS (
+  SELECT DISTINCT source, lang FROM documents
+)
+SELECT CAST(DENSE_RANK() OVER (ORDER BY source, lang) AS BIGINT)
+         AS surrogate_key,
+       source, lang,
+       (SELECT COUNT(*) FROM documents d
+        WHERE d.source = dim.source AND d.lang = dim.lang) AS n_docs
+FROM dim
+"""
+
+
+@query("surrogate_key_dimension", oracle=_SK_ORACLE)
+def surrogate_key_dimension(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Warehouse dimension build: assign STABLE integer surrogate
+    keys to distinct (source, lang) combos via dense_rank over the
+    natural-key order. The device this query exists to document:
+    ``monotonically_increasing_id`` / ``zipWithIndex`` keys are
+    partition-layout-dependent — two runs of the same data can
+    disagree — while rank over a deterministic ordering is
+    reproducible anywhere (the price: one sort of the already-tiny
+    distinct dimension, not of the fact stream). Fact-side counts
+    ride along to prove the key join-back."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    dim = docs.select("source", "lang").distinct()
+    keyed = dim.withColumn(
+        "surrogate_key",
+        F.dense_rank()
+        .over(Window.orderBy("source", "lang"))
+        .cast("bigint"),
+    )
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return keyed.join(counts, ["source", "lang"]).select(
+        "surrogate_key", "source", "lang", "n_docs"
+    )
