@@ -224,6 +224,7 @@ FIRST_TIER: list[str] = [
     "wau_mau_stickiness",
     "binary_codec_zoo",
     "surrogate_key_dimension",
+    "doc_topic_projection",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -596,3 +596,115 @@ def embedding_power_iteration_pc1(
         F.col("pos").cast("int").alias("pos"),
         F.col("vq").cast("bigint").alias("v_q"),
     )
+
+
+# --- sparse matmul: doc-topic projection ----------------------------------
+
+_TOPIC_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\\s+'),
+             t -> t != '')) AS tok
+    FROM documents) GROUP BY doc_id, tok
+), loads AS (
+  SELECT tok,
+         CAST('0x' || substring(md5(tok || '|0'), 1, 2) AS INT) - 128 AS l0,
+         CAST('0x' || substring(md5(tok || '|1'), 1, 2) AS INT) - 128 AS l1,
+         CAST('0x' || substring(md5(tok || '|2'), 1, 2) AS INT) - 128 AS l2,
+         CAST('0x' || substring(md5(tok || '|3'), 1, 2) AS INT) - 128 AS l3,
+         CAST('0x' || substring(md5(tok || '|4'), 1, 2) AS INT) - 128 AS l4
+  FROM (SELECT DISTINCT tok FROM tf)
+), scores AS (
+  SELECT t.doc_id,
+         SUM(t.tf * l.l0) AS s0, SUM(t.tf * l.l1) AS s1,
+         SUM(t.tf * l.l2) AS s2, SUM(t.tf * l.l3) AS s3,
+         SUM(t.tf * l.l4) AS s4
+  FROM tf t JOIN loads l ON t.tok = l.tok GROUP BY t.doc_id
+), top AS (
+  SELECT doc_id,
+         CASE greatest(s0, s1, s2, s3, s4)
+           WHEN s0 THEN 0 WHEN s1 THEN 1 WHEN s2 THEN 2
+           WHEN s3 THEN 3 ELSE 4 END AS top_topic,
+         greatest(s0, s1, s2, s3, s4) AS best
+  FROM scores
+)
+SELECT CAST(top_topic AS INT) AS top_topic,
+       COUNT(*) AS n_docs,
+       CAST(SUM(best) AS BIGINT) AS total_best_score
+FROM top GROUP BY top_topic
+"""
+
+
+@query("doc_topic_projection", oracle=_TOPIC_ORACLE)
+def doc_topic_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse matrix × dense matrix: term-frequency vectors projected
+    onto a 5-topic loading matrix (the LSA/classifier-projection
+    shape — same plan serves real learned loadings). The loading
+    matrix is md5-derived per (term, topic) so both engines own an
+    identical matrix without shipping one.
+
+    Scale shape: tf is the standard (doc, term) aggregate; the
+    loading matrix has one row PER DISTINCT TERM (vocab-sized →
+    broadcast), so the projection is a map-side join + one per-doc
+    aggregate — the fact stream shuffles once on doc_id, never on
+    the dense side. All integer products/sums; argmax ties resolve
+    to the lowest topic id via CASE order in both engines."""
+    docs = read_parquet(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+    def loading(t: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("tok"), F.lit(f"|{t}"))), 1, 2
+                ),
+                16, 10,
+            ).cast("int")
+            - 128
+        ).alias(f"l{t}")
+
+    loads = tf.select("tok").distinct().select(
+        "tok", *[loading(t) for t in range(5)]
+    )
+    scores = (
+        tf.join(F.broadcast(loads), "tok")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.col("tf") * F.col(f"l{t}")).alias(f"s{t}")
+                for t in range(5)
+            ]
+        )
+    )
+    best = F.greatest(*[F.col(f"s{t}") for t in range(5)])
+    top_topic = (
+        F.when(best == F.col("s0"), 0)
+        .when(best == F.col("s1"), 1)
+        .when(best == F.col("s2"), 2)
+        .when(best == F.col("s3"), 3)
+        .otherwise(4)
+    )
+    top = scores.select(
+        "doc_id",
+        top_topic.cast("int").alias("top_topic"),
+        best.alias("best"),
+    )
+    return top.groupBy("top_topic").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("best").cast("bigint").alias("total_best_score"),
+    )
