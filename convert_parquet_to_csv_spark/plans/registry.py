@@ -225,6 +225,8 @@ FIRST_TIER: list[str] = [
     "binary_codec_zoo",
     "surrogate_key_dimension",
     "doc_topic_projection",
+    "collapse_consecutive_events",
+    "mode_per_group",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -1180,3 +1180,104 @@ def wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- consecutive-duplicate collapse (run-length encoding) -----------------
+
+_COLLAPSE_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), runs AS (
+  SELECT user_id, event_type FROM seq
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT event_type,
+       (SELECT COUNT(*) FROM events e
+        WHERE e.event_type = runs.event_type) AS n_raw,
+       COUNT(*) AS n_runs
+FROM runs GROUP BY event_type
+"""
+
+
+@query("collapse_consecutive_events", oracle=_COLLAPSE_ORACLE)
+def collapse_consecutive_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Telemetry run-length collapse: repeated consecutive events of
+    the same type within a user's stream count once per RUN (the
+    retry-storm / held-down-key / duplicate-beacon cleanup every
+    event pipeline applies before sessionizing). One lag window per
+    user marks run heads; raw-vs-collapsed counts per type land in
+    the gate. Deterministic ordering via the (ts, event_id)
+    tiebreak; single user_id exchange shared by the window."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    runs = seq.filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    raw = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    coll = runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_runs")
+    )
+    return raw.join(coll, "event_type").select(
+        "event_type", "n_raw", "n_runs"
+    )
+
+
+# --- deterministic per-group mode -----------------------------------------
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_orderstatus
+      ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+  FROM c
+)
+SELECT o_orderstatus,
+       o_orderpriority AS mode_priority,
+       CAST(cnt AS BIGINT) AS mode_count
+FROM r WHERE rn = 1
+"""
+
+
+@query("mode_per_group", oracle=_MODE_ORACLE)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value per group with a PINNED tie rule
+    (count desc, then value asc) — the deterministic form of mode.
+    The built-in ``F.mode`` is explicitly non-deterministic under
+    ties (and DuckDB's ``mode`` picks its own winner), so a gated
+    pipeline must spell the tiebreak: count + WindowGroupLimit over
+    the collapsed (group, value) table, which also partial-aggregates
+    map-side — the built-in can't."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("o_orderstatus").orderBy(
+            F.desc("cnt"), F.asc("o_orderpriority")
+        )
+    )
+    return (
+        c.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").cast("bigint").alias("mode_count"),
+        )
+    )
