@@ -2105,3 +2105,92 @@ def order_to_ship_cycle_buckets(
         F.min("lag_days").cast("int").alias("min_days"),
         F.max("lag_days").cast("int").alias("max_days"),
     )
+
+
+# --- decile lift curve ----------------------------------------------------
+
+_LIFT_ORACLE = """
+WITH scored AS (
+  SELECT event_id,
+         CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), ranked AS (
+  SELECT *,
+         NTILE(10) OVER (ORDER BY score DESC, event_id ASC) AS decile
+  FROM scored
+), d AS (
+  SELECT decile, COUNT(*) AS n, SUM(y) AS pos FROM ranked
+  GROUP BY decile
+), t AS (SELECT SUM(n) AS nt, SUM(pos) AS post FROM d)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(n AS BIGINT) AS n,
+       CAST(pos AS BIGINT) AS n_positive,
+       CAST(pos * nt AS DOUBLE) / CAST(n * post AS DOUBLE) AS lift,
+       CAST(SUM(pos) OVER (ORDER BY decile
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / post AS cum_capture
+FROM d CROSS JOIN t
+"""
+
+
+@query("decile_lift_curve", oracle=_LIFT_ORACLE)
+def decile_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-eval lift/gains table: events ranked by a score
+    (md5-derived stand-in — the plan is identical for a real model
+    score column), cut into deciles, each reporting lift over base
+    rate and cumulative positive capture — the campaign-targeting /
+    ranking-quality readout. A useless score reads lift≈1 flat,
+    which is exactly what the hash score shows; the gate pins the
+    arithmetic, not the model.
+
+    Determinism: NTILE over (score desc, event_id) — no RNG, exact
+    ties; lift = (pos·N)/(n·P) integer products, one divide; the
+    cumulative window runs over 10 rows. The global NTILE sorts on
+    one task — fine for a report; at 100 TB cut deciles from
+    percentile_approx boundaries instead and bucket map-side (the
+    price_decile_binning pattern)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        "event_id",
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16, 10,
+        ).cast("bigint").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    ranked = scored.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.desc("score"), F.asc("event_id"))
+        ),
+    )
+    d = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    t = d.agg(
+        F.sum("n").alias("nt"), F.sum("pos").alias("post")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("pos").cast("bigint").alias("n_positive"),
+            (
+                (F.col("pos") * F.col("nt")).cast("double")
+                / (F.col("n") * F.col("post")).cast("double")
+            ).alias("lift"),
+            (
+                F.sum("pos").over(wcum).cast("double") / F.col("post")
+            ).alias("cum_capture"),
+        )
+    )

@@ -227,6 +227,8 @@ FIRST_TIER: list[str] = [
     "doc_topic_projection",
     "collapse_consecutive_events",
     "mode_per_group",
+    "langid_confusion_matrix",
+    "decile_lift_curve",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

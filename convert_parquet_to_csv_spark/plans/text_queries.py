@@ -1116,3 +1116,75 @@ def tokenizer_fertility_by_lang(
             / F.sum(F.size(T.tokens("text")))
         ).alias("fertility"),
     )
+
+
+# --- lang-id evaluation: confusion matrix + per-class metrics -------------
+
+_LANGID_EVAL_ORACLE = f"""
+WITH scores AS (
+  SELECT doc_id, lang,
+         CAST({_duck_lang_score('en')} AS DOUBLE) AS s_en,
+         CAST({_duck_lang_score('de')} AS DOUBLE) AS s_de,
+         CAST({_duck_lang_score('fr')} AS DOUBLE) AS s_fr,
+         CAST({_duck_lang_score('es')} AS DOUBLE) AS s_es
+  FROM documents
+), pred AS (
+  SELECT lang AS actual,
+         CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+              WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+         END AS predicted
+  FROM scores
+), cells AS (
+  SELECT actual, predicted, COUNT(*) AS n FROM pred
+  GROUP BY actual, predicted
+)
+SELECT c.actual, c.predicted, CAST(c.n AS BIGINT) AS n,
+       CAST(c.n AS DOUBLE) /
+         (SELECT SUM(n) FROM cells x WHERE x.predicted = c.predicted)
+         AS precision_contrib,
+       CAST(c.n AS DOUBLE) /
+         (SELECT SUM(n) FROM cells x WHERE x.actual = c.actual)
+         AS recall_contrib
+FROM cells c
+"""
+
+
+@query("langid_confusion_matrix", oracle=_LANGID_EVAL_ORACLE)
+def langid_confusion_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The engine evaluating its own operator: confusion matrix of
+    the lang_id heuristic against the fixture's ground-truth ``lang``
+    column, each cell carrying its precision contribution (share of
+    that predicted column) and recall contribution (share of that
+    actual row) — the diagonal's values ARE per-class precision and
+    recall. This is the model-eval readout every classifier-shaped
+    curation filter needs before it's trusted to delete data.
+
+    One scan scores and predicts map-side; the matrix is ≤
+    |langs+1|² cells, margins via two windows over that tiny table;
+    integer counts, one divide per metric."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    pred = docs.select(
+        F.col("lang").alias("actual"),
+        T.lang_id("text").alias("predicted"),
+    )
+    cells = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    col_tot = F.sum("n").over(Window.partitionBy("predicted"))
+    row_tot = F.sum("n").over(Window.partitionBy("actual"))
+    return cells.select(
+        "actual",
+        "predicted",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / col_tot).alias(
+            "precision_contrib"
+        ),
+        (F.col("n").cast("double") / row_tot).alias("recall_contrib"),
+    )
