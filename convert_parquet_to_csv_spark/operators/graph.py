@@ -241,11 +241,18 @@ def triangle_count(
         .join(closing, ["x", "z"], "left_semi")
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
-    return (
+    out = (
         deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
         .crossJoin(e.agg(F.count("*").cast("bigint").alias("n_edges")))
         .crossJoin(tri)
+        # Materialize the 1-row result eagerly so the caches can be
+        # released NOW — returning a lazy plan would pin both cached
+        # edge tables for the rest of a long-lived gate/bench session.
+        .localCheckpoint()
     )
+    oriented.unpersist()
+    e.unpersist()
+    return out
 
 
 def k_core(

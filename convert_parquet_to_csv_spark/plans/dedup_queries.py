@@ -711,3 +711,69 @@ def dedup_cluster_size_histogram(
         .cast("bigint")
         .alias("n_docs"),
     )
+
+
+# --- survivorship: golden record by source priority -----------------------
+
+_GOLDEN_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, source, n_chars,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS _fp
+  FROM documents
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY _fp
+      ORDER BY CASE WHEN source IN ('src0','src1','src2') THEN 0
+                    ELSE 1 END,
+               n_chars DESC, doc_id ASC) AS rn
+  FROM fp
+)
+SELECT source,
+       COUNT(*) AS n_golden,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM ranked WHERE rn = 1
+GROUP BY source
+"""
+
+
+@query("survivorship_golden_record", oracle=_GOLDEN_ORACLE)
+def survivorship_golden_record(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MDM survivorship: within each duplicate cluster pick ONE
+    golden record by an explicit rule stack — trusted sources first
+    (src0-2 here stand in for the curated tier), then the richest
+    record (n_chars desc), then the stable doc_id tiebreak. This is
+    exact_dedup's business-rule sibling: same single fingerprint
+    shuffle + WindowGroupLimit, but the winner is POLICY, not min-id
+    — the difference between "dedup" and "master data". The
+    per-source census of winners is the gate (it shifts if any rule
+    tier is dropped or reordered)."""
+    from convert_parquet_to_csv_spark.functions.text import (
+        doc_fingerprint,
+    )
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    ranked = docs.withColumn(
+        "_fp", doc_fingerprint("text")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("_fp").orderBy(
+                F.when(
+                    F.col("source").isin("src0", "src1", "src2"), 0
+                ).otherwise(1),
+                F.desc("n_chars"),
+                F.asc("doc_id"),
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_golden"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

@@ -395,7 +395,7 @@ _TEXT_ORACLE = """
 WITH flat AS (
   SELECT doc_id,
          trim(regexp_replace(text, '\\s+', ' ', 'g')) AS line
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT COUNT(*) AS n_lines,
        CAST(SUM(length(line)) AS BIGINT) AS total_chars,
@@ -418,7 +418,10 @@ def textfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(
         spark, os.path.join(sf_dir, "documents.parquet")
     )
-    flat = docs.select(
+    # The text sink rejects NULL values outright — filter (mirrored
+    # in the oracle) so a fixture refresh with NULL text degrades to
+    # a value diff, not a job crash.
+    flat = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.trim(F.regexp_replace("text", r"\s+", " ")).alias("line"),
     )

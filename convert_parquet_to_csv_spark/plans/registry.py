@@ -229,6 +229,7 @@ FIRST_TIER: list[str] = [
     "mode_per_group",
     "langid_confusion_matrix",
     "decile_lift_curve",
+    "survivorship_golden_record",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

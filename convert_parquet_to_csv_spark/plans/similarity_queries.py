@@ -654,14 +654,11 @@ def doc_topic_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(
         spark, os.path.join(sf_dir, "documents.parquet")
     )
+    from convert_parquet_to_csv_spark.functions.text import tokens
+
     toks = docs.select(
         "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.trim("text")), r"\s+"),
-                lambda t: t != "",
-            )
-        ).alias("tok"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
     )
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).alias("tf")

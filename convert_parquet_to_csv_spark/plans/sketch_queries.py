@@ -378,13 +378,15 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_distinct") >= _KMV_K,
         F.lit(float((_KMV_K - 1) * 4294967296)) / F.col("kth_min_hash"),
     ).otherwise(F.col("exact_distinct").cast("double"))
+    # Reuse the est expression directly (not the select alias):
+    # lateral-column-alias resolution is a conf-dependent convenience.
     return u.select(
         "event_type",
         "kth_min_hash",
         "exact_distinct",
         est.alias("est_distinct"),
         (
-            (F.col("est_distinct") <= 2 * F.col("exact_distinct"))
-            & (F.col("est_distinct") * 2 >= F.col("exact_distinct"))
+            (est <= 2 * F.col("exact_distinct"))
+            & (est * 2 >= F.col("exact_distinct"))
         ).alias("within_2x"),
     )

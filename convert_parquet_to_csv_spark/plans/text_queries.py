@@ -1065,7 +1065,9 @@ def arrow_python_udf_tokens(
 
     @udf("long", useArrow=True)
     def n_bpe(s: str) -> int:
-        return len(pat.findall(s)) if s is not None else 0
+        # None -> None matches the oracle's regexp_extract_all(NULL)
+        # = NULL (a 0 here would be a latent gate divergence).
+        return len(pat.findall(s)) if s is not None else None
 
     return (
         _docs(spark, sf_dir)

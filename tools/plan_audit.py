@@ -117,6 +117,16 @@ CASES = {
     "udtf_table_argument": "table-arg UDTF: ONE user_id exchange + in-partition sort feeding the Python instance stream",
     "band_join_nonequi": "non-equi band join: BroadcastNestedLoopJoin over the tiny band table, no shuffle",
     "not_in_null_trap": "NOT IN vs NOT EXISTS: null-aware BNLJ anti vs plain left-anti hash join, both in one plan",
+    "max_drawdown_daily_value": "drawdown: daily pre-agg collapses input, running-max window + final agg share partitioning",
+    "longest_daily_streak": "gaps-and-islands: distinct (user,day), one window + anchor groupBy, no self-join",
+    "trimmed_mean_price": "trimmed mean: rank window + filtered agg on one status exchange",
+    "order_to_ship_cycle_buckets": "cycle time: fact-fact orderkey join (AQE broadcast at this sf), integer bucket agg",
+    "clamped_running_balance": "clamped fold: one user groupBy, recurrence inside codegen'd aggregate() — no Python",
+    "wau_mau_stickiness": "stickiness: one (user,day) distinct feeds x7 and x28 bounded explodes, day-spine join",
+    "doc_topic_projection": "sparse matmul: vocab-sized loading matrix broadcast, fact shuffles once on doc_id",
+    "collapse_consecutive_events": "run collapse: one user_id window exchange, raw/collapsed aggs reuse it",
+    "langid_confusion_matrix": "confusion: map-side score+predict, margins via windows over <=25 cells",
+    "decile_lift_curve": "lift: global NTILE on one task (10-row report; approx-boundary path documented)",
 }
 
 KEY_MARKERS = (
