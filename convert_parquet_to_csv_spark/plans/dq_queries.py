@@ -428,3 +428,60 @@ def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --- row-level security + column masking view -----------------------------
+
+_RLS_ORACLE = """
+WITH v AS (
+  SELECT c_custkey,
+         concat('Customer#', substring(md5(c_name), 1, 8)) AS masked_name,
+         c_nationkey, c_acctbal, c_mktsegment
+  FROM customer
+  WHERE c_mktsegment <> 'AUTOMOBILE' AND c_acctbal >= 0
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_acctbal,
+       CAST(COUNT(DISTINCT masked_name) AS BIGINT) AS n_distinct_masked
+FROM v GROUP BY c_mktsegment
+"""
+
+
+@query("rls_masked_view", oracle=_RLS_ORACLE)
+def rls_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level security + column masking as a VIEW: consumers query
+    ``customer_secure`` and never see AUTOMOBILE-segment rows,
+    negative balances, or raw names (masked to a deterministic md5
+    token that PRESERVES JOINABILITY — equal names mask equally, so
+    the distinct count survives). This is the governance layer's
+    query-rewrite pattern: policy lives in the view definition,
+    Catalyst inlines it, and the predicates still reach the scan as
+    PushedFilters — policy costs nothing at plan time. The gate
+    aggregates through the view; the oracle applies the same policy
+    inline."""
+    cust = _t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer_raw")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW customer_secure AS
+        SELECT c_custkey,
+               concat('Customer#', substring(md5(c_name), 1, 8))
+                 AS masked_name,
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM customer_raw
+        WHERE c_mktsegment <> 'AUTOMOBILE' AND c_acctbal >= 0
+        """
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_acctbal,
+               CAST(COUNT(DISTINCT masked_name) AS BIGINT)
+                 AS n_distinct_masked
+        FROM customer_secure GROUP BY c_mktsegment
+        """
+    )

@@ -230,6 +230,7 @@ FIRST_TIER: list[str] = [
     "langid_confusion_matrix",
     "decile_lift_curve",
     "survivorship_golden_record",
+    "rls_masked_view",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",
