@@ -85,3 +85,78 @@ def test_requant_sign_and_range(spark):
     assert out[3] == (399 * (1 << 20)) // 400
     assert out[4] == 0
     assert all(abs(v) <= (1 << 20) for v in out.values())
+
+
+def test_clamped_fold_matches_python_reference(spark):
+    """F.aggregate's left fold must equal the imperative recurrence."""
+    deltas = [5, -3, -10, 4, -1, 7, -20, 2]
+    bal = 0
+    for d in deltas:
+        bal = max(0, bal + d)
+    df = spark.createDataFrame(
+        [(1, list(enumerate(deltas)))],
+        "k INT, pairs ARRAY<STRUCT<t: INT, dx: INT>>",
+    )
+    out = df.select(
+        F.aggregate(
+            F.transform(F.col("pairs"), lambda p: p["dx"].cast("long")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: F.greatest(F.lit(0).cast("bigint"), acc + x),
+        ).alias("bal")
+    ).collect()[0].bal
+    assert out == bal == 2
+
+
+def test_mode_tiebreak_prefers_lowest_value(spark):
+    """Equal counts must resolve to the lexicographically smallest
+    value — the pinned rule the built-in mode leaves unspecified."""
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c")],
+        "grp STRING, v STRING",
+    )
+    c = df.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    rn = F.row_number().over(
+        Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("v"))
+    )
+    win = c.withColumn("rn", rn).filter(F.col("rn") == 1).collect()[0]
+    assert (win.v, win.cnt) == ("a", 2)
+
+
+def test_survivorship_rule_stack_order(spark):
+    """Trusted source beats richer untrusted record; richness breaks
+    ties within a tier; doc_id is the final tiebreak."""
+    rows = [
+        # cluster A: untrusted src9 has MORE chars but src0 must win
+        (1, "dup-a", "src0", 10),
+        (2, "dup-a", "src9", 99),
+        # cluster B: both trusted; richer record wins
+        (3, "dup-b", "src1", 5),
+        (4, "dup-b", "src2", 50),
+        # cluster C: identical tier+richness; lower doc_id wins
+        (5, "dup-c", "src7", 7),
+        (6, "dup-c", "src8", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, source STRING, n_chars LONG"
+    )
+    from convert_parquet_to_csv_spark.functions.text import (
+        doc_fingerprint,
+    )
+
+    ranked = df.withColumn("_fp", doc_fingerprint("text")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("_fp").orderBy(
+                F.when(
+                    F.col("source").isin("src0", "src1", "src2"), 0
+                ).otherwise(1),
+                F.desc("n_chars"),
+                F.asc("doc_id"),
+            )
+        ),
+    )
+    winners = {
+        r.text: r.doc_id
+        for r in ranked.filter(F.col("rn") == 1).collect()
+    }
+    assert winners == {"dup-a": 1, "dup-b": 4, "dup-c": 5}
