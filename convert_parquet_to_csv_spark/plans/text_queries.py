@@ -1011,6 +1011,9 @@ def char_trigram_familiarity(
                 )
             ).alias("g"),
         )
+        # tri feeds both the corpus frequency table and the scoring
+        # join — persist so the normalize+explode runs once.
+        .persist()
     )
     freq = tri.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
     scored = (
