@@ -926,6 +926,10 @@ def oov_rate_vs_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"),
         )
+        # consumed by the vocab pass AND the scoring pass — persist
+        # so "one shared tokenize" is true physically, not just in
+        # the plan text.
+        .persist()
     )
     vocab = (
         toks.groupBy("tok")
