@@ -491,3 +491,82 @@ def compression_codec_roundtrip(
             & (F.col("sn_sum") == F.col("zs_sum"))
         ).alias("codecs_agree"),
     )
+
+
+# --- adversarial CSV dialect roundtrip ------------------------------------
+
+_CSV_ADV_ORACLE = """
+WITH adv AS (
+  SELECT doc_id,
+         concat('a,"b', chr(10), text, chr(9), '"" ', 'c') AS payload,
+         n_chars
+  FROM documents WHERE doc_id % 20 = 0
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(length(payload)) AS BIGINT) AS total_payload_chars,
+       CAST(SUM(CAST('0x' || substring(md5(payload), 1, 10) AS BIGINT))
+            AS BIGINT) AS payload_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS total_n_chars
+FROM adv
+"""
+
+
+@query("csv_adversarial_roundtrip", oracle=_CSV_ADV_ORACLE)
+def csv_adversarial_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CSV dialect under fire: payloads carrying embedded commas,
+    double quotes, a literal newline, a tab, and trailing spaces are
+    written through the engine's pinned dialect (RFC-4180 quoting,
+    ``escape='"'``, whitespace-trim off — ``CSV_DEFAULTS``) and read
+    back typed; the order-independent md5 checksum proves every byte
+    survived. This gates through DuckDB what the hypothesis roundtrip
+    suite pins in pytest — the sink semantics the reference benchmark
+    is ABOUT (SURVEY §2.2): a dialect bug (e.g. Spark's default
+    backslash escape, or the writer's default whitespace trim) fails
+    the hash here. ``multiLine`` readback is the documented cost of
+    embedded newlines (unsplittable files; newline-free data should
+    read with multi_line=False)."""
+    from convert_parquet_to_csv_spark.sources.io_ops import (
+        CSV_DEFAULTS,
+        read_csv,
+    )
+
+    docs = read_parquet(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    ).filter(F.col("doc_id") % 20 == 0)
+    adv = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('a,"b'),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\t"),
+            F.lit('"" '),
+            F.lit("c"),
+        ).alias("payload"),
+        "n_chars",
+    )
+    dst = os.path.join(tempfile.gettempdir(), "cptc_csv_adversarial")
+    w = adv.write.mode("overwrite")
+    for k, v in CSV_DEFAULTS.items():
+        w = w.option(k, v)
+    w.csv(dst)
+    back = read_csv(
+        spark,
+        dst,
+        schema="doc_id LONG, payload STRING, n_chars LONG",
+        infer_schema=False,
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("payload")).cast("bigint").alias(
+            "total_payload_chars"
+        ),
+        F.sum(
+            F.conv(F.substring(F.md5("payload"), 1, 10), 16, 10).cast(
+                "bigint"
+            )
+        ).cast("bigint").alias("payload_checksum"),
+        F.sum("n_chars").cast("bigint").alias("total_n_chars"),
+    )

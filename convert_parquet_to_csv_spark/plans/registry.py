@@ -231,6 +231,7 @@ FIRST_TIER: list[str] = [
     "decile_lift_curve",
     "survivorship_golden_record",
     "rls_masked_view",
+    "csv_adversarial_roundtrip",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",
