@@ -232,6 +232,7 @@ FIRST_TIER: list[str] = [
     "survivorship_golden_record",
     "rls_masked_view",
     "csv_adversarial_roundtrip",
+    "interarrival_log2_histogram",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -1281,3 +1281,56 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("bigint").alias("mode_count"),
         )
     )
+
+
+# --- inter-arrival time histogram (log2 buckets) --------------------------
+
+_INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT CAST(CASE WHEN gap_us = 0 THEN -1
+            ELSE length(bin(gap_us)) - 1 END AS INT) AS log2_bucket,
+       COUNT(*) AS n_gaps,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY 1
+"""
+
+
+@query("interarrival_log2_histogram", oracle=_INTERARRIVAL_ORACLE)
+def interarrival_log2_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-event arrival-time histogram in power-of-two buckets —
+    the latency/traffic-shape readout (exponential buckets are how
+    every telemetry system stores timing distributions). The bucket
+    is EXACT integer log₂: ``length(bin(gap)) − 1`` counts the bits
+    of the µs gap — no floating log whose libm rounding could differ
+    between engines (the PSI/entropy trap this family deliberately
+    avoids). Zero gaps (same-µs events) get bucket −1. One lag
+    window per user; bucket aggregate reuses nothing heavier."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    bucket = F.when(F.col("gap_us") == 0, -1).otherwise(
+        F.length(F.bin(F.col("gap_us"))) - 1
+    )
+    return gaps.groupBy(
+        bucket.cast("int").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
