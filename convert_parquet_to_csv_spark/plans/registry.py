@@ -77,6 +77,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # ones, then everything already green in r1/r2 in registration order
 # — so a larger budget keeps adding new signal and a smaller one
 # cuts where it costs least.
+#
+# r4 note: once CORRECTNESS_r03 lands, rotate the prefix again — the
+# ~40 continuation queries (bucketed_join_no_exchange ..
+# interarrival_log2_histogram, currently positions ~96-145) will then
+# be the largest never-driver-gated block and should lead the r4
+# prefix, with the usual 2-3 canaries.
 FIRST_TIER: list[str] = [
     # canaries: flagship + an ex-red regression sentinel
     "convert_roundtrip",
