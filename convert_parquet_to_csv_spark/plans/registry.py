@@ -239,6 +239,7 @@ FIRST_TIER: list[str] = [
     "rls_masked_view",
     "csv_adversarial_roundtrip",
     "interarrival_log2_histogram",
+    "rollup_grouping_id_labels",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

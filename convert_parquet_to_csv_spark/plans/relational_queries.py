@@ -1213,3 +1213,54 @@ def surrogate_key_dimension(
     return keyed.join(counts, ["source", "lang"]).select(
         "surrogate_key", "source", "lang", "n_docs"
     )
+
+
+# --- grouping_id labels over ROLLUP ---------------------------------------
+
+_GID_ORACLE = """
+SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       CASE GROUPING(o_orderstatus, o_orderpriority)
+         WHEN 0 THEN 'cell' WHEN 1 THEN 'status_subtotal'
+         ELSE 'grand_total' END AS level_label,
+       coalesce(o_orderstatus, '_all') AS status,
+       coalesce(o_orderpriority, '_all') AS priority,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("rollup_grouping_id_labels", oracle=_GID_ORACLE)
+def rollup_grouping_id_labels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROLLUP rows labeled by ``grouping_id()`` — the bitmask that
+    tells a report row apart from a subtotal apart from the grand
+    total (COALESCE alone can't: a literal '_all' value in the data
+    would collide). rollup_revenue gated the aggregate values; this
+    gates the LEVEL-IDENTIFICATION machinery, the part every rollup
+    consumer actually branches on. Bitmask semantics (first grouping
+    column = highest bit) agree between engines and are pinned by
+    the hash."""
+    orders = _t(spark, sf_dir, "orders")
+    # grouping_id() is only resolvable INSIDE the rollup aggregate —
+    # a later projection has no grouping context.
+    agg = orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping_id("o_orderstatus", "o_orderpriority").alias("_gid"),
+    )
+    gid = F.col("_gid")
+    return (
+        agg.select(
+            gid.cast("int").alias("gid"),
+            F.when(gid == 0, "cell")
+            .when(gid == 1, "status_subtotal")
+            .otherwise("grand_total")
+            .alias("level_label"),
+            F.coalesce("o_orderstatus", F.lit("_all")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("_all")).alias(
+                "priority"
+            ),
+            "n_orders",
+        )
+    )

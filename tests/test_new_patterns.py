@@ -160,3 +160,40 @@ def test_survivorship_rule_stack_order(spark):
         for r in ranked.filter(F.col("rn") == 1).collect()
     }
     assert winners == {"dup-a": 1, "dup-b": 4, "dup-c": 5}
+
+
+# --- property: the engine fold equals the imperative recurrence -----------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    deltas=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_clamped_fold_property(spark, deltas):
+    """For ANY integer delta sequence, F.aggregate's clamped left fold
+    equals the Python recurrence — the property the gated query's
+    cross-engine claim rests on (DuckDB list_reduce replays the same
+    fold)."""
+    bal = 0
+    for d in deltas:
+        bal = max(0, bal + d)
+    df = spark.createDataFrame([(deltas,)], "deltas ARRAY<LONG>")
+    out = df.select(
+        F.aggregate(
+            F.col("deltas"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: F.greatest(F.lit(0).cast("bigint"), acc + x),
+        ).alias("bal")
+    ).collect()[0].bal
+    assert out == bal

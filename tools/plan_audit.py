@@ -127,6 +127,10 @@ CASES = {
     "collapse_consecutive_events": "run collapse: one user_id window exchange, raw/collapsed aggs reuse it",
     "langid_confusion_matrix": "confusion: map-side score+predict, margins via windows over <=25 cells",
     "decile_lift_curve": "lift: global NTILE on one task (10-row report; approx-boundary path documented)",
+    "survivorship_golden_record": "survivorship: same single fingerprint shuffle as exact_dedup, policy-ordered WindowGroupLimit",
+    "rls_masked_view": "RLS view: policy inlined by Catalyst, filter predicates reach PushedFilters",
+    "csv_adversarial_roundtrip": "CSV dialect: quoted multiLine readback (unsplittable by design), checksum agg",
+    "interarrival_log2_histogram": "interarrival: one user_id lag window, bit-count bucket agg",
 }
 
 KEY_MARKERS = (
