@@ -2194,3 +2194,76 @@ def decile_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_capture"),
         )
     )
+
+
+# --- map-side decile binning (the at-scale NTILE alternative) -------------
+
+_MAPSIDE_DECILE_ORACLE = """
+WITH v AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), n AS (SELECT COUNT(*) AS n FROM v),
+r AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM v
+), bounds AS (
+  SELECT DISTINCT r.cents AS b
+  FROM r CROSS JOIN n
+  WHERE r.rn IN (SELECT CAST(ceil(n.n * k / 10.0) AS BIGINT)
+                 FROM (SELECT unnest(range(1, 10)) AS k))
+), binned AS (
+  SELECT v.cents,
+         (SELECT COUNT(*) FROM bounds b WHERE b.b < v.cents) AS bucket
+  FROM v
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM binned GROUP BY bucket
+"""
+
+
+@query("decile_binning_mapside", oracle=_MAPSIDE_DECILE_ORACLE)
+def decile_binning_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale decile assignment pattern the NTILE queries
+    document but don't execute: compute the 9 exact boundary values
+    once (rank over the value column), BROADCAST them, and assign
+    buckets map-side as "count of boundaries strictly below" — the
+    fact stream never global-sorts. Semantics note pinned by the
+    oracle: equal values always share a bucket (NTILE splits ties to
+    equalize counts; this rule doesn't — the trade for map-side
+    assignment), so bucket populations are equal only up to ties.
+
+    Boundary values here are order statistics at rank ⌈n·k/10⌉ over
+    integer cents — exact in both engines, no interpolation."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    v = orders.select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        )
+    )
+    n = v.count()
+    ranks = [-(-n * k // 10) for k in range(1, 10)]  # ceil(n*k/10)
+    rn = F.row_number().over(Window.orderBy("cents"))
+    bounds = (
+        v.withColumn("rn", rn)
+        .filter(F.col("rn").isin(ranks))
+        .select(F.col("cents").alias("b"))
+        .distinct()
+        .agg(F.sort_array(F.collect_list("b")).alias("bs"))
+    )
+    binned = v.crossJoin(F.broadcast(bounds)).select(
+        "cents",
+        F.size(
+            F.filter(F.col("bs"), lambda b: b < F.col("cents"))
+        ).alias("bucket"),
+    )
+    return binned.groupBy(
+        F.col("bucket").cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+    )

@@ -240,6 +240,7 @@ FIRST_TIER: list[str] = [
     "csv_adversarial_roundtrip",
     "interarrival_log2_histogram",
     "rollup_grouping_id_labels",
+    "decile_binning_mapside",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",
