@@ -241,6 +241,7 @@ FIRST_TIER: list[str] = [
     "interarrival_log2_histogram",
     "rollup_grouping_id_labels",
     "decile_binning_mapside",
+    "agg_filter_zoo",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -1264,3 +1264,46 @@ def rollup_grouping_id_labels(
             "n_orders",
         )
     )
+
+
+# --- filtered-aggregate function zoo --------------------------------------
+
+_AGGFILTER_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count_if(o_totalprice > 150000.0) AS BIGINT) AS n_big,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+         AS n_urgent,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+         AS urgent_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("agg_filter_zoo", oracle=_AGGFILTER_ORACLE)
+def agg_filter_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/boolean aggregate surface in one pass: ``count_if``,
+    the SQL:2003 ``FILTER (WHERE ...)`` clause on COUNT and SUM, and
+    ``bool_and``/``bool_or`` — the idioms that replace N self-joins
+    or CASE-wrapped sums in report queries, all fusing into ONE
+    hash aggregate (each filtered aggregate is a conditional update
+    in the same operator, not a second scan). Both engines implement
+    the standard surface; the gate pins agreement including the
+    NULL-on-empty-filter SUM."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count_if(o_totalprice > 150000.0) AS n_big,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                 AS n_urgent,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    FILTER (WHERE o_orderpriority = '1-URGENT')
+                    AS DOUBLE) AS urgent_price
+        FROM orders GROUP BY o_orderstatus
+        """
+    )
