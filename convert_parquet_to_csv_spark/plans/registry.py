@@ -242,6 +242,7 @@ FIRST_TIER: list[str] = [
     "rollup_grouping_id_labels",
     "decile_binning_mapside",
     "agg_filter_zoo",
+    "forward_fill_ignore_nulls",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -1334,3 +1334,66 @@ def interarrival_log2_histogram(
         F.min("gap_us").cast("bigint").alias("min_gap_us"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+# --- IGNORE NULLS forward fill --------------------------------------------
+
+_FFILL_ORACLE = """
+WITH sparse AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * 10000) AS BIGINT) END AS v4
+  FROM events
+), filled AS (
+  SELECT user_id,
+         last_value(v4 IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS f4
+  FROM sparse
+)
+SELECT user_id,
+       COUNT(*) AS n_rows,
+       COUNT(f4) AS n_filled,
+       CAST(SUM(f4) AS BIGINT) AS filled_sum4
+FROM filled GROUP BY user_id
+"""
+
+
+@query("forward_fill_ignore_nulls", oracle=_FFILL_ORACLE)
+def forward_fill_ignore_nulls(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forward fill of a SPARSE column (only purchase events carry a
+    value; every other row inherits the most recent one) via
+    ``last(..., ignorenulls=True)`` over a running frame — THE
+    missing-data primitive for state columns sampled irregularly
+    (last known price, last config version). Rows before a user's
+    first purchase stay NULL — pinned by n_rows vs n_filled. One
+    user_id window; fixed-point integers so the fill sums are exact.
+    (DuckDB spells it ``last_value(x IGNORE NULLS)`` — same
+    standard semantics, different syntax slot.)"""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    sparse = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 10000).cast("bigint"),
+        ).alias("v4"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = sparse.withColumn(
+        "f4", F.last("v4", ignorenulls=True).over(w)
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("f4").alias("n_filled"),
+        F.sum("f4").cast("bigint").alias("filled_sum4"),
+    )
