@@ -2267,3 +2267,99 @@ def decile_binning_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").cast("bigint").alias("min_cents"),
         F.max("cents").cast("bigint").alias("max_cents"),
     )
+
+
+# --- exact skewness (third central moment) --------------------------------
+
+# Same mean-shift device as moment_stats_exact, one moment higher:
+# deviations d about the FLOORED fixed-point mean keep everything
+# integer; the true-mean third moment comes from the correction
+#   n³·m3 = n²·Σd³ − 3n·Σd²·Σd + 2(Σd)³
+# (exact because Σd = Σv − n·mu_fx < n). Magnitude audit (sf0.1
+# lineitem, cents deviations ≲ 4·10⁶): n²Σd³ ≈ 10^34 < DECIMAL(38).
+# Closing expression avoids libm pow(): N2^1.5 = N2·sqrt(N2), so the
+# only transcendental is IEEE-exact sqrt.
+_SKEW_ORACLE = """
+WITH fx AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+  FROM lineitem),
+m AS (
+  SELECT flag, COUNT(*) AS n,
+         CAST(SUM(CAST(v AS HUGEINT)) // COUNT(*) AS BIGINT) AS mu_fx
+  FROM fx GROUP BY flag),
+d AS (
+  SELECT fx.flag, m.n, CAST(fx.v - m.mu_fx AS HUGEINT) AS d
+  FROM fx JOIN m ON fx.flag = m.flag),
+c AS (
+  SELECT flag, n,
+         SUM(d) AS s1, SUM(d*d) AS s2, SUM(d*d*d) AS s3
+  FROM d GROUP BY flag, n),
+k AS (
+  SELECT flag, n,
+         CAST(n AS HUGEINT) * s2 - s1 * s1 AS n2,
+         CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * s3
+           - 3 * CAST(n AS HUGEINT) * s2 * s1
+           + 2 * s1 * s1 * s1 AS n3
+  FROM c)
+SELECT flag, CAST(n AS BIGINT) AS n,
+       CAST(n3 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+         / (CAST(n2 AS DOUBLE) * sqrt(CAST(n2 AS DOUBLE)))
+         AS skewness
+FROM k
+"""
+
+
+@query("skewness_exact", oracle=_SKEW_ORACLE)
+def skewness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic skewness per return flag — the power-sum
+    doctrine extended to the THIRD central moment (built-in
+    ``F.skewness`` is order-dependent like var_samp). Integer
+    deviation sums about the floored fixed-point mean, the exact
+    n³·m3 correction, and a closing expression whose only
+    transcendental is IEEE-exact sqrt (N2^1.5 spelled N2·√N2 —
+    libm ``pow`` is NOT correctly rounded and would be a fresh
+    determinism class)."""
+    li = _t(spark, sf_dir, "lineitem")
+    fx = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("v"),
+    )
+    m = fx.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(v AS DECIMAL(38,0))) div COUNT(*) AS BIGINT)"
+        ).alias("mu_fx"),
+    )
+    d = fx.join(F.broadcast(m), "flag").select(
+        "flag",
+        "n",
+        (F.col("v") - F.col("mu_fx")).cast("decimal(38,0)").alias("d"),
+    )
+    c = d.groupBy("flag", "n").agg(
+        F.sum("d").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).cast("decimal(38,0)").alias("s2"),
+        F.sum(F.col("d") * F.col("d") * F.col("d"))
+        .cast("decimal(38,0)")
+        .alias("s3"),
+    )
+    nH = F.col("n").cast("decimal(38,0)")
+    n2 = (nH * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "decimal(38,0)"
+    )
+    n3 = (
+        nH * nH * F.col("s3")
+        - F.lit(3) * nH * F.col("s2") * F.col("s1")
+        + F.lit(2) * F.col("s1") * F.col("s1") * F.col("s1")
+    ).cast("decimal(38,0)")
+    return c.select(
+        "flag",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            n3.cast("double")
+            * F.sqrt(F.col("n").cast("double"))
+            / (n2.cast("double") * F.sqrt(n2.cast("double")))
+        ).alias("skewness"),
+    )

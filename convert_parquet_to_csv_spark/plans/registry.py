@@ -243,6 +243,7 @@ FIRST_TIER: list[str] = [
     "decile_binning_mapside",
     "agg_filter_zoo",
     "forward_fill_ignore_nulls",
+    "skewness_exact",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",
