@@ -131,6 +131,11 @@ CASES = {
     "rls_masked_view": "RLS view: policy inlined by Catalyst, filter predicates reach PushedFilters",
     "csv_adversarial_roundtrip": "CSV dialect: quoted multiLine readback (unsplittable by design), checksum agg",
     "interarrival_log2_histogram": "interarrival: one user_id lag window, bit-count bucket agg",
+    "rollup_grouping_id_labels": "grouping_id: Expand feeds one aggregate; bitmask computed inside it",
+    "decile_binning_mapside": "map-side deciles: 9 boundaries broadcast as one array, bucket assigned in the scan projection",
+    "agg_filter_zoo": "filtered aggs: count_if/FILTER/bool_* fused into ONE hash aggregate, no second scan",
+    "forward_fill_ignore_nulls": "forward fill: one user_id window exchange, running last(ignorenulls) frame",
+    "skewness_exact": "skewness: mean broadcast back, one deviation-sum aggregate, DECIMAL(38) power sums",
 }
 
 KEY_MARKERS = (
