@@ -139,3 +139,75 @@ def multimodal_resize_geometry(
         "media_id", "width", "height", "new_width", "new_height",
         "out_bytes",
     )
+
+
+# --- pure-JVM audio frame energy ------------------------------------------
+
+_ENERGY_ORACLE = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         hex(encode(coalesce(text, ''))) AS h,
+         octet_length(encode(coalesce(text, ''))) AS total
+  FROM documents WHERE doc_id % 3 = 1
+), bytes AS (
+  SELECT media_id,
+         CAST(u.i AS BIGINT) AS idx,
+         CAST('0x' || substring(h, CAST(u.i * 2 + 1 AS INT), 2)
+              AS BIGINT) AS b
+  FROM media, LATERAL unnest(range(0, total)) AS u(i)
+), frames AS (
+  SELECT media_id, idx // 256 AS frame, SUM(b) AS energy
+  FROM bytes GROUP BY media_id, idx // 256
+)
+SELECT media_id,
+       CAST(COUNT(*) AS INT) AS n_frames,
+       CAST(SUM(energy) AS BIGINT) AS total_energy,
+       CAST(MAX(energy) AS BIGINT) AS max_frame_energy
+FROM frames GROUP BY media_id
+"""
+
+
+@query("multimodal_audio_energy", oracle=_ENERGY_ORACLE)
+def multimodal_audio_energy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-frame byte energy over the audio-kind binary payloads —
+    the silence-detection / loudness-profile stage, computed with
+    ZERO Python: bytes surface as integers via hex + substring + conv
+    (all codegen'd), frames are integer division of the byte index,
+    and the two-level aggregate is ordinary map-side-combined
+    groupBys. This is the fifth multimodal stage and the counterpoint
+    to the mapInPandas decode path: when the "decode" is byte
+    arithmetic, the JVM expression layer does it without crossing
+    into Python at all. (Real PCM would decode samples, not raw
+    bytes — the frame/aggregate shape is identical.)"""
+    media = _media(spark, sf_dir).filter(F.col("kind") == "audio")
+    h = media.select(
+        "media_id",
+        F.hex(F.col("content")).alias("h"),
+        F.octet_length(F.col("content")).alias("total"),
+    )
+    bytes_ = h.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("total") - 1)
+        ).alias("idx"),
+        "h",
+    ).select(
+        "media_id",
+        F.col("idx").cast("bigint").alias("idx"),
+        F.conv(
+            F.substring(
+                F.col("h"), F.col("idx") * 2 + 1, F.lit(2)
+            ),
+            16, 10,
+        ).cast("bigint").alias("b"),
+    )
+    frames = bytes_.groupBy(
+        "media_id", F.expr("idx div 256").alias("frame")
+    ).agg(F.sum("b").alias("energy"))
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.sum("energy").cast("bigint").alias("total_energy"),
+        F.max("energy").cast("bigint").alias("max_frame_energy"),
+    )

@@ -244,6 +244,7 @@ FIRST_TIER: list[str] = [
     "agg_filter_zoo",
     "forward_fill_ignore_nulls",
     "skewness_exact",
+    "multimodal_audio_energy",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",
