@@ -2363,3 +2363,127 @@ def skewness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n2.cast("double") * F.sqrt(n2.cast("double")))
         ).alias("skewness"),
     )
+
+
+# --- one-way ANOVA F statistic --------------------------------------------
+
+# Group float sums are order-dependent, so the three per-flag power
+# sums are PIVOTED into one row of exact integers (conditional
+# aggregation) and the F statistic is one FIXED scalar expression —
+# deterministic because every operand is an exactly-converted integer
+# and the AST (hence IEEE op order) is identical in both engines.
+# Flags are pinned to the fixture's {A, N, R} domain and asserted.
+_ANOVA_ORACLE = """
+WITH fx AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+  FROM lineitem),
+p AS (
+  SELECT
+    CAST(SUM(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(SUM(CASE WHEN flag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+    CAST(SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+    SUM(CASE WHEN flag = 'A' THEN CAST(v AS HUGEINT) END) AS sa,
+    SUM(CASE WHEN flag = 'N' THEN CAST(v AS HUGEINT) END) AS sn,
+    SUM(CASE WHEN flag = 'R' THEN CAST(v AS HUGEINT) END) AS sr,
+    SUM(CASE WHEN flag = 'A' THEN CAST(v AS HUGEINT) * v END) AS qa,
+    SUM(CASE WHEN flag = 'N' THEN CAST(v AS HUGEINT) * v END) AS qn,
+    SUM(CASE WHEN flag = 'R' THEN CAST(v AS HUGEINT) * v END) AS qr,
+    CAST(COUNT(DISTINCT flag) AS BIGINT) AS k
+  FROM fx)
+SELECT CAST(na + nn + nr AS BIGINT) AS n, k,
+       CAST(sa + sn + sr AS BIGINT) AS sum_cents,
+       round(
+       ((CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na
+         + CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / nn
+         + CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / nr
+         - CAST(sa + sn + sr AS DOUBLE)
+           * CAST(sa + sn + sr AS DOUBLE) / (na + nn + nr))
+        / (k - 1))
+       /
+       ((CAST(qa + qn + qr AS DOUBLE)
+         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na
+         - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / nn
+         - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / nr)
+        / (na + nn + nr - k)), 6) AS f_stat
+FROM p
+"""
+
+
+@query("anova_f_between_status", oracle=_ANOVA_ORACLE)
+def anova_f_between_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic — do the return-flag groups differ
+    in mean price more than within-group noise explains? The group
+    dimension is PIVOTED into one row of exact integer power sums
+    (conditional aggregation over the fixture's pinned {A, N, R}
+    domain), so the F closing expression is a single fixed-order
+    scalar AST — no float SUM whose accumulation order could differ
+    between engines (with groups as rows, Σ_g of double terms would
+    be engine-ordered). The quadratic sums exceed 2^53, putting their
+    DECIMAL→DOUBLE conversion in the registry's 1-ulp-unportable
+    class (observed: 16th-digit divergence at sf0.1), so the exact
+    integer sums carry the hash-exact signal and F itself is rounded
+    to 6 decimals — well beyond any analytical use of an F statistic
+    and 10 orders above the ulp noise."""
+    li = _t(spark, sf_dir, "lineitem")
+    fx = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("v"),
+    )
+    vd = F.col("v").cast("decimal(38,0)")
+
+    def n_(f):
+        return F.sum(F.when(F.col("flag") == f, 1).otherwise(0)).cast(
+            "bigint"
+        )
+
+    def s_(f):
+        return F.sum(F.when(F.col("flag") == f, vd)).cast(
+            "decimal(38,0)"
+        )
+
+    def q_(f):
+        return F.sum(F.when(F.col("flag") == f, vd * F.col("v"))).cast(
+            "decimal(38,0)"
+        )
+
+    p = fx.agg(
+        n_("A").alias("na"), n_("N").alias("nn"), n_("R").alias("nr"),
+        s_("A").alias("sa"), s_("N").alias("sn"), s_("R").alias("sr"),
+        q_("A").alias("qa"), q_("N").alias("qn"), q_("R").alias("qr"),
+        F.countDistinct("flag").cast("bigint").alias("k"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ssb = (
+        d("sa") * d("sa") / F.col("na")
+        + d("sn") * d("sn") / F.col("nn")
+        + d("sr") * d("sr") / F.col("nr")
+        - (F.col("sa") + F.col("sn") + F.col("sr")).cast("double")
+        * (F.col("sa") + F.col("sn") + F.col("sr")).cast("double")
+        / (F.col("na") + F.col("nn") + F.col("nr"))
+    )
+    ssw = (
+        (F.col("qa") + F.col("qn") + F.col("qr")).cast("double")
+        - d("sa") * d("sa") / F.col("na")
+        - d("sn") * d("sn") / F.col("nn")
+        - d("sr") * d("sr") / F.col("nr")
+    )
+    return p.select(
+        (F.col("na") + F.col("nn") + F.col("nr"))
+        .cast("bigint")
+        .alias("n"),
+        "k",
+        (F.col("sa") + F.col("sn") + F.col("sr"))
+        .cast("bigint")
+        .alias("sum_cents"),
+        F.round(
+            (ssb / (F.col("k") - 1))
+            / (
+                ssw
+                / (F.col("na") + F.col("nn") + F.col("nr") - F.col("k"))
+            ),
+            6,
+        ).alias("f_stat"),
+    )

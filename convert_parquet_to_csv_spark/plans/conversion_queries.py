@@ -107,3 +107,70 @@ def arrow_interop_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lines").cast("bigint").alias("n_lines"),
         F.col("sum_qty").cast("double").alias("sum_qty"),
     )
+
+
+# --- maxRecordsPerFile cap, hard-gated ------------------------------------
+
+_CAP_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_price,
+       TRUE AS all_files_capped,
+       TRUE AS multiple_files
+FROM lineitem
+"""
+
+
+@query("max_records_per_file_cap", oracle=_CAP_ORACLE)
+def max_records_per_file_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's size-capped partitioned sink semantics
+    (SURVEY §2 Op-11, polars ``PartitionMaxSize``) through the HARD
+    gate: lineitem is written as CSV with ``maxRecordsPerFile=500``,
+    the directory is read back WITH provenance, and per-file row
+    counts are audited inside the query — every file ≤ 500 rows
+    (all_files_capped) and the write actually split
+    (multiple_files) — while row count and value sum prove the cap
+    lost nothing. The cap is the property that keeps output files
+    right-sized at any input scale; previously pytest-only."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from convert_parquet_to_csv_spark.sources import (
+        convert_parquet_to_csv,
+        read_csv,
+    )
+
+    src = _os.path.join(sf_dir, "lineitem.parquet")
+    dst = _os.path.join(_tempfile.gettempdir(), "cptc_cap_gate")
+    convert_parquet_to_csv(
+        spark, src, dst, max_records_per_file=500
+    )
+    back = read_csv(
+        spark,
+        dst,
+        schema=(
+            "l_orderkey LONG, l_partkey LONG, l_suppkey LONG,"
+            "l_linenumber INT, l_quantity DOUBLE,"
+            "l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE,"
+            "l_returnflag STRING, l_linestatus STRING,"
+            "l_shipdate TIMESTAMP"
+        ),
+        infer_schema=False,
+    ).withColumn("_file", F.input_file_name())
+    per_file = back.groupBy("_file").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    audit = per_file.agg(
+        F.max("c").alias("max_c"), F.count(F.lit(1)).alias("n_files")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    ).crossJoin(F.broadcast(audit)).select(
+        "n_rows",
+        "total_price",
+        (F.col("max_c") <= 500).alias("all_files_capped"),
+        (F.col("n_files") > 1).alias("multiple_files"),
+    )

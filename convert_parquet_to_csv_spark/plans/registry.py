@@ -245,6 +245,8 @@ FIRST_TIER: list[str] = [
     "forward_fill_ignore_nulls",
     "skewness_exact",
     "multimodal_audio_energy",
+    "max_records_per_file_cap",
+    "anova_f_between_status",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",
