@@ -247,6 +247,7 @@ FIRST_TIER: list[str] = [
     "multimodal_audio_energy",
     "max_records_per_file_cap",
     "anova_f_between_status",
+    "asof_tolerance_attribution",
     "sql_udf_scalar",
     "asof_forward_next_error",
     "inverted_index_postings",

@@ -1397,3 +1397,64 @@ def forward_fill_ignore_nulls(
         F.count("f4").alias("n_filled"),
         F.sum("f4").cast("bigint").alias("filled_sum4"),
     )
+
+
+# --- as-of join with staleness tolerance ----------------------------------
+
+_ASOF_TOL_ORACLE = """
+WITH j AS (
+  SELECT c.event_id AS click_event_id,
+         date_diff('microsecond', v.ts, c.ts) AS gap_us
+  FROM (SELECT * FROM events WHERE event_type = 'click') c
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON c.user_id = v.user_id AND c.ts >= v.ts
+)
+SELECT COUNT(*) AS n_clicks,
+       COUNT(gap_us) AS n_matched_any,
+       CAST(SUM(CASE WHEN gap_us <= 300000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched_fresh,
+       CAST(SUM(CASE WHEN gap_us <= 300000000 THEN gap_us END)
+            AS BIGINT) AS fresh_gap_sum_us
+FROM j
+"""
+
+
+@query("asof_tolerance_attribution", oracle=_ASOF_TOL_ORACLE)
+def asof_tolerance_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE (pandas merge_asof's
+    ``tolerance`` knob): a click attributes to its most recent prior
+    view only if that view is ≤ 5 minutes old — the attribution-
+    window rule real marketing pipelines enforce, distinct from plain
+    backward as-of (a week-old view should not claim the click).
+    Engine shape: the same union+window as-of (ONE exchange —
+    operators/asof.py), with the tolerance applied as a filter on
+    the integer-µs gap afterward; matched-any vs matched-fresh
+    counts quantify what the tolerance rejects."""
+    from convert_parquet_to_csv_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    j = asof_join(
+        clicks,
+        views,
+        on="user_id",
+        ts="ts",
+        right_cols=[],
+        how="left",
+    )
+    gap = F.unix_micros("ts") - F.unix_micros("ts_right")
+    tol = 300_000_000  # 5 minutes in µs
+    g = j.select(gap.alias("gap_us"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("gap_us").alias("n_matched_any"),
+        F.sum(
+            F.when(F.col("gap_us") <= tol, 1).otherwise(0)
+        ).cast("bigint").alias("n_matched_fresh"),
+        F.sum(
+            F.when(F.col("gap_us") <= tol, F.col("gap_us"))
+        ).cast("bigint").alias("fresh_gap_sum_us"),
+    )
