@@ -136,6 +136,10 @@ CASES = {
     "agg_filter_zoo": "filtered aggs: count_if/FILTER/bool_* fused into ONE hash aggregate, no second scan",
     "forward_fill_ignore_nulls": "forward fill: one user_id window exchange, running last(ignorenulls) frame",
     "skewness_exact": "skewness: mean broadcast back, one deviation-sum aggregate, DECIMAL(38) power sums",
+    "multimodal_audio_energy": "audio energy: hex/conv byte decode in codegen, two map-side-combined aggregates, zero Python",
+    "max_records_per_file_cap": "file cap: capped CSV write + provenance readback, per-file audit broadcast into the row",
+    "anova_f_between_status": "ANOVA: one pivoted aggregate collapses the table to a single row of integer sums",
+    "asof_tolerance_attribution": "as-of tolerance: same single union+window exchange, gap filter afterward",
 }
 
 KEY_MARKERS = (
