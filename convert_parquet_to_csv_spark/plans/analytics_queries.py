@@ -2303,7 +2303,7 @@ k AS (
            + 2 * s1 * s1 * s1 AS n3
   FROM c)
 SELECT flag, CAST(n AS BIGINT) AS n,
-       CAST(n3 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+       CAST(n3 AS DOUBLE)
          / (CAST(n2 AS DOUBLE) * sqrt(CAST(n2 AS DOUBLE)))
          AS skewness
 FROM k
@@ -2319,7 +2319,11 @@ def skewness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n³·m3 correction, and a closing expression whose only
     transcendental is IEEE-exact sqrt (N2^1.5 spelled N2·√N2 —
     libm ``pow`` is NOT correctly rounded and would be a fresh
-    determinism class)."""
+    determinism class). g1 = N3/N2^1.5 directly: with N2 = n²m2 and
+    N3 = n³m3 the n-powers cancel exactly (a review pass caught an
+    earlier spurious √n factor here — mirrored in the oracle, which
+    is why the cross-engine gate alone could not: differential
+    testing never checks the STATISTIC, only agreement)."""
     li = _t(spark, sf_dir, "lineitem")
     fx = li.select(
         F.col("l_returnflag").alias("flag"),
@@ -2359,7 +2363,6 @@ def skewness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         (
             n3.cast("double")
-            * F.sqrt(F.col("n").cast("double"))
             / (n2.cast("double") * F.sqrt(n2.cast("double")))
         ).alias("skewness"),
     )
@@ -2389,9 +2392,11 @@ p AS (
     SUM(CASE WHEN flag = 'A' THEN CAST(v AS HUGEINT) * v END) AS qa,
     SUM(CASE WHEN flag = 'N' THEN CAST(v AS HUGEINT) * v END) AS qn,
     SUM(CASE WHEN flag = 'R' THEN CAST(v AS HUGEINT) * v END) AS qr,
-    CAST(COUNT(DISTINCT flag) AS BIGINT) AS k
+    CAST(COUNT(DISTINCT flag) AS BIGINT) AS k,
+    CAST(COUNT(*) AS BIGINT) AS n_total
   FROM fx)
 SELECT CAST(na + nn + nr AS BIGINT) AS n, k,
+       (na + nn + nr = n_total) AS domain_complete,
        CAST(sa + sn + sr AS BIGINT) AS sum_cents,
        round(
        ((CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na
@@ -2415,8 +2420,10 @@ def anova_f_between_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA F statistic — do the return-flag groups differ
     in mean price more than within-group noise explains? The group
     dimension is PIVOTED into one row of exact integer power sums
-    (conditional aggregation over the fixture's pinned {A, N, R}
-    domain), so the F closing expression is a single fixed-order
+    (conditional aggregation over the fixture's {A, N, R} domain —
+    ``domain_complete`` computes, in BOTH engines, that the pivoted
+    counts cover every row, so a fourth flag value surfaces as FALSE
+    instead of a silent subset), so the F closing expression is a single fixed-order
     scalar AST — no float SUM whose accumulation order could differ
     between engines (with groups as rows, Σ_g of double terms would
     be engine-ordered). The quadratic sums exceed 2^53, putting their
@@ -2454,6 +2461,7 @@ def anova_f_between_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_("A").alias("sa"), s_("N").alias("sn"), s_("R").alias("sr"),
         q_("A").alias("qa"), q_("N").alias("qn"), q_("R").alias("qr"),
         F.countDistinct("flag").cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     ssb = (
@@ -2475,6 +2483,10 @@ def anova_f_between_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n"),
         "k",
+        (
+            F.col("na") + F.col("nn") + F.col("nr")
+            == F.col("n_total")
+        ).alias("domain_complete"),
         (F.col("sa") + F.col("sn") + F.col("sr"))
         .cast("bigint")
         .alias("sum_cents"),

@@ -498,7 +498,7 @@ def compression_codec_roundtrip(
 _CSV_ADV_ORACLE = """
 WITH adv AS (
   SELECT doc_id,
-         concat('a,"b', chr(10), text, chr(9), '"" ', 'c') AS payload,
+         concat('a,"b', chr(10), coalesce(text, ''), chr(9), '"" ', 'c') AS payload,
          n_chars
   FROM documents WHERE doc_id % 20 = 0
 )
@@ -537,10 +537,12 @@ def csv_adversarial_roundtrip(
     ).filter(F.col("doc_id") % 20 == 0)
     adv = docs.select(
         "doc_id",
+        # coalesce: Spark concat null-propagates while DuckDB concat
+        # skips NULL args — normalize before the dialect test.
         F.concat(
             F.lit('a,"b'),
             F.lit("\n"),
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit("\t"),
             F.lit('"" '),
             F.lit("c"),

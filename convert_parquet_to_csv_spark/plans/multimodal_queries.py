@@ -155,6 +155,7 @@ WITH media AS (
          CAST('0x' || substring(h, CAST(u.i * 2 + 1 AS INT), 2)
               AS BIGINT) AS b
   FROM media, LATERAL unnest(range(0, total)) AS u(i)
+  WHERE total > 0
 ), frames AS (
   SELECT media_id, idx // 256 AS frame, SUM(b) AS energy
   FROM bytes GROUP BY media_id, idx // 256
@@ -187,7 +188,9 @@ def multimodal_audio_energy(
         F.hex(F.col("content")).alias("h"),
         F.octet_length(F.col("content")).alias("total"),
     )
-    bytes_ = h.select(
+    # sequence(0, -1) yields a DESCENDING [0, -1] (not empty) when
+    # total = 0 — filter empty payloads (mirrored in the oracle).
+    bytes_ = h.filter(F.col("total") > 0).select(
         "media_id",
         F.explode(
             F.sequence(F.lit(0), F.col("total") - 1)

@@ -945,14 +945,16 @@ def oov_rate_vs_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.when(F.col("_inv").isNull(), 1).otherwise(0).alias("oov"),
     )
-    return flagged.groupBy("lang").agg(
+    out = flagged.groupBy("lang").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("oov").cast("bigint").alias("n_oov"),
         (F.sum("oov").cast("double") / F.count(F.lit(1))).alias(
             "oov_rate"
         ),
-    )
+    ).localCheckpoint()  # eager: lets the token cache release below
+    toks.unpersist()
+    return out
 
 
 # --- character-trigram corpus familiarity ---------------------------------
@@ -1028,7 +1030,7 @@ def char_trigram_familiarity(
             F.sum("cnt").alias("fam_sum"),
         )
     )
-    return (
+    out = (
         scored.select(
             "doc_id",
             "n_trigrams",
@@ -1038,7 +1040,10 @@ def char_trigram_familiarity(
         )
         .orderBy(F.asc("familiarity"), F.asc("doc_id"))
         .limit(20)
+        .localCheckpoint()  # eager: lets the trigram cache release
     )
+    tri.unpersist()
+    return out
 
 
 # --- Arrow-optimized Python UDF -------------------------------------------
