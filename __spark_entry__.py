@@ -32,20 +32,27 @@ def entry(spark: SparkSession) -> DataFrame:
     SURVEY.md §7.1 exercising scan → plan → execute → sink → source.
     """
     registry.load_all()
-    return registry.QUERIES["convert_roundtrip"](spark, SF_SMALL)
+    return _conf_pinned(registry.QUERIES["convert_roundtrip"])(
+        spark, SF_SMALL
+    )
 
 
-def _utc_pinned(
+def _conf_pinned(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
-    """Pin the session timezone before running a query.
+    """Pin every runtime-settable conf the queries depend on.
 
-    The driver owns the SparkSession; every oracle assumes UTC
-    rendering of naive timestamps (registry docstring), so the
-    contract is enforced here rather than hoped for."""
+    The driver owns the SparkSession, so any conf set only in the
+    repo's own ``get_spark`` builder is invisible here — the exact
+    class of CORRECTNESS_r03's ``python_datasource_scan`` red row
+    (``spark.sql.python.filterPushdown.enabled`` was builder-only).
+    The full pinned set lives in ``session.RUNTIME_PINNED_CONF``;
+    enforcing it per-call makes the contract hold under ANY session,
+    including a vanilla one (tests/test_vanilla_session.py)."""
+    from convert_parquet_to_csv_spark.session import pin_runtime_conf
 
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        pin_runtime_conf(spark)
         return fn(spark, sf_dir)
 
     wrapper.__doc__ = fn.__doc__
@@ -62,7 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     its representatives first."""
     registry.load_all()
     return {
-        name: _utc_pinned(fn)
+        name: _conf_pinned(fn)
         for name, fn in registry.ordered_queries().items()
     }
 

@@ -61,6 +61,40 @@ _DEFAULT_CONF: dict[str, str] = {
     ),
 }
 
+# The subset of _DEFAULT_CONF every registered query SEMANTICALLY
+# depends on and that is runtime-settable (plain SQL confs, not
+# static/core confs like driver.memory or spark.ui.*). The driver
+# gate owns its own SparkSession, so relying on get_spark() to have
+# set these is an environment-coupling bug — CORRECTNESS_r03's one
+# red row (`python_datasource_scan`,
+# DATA_SOURCE_PUSHDOWN_DISABLED) was exactly this class: the conf
+# existed only in _DEFAULT_CONF, the driver's session never saw it.
+# __spark_entry__ pins these via spark.conf.set() at the top of
+# EVERY query call (VERDICT r3 item 1).
+RUNTIME_PINNED_CONF: dict[str, str] = {
+    # Oracle contract: UTC rendering of naive timestamps.
+    "spark.sql.session.timeZone": "UTC",
+    # sources/pysource.py readers implement pushFilters; Spark 4.1
+    # refuses to plan them unless this is on.
+    "spark.sql.python.filterPushdown.enabled": "true",
+    # Arrow-batched pandas interchange everywhere Python appears.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE: several plans (skew-join splitting, bucketed-join
+    # exchange elision checks) assume adaptive execution semantics.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def pin_runtime_conf(spark: SparkSession) -> None:
+    """Set every runtime-settable conf the queries depend on.
+
+    Called by the ``__spark_entry__`` wrapper on EVERY query so
+    correctness never depends on who built the SparkSession."""
+    for k, v in RUNTIME_PINNED_CONF.items():
+        spark.conf.set(k, v)
+
 
 def get_spark(
     app_name: str = "convert-parquet-to-csv-spark",

@@ -90,9 +90,31 @@ def main() -> int:
     args = ap.parse_args()
 
     import __spark_entry__ as e
-    from convert_parquet_to_csv_spark import get_spark
 
-    spark = get_spark(app_name="oracle-check")
+    # VANILLA session, deliberately NOT get_spark (VERDICT r3 item
+    # 7): the driver owns its own SparkSession with none of the
+    # repo's _DEFAULT_CONF SQL confs, so building the replica's
+    # session through get_spark blinded it to session-build-only
+    # conf dependencies (the r3 `python_datasource_scan` red row:
+    # DATA_SOURCE_PUSHDOWN_DISABLED under the driver, green
+    # locally). Stock builder + only what each query pins itself
+    # (__spark_entry__._conf_pinned) == the driver's environment.
+    # driver.memory is a static core conf (not SQL semantics): the
+    # 1g default OOMs a full-registry sf0.1 sweep, so it stays.
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    spark = (
+        SparkSession.builder.appName("oracle-check-vanilla")
+        .master(f"local[{cpus}]")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g"),
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
     qs, oracles = e.queries(), e.oracle_sql()
     names = args.names or list(qs)
 
