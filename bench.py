@@ -84,7 +84,11 @@ BENCH_QUERY_NAMES = [
     "char_trigram_familiarity",
 ]
 
-DOCS_500K_PATH = "/tmp/cptc_bench_docs500k.parquet"
+# Keyed by SF_DIR (ADVICE r3 scratch-isolation class): a cached 500k
+# corpus built from a DIFFERENT scale factor must not silently serve.
+DOCS_500K_PATH = "/tmp/cptc_bench_docs500k_{}.parquet".format(
+    __import__("hashlib").md5(SF_DIR.encode()).hexdigest()[:8]
+)
 DOCS_TARGET = 500_000
 
 
@@ -291,6 +295,25 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001 — bench keeps reporting
         print(f"dedup_minhash_500k_docs failed: {ex}", file=sys.stderr)
 
+    # At-scale C4 span removal over the same 500k corpus (VERDICT r3
+    # item 6): the other corpus-wide heavy-hitter pass — tokenize →
+    # gram explode → hot-gram shuffle → order-preserving reassembly —
+    # trended at the size where the gram explode dominates.
+    try:
+        from convert_parquet_to_csv_spark.operators.curation import (
+            remove_duplicated_spans,
+        )
+
+        docs = read_parquet(spark, DOCS_500K_PATH)
+        t0 = time.perf_counter()
+        cleaned = remove_duplicated_spans(docs, n=4, max_docs=2)
+        cleaned.write.format("noop").mode("overwrite").save()
+        queries["span_dedup_c4_500k_docs"] = round(
+            time.perf_counter() - t0, 4
+        )
+    except Exception as ex:  # noqa: BLE001 — bench keeps reporting
+        print(f"span_dedup_c4_500k_docs failed: {ex}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -300,6 +323,13 @@ def main() -> None:
                 "queries": queries,
                 "sf": sf_val,
                 "rows_10m": n_rows,
+                # ADVICE r3: methodology changed in r03 — per-query
+                # numbers are min-of-2 warm runs (repeat=2) since
+                # then; r01/r02 were single-shot, so cross-round
+                # deltas before/after r03 conflate methodology with
+                # code. Recorded here so every BENCH_r{N}.json is
+                # self-describing.
+                "timing_methodology": "min-of-2-warm-runs-since-r03",
             }
         )
     )

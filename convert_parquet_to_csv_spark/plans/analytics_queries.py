@@ -1366,7 +1366,13 @@ def ks_drift_ab_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     no binning, no density estimates, deterministic to the last bit.
     Shape: one (value) pre-agg collapses ties, a global-order window
     over DISTINCT values only (same reduced-table note as the
-    weighted median), two tiny broadcast totals."""
+    weighted median), two tiny broadcast totals. Scale note
+    (window-audit allowlisted): for continuous metrics the distinct
+    support is data-proportional, so exact KS is a report-scale
+    readout — the 100 TB form bins values into fixed-width buckets
+    first (bounded support, same sup-distance comparison up to bin
+    width), or computes global ranks with the two-level histogram
+    pattern gated in ``decile_binning_mapside``."""
     from convert_parquet_to_csv_spark.plans.common import (
         load_table as _lt,
     )
@@ -1732,7 +1738,12 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (global-order windows run post-aggregation — rows =
     customers, not orders), one segment rollup. The 1-row recency
     anchor is a scalar subquery both engines decorrelate to a
-    broadcast."""
+    broadcast. Scale note (window-audit allowlisted): the customer
+    dimension itself can reach billions — at that size replace the
+    ntile windows with broadcast quintile boundaries computed via
+    the two-level histogram rank gated in
+    ``decile_binning_mapside`` (boundaries per metric, assignment
+    map-side)."""
     _view_o = _t(spark, sf_dir, "orders")
     _view_o.createOrReplaceTempView("orders")
     return spark.sql(

@@ -7,12 +7,12 @@ registered DuckDB oracle at sf=0.01.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from convert_parquet_to_csv_spark.plans.registry import query
+from convert_parquet_to_csv_spark.plans.scratch import scratch_dir
 from convert_parquet_to_csv_spark.sources import (
     convert_parquet_to_csv,
     read_csv,
@@ -38,9 +38,7 @@ def convert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caller collects it), so the CSV must outlive this function. The
     # reference's rmtree-after-run cleanup (utils.py:134-137) lives in
     # the benchmark harness instead (pipeline.run_benchmark).
-    dst = os.path.join(
-        tempfile.gettempdir(), "cptc_convert_roundtrip", "lineitem_csv"
-    )
+    dst = scratch_dir(sf_dir, "convert_roundtrip", "lineitem_csv")
     convert_parquet_to_csv(spark, src, dst, max_records_per_file=500_000)
     schema = read_parquet(spark, src).schema
     return read_csv(spark, dst, schema=schema)
@@ -133,15 +131,17 @@ def max_records_per_file_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     lost nothing. The cap is the property that keeps output files
     right-sized at any input scale; previously pytest-only."""
     import os as _os
-    import tempfile as _tempfile
 
+    from convert_parquet_to_csv_spark.plans.scratch import (
+        scratch_dir as _scratch_dir,
+    )
     from convert_parquet_to_csv_spark.sources import (
         convert_parquet_to_csv,
         read_csv,
     )
 
     src = _os.path.join(sf_dir, "lineitem.parquet")
-    dst = _os.path.join(_tempfile.gettempdir(), "cptc_cap_gate")
+    dst = _scratch_dir(sf_dir, "cap_gate")
     convert_parquet_to_csv(
         spark, src, dst, max_records_per_file=500
     )

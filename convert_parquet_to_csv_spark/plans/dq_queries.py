@@ -7,7 +7,6 @@ promotion gate branches on; n_violations is what the on-call reads.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -16,6 +15,7 @@ from pyspark.sql.window import Window
 from convert_parquet_to_csv_spark.operators import dq as Q
 from convert_parquet_to_csv_spark.plans.common import load_table as _t
 from convert_parquet_to_csv_spark.plans.registry import query
+from convert_parquet_to_csv_spark.plans.scratch import scratch_dir
 
 # --- DQ expectations over the orders/lineitem star -----------------------
 
@@ -397,7 +397,7 @@ def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").alias("_erase_id"))
         .distinct()
     )
-    scratch = os.path.join(tempfile.gettempdir(), "cptc_gdpr_out")
+    scratch = scratch_dir(sf_dir, "gdpr_out")
     shutil.rmtree(scratch, ignore_errors=True)
 
     rows = []

@@ -14,12 +14,12 @@ rather than stubbed.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from convert_parquet_to_csv_spark.plans.registry import query
+from convert_parquet_to_csv_spark.plans.scratch import scratch_dir
 from convert_parquet_to_csv_spark.sources import read_parquet
 
 _AGG_ORACLE = """
@@ -52,7 +52,7 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink is partition-parallel like every Spark file sink.
     """
     docs = _docs(spark, sf_dir)
-    dst = os.path.join(tempfile.gettempdir(), "cptc_json_roundtrip")
+    dst = scratch_dir(sf_dir, "json_roundtrip")
     docs.write.mode("overwrite").json(dst)
     back = spark.read.schema(docs.schema).json(dst)
     return _agg(back)
@@ -81,7 +81,7 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from convert_parquet_to_csv_spark.sources import write_parquet
 
     orders = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
-    dst = os.path.join(tempfile.gettempdir(), "cptc_orders_partitioned")
+    dst = scratch_dir(sf_dir, "orders_partitioned")
     write_parquet(
         orders.withColumn("order_year", F.year("o_orderdate").cast("int")),
         dst,
@@ -128,7 +128,7 @@ def range_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
-    dst = os.path.join(tempfile.gettempdir(), "cptc_orders_rangeparts")
+    dst = scratch_dir(sf_dir, "orders_rangeparts")
     write_range_partitioned(orders, dst, "o_orderdate", n_partitions=16)
     back = spark.read.parquet(dst).filter(
         (F.col("o_orderdate") >= "1995-01-01")
@@ -151,7 +151,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet). Schema comes from ORC metadata — no inference needed.
     """
     docs = _docs(spark, sf_dir)
-    dst = os.path.join(tempfile.gettempdir(), "cptc_orc_roundtrip")
+    dst = scratch_dir(sf_dir, "orc_roundtrip")
     docs.write.mode("overwrite").orc(dst)
     return _agg(spark.read.orc(dst))
 
@@ -190,15 +190,11 @@ def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (HDFS/object store); the binaryFile scan itself is
     cluster-correct, only this test-fixture materialization is not.
     """
-    import hashlib
     import shutil
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 41 == 0)
     sub = docs.select("doc_id", "text").collect()  # tiny: |corpus|/41
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    dst = os.path.join(
-        tempfile.gettempdir(), f"cptc_binaryfile_{tag}"
-    )
+    dst = scratch_dir(sf_dir, "binaryfile")
     # Recreate from scratch: the dir is keyed by sf_dir only, so
     # leftover files from a previous fixture generation (regenerated
     # every round) would otherwise leak into the scan and mismatch an
@@ -241,10 +237,11 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipping. Every cell derives from md5(id), so the DuckDB oracle
     replays the generator exactly."""
     from convert_parquet_to_csv_spark.sources.pysource import (
+        register_once,
         SynthDocsDataSource,
     )
 
-    spark.dataSource.register(SynthDocsDataSource)
+    register_once(spark, SynthDocsDataSource)
     return (
         spark.read.format("synthdocs")
         .option("n_rows", 1000)
@@ -279,21 +276,18 @@ def python_datasource_write_roundtrip(
     directory lives on the driver's local FS, shared with executors
     only under local mode; the commit protocol itself is
     cluster-correct on a shared filesystem."""
-    import hashlib
     import shutil
 
     from convert_parquet_to_csv_spark.sources.pysource import (
+        register_once,
         JsonlSinkDataSource,
     )
 
-    spark.dataSource.register(JsonlSinkDataSource)
+    register_once(spark, JsonlSinkDataSource)
     sub = _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0).select(
         "doc_id", "lang", "n_chars"
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    dst = os.path.join(
-        tempfile.gettempdir(), f"cptc_jsonlsink_{tag}"
-    )
+    dst = scratch_dir(sf_dir, "jsonlsink")
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
     sub.write.format("jsonlsink").mode("overwrite").option(
@@ -315,7 +309,7 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars, so the gate proves values survive the markup layer
     intact."""
     docs = _docs(spark, sf_dir)
-    dst = os.path.join(tempfile.gettempdir(), "cptc_xml_roundtrip")
+    dst = scratch_dir(sf_dir, "xml_roundtrip")
     (
         docs.write.mode("overwrite")
         .format("xml")
@@ -361,7 +355,7 @@ def dynamic_partition_pruning_join(
     from convert_parquet_to_csv_spark.sources import write_parquet
 
     orders = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
-    dst = os.path.join(tempfile.gettempdir(), "cptc_dpp_orders_gate")
+    dst = scratch_dir(sf_dir, "dpp_orders_gate")
     write_parquet(
         orders.withColumn(
             "order_year", F.year("o_orderdate").cast("int")
@@ -425,7 +419,7 @@ def textfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.trim(F.regexp_replace("text", r"\s+", " ")).alias("line"),
     )
-    dst = os.path.join(tempfile.gettempdir(), "cptc_textfile_rt")
+    dst = scratch_dir(sf_dir, "textfile_rt")
     flat.select("line").write.mode("overwrite").text(dst)
     back = spark.read.text(dst)
     return back.agg(
@@ -466,7 +460,7 @@ def compression_codec_roundtrip(
     orders = read_parquet(
         spark, os.path.join(sf_dir, "orders.parquet")
     )
-    base = os.path.join(tempfile.gettempdir(), "cptc_codec_rt")
+    base = scratch_dir(sf_dir, "codec_rt")
     for codec in ("snappy", "zstd"):
         orders.write.mode("overwrite").option(
             "compression", codec
@@ -549,7 +543,7 @@ def csv_adversarial_roundtrip(
         ).alias("payload"),
         "n_chars",
     )
-    dst = os.path.join(tempfile.gettempdir(), "cptc_csv_adversarial")
+    dst = scratch_dir(sf_dir, "csv_adversarial")
     w = adv.write.mode("overwrite")
     for k, v in CSV_DEFAULTS.items():
         w = w.option(k, v)

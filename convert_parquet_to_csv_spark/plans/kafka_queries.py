@@ -11,14 +11,13 @@ means serialization lost nothing, not merely that rows came back.
 
 from __future__ import annotations
 
-import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from convert_parquet_to_csv_spark.plans.common import dec, load_table
 from convert_parquet_to_csv_spark.plans.registry import query
+from convert_parquet_to_csv_spark.plans.scratch import scratch_dir
 from convert_parquet_to_csv_spark.sources import (
     parse_kafka_records,
     read_kafka_dump,
@@ -50,7 +49,7 @@ def kafka_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = to_kafka_records(
         events, key_col="user_id", topic="events", ts_col="ts"
     )
-    dump = os.path.join(tempfile.gettempdir(), "cptc_kafka_dump")
+    dump = scratch_dir(sf_dir, "kafka_dump")
     write_kafka_dump(records, dump)
     back = parse_kafka_records(read_kafka_dump(spark, dump), EVENT_SCHEMA)
     return back.groupBy("event_type").agg(

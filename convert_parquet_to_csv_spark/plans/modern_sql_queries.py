@@ -10,7 +10,6 @@ JSON functions are standard).
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -475,29 +474,35 @@ def sql_table_lifecycle_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     _view(spark, sf_dir, "orders")
-    loc = os.path.join(tempfile.gettempdir(), "cptc_sql_dml_tbl")
-    spark.sql("DROP TABLE IF EXISTS cptc_orders_dml")
+    from convert_parquet_to_csv_spark.plans.scratch import (
+        scratch_dir,
+        scratch_table,
+    )
+
+    loc = scratch_dir(sf_dir, "sql_dml_tbl")
+    tbl = scratch_table(sf_dir, "cptc_orders_dml")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     shutil.rmtree(loc, ignore_errors=True)
     spark.sql(
         f"""
-        CREATE TABLE cptc_orders_dml USING PARQUET LOCATION '{loc}'
+        CREATE TABLE {tbl} USING PARQUET LOCATION '{loc}'
         AS SELECT o_orderkey, o_orderstatus, o_totalprice
            FROM orders WHERE o_orderkey % 2 = 0
         """
     )
     spark.sql(
-        """
-        INSERT INTO cptc_orders_dml
+        f"""
+        INSERT INTO {tbl}
         SELECT o_orderkey, o_orderstatus, o_totalprice
         FROM orders WHERE o_orderkey % 2 = 1
         """
     )
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                  AS total_price
-        FROM cptc_orders_dml
+        FROM {tbl}
         GROUP BY o_orderstatus
         """
     )

@@ -28,6 +28,19 @@ Cross-engine determinism rules every registered query follows
   hash-mismatch in the 7th+ significant digit is this class.
 - **Timestamps stay timestamps** (session TZ pinned to UTC; DuckDB is
   naive — values align).
+
+Build-time side effects (ADVICE r3, documented contract): most
+queries build a fully lazy plan, but the format/scale/streaming
+roundtrip families necessarily RUN staged jobs inside the query
+function (write a CSV/parquet/warehouse fixture, drain a stream,
+capture ``df.explain`` text) before returning the readback
+DataFrame — the side effect IS the operator under test. Timing such
+an entry with "build + action" therefore measures the whole
+roundtrip by design; bench.py's per-query numbers time exactly
+that. No query runs a DRIVER-SIDE data action at build time
+(collects are capped at per-partition counts / tiny manifests —
+see the scale verdicts), and plan introspection uses only the
+public ``explain`` API.
 """
 
 from __future__ import annotations

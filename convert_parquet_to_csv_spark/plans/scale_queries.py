@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,6 +21,10 @@ from convert_parquet_to_csv_spark.operators.scale import (
 from convert_parquet_to_csv_spark.plans.common import dec as _d
 from convert_parquet_to_csv_spark.plans.common import load_table as _t
 from convert_parquet_to_csv_spark.plans.registry import query
+from convert_parquet_to_csv_spark.plans.scratch import (
+    scratch_dir,
+    scratch_table,
+)
 
 
 _SALTED_ORACLE = """
@@ -77,7 +80,7 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Timestamps pass through the rewrite as parquet microseconds; the
     aggregate here deliberately avoids the nanos column semantics by
     grouping on event_type only.)"""
-    scratch = os.path.join(tempfile.gettempdir(), "cptc_compact_events")
+    scratch = scratch_dir(sf_dir, "compact_events")
     shutil.rmtree(scratch, ignore_errors=True)
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
     ev.repartition(64).write.mode("overwrite").parquet(scratch)
@@ -123,7 +126,7 @@ def upsert_orders_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from convert_parquet_to_csv_spark.operators.upsert import upsert_parquet
 
     orders = _t(spark, sf_dir, "orders")
-    scratch = os.path.join(tempfile.gettempdir(), "cptc_upsert_orders")
+    scratch = scratch_dir(sf_dir, "upsert_orders")
     shutil.rmtree(scratch, ignore_errors=True)
     orders.write.mode("overwrite").parquet(scratch)
 
@@ -175,7 +178,7 @@ def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from convert_parquet_to_csv_spark.operators.scale import write_zordered
 
     orders = _t(spark, sf_dir, "orders")
-    scratch = os.path.join(tempfile.gettempdir(), "cptc_zorder_orders")
+    scratch = scratch_dir(sf_dir, "zorder_orders")
     shutil.rmtree(scratch, ignore_errors=True)
     write_zordered(
         orders,
@@ -408,9 +411,7 @@ def schema_evolution_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "new field added upstream" event — evolution costs a footer merge
     at planning time, never a rewrite of old files."""
     orders = _t(spark, sf_dir, "orders")
-    dst = os.path.join(
-        tempfile.gettempdir(), "cptc_schema_evolution"
-    )
+    dst = scratch_dir(sf_dir, "schema_evolution")
     shutil.rmtree(dst, ignore_errors=True)
     v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"
@@ -478,7 +479,9 @@ def bucketed_join_no_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
-    for tbl in ("cptc_gate_li_bucketed", "cptc_gate_o_bucketed"):
+    li_tbl = scratch_table(sf_dir, "cptc_gate_li_bucketed")
+    o_tbl = scratch_table(sf_dir, "cptc_gate_o_bucketed")
+    for tbl in (li_tbl, o_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
 
@@ -489,22 +492,22 @@ def bucketed_join_no_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus"
     )
     write_bucketed(
-        li, "cptc_gate_li_bucketed",
+        li, li_tbl,
         bucket_by="l_orderkey", n_buckets=8, sort_by="l_orderkey",
     )
     write_bucketed(
-        o, "cptc_gate_o_bucketed",
+        o, o_tbl,
         bucket_by="o_orderkey", n_buckets=8, sort_by="o_orderkey",
     )
-    li_b = spark.table("cptc_gate_li_bucketed")
-    o_b = spark.table("cptc_gate_o_bucketed")
+    li_b = spark.table(li_tbl)
+    o_b = spark.table(o_tbl)
     joined = li_b.hint("merge").join(
         o_b, li_b.l_orderkey == o_b.o_orderkey
     )
-    plan = (
-        joined._jdf.queryExecution().executedPlan().toString()
-    )
-    shuffle_free = "Exchange" not in plan
+    plan = _plan_string(joined)
+    # only the physical section matters; "Exchange" in the parsed/
+    # analyzed sections cannot appear, so the plain scan is safe
+    shuffle_free = "Exchange" not in plan.split("== Physical Plan ==")[-1]
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(_d("l_extendedprice")).cast("double").alias("total_price"),
@@ -549,7 +552,7 @@ def dynamic_partition_overwrite(
         "o_totalprice",
         F.year("o_orderdate").cast("int").alias("order_year"),
     )
-    dst = os.path.join(tempfile.gettempdir(), "cptc_dpo_orders")
+    dst = scratch_dir(sf_dir, "dpo_orders")
     shutil.rmtree(dst, ignore_errors=True)
     base.write.partitionBy("order_year").mode("overwrite").parquet(dst)
     patch = base.filter(F.col("order_year") == 1995).withColumn(
@@ -563,6 +566,19 @@ def dynamic_partition_overwrite(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(_d("o_totalprice")).cast("double").alias("total_price"),
     )
+
+
+def _plan_string(df) -> str:
+    """Physical-plan text via the PUBLIC ``DataFrame.explain`` API
+    (ADVICE r3: ``_jdf.queryExecution()`` is not a stable surface).
+    Capturing explain() is planning-time only — no data is read."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    return buf.getvalue()
 
 
 _HINT_ORACLE = """
@@ -601,9 +617,7 @@ def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("merge", "SortMergeJoin", "smj_used"),
         ("shuffle_hash", "ShuffledHashJoin", "shj_used"),
     ):
-        plan = (
-            joined(hint)._jdf.queryExecution().executedPlan().toString()
-        )
+        plan = _plan_string(joined(hint))
         flags[col] = marker in plan
     base = joined("broadcast")
     agg = base.groupBy("n_name").agg(
@@ -616,14 +630,23 @@ def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(_d("c_acctbal")).cast("double").alias("total_acctbal"),
     )
+    # Lazy mismatch count (ADVICE r3: the old eager .count() side
+    # jobs at plan-build time skewed any timing of this entry): the
+    # two-way anti-diff rides the returned plan and lands in the
+    # broadcast_used flag itself.
     mismatch = (
-        agg.exceptAll(other).count() + other.exceptAll(agg).count()
+        agg.exceptAll(other)
+        .unionByName(other.exceptAll(agg))
+        .agg(F.count(F.lit(1)).alias("n_mismatch"))
     )
-    return agg.select(
-        "*",
-        F.lit(flags["broadcast_used"] and mismatch == 0).alias(
-            "broadcast_used"
-        ),
+    return agg.crossJoin(F.broadcast(mismatch)).select(
+        "n_name",
+        "n_customers",
+        "total_acctbal",
+        (
+            F.lit(flags["broadcast_used"])
+            & (F.col("n_mismatch") == 0)
+        ).alias("broadcast_used"),
         F.lit(flags["smj_used"]).alias("smj_used"),
         F.lit(flags["shj_used"]).alias("shj_used"),
     )

@@ -518,15 +518,23 @@ def _requant(df: DataFrame, val: str, key: str) -> DataFrame:
     engine-portable (verified: Spark ``div`` and DuckDB ``//`` both
     truncate toward zero)."""
     m = df.agg(F.max(F.abs(F.col(val))).alias("_m"))
+    # ADVICE r3: _m = 0 (all-zero matvec result — degenerate input)
+    # must fail LOUDLY, not NULL-poison via Spark's div-by-zero→NULL
+    # while the DuckDB oracle diverges its own way.
+    q = F.when(F.col(val) < 0, -1).otherwise(1) * F.expr(
+        f"(abs({val}) * 1048576) div _m"
+    )
+    guarded = F.when(F.col("_m") > 0, q).otherwise(
+        F.raise_error(
+            F.lit(
+                "_requant: max(abs(value)) is 0 — degenerate "
+                "all-zero vector, cannot renormalize"
+            )
+        ).cast("long")
+    )
     return (
         df.crossJoin(F.broadcast(m))
-        .select(
-            key,
-            (
-                F.when(F.col(val) < 0, -1).otherwise(1)
-                * F.expr(f"(abs({val}) * 1048576) div _m")
-            ).alias("q"),
-        )
+        .select(key, guarded.alias("q"))
     )
 
 

@@ -13,6 +13,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from convert_parquet_to_csv_spark.plans.registry import query
+from convert_parquet_to_csv_spark.plans.scratch import scratch_dir
 from convert_parquet_to_csv_spark.sources import read_parquet_nanos_ts
 from convert_parquet_to_csv_spark.streaming import windowed_event_agg
 
@@ -45,7 +46,6 @@ def windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # execution, batch-checkable answers.
 
 import shutil
-import tempfile
 
 from pyspark.sql import functions as F
 
@@ -70,7 +70,7 @@ def _staged_events(spark: SparkSession, sf_dir: str, name: str) -> str:
     gets from approximately-ordered ingestion."""
     import glob
 
-    out = os.path.join(tempfile.gettempdir(), f"cptc_stream_{name}")
+    out = scratch_dir(sf_dir, f"stream_{name}")
     parts = out + "_parts"
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(parts, ignore_errors=True)
@@ -200,7 +200,7 @@ def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     redelivered = ev.withColumn(
         "ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")
     )
-    out = os.path.join(tempfile.gettempdir(), "cptc_stream_dedup")
+    out = scratch_dir(sf_dir, "stream_dedup")
     parts = out + "_parts"
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(parts, ignore_errors=True)
@@ -263,8 +263,8 @@ def streaming_foreachbatch_upsert_live(
     )
 
     src = _staged_events(spark, sf_dir, "febupsert")
-    state = os.path.join(tempfile.gettempdir(), "cptc_stream_state")
-    ckpt = os.path.join(tempfile.gettempdir(), "cptc_stream_state_ckpt")
+    state = scratch_dir(sf_dir, "stream_state")
+    ckpt = scratch_dir(sf_dir, "stream_state_ckpt")
     shutil.rmtree(state, ignore_errors=True)
     # A stale checkpoint from an interrupted prior run would mark the
     # staged files as already processed → zero batches → empty result.

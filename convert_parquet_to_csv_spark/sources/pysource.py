@@ -19,8 +19,10 @@ table (id, fingerprint, n_tokens) without any input files:
   scans — or Spark and a SQL oracle — produce identical values with
   no RNG state (the repo-wide no-RNG rule).
 
-Register per-session with ``spark.dataSource.register(
-SynthDocsDataSource)`` then ``spark.read.format("synthdocs")``.
+Register with :func:`register_once` (plain ``register`` raises
+``DATA_SOURCE_ALREADY_EXISTS`` when two sessions sharing one JVM —
+e.g. ``newSession()`` — both register the same short name) then
+``spark.read.format("synthdocs")``.
 """
 
 from __future__ import annotations
@@ -284,3 +286,27 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> _JsonlWriter:
         return _JsonlWriter(self.options, overwrite)
+
+
+def register_once(spark, ds_cls) -> None:
+    """Idempotent ``spark.dataSource.register``: Spark keeps ONE
+    Python-data-source registry per JVM-side session state, so a
+    second registration of the same short name (another query in the
+    same gate run, or a ``newSession`` sharing the JVM) raises
+    DATA_SOURCE_ALREADY_EXISTS. Same-name re-registration here is a
+    no-op — acceptable because every source class in this module is
+    import-stable within a process.
+
+    Known Spark 4.1 asymmetry (probed, tests/test_vanilla_session):
+    the ALREADY_EXISTS check consults a registry SHARED across
+    sessions of one JVM while format-lookup is per-session, so a
+    ``newSession()`` whose sibling registered the name can neither
+    register nor load it. Single-session processes (the driver
+    gate, oracle_check, bench) are unaffected."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        spark.dataSource.register(ds_cls)
+    except AnalysisException as ex:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(ex):
+            raise

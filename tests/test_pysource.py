@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from convert_parquet_to_csv_spark.sources.pysource import (
+    register_once,
     SynthDocsDataSource,
     _IdSlice,
     _SynthDocsReader,
@@ -17,7 +18,7 @@ from convert_parquet_to_csv_spark.sources.pysource import (
 
 @pytest.fixture(scope="module")
 def registered(spark):
-    spark.dataSource.register(SynthDocsDataSource)
+    register_once(spark, SynthDocsDataSource)
     return spark
 
 
@@ -90,10 +91,11 @@ def test_jsonl_sink_writes_and_reads_back(spark, tmp_path):
     import os
 
     from convert_parquet_to_csv_spark.sources.pysource import (
+        register_once,
         JsonlSinkDataSource,
     )
 
-    spark.dataSource.register(JsonlSinkDataSource)
+    register_once(spark, JsonlSinkDataSource)
     dst = str(tmp_path / "sink")
     os.makedirs(dst)
     df = spark.range(100).select(
@@ -113,10 +115,11 @@ def test_jsonl_sink_overwrite_replaces_append_accumulates(spark, tmp_path):
     import os
 
     from convert_parquet_to_csv_spark.sources.pysource import (
+        register_once,
         JsonlSinkDataSource,
     )
 
-    spark.dataSource.register(JsonlSinkDataSource)
+    register_once(spark, JsonlSinkDataSource)
     dst = str(tmp_path / "sink2")
     os.makedirs(dst)
     df = spark.range(10).repartition(2)
@@ -133,10 +136,11 @@ def test_jsonl_sink_overwrite_replaces_append_accumulates(spark, tmp_path):
 
 def test_jsonl_sink_requires_path(spark):
     from convert_parquet_to_csv_spark.sources.pysource import (
+        register_once,
         JsonlSinkDataSource,
     )
 
-    spark.dataSource.register(JsonlSinkDataSource)
+    register_once(spark, JsonlSinkDataSource)
     import pytest as _pytest
 
     with _pytest.raises(Exception, match="path"):
@@ -150,10 +154,11 @@ def test_streaming_source_drains_deterministically(spark, tmp_path):
     checkpoint, exactly-once across a restart (same contract as the
     file source, but via the Python SimpleDataSourceStreamReader)."""
     from convert_parquet_to_csv_spark.sources.pysource import (
+        register_once,
         SynthDocsStreamDataSource,
     )
 
-    spark.dataSource.register(SynthDocsStreamDataSource)
+    register_once(spark, SynthDocsStreamDataSource)
     sink = str(tmp_path / "out")
     ckpt = str(tmp_path / "ck")
 

@@ -53,14 +53,32 @@ def test_wrapper_pins_every_runtime_conf(stock_session, sf_small):
         assert stock_session.conf.get(k) == v, k
 
 
-def test_python_datasource_scan_stock_session(stock_session, sf_small):
+def test_python_datasource_scan_stock_confs(spark, sf_small):
     """The exact r3 red row: must plan + return 100 rows under a
-    session where filterPushdown starts disabled."""
-    qs = _entry_queries()
-    rows = qs["python_datasource_scan"](stock_session, sf_small).collect()
-    assert len(rows) == 100
-    ids = sorted(r.id for r in rows)
-    assert ids[0] == 50 and ids[-1] == 149
+    session where filterPushdown starts disabled.
+
+    Runs against the BASE session (confs adversarially reset), not a
+    ``newSession``: Spark 4.1's Python-data-source registry is
+    shared for the exists-check but per-session for lookup, so a
+    sibling session can never load a source its twin registered
+    (documented in ``pysource.register_once``). The driver gate is
+    single-session, which this base-session reset simulates
+    faithfully."""
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        qs = _entry_queries()
+        rows = qs["python_datasource_scan"](spark, sf_small).collect()
+        assert len(rows) == 100
+        ids = sorted(r.id for r in rows)
+        assert ids[0] == 50 and ids[-1] == 149
+        # the wrapper must have re-pinned it
+        assert (
+            spark.conf.get("spark.sql.python.filterPushdown.enabled")
+            == "true"
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
 
 
 def test_timestamp_query_stock_session(stock_session, sf_small):

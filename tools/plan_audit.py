@@ -148,6 +148,30 @@ KEY_MARKERS = (
     "Sort ",
 )
 
+
+def single_partition_window(plan: str) -> bool:
+    """True if the executed plan contains a Window (or group-limit)
+    node fed by an Exchange SinglePartition — the plan-level truth
+    behind Spark's `WindowExec: No Partition Defined ... single
+    partition` log warning (VERDICT r3 item 5). Physical shape is
+    always Window → Sort → Exchange SinglePartition, so we look a
+    couple of lines below each window node."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window" not in line:
+            continue
+        for j in range(i + 1, min(i + 4, len(lines))):
+            if "Exchange SinglePartition" in lines[j]:
+                return True
+            # a join/agg/scan in between means the exchange belongs
+            # to some other subtree
+            if any(
+                k in lines[j]
+                for k in ("Join", "HashAggregate", "FileScan")
+            ):
+                break
+    return False
+
 HEADER = """# PLANS — executed physical-plan audit (sf0.01, local[4])
 
 Machine-generated by `tools/plan_audit.py` (re-run to refresh). Each section
@@ -162,6 +186,12 @@ pre-AQE skeleton and hides final exchange/broadcast decisions.
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--skip-window-audit",
+        action="store_true",
+        help="only regenerate PLANS.md sections (CASES), skip the "
+        "full-registry single-partition-window audit",
+    )
     args = ap.parse_args()
 
     registry.load_all()
@@ -170,11 +200,39 @@ def main() -> None:
         master="local[4]",
         extra_conf={"spark.sql.shuffle.partitions": "8"},
     )
+
+    # Which queries does the window audit sweep? Every registered one
+    # (any of them can be driver-gated under prefix rotation), not
+    # just the PLANS.md CASES subset.
+    audit_names = (
+        list(CASES) if args.skip_window_audit else list(registry.QUERIES)
+    )
+    allow_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "single_partition_window_allowlist.json",
+    )
+    import json
+
+    with open(allow_path) as f:
+        allowlist: dict[str, str] = json.load(f)
+
+    offenders: list[str] = []
+    seen_single: set[str] = set()
     sections = [HEADER]
-    for name, claim in CASES.items():
+    for name in audit_names:
+        claim = CASES.get(name)
         df = registry.QUERIES[name](spark, args.sf)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df.write.format("noop").mode("overwrite").save()
+        finally:
+            spark.catalog.clearCache()
         plan = df._jdf.queryExecution().executedPlan().toString()
+        if not args.skip_window_audit and single_partition_window(plan):
+            seen_single.add(name)
+            if name not in allowlist:
+                offenders.append(name)
+        if claim is None:
+            continue
         keep = []
         for line in plan.splitlines():
             s = line.rstrip()
@@ -205,6 +263,25 @@ def main() -> None:
     with open(out, "w") as f:
         f.write("\n".join(sections))
     print(f"wrote {out} ({len(sections) - 1} sections)")
+
+    if not args.skip_window_audit:
+        stale = sorted(set(allowlist) - seen_single)
+        print(
+            f"window audit: {len(seen_single)} queries with a "
+            f"single-partition window, {len(allowlist)} allowlisted"
+        )
+        if stale:
+            print(
+                "STALE allowlist entries (no longer trigger — prune "
+                f"them): {stale}"
+            )
+        if offenders:
+            print(
+                "FAIL: unallowlisted single-partition Window on a "
+                f"gated query: {sorted(offenders)}"
+            )
+            raise SystemExit(1)
+        print("window audit: PASS")
 
 
 if __name__ == "__main__":
