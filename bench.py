@@ -266,6 +266,13 @@ def main() -> None:
             continue
 
         def _run(fn=fn):
+            # r4 honesty fix: several queries persist() shared
+            # subtrees (postings, tokenize, centered Gram) that the
+            # returned plan keeps alive — without this clear, the
+            # timed runs after warmup re-read the warmup's cache and
+            # measure a cache hit instead of the operator. "Warm"
+            # means JVM/codegen warm, never input-materialized.
+            spark.catalog.clearCache()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
         # min-of-2 warm runs: this VM's per-minute speed swings up to
@@ -329,7 +336,10 @@ def main() -> None:
                 # deltas before/after r03 conflate methodology with
                 # code. Recorded here so every BENCH_r{N}.json is
                 # self-describing.
-                "timing_methodology": "min-of-2-warm-runs-since-r03",
+                "timing_methodology": (
+                    "min-of-2-warm-runs-since-r03; "
+                    "cache-cleared-per-run-since-r04"
+                ),
             }
         )
     )
