@@ -1,0 +1,78 @@
+"""Unit tests for the r4 hardening helpers: per-sf scratch isolation
+and the single-partition-window plan detector. No Spark session
+needed."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+    ),
+)
+
+from plan_audit import single_partition_window  # noqa: E402
+
+from convert_parquet_to_csv_spark.plans.scratch import (  # noqa: E402
+    scratch_dir,
+    scratch_table,
+)
+
+
+def test_scratch_dir_varies_with_sf_dir():
+    a = scratch_dir("/data/sf0.01", "codec_rt")
+    b = scratch_dir("/data/sf0.1", "codec_rt")
+    assert a != b
+    assert "codec_rt" in a and "codec_rt" in b
+
+
+def test_scratch_dir_stable_for_same_inputs():
+    assert scratch_dir("/data/sf0.01", "x") == scratch_dir(
+        "/data/sf0.01", "x"
+    )
+
+
+def test_scratch_token_isolates(monkeypatch):
+    base = scratch_dir("/data/sf0.01", "x")
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH_TOKEN", "lane-b")
+    assert scratch_dir("/data/sf0.01", "x") != base
+
+
+def test_scratch_table_is_identifier():
+    t = scratch_table("/data/sf0.01", "cptc_gate_li_bucketed")
+    assert t.replace("_", "").isalnum()
+    assert t.startswith("cptc_gate_li_bucketed_")
+
+
+def test_detects_single_partition_window():
+    plan = """AdaptiveSparkPlan isFinalPlan=true
++- Window [row_number() windowspecdefinition(x ASC NULLS FIRST)]
+   +- Sort [x ASC NULLS FIRST], false, 0
+      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]
+         +- FileScan parquet [x]"""
+    assert single_partition_window(plan)
+
+
+def test_partitioned_window_not_flagged():
+    plan = """AdaptiveSparkPlan isFinalPlan=true
++- Window [sum(v) windowspecdefinition(k, ts ASC NULLS FIRST)]
+   +- Sort [k ASC NULLS FIRST, ts ASC NULLS FIRST], false, 0
+      +- Exchange hashpartitioning(k, 32), ENSURE_REQUIREMENTS, [plan_id=2]
+         +- FileScan parquet [k,ts,v]"""
+    assert not single_partition_window(plan)
+
+
+def test_unrelated_single_partition_exchange_not_flagged():
+    # a single-partition exchange elsewhere (e.g. under a final
+    # coalesce) must not implicate an unrelated window
+    plan = """+- Window [lag(v) windowspecdefinition(k, ts ASC)]
+   +- Sort [k ASC, ts ASC], false, 0
+      +- Exchange hashpartitioning(k, 32), [plan_id=3]
+         +- HashAggregate(keys=[k], functions=[sum(v)])
+            +- Exchange SinglePartition, [plan_id=4]
+               +- FileScan parquet [k,ts,v]"""
+    assert not single_partition_window(plan)
