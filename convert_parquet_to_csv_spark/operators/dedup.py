@@ -288,34 +288,31 @@ def minhash_dedup(
     Jaccard verify → min-id survivors. Candidate count, not docs²,
     bounds every stage.
 
-    One pass over the shingles: a single explode + groupBy over the
-    ONCE-hashed shingle keys (:func:`_hashed_shingle_table`)
-    computes BOTH the minhash signature (num_perm min aggregates)
-    and the doc's shingle-hash set (collect_set) — the per-doc
-    profile is persisted and shared by candidate generation (bucket
-    self-join) and verification, so the expensive shingle scan
-    happens once, not the 3× an unshared lazy plan would recompute
-    it. Verification is
-    exact Jaccard via ``array_intersect`` over profiles pruned to
-    candidate ids (a broadcast semi-join), instead of re-shuffling
-    the full exploded shingle table on (id, shingle): the verify cost
-    is bounded by |candidates|, independent of corpus size. Jaccard
-    over 64-bit shingle hashes equals Jaccard over shingle strings up
-    to xxhash64 collisions (~|doc|²/2⁶⁵ per doc — negligible).
+    Shuffle budget (r4 restructure, the 100 TB-shaped decision): the
+    signature pass shuffles num_perm longs per doc — the per-doc
+    shingle-hash SET deliberately does NOT ride that shuffle. The
+    old single-pass profile (signatures + collect_set in one
+    groupBy) moved every doc's whole set through the exchange
+    (~40% of corpus bytes; ~2 GB at 500k docs) although
+    verification needs sets only for docs that appear in a
+    candidate pair (~5% there, and the fraction shrinks as the
+    corpus grows past the duplicate clusters). Sets are instead
+    built in a SECOND, candidate-pruned pass: the doc table is
+    semi-joined to the broadcast candidate ids BEFORE shingling, so
+    the re-scan tokenizes only candidate docs and its collect_set
+    shuffle is candidate-bounded. Verification is then exact
+    Jaccard via ``array_intersect`` — never a re-shuffle of the
+    full exploded shingle table. Jaccard over 64-bit shingle hashes
+    equals Jaccard over shingle strings up to xxhash64 collisions
+    (~|doc|²/2⁶⁵ per doc — negligible).
 
-    The persisted profile table is session-cached (caller releases
-    via ``spark.catalog.clearCache()`` if needed); its width is
-    num_perm longs + the shingle-hash set, i.e. O(doc tokens) per row.
+    The persisted signature table is session-cached (caller
+    releases via ``spark.catalog.clearCache()`` if needed); its
+    width is num_perm longs per row.
     """
-    sh = _hashed_shingle_table(df, id_col, text_col, k)
-    profiles = sh.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"h{i}")
-            for i in range(num_perm)
-        ],
-        F.collect_set(F.col("_sh")).alias("_set"),
+    sigs = minhash_signatures(
+        df, id_col, text_col, k, num_perm
     ).persist()
-    sigs = profiles.drop("_set")
     # cand is referenced twice below (id pruning + the verify join) and
     # is small by construction (bucket-bounded) — persist beats a 2×
     # recompute of the bucket self-join.
@@ -327,7 +324,14 @@ def minhash_dedup(
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    need = profiles.join(F.broadcast(ids), id_col, "left_semi")
+    # Candidate-pruned set pass: semi-join the DOC table first so the
+    # explode + collect_set run over candidate docs only.
+    cand_docs = df.join(F.broadcast(ids), id_col, "left_semi")
+    need = (
+        _hashed_shingle_table(cand_docs, id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_set(F.col("_sh")).alias("_set"))
+    )
     sa = need.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
     sb = need.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
