@@ -132,7 +132,7 @@ CASES = {
     "csv_adversarial_roundtrip": "CSV dialect: quoted multiLine readback (unsplittable by design), checksum agg",
     "interarrival_log2_histogram": "interarrival: one user_id lag window, bit-count bucket agg",
     "rollup_grouping_id_labels": "grouping_id: Expand feeds one aggregate; bitmask computed inside it",
-    "decile_binning_mapside": "map-side deciles: 9 boundaries broadcast as one array, bucket assigned in the scan projection",
+    "decile_binning_mapside": "map-side deciles: two-level histogram-rank boundaries (no global sort of facts; the single-partition exchanges are the 1-row total / 9-value bounds aggs), boundaries broadcast as one array, bucket assigned in the scan projection",
     "agg_filter_zoo": "filtered aggs: count_if/FILTER/bool_* fused into ONE hash aggregate, no second scan",
     "forward_fill_ignore_nulls": "forward fill: one user_id window exchange, running last(ignorenulls) frame",
     "skewness_exact": "skewness: mean broadcast back, one deviation-sum aggregate, DECIMAL(38) power sums",
@@ -140,6 +140,7 @@ CASES = {
     "max_records_per_file_cap": "file cap: capped CSV write + provenance readback, per-file audit broadcast into the row",
     "anova_f_between_status": "ANOVA: one pivoted aggregate collapses the table to a single row of integer sums",
     "asof_tolerance_attribution": "as-of tolerance: same single union+window exchange, gap filter afterward",
+    "span_dedup_c4": "C4 span removal: shared tokenize, ONE 8-byte hashed-gram heavy-hitter shuffle (no gram strings shuffled), order-preserving reassembly on one doc-key exchange",
 }
 
 KEY_MARKERS = (
