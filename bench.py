@@ -32,7 +32,12 @@ from convert_parquet_to_csv_spark.sources import (  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 TARGET_ROWS = 10_000_000
-TENM_PATH = "/tmp/cptc_bench_10m.parquet"
+# Keyed by SF_DIR (same stale-cache class as the 500k corpus): a 10M
+# replication built from a different scale factor must not silently
+# serve — its row contents differ even when the count clears 10M.
+TENM_PATH = "/tmp/cptc_bench_10m_{}.parquet".format(
+    __import__("hashlib").md5(SF_DIR.encode()).hexdigest()[:8]
+)
 
 # Registry queries timed at SF_DIR (skipped silently if not registered
 # yet — bench must keep working mid-build).

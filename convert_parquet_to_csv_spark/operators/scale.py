@@ -238,3 +238,93 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def exact_rank_boundaries(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    coarse_shift: int = 16,
+) -> DataFrame:
+    """Exact order-statistic bucket boundaries WITHOUT a global sort —
+    the at-scale replacement for ``NTILE``'s single-task ordering.
+
+    Returns a 1-row DataFrame with column ``bs``: the sorted array of
+    (at most) ``n_buckets - 1`` boundary values, where boundary k is
+    the exact order statistic at rank ``ceil(n*k/n_buckets)`` over an
+    integer ``value_col``. Assign buckets map-side as "count of
+    boundaries strictly below the value" (broadcast the 1-row
+    result); equal values always share a bucket, so bucket
+    populations are equal only up to ties — the documented trade
+    for map-side assignment.
+
+    Plan (two-level histogram rank, all lazy — no driver action):
+
+    1. value-frequency histogram ``groupBy(value)`` — the only
+       data-proportional shuffle;
+    2. coarse buckets ``value >> coarse_shift``: cumulative offsets
+       via a broadcast non-equi self-join over the coarse table,
+       whose size is bounded by the VALUE RANGE (scale-independent),
+       never by row count — and never an unpartitioned window;
+    3. running counts within each coarse bucket (window PARTITIONED
+       by coarse key) + offsets → every distinct value knows its
+       global rank interval [rank_end - cnt + 1, rank_end];
+    4. targets ``ceil(n*k/n_buckets)`` from a lazy 1-row total ×
+       ``spark.range``; each target picks the unique value whose
+       rank interval covers it via a broadcast interval join over
+       n_buckets - 1 rows.
+
+    Negative values order correctly through the shifted coarse key
+    (``shiftright`` is arithmetic, so coarse keys stay
+    sign-ordered). Gated end-to-end by ``decile_binning_mapside``
+    (plans/analytics_queries.py) against a DuckDB ROW_NUMBER oracle
+    at sf0.001/0.01/0.1; edge cases (ties, n < n_buckets, all-equal,
+    empty) are pinned in tests/test_scale.py.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    v = df.select(F.col(value_col).alias("_v"))
+    hist = v.groupBy("_v").agg(F.count(F.lit(1)).alias("_cnt"))
+    hist = hist.withColumn(
+        "_coarse", F.shiftright(F.col("_v"), coarse_shift)
+    )
+    coarse = hist.groupBy("_coarse").agg(F.sum("_cnt").alias("_ccnt"))
+    below = coarse.select(
+        F.col("_coarse").alias("_bc"), F.col("_ccnt").alias("_bcnt")
+    )
+    offsets = (
+        coarse.join(
+            F.broadcast(below), F.col("_bc") < F.col("_coarse"), "left"
+        )
+        .groupBy("_coarse")
+        .agg(F.coalesce(F.sum("_bcnt"), F.lit(0)).alias("_offset"))
+    )
+    w_in = (
+        Window.partitionBy("_coarse")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = hist.join(F.broadcast(offsets), "_coarse").select(
+        "_v",
+        "_cnt",
+        (F.col("_offset") + F.sum("_cnt").over(w_in)).alias("_re"),
+    )
+    total = v.agg(F.count(F.lit(1)).alias("_n"))
+    targets = total.crossJoin(
+        spark.range(1, n_buckets).select(F.col("id").alias("_k"))
+    ).select(
+        F.expr(f"(_n * _k + {n_buckets - 1}) div {n_buckets}")
+        .cast("bigint")
+        .alias("_t")
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets),
+            (F.col("_re") >= F.col("_t"))
+            & (F.col("_re") - F.col("_cnt") < F.col("_t")),
+        )
+        .select(F.col("_v").alias("_b"))
+        .distinct()
+        .agg(F.sort_array(F.collect_list("_b")).alias("bs"))
+    )

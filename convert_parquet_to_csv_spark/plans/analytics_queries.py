@@ -2266,8 +2266,14 @@ def decile_binning_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. the 9 targets ⌈n·k/10⌉ come from a 1-row total cross-joined
        with ``spark.range(1,10)`` — lazy, no action — and each
        target picks the unique value whose rank interval covers it
-       via a broadcast interval join over 9 rows."""
-    from pyspark.sql.window import Window
+       via a broadcast interval join over 9 rows.
+
+    The boundary machinery is the reusable operator
+    ``operators.scale.exact_rank_boundaries`` (edge cases — ties,
+    n < 10, all-equal, empty — pinned in tests/test_scale.py)."""
+    from convert_parquet_to_csv_spark.operators.scale import (
+        exact_rank_boundaries,
+    )
 
     orders = _t(spark, sf_dir, "orders")
     v = orders.select(
@@ -2275,52 +2281,7 @@ def decile_binning_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         )
     )
-    hist = v.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
-    hist = hist.withColumn(
-        "coarse", F.shiftright(F.col("cents"), 16)
-    )
-    # offsets[c] = total count in all coarse buckets < c  (~900 rows;
-    # broadcast non-equi self-join, NOT an unpartitioned window)
-    coarse = hist.groupBy("coarse").agg(F.sum("cnt").alias("ccnt"))
-    below = coarse.select(
-        F.col("coarse").alias("bc"), F.col("ccnt").alias("bcnt")
-    )
-    offsets = (
-        coarse.join(
-            F.broadcast(below), F.col("bc") < F.col("coarse"), "left"
-        )
-        .groupBy("coarse")
-        .agg(F.coalesce(F.sum("bcnt"), F.lit(0)).alias("offset"))
-    )
-    # rank_end = global rank of the LAST occurrence of each value;
-    # the window is partitioned by coarse key — no one-task sort.
-    w_in = (
-        Window.partitionBy("coarse")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    ranked = hist.join(F.broadcast(offsets), "coarse").select(
-        "cents",
-        "cnt",
-        (F.col("offset") + F.sum("cnt").over(w_in)).alias("rank_end"),
-    )
-    # targets t_k = ceil(n*k/10), k=1..9 — lazy 1-row total × range(9)
-    total = v.agg(F.count(F.lit(1)).alias("n"))
-    targets = total.crossJoin(
-        spark.range(1, 10).select(F.col("id").alias("k"))
-    ).select(
-        F.expr("(n * k + 9) div 10").cast("bigint").alias("t")
-    )
-    bounds = (
-        ranked.join(
-            F.broadcast(targets),
-            (F.col("rank_end") >= F.col("t"))
-            & (F.col("rank_end") - F.col("cnt") < F.col("t")),
-        )
-        .select(F.col("cents").alias("b"))
-        .distinct()
-        .agg(F.sort_array(F.collect_list("b")).alias("bs"))
-    )
+    bounds = exact_rank_boundaries(v, "cents", n_buckets=10)
     binned = v.crossJoin(F.broadcast(bounds)).select(
         "cents",
         F.size(

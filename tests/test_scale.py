@@ -413,3 +413,69 @@ def test_schema_evolution_merges_by_name(spark, sf_small):
     assert all(
         t.startswith("P-") for t in got if t != "_missing"
     )
+
+
+# --- exact_rank_boundaries edge cases (r4) --------------------------------
+
+
+def _boundaries(spark, values, n_buckets=10):
+    from convert_parquet_to_csv_spark.operators.scale import (
+        exact_rank_boundaries,
+    )
+
+    df = spark.createDataFrame(
+        [(int(v),) for v in values], "v long"
+    )
+    rows = exact_rank_boundaries(df, "v", n_buckets).collect()
+    assert len(rows) == 1
+    return list(rows[0]["bs"])
+
+
+def _reference_boundaries(values, n_buckets=10):
+    """Direct order-statistic reference: value at rank
+    ceil(n*k/n_buckets) in the sorted multiset, k = 1..n_buckets-1,
+    distinct, sorted — exactly the DuckDB oracle's rule."""
+    s = sorted(values)
+    n = len(s)
+    ranks = {-(-n * k // n_buckets) for k in range(1, n_buckets)}
+    return sorted({s[r - 1] for r in ranks if r >= 1})
+
+
+def test_rank_boundaries_distinct_values(spark):
+    vals = [7, 1, 9, 3, 5, 8, 2, 6, 4, 10, 11, 12]
+    assert _boundaries(spark, vals) == _reference_boundaries(vals)
+
+
+def test_rank_boundaries_heavy_ties(spark):
+    vals = [5] * 40 + [1] * 3 + [9] * 7
+    assert _boundaries(spark, vals) == _reference_boundaries(vals)
+
+
+def test_rank_boundaries_all_equal(spark):
+    vals = [42] * 17
+    assert _boundaries(spark, vals) == [42]
+
+
+def test_rank_boundaries_fewer_rows_than_buckets(spark):
+    vals = [3, 1, 2]
+    assert _boundaries(spark, vals) == _reference_boundaries(vals)
+
+
+def test_rank_boundaries_single_row(spark):
+    assert _boundaries(spark, [123]) == [123]
+
+
+def test_rank_boundaries_empty(spark):
+    assert _boundaries(spark, []) == []
+
+
+def test_rank_boundaries_negative_and_spread(spark):
+    # negatives + values spanning multiple coarse buckets (>> 16)
+    vals = [-(1 << 20), -5, 0, 3, (1 << 17), (1 << 20), 7, -5, 0]
+    assert _boundaries(spark, vals) == _reference_boundaries(vals)
+
+
+def test_rank_boundaries_quartiles(spark):
+    vals = list(range(1, 101))
+    got = _boundaries(spark, vals, n_buckets=4)
+    assert got == _reference_boundaries(vals, n_buckets=4) == [25, 50, 75]
