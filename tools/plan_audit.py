@@ -52,7 +52,7 @@ CASES = {
     "map_functions_zoo": "map zoo: ONE orderkey exchange shared by both groupBys (subset clustering)",
     "right_join_enrichment": "right outer: pre-agg'd left, preserved dim side, two exchanges total",
     "similarity_topk_lsh": "LSH: nested-literal signatures, broadcast query buckets, no vector-table shuffle before candidates",
-    "dedup_minhash": "minhash: one shingle shuffle for signatures, banded bucket self-join, candidate-bounded verify",
+    "dedup_minhash": "minhash: signature shuffle carries num_perm longs/doc (sets built in a candidate-pruned second pass), banded bucket self-join, candidate-bounded verify",
     "q4_order_priority": "q4: EXISTS as LEFT SEMI with non-equi conjunct, no per-row subquery",
     "q8_market_share": "q8: 5 broadcast dims, lone shuffled fact-fact join, CASE sums in one agg",
     "q13_customer_distribution": "q13: LEFT OUTER preserved, two-level agg",
