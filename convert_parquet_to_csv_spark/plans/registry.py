@@ -93,6 +93,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # registration order. Registry growth is FROZEN this round
 # (verdict item 3): no new names until the never-gated backlog
 # drains below the gate budget.
+#
+# r5 note: once CORRECTNESS_r04 lands (gating positions 1-50), the
+# never-gated backlog is the 68 names at positions 51-118
+# (`ohlc_bars_events` .. `pagerank_dup_graph` plus the 4 rows-only
+# checks). Rotate them to lead the r5 prefix behind 2-3 canaries
+# (flagship + `python_datasource_scan` as the conf-pinning
+# sentinel); with a 50-slot budget that leaves ~20 for r6, after
+# which every registered query has a driver row and the freeze can
+# lift.
 FIRST_TIER: list[str] = [
     "convert_roundtrip",
     "quantity_array_agg",
