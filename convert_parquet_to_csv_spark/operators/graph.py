@@ -341,7 +341,18 @@ def k_core(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        alive = deg.filter(F.col("deg") >= k).select("node")
+        # alive feeds BOTH semi-join branches; eager-materialize it
+        # (node-sized) so the degree groupBy runs once per round, not
+        # once per branch — the same double-recompute class fixed in
+        # triangle_count's orientation (cur is a checkpoint, so the
+        # branches re-aggregate rather than re-derive, but at 100 TB
+        # an extra full-edge groupBy per round is still the largest
+        # avoidable cost in the peel).
+        alive = (
+            deg.filter(F.col("deg") >= k)
+            .select("node")
+            .localCheckpoint()
+        )
         nxt = (
             cur.join(
                 alive.select(F.col("node").alias("u")), "u", "left_semi"
