@@ -327,10 +327,16 @@ def minhash_dedup(
     # Candidate-pruned set pass: semi-join the DOC table first so the
     # explode + collect_set run over candidate docs only.
     cand_docs = df.join(F.broadcast(ids), id_col, "left_semi")
+    # need feeds BOTH verify branches (sa, sb); persist so the
+    # candidate-doc re-tokenize runs once, not per branch — the same
+    # two-branch recompute class measured in triangle_count's
+    # orientation (AQE does not reliably reuse the identical
+    # subtree). Candidate-bounded rows; released with clearCache.
     need = (
         _hashed_shingle_table(cand_docs, id_col, text_col, k)
         .groupBy(id_col)
         .agg(F.collect_set(F.col("_sh")).alias("_set"))
+        .persist()
     )
     sa = need.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
     sb = need.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))
