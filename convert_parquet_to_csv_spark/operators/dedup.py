@@ -257,6 +257,13 @@ def lsh_candidate_pairs(
         .select(id_col, F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh"))
     )
     if max_bucket is not None:
+        # banded is referenced by the hot-bucket aggregate AND the
+        # anti-join feeding it — persist so the band explode over a
+        # (typically persisted) signature table runs once. A cached
+        # ancestor defeats ReusedExchange's identical-subtree dedup
+        # (the two-branch recompute class measured in
+        # graph.triangle_count); docs×bands rows, band+hash longs.
+        banded = banded.persist()
         hot = (
             banded.groupBy("_band", "_bh")
             .count()
@@ -264,6 +271,8 @@ def lsh_candidate_pairs(
             .select("_band", "_bh")
         )
         banded = banded.join(hot, ["_band", "_bh"], "left_anti")
+    # the self-join's two sides are the other double reference
+    banded = banded.persist()
     a = banded.select(F.col(id_col).alias("id_a"), "_band", "_bh")
     b = banded.select(F.col(id_col).alias("id_b"), "_band", "_bh")
     return (
@@ -434,6 +443,10 @@ def simhash_pairs(
             .select("_chunk", "_cv")
         )
         chunked = chunked.join(hot, ["_chunk", "_cv"], "left_anti")
+    # self-join sides double-reference chunked, whose signature
+    # ancestor is typically persisted by the caller — persist so the
+    # chunk explode runs once (same class as lsh_candidate_pairs).
+    chunked = chunked.persist()
     a = chunked.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "_chunk", "_cv"
     )
