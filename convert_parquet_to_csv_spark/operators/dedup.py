@@ -101,9 +101,33 @@ def _hashed_shingle_table(
     intermediate array per permutation, while explode + groupBy
     stays entirely inside codegen'd hash aggregation (partial
     aggregation reduces the shuffle to one row per doc). Don't
-    "optimize" this back into HOFs without re-measuring."""
-    return _shingle_table(df, id_col, text_col, k).select(
-        id_col, F.xxhash64(F.col("_shingle")).alias("_sh")
+    "optimize" this back into HOFs without re-measuring.
+
+    Second measured rewrite (same lesson as the C4 span dedup): the
+    gram is hashed as the raw TOKEN SLICE ARRAY from an exploded
+    start-position table — no gram string is ever built, and the
+    string-building path this replaced (``shingles()``'s
+    ``transform(..., array_join(slice(...)))``) was itself a
+    per-doc HOF lambda. Duplicates within a doc are NOT removed
+    (``min`` aggregates and ``collect_set`` are insensitive to
+    them), which also drops shingles()'s per-doc ``array_distinct``
+    from the hot path. Short docs (0 < n < k) hash their whole
+    token array — ``slice`` clamps, matching shingles()'s
+    whole-text-as-single-shingle rule. Hash family is
+    xxhash64-over-array<string>: equal token slices collide iff
+    equal (no separator ambiguity), different family than the old
+    string form — recall re-measured green at all three sf after
+    the switch."""
+    base = df.select(id_col, tokens(text_col).alias("_tk"))
+    n = F.size("_tk")
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        id_col, F.explode(starts).alias("_p"), "_tk"
+    ).select(
+        id_col,
+        F.xxhash64(F.expr(f"slice(_tk, _p + 1, {k})")).alias("_sh"),
     )
 
 
