@@ -53,6 +53,32 @@ def benchmark_ngrams(
     )
 
 
+def _hashed_ngram_table(
+    df: DataFrame, id_cols: list[str], text_col: str, n: int
+) -> DataFrame:
+    """(id_cols..., gram: long) — positional word n-grams hashed as
+    raw TOKEN SLICE ARRAYS (xxhash64 over array<string>), never built
+    as strings. The string path (``ngrams()``) constructs every gram
+    via a per-doc HOF lambda (transform + array_join) — the measured
+    slow class (see dedup._hashed_shingle_table and the C4 span
+    rewrite); here the explode emits start positions and the hash
+    runs on ``slice(tokens, p, n)`` inside a codegen projection.
+    Matches ngrams() semantics: lowercased, duplicates kept (one row
+    per position), docs shorter than ``n`` yield nothing."""
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(*id_cols, toks.alias("_tk"))
+    cnt = F.size("_tk")
+    starts = F.when(
+        cnt >= n, F.sequence(F.lit(1), cnt - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        *id_cols, F.explode(starts).alias("_p"), "_tk"
+    ).select(
+        *id_cols,
+        F.xxhash64(F.expr(f"slice(_tk, _p, {n})")).alias("gram"),
+    )
+
+
 def flag_contaminated(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -73,22 +99,27 @@ def flag_contaminated(
     gram table (bounded only by the final per-doc count aggregate,
     which shuffles one row per (doc, matched gram)).
 
-    ``hash_grams=True`` is the 100 TB form: join on xxhash64(gram)
+    ``hash_grams=True`` is the 100 TB form: join on xxhash64 gram
     longs instead of the gram strings — an 8-byte broadcast key per
     benchmark gram instead of ~13 words of text (~10× smaller
-    broadcast and shuffle rows). A false positive needs an xxhash64
-    collision against the benchmark set (~2⁻⁶⁴·|bench| per gram —
-    negligible, and this screen is a conservative filter anyway). The
-    gated oracle query keeps strings so the DuckDB replay is exact.
+    broadcast and shuffle rows), and since r4 the keys are hashed
+    directly from token slice arrays (:func:`_hashed_ngram_table`),
+    so no gram string is ever constructed on either side. A false
+    positive needs an xxhash64 collision against the benchmark set
+    (~2⁻⁶⁴·|bench| per gram — negligible, and this screen is a
+    conservative filter anyway). The gated oracle query keeps
+    strings so the DuckDB replay is exact.
     """
-    bench = benchmark_ngrams(benchmark, text_col=text_col, n=n)
-    grams = docs.select(
-        F.col(id_col), F.explode(ngrams(text_col, n=n)).alias("gram")
-    )
     if hash_grams:
-        bench = bench.select(F.xxhash64("gram").alias("gram")).distinct()
-        grams = grams.select(
-            id_col, F.xxhash64("gram").alias("gram")
+        bench = _hashed_ngram_table(
+            benchmark, [], text_col, n
+        ).distinct()
+        grams = _hashed_ngram_table(docs, [id_col], text_col, n)
+    else:
+        bench = benchmark_ngrams(benchmark, text_col=text_col, n=n)
+        grams = docs.select(
+            F.col(id_col),
+            F.explode(ngrams(text_col, n=n)).alias("gram"),
         )
     return (
         grams.join(F.broadcast(bench), "gram")
