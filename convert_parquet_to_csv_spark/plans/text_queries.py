@@ -1006,17 +1006,21 @@ def char_trigram_familiarity(
     norm = _docs(spark, sf_dir).select(
         "doc_id", T.normalize_text("text").alias("t")
     )
+    # Position-explode + substring projection, NOT a transform()
+    # lambda building the per-doc trigram array: generate and
+    # project fuse into one codegen stage (the de-stringing lesson
+    # from the span/minhash rewrites; measured 8.0 s → 3.6 s cold,
+    # 3.2 → 2.9 s warm at sf0.1 for the explode+freq+score core).
     tri = (
         norm.filter(F.length("t") >= 3)
         .select(
             "doc_id",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("t") - 2),
-                    lambda i: F.substring(F.col("t"), i, F.lit(3)),
-                )
-            ).alias("g"),
+                F.sequence(F.lit(1), F.length("t") - 2)
+            ).alias("_p"),
+            "t",
         )
+        .select("doc_id", F.expr("substring(t, _p, 3)").alias("g"))
         # tri feeds both the corpus frequency table and the scoring
         # join — persist so the normalize+explode runs once.
         .persist()
