@@ -79,34 +79,96 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order of QUERIES/ORACLES is therefore a CORRECTNESS-COVERAGE
 # decision, not cosmetics.
 #
-# r4 strategy (VERDICT r3 items 2+3): rounds 1-3 gated 131 distinct
-# queries; the 115 never-gated names (the r3 continuation block)
-# now lead. Layout: 3 canaries (flagship + ex-red regression
-# sentinel + the r3 red row `python_datasource_scan`, fixed this
-# round via __spark_entry__._conf_pinned) -> 47 highest-value
-# never-gated names chosen for family diversity and driver-session
-# divergence risk (mapInPandas seams, format roundtrips, sink caps,
-# DDL/warehouse state, SQL-surface, fixed decile_binning_mapside)
-# -> the remaining 64 never-gated oracled names in prior order (so
-# a larger budget keeps adding first-time signal) -> the 4
-# rows-only checks -> everything already driver-green in r1-r3 in
-# registration order. Registry growth is FROZEN this round
-# (verdict item 3): no new names until the never-gated backlog
-# drains below the gate budget.
-#
-# r5 note: once CORRECTNESS_r04 lands (gating positions 1-50), the
-# never-gated backlog is the 68 names at positions 51-118
-# (`ohlc_bars_events` .. `pagerank_dup_graph` plus the 4 rows-only
-# checks). Rotate them to lead the r5 prefix behind 2-3 canaries
-# (flagship + `python_datasource_scan` as the conf-pinning
-# sentinel); with a 50-slot budget that leaves ~20 for r6, after
-# which every registered query has a driver row and the freeze can
-# lift.
+# r5 strategy (VERDICT r4 items 1+5): after four rounds, 178/246
+# queries carry a driver row; the 68-name never-gated backlog
+# (post-r4) leads this round's prefix. Layout: 3 canaries
+# (flagship `convert_roundtrip`, `python_datasource_scan` as the
+# conf-pinning sentinel, one multimodal mapInPandas seam) -> the 6
+# highest-divergence-risk backlog names first (verdict item 5:
+# arrow-UDF, observe(), transpose/pivot, the two rows-only
+# similarity top-k entries, plus `bigram_collocations_lift` whose
+# self-join was rewritten to an F.lead window this round) -> the
+# remaining 41 backlog names in prior order, filling the 50-slot
+# budget with 47 first-time rows -> the 21 deferred backlog names
+# (`order_to_ship_cycle_buckets` .. `decontaminate_ngram_overlap_
+# hashed`, the r6 rotation) -> everything already driver-green in
+# r1-r4 in prior order. Registry growth stays FROZEN (r4 verdict):
+# the r6 rotation (2-3 canaries + the 21 deferred names) finishes
+# the backlog, after which every registered query has a driver row
+# and the freeze can lift.
 FIRST_TIER: list[str] = [
     "convert_roundtrip",
-    "quantity_array_agg",
     "python_datasource_scan",
     "multimodal_resize_geometry",
+    "arrow_python_udf_tokens",
+    "observe_metrics_single_pass",
+    "transpose_status_summary",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "bigram_collocations_lift",
+    "ohlc_bars_events",
+    "ewma_trailing_value",
+    "moment_stats_exact",
+    "zscore_anomaly_events",
+    "epoch_resample_replacement",
+    "weighted_median_price",
+    "winsorize_prices",
+    "pareto_frontier_parts",
+    "ab_experiment_readout",
+    "listagg_nations_by_region",
+    "rolling_28d_active_users",
+    "mom_revenue_growth",
+    "prefix_autocomplete_topk",
+    "market_concentration_hhi",
+    "paginate_orders_page5",
+    "null_ordering_topk",
+    "ks_drift_ab_arms",
+    "correlation_exact",
+    "audience_overlap_matrix",
+    "status_transition_matrix",
+    "conversion_latency_percentiles",
+    "ols_price_trend",
+    "gini_order_value",
+    "cohort_ltv_curve",
+    "rfm_segmentation",
+    "basket_lift_part_pairs",
+    "abc_pareto_classification",
+    "new_vs_returning_revenue",
+    "label_centroid_distances",
+    "max_concurrent_intervals",
+    "source_language_prune",
+    "chisq_independence_cells",
+    "dow_seasonality_index",
+    "tokenizer_fertility_by_lang",
+    "empty_input_semantics_zoo",
+    "band_join_nonequi",
+    "null_safe_join_semantics",
+    "not_in_null_trap",
+    "max_drawdown_daily_value",
+    "longest_daily_streak",
+    "trimmed_mean_price",
+    "order_to_ship_cycle_buckets",
+    "clamped_running_balance",
+    "wau_mau_stickiness",
+    "surrogate_key_dimension",
+    "doc_topic_projection",
+    "collapse_consecutive_events",
+    "mode_per_group",
+    "decile_lift_curve",
+    "interarrival_log2_histogram",
+    "rollup_grouping_id_labels",
+    "agg_filter_zoo",
+    "forward_fill_ignore_nulls",
+    "skewness_exact",
+    "anova_f_between_status",
+    "asof_forward_next_error",
+    "inverted_index_postings",
+    "cohort_retention_matrix",
+    "datetime_zoo",
+    "time_weighted_avg_value",
+    "multimodal_features",
+    "decontaminate_ngram_overlap_hashed",
+    "quantity_array_agg",
     "multimodal_audio_energy",
     "arrow_interop_roundtrip",
     "max_records_per_file_cap",
@@ -153,74 +215,6 @@ FIRST_TIER: list[str] = [
     "survivorship_golden_record",
     "rls_masked_view",
     "asof_tolerance_attribution",
-    "ohlc_bars_events",
-    "ewma_trailing_value",
-    "transpose_status_summary",
-    "moment_stats_exact",
-    "observe_metrics_single_pass",
-    "zscore_anomaly_events",
-    "epoch_resample_replacement",
-    "weighted_median_price",
-    "winsorize_prices",
-    "pareto_frontier_parts",
-    "ab_experiment_readout",
-    "listagg_nations_by_region",
-    "rolling_28d_active_users",
-    "mom_revenue_growth",
-    "prefix_autocomplete_topk",
-    "market_concentration_hhi",
-    "paginate_orders_page5",
-    "null_ordering_topk",
-    "ks_drift_ab_arms",
-    "correlation_exact",
-    "audience_overlap_matrix",
-    "status_transition_matrix",
-    "conversion_latency_percentiles",
-    "ols_price_trend",
-    "gini_order_value",
-    "cohort_ltv_curve",
-    "rfm_segmentation",
-    "basket_lift_part_pairs",
-    "abc_pareto_classification",
-    "new_vs_returning_revenue",
-    "label_centroid_distances",
-    "max_concurrent_intervals",
-    "source_language_prune",
-    "chisq_independence_cells",
-    "dow_seasonality_index",
-    "arrow_python_udf_tokens",
-    "tokenizer_fertility_by_lang",
-    "empty_input_semantics_zoo",
-    "band_join_nonequi",
-    "null_safe_join_semantics",
-    "not_in_null_trap",
-    "max_drawdown_daily_value",
-    "longest_daily_streak",
-    "trimmed_mean_price",
-    "order_to_ship_cycle_buckets",
-    "clamped_running_balance",
-    "wau_mau_stickiness",
-    "surrogate_key_dimension",
-    "doc_topic_projection",
-    "collapse_consecutive_events",
-    "mode_per_group",
-    "decile_lift_curve",
-    "interarrival_log2_histogram",
-    "rollup_grouping_id_labels",
-    "agg_filter_zoo",
-    "forward_fill_ignore_nulls",
-    "skewness_exact",
-    "anova_f_between_status",
-    "asof_forward_next_error",
-    "inverted_index_postings",
-    "cohort_retention_matrix",
-    "datetime_zoo",
-    "time_weighted_avg_value",
-    "bigram_collocations_lift",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "multimodal_features",
-    "decontaminate_ngram_overlap_hashed",
 ]
 
 

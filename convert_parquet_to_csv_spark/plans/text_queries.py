@@ -11,7 +11,7 @@ import os
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from convert_parquet_to_csv_spark.functions import text as T
@@ -674,10 +674,14 @@ def bigram_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N·c(ab)/(c(a)·c(b))), support ≥5.
 
     Spark-first shape: ONE posexplode produces the positional token
-    stream; bigrams come from a self-join on (doc, pos+1) — shuffled
-    once on (doc_id) — and the unigram counts broadcast back onto the
-    pair table. All counting is integer; the one float op is the final
-    division (exactly rounded ⇒ engine-identical)."""
+    stream; bigrams come from `F.lead(token)` over a
+    (doc_id, pos)-ordered window — one shuffle on doc_id and ONE scan
+    of the token stream (the r4 self-join on (doc, pos+1) scanned it
+    twice and tripped Spark's "trivially true equals predicate"
+    warning; rewritten per VERDICT r4 item 4). The unigram counts
+    broadcast back onto the pair table. All counting is integer; the
+    one float op is the final division (exactly rounded ⇒
+    engine-identical)."""
     docs = _docs(spark, sf_dir)
     tok = docs.select(
         "doc_id",
@@ -687,17 +691,14 @@ def bigram_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = tok.groupBy("token").agg(F.count("*").alias("c1"))
     n = uni.agg(F.sum("c1").cast("bigint").alias("n_tokens"))
-    a = tok.alias("a")
-    b = tok.alias("b")
+    w = Window.partitionBy("doc_id").orderBy("pos")
     big = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.pos") == F.col("a.pos") + 1),
+        tok.select(
+            F.col("token").alias("w1"),
+            F.lead("token").over(w).alias("w2"),
         )
-        .groupBy(
-            F.col("a.token").alias("w1"), F.col("b.token").alias("w2")
-        )
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
         .agg(F.count("*").alias("c2"))
         .filter(F.col("c2") >= 5)
     )
