@@ -89,6 +89,26 @@ BENCH_QUERY_NAMES = [
     "char_trigram_familiarity",
 ]
 
+# VERDICT r4 items 2+7: queries whose plans persist() shared subtrees
+# (postings, shingle/band tables, tokenize, degree aggregates). For
+# these, the cache-cleared number (the r4 methodology) measures full
+# recompute while the r3-and-earlier warm number measured
+# downstream-of-persist cost — the r3→r4 "regressions" were exactly
+# this gap. Bench BOTH per round (`<name>` = cache-cleared,
+# `<name>_warm` = warm-with-persist) so round-over-round deltas stay
+# interpretable without footnote archaeology.
+DUAL_METHODOLOGY_NAMES = [
+    "dedup_minhash",
+    "sparse_cosine_topk_pairs",
+    "kcore_copurchase",
+    "graph_triangle_copurchase",
+    "embedding_power_iteration_pc1",
+    "hll_distinct_customers",
+    "char_trigram_familiarity",
+    "oov_rate_vs_topk_vocab",
+    "distinctive_terms_tfidf",
+]
+
 # Keyed by SF_DIR (ADVICE r3 scratch-isolation class): a cached 500k
 # corpus built from a DIFFERENT scale factor must not silently serve.
 DOCS_500K_PATH = "/tmp/cptc_bench_docs500k_{}.parquet".format(
@@ -241,16 +261,28 @@ def main() -> None:
         _run_10m_natural()
         natural = min(natural, time.perf_counter() - t0)
         if _run_duck is not None:
+            # ADVICE r4: the timed calls keep the warm-up's
+            # best-effort guarantee — a mid-loop DuckDB failure
+            # (e.g. /tmp full) skips the calibration columns
+            # instead of aborting the whole bench run.
             t0 = time.perf_counter()
-            _run_duck()
-            duck_sec = min(duck_sec, time.perf_counter() - t0)
+            try:
+                _run_duck()
+            except Exception as ex:  # noqa: BLE001 — best-effort
+                print(
+                    f"duckdb calibration failed mid-loop: {ex}",
+                    file=sys.stderr,
+                )
+                _run_duck = None
+            else:
+                duck_sec = min(duck_sec, time.perf_counter() - t0)
 
     headline = min(rr, natural)
     shutil.rmtree(out, ignore_errors=True)
     queries["convert_10m_rows_rr"] = round(rr, 4)
     queries["convert_10m_rows_natural"] = round(natural, 4)
     queries["convert_10m_rows"] = round(headline, 4)
-    if _run_duck is not None:
+    if duck_sec != float("inf"):
         queries["baseline_duckdb_convert_10m"] = round(duck_sec, 4)
         # One hardware-independent number for cross-round comparison
         # (VERDICT r2 item 6): <1.0 means Spark beats same-box DuckDB
@@ -308,6 +340,23 @@ def main() -> None:
         # steal time. The min of two adjacent runs is far more stable.
         queries[name] = round(time_kernel(_run, warmup=1, repeat=2), 4)
 
+        if name in DUAL_METHODOLOGY_NAMES:
+            # Warm-with-persist companion number (VERDICT r4 item 2):
+            # the warmup run populates the plan's persist()ed
+            # subtrees and the timed runs reuse them — the
+            # r3-and-earlier methodology, measuring
+            # downstream-of-persist cost.
+            def _run_warm(fn=fn):
+                fn(spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            spark.catalog.clearCache()
+            queries[f"{name}_warm"] = round(
+                time_kernel(_run_warm, warmup=1, repeat=2), 4
+            )
+            spark.catalog.clearCache()
+
     # At-scale minhash-LSH dedup: full pipeline (shingle → signature →
     # banded candidates → exact-Jaccard verify → survivors) over the
     # 500k-doc replicated corpus. This is the 100 TB-shaped number the
@@ -319,10 +368,23 @@ def main() -> None:
 
         n_docs = _build_docs_500k(spark)
         docs = read_parquet(spark, DOCS_500K_PATH)
+        # Dual methodology (VERDICT r4 item 7): first run from a
+        # cleared cache (full recompute — comparable to r4's 11.3 s),
+        # second run immediately after with the persisted
+        # shingle/band tables still cached (the warm number the
+        # ledger's A/B claims use).
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         docs500k = minhash_dedup(docs, num_perm=32, bands=8, threshold=0.5)
         docs500k.write.format("noop").mode("overwrite").save()
         queries["dedup_minhash_500k_docs"] = round(
+            time.perf_counter() - t0, 4
+        )
+        t0 = time.perf_counter()
+        minhash_dedup(
+            docs, num_perm=32, bands=8, threshold=0.5
+        ).write.format("noop").mode("overwrite").save()
+        queries["dedup_minhash_500k_docs_warm"] = round(
             time.perf_counter() - t0, 4
         )
         queries["_n_docs_500k"] = n_docs
@@ -339,12 +401,26 @@ def main() -> None:
         )
 
         docs = read_parquet(spark, DOCS_500K_PATH)
+        # Same cold/warm split as dedup_minhash_500k_docs (VERDICT r4
+        # item 3): the cold number is r4's 48.7 s full-recompute
+        # methodology; the warm number re-runs with the persisted
+        # intermediates cached, the protocol behind the ledger's
+        # 41.8 → 14.5 s A/B — both now ship in the artifact.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         cleaned = remove_duplicated_spans(docs, n=4, max_docs=2)
         cleaned.write.format("noop").mode("overwrite").save()
         queries["span_dedup_c4_500k_docs"] = round(
             time.perf_counter() - t0, 4
         )
+        t0 = time.perf_counter()
+        remove_duplicated_spans(docs, n=4, max_docs=2).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        queries["span_dedup_c4_500k_docs_warm"] = round(
+            time.perf_counter() - t0, 4
+        )
+        spark.catalog.clearCache()
     except Exception as ex:  # noqa: BLE001 — bench keeps reporting
         print(f"span_dedup_c4_500k_docs failed: {ex}", file=sys.stderr)
 
@@ -365,7 +441,10 @@ def main() -> None:
                 # self-describing.
                 "timing_methodology": (
                     "min-of-2-warm-runs-since-r03; "
-                    "cache-cleared-per-run-since-r04"
+                    "cache-cleared-per-run-since-r04; "
+                    "dual-keys-since-r05 (`<name>` = cache-cleared "
+                    "full recompute, `<name>_warm` = persisted "
+                    "subtrees cached by a prior run)"
                 ),
             }
         )

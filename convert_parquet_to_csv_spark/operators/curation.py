@@ -299,10 +299,14 @@ def remove_duplicated_spans(
         .filter(F.col("_nd") > max_docs)
         .select("gram")
     )
+    # `covered` and `words` share lineage through `arr`, so joining on
+    # same-named columns trips Spark's "trivially true equals
+    # predicate" auto-disambiguation warning (harmless but log-spam) —
+    # rename the coverage side's key columns instead.
     covered = (
         grams.join(hot, "gram")
         .select(
-            id_col,
+            F.col(id_col).alias("_cid"),
             F.explode(
                 F.sequence(F.col("pos"), F.col("pos") + (n - 1))
             ).alias("cpos"),
@@ -314,10 +318,9 @@ def remove_duplicated_spans(
     )
     joined = words.join(
         covered,
-        (words[id_col] == covered[id_col])
-        & (words.pos == covered.cpos),
+        (F.col(id_col) == F.col("_cid")) & (F.col("pos") == F.col("cpos")),
         "left",
-    ).select(words[id_col], "pos", "word", "cpos")
+    ).select(id_col, "pos", "word", "cpos")
     return joined.groupBy(id_col).agg(
         F.concat_ws(
             " ",

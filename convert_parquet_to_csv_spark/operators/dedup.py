@@ -84,12 +84,13 @@ def _hashed_shingle_table(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
     """(id, xxhash64(shingle)) exploded — the integer-keyed form the
-    minhash consumers want: each shingle STRING is hashed exactly
-    once here, and all downstream work (permutation mins, set
-    membership) operates on the 8-byte key. Distinctness carries
-    over from the per-doc ``array_distinct`` up to xxhash64
-    collisions (~|doc|²/2⁶⁵), which the Jaccard-set representation
-    already accepts.
+    minhash consumers want: each shingle is hashed exactly once
+    here, and all downstream work (permutation mins, set membership)
+    operates on the 8-byte key. Set semantics are recovered by the
+    consumers (``min`` aggregation and ``collect_set`` are
+    duplicate-insensitive), up to xxhash64 collisions
+    (~|doc|²/2⁶⁵), which the Jaccard-set representation already
+    accepts.
 
     Measured design note (500k-doc A/B, local[32], warm): a
     shuffle-free per-doc alternative — keep the hashed shingles as
@@ -265,6 +266,15 @@ def lsh_candidate_pairs(
     rows-per-band r = num_perm/bands; a pair lands in one bucket with
     prob 1-(1-j^r)^b. The join key is (band index, band hash) so all
     bands go through ONE join. ``max_bucket`` guards hot buckets.
+
+    Cache contract (ADVICE r4): the banded-bucket table is
+    persist()ed (twice-referenced by hot-bucket guard and self-join)
+    and the returned DataFrame is lazy, so the cache CANNOT be
+    released here — it stays pinned until the caller's
+    ``spark.catalog.clearCache()`` or session end (docs×bands rows
+    of three longs). bench.py and tools/oracle_check.py clear
+    between queries; long-lived sessions composing many dedup calls
+    must do the same.
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
@@ -441,6 +451,11 @@ def simhash_pairs(
     Pigeonhole: ≤3 differing bits across 4 chunks ⇒ at least one
     16-bit chunk identical — candidates are chunk-join matches,
     verified exactly with ``bit_count(xor)``.
+
+    Cache contract: same as :func:`lsh_candidate_pairs` — the
+    chunked table is persist()ed against its multiple references
+    and released only by the caller's ``clearCache()`` (docs×chunks
+    rows of three longs).
     """
     width = 64 // chunks
     mask = (1 << width) - 1
@@ -459,6 +474,13 @@ def simhash_pairs(
         id_col, "simhash",
         F.col("_c.chunk").alias("_chunk"), F.col("_c.cv").alias("_cv"),
     )
+    # Persist BEFORE the hot-bucket aggregate (ADVICE r4): the hot
+    # count and the anti-join probe are two references to the chunk
+    # explode, on top of the self-join's two — persisting after the
+    # anti-join still recomputed the explode for the hot aggregate
+    # (the same double-reference class lsh_candidate_pairs fixes by
+    # persisting before its hot groupBy).
+    chunked = chunked.persist()
     if max_bucket is not None:
         hot = (
             chunked.groupBy("_chunk", "_cv")
@@ -467,10 +489,6 @@ def simhash_pairs(
             .select("_chunk", "_cv")
         )
         chunked = chunked.join(hot, ["_chunk", "_cv"], "left_anti")
-    # self-join sides double-reference chunked, whose signature
-    # ancestor is typically persisted by the caller — persist so the
-    # chunk explode runs once (same class as lsh_candidate_pairs).
-    chunked = chunked.persist()
     a = chunked.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "_chunk", "_cv"
     )
