@@ -36,12 +36,27 @@ def test_every_oracle_has_a_query():
     assert orphans == []
 
 
+# The r5 rotation deliberately spends two prefix slots on rows-only
+# queries: VERDICT r4 item 5 ordered the never-gated similarity top-k
+# entries into the first 10 slots because a rows-only driver row is
+# the ONLY hard signal a hash-family-dependent row set can ever earn,
+# and they sit on the highest-divergence-risk surface (broadcast-UDF
+# candidate generation). Everything else in the budget prefix must
+# stay fully oracled.
+_ROWS_ONLY_PREFIX_BUDGET = {"similarity_topk_lsh", "similarity_topk_ivf"}
+
+
 def test_driver_budget_prefix_is_fully_oracled():
     """The driver gates a ~50-query prefix; every slot spent on a
-    rows-only query is a slot of lost hash-match signal. Keep the
-    whole budget prefix oracled (rows-only queries belong after
-    position 50 by construction)."""
+    rows-only query is a slot of lost hash-match signal, so rows-only
+    names are banned from the prefix except the explicitly-budgeted
+    set above."""
     registry.load_all()
     prefix = registry.ordered_names()[:50]
-    unoracled = [n for n in prefix if n not in registry.ORACLES]
+    unoracled = [
+        n
+        for n in prefix
+        if n not in registry.ORACLES
+        and n not in _ROWS_ONLY_PREFIX_BUDGET
+    ]
     assert unoracled == [], unoracled

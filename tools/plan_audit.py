@@ -150,28 +150,61 @@ KEY_MARKERS = (
 )
 
 
+# Nodes that mean the next Exchange belongs to a different subtree —
+# stop scanning. Any repartitioning Exchange also terminates: a
+# Window fed by a hash/range exchange is the partitioned (good) case.
+# Everything else (Sort, WholeStageCodegen/InputAdapter wrappers,
+# AQEShuffleRead/ShuffleQueryStage, Project/Filter) is scanned past —
+# ADVICE r4: the old fixed 3-line lookahead silently failed open when
+# AQE inserted AQEShuffleRead between Sort and the Exchange.
+_WINDOW_BREAKERS = (
+    "Join", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+    "FileScan", "Scan ", "ReusedExchange", "Exchange hashpartitioning",
+    "Exchange rangepartitioning", "Union", "Expand", "Generate",
+    "LocalTableScan",
+)
+
+
 def single_partition_window(plan: str) -> bool:
     """True if the executed plan contains a Window (or group-limit)
     node fed by an Exchange SinglePartition — the plan-level truth
     behind Spark's `WindowExec: No Partition Defined ... single
-    partition` log warning (VERDICT r3 item 5). Physical shape is
-    always Window → Sort → Exchange SinglePartition, so we look a
-    couple of lines below each window node."""
+    partition` log warning (VERDICT r3 item 5). Scans downward from
+    each Window through partitioning-preserving nodes until it hits
+    the feeding Exchange or a subtree-breaking node (no fixed
+    lookahead — AQE wrapper nodes are passed through)."""
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if "Window" not in line:
             continue
-        for j in range(i + 1, min(i + 4, len(lines))):
-            if "Exchange SinglePartition" in lines[j]:
+        # 12-line cap: enough for the longest observed AQE wrapper
+        # chain (Window → Sort → WSCG → InputAdapter → AQEShuffleRead
+        # → ShuffleQueryStage → Exchange) while keeping a far-away
+        # unrelated subtree's SinglePartition exchange from
+        # false-positive matching. Unknown nodes are scanned past
+        # (conservative: prefer a false flag + allowlist entry over
+        # failing open).
+        for j in range(i + 1, min(i + 13, len(lines))):
+            s = lines[j]
+            if "Exchange SinglePartition" in s:
                 return True
-            # a join/agg/scan in between means the exchange belongs
-            # to some other subtree
-            if any(
-                k in lines[j]
-                for k in ("Join", "HashAggregate", "FileScan")
-            ):
+            if any(k in s for k in _WINDOW_BREAKERS):
                 break
     return False
+
+
+def loop_join_nodes(plan: str) -> list[str]:
+    """Offending unbounded-join nodes (VERDICT r4 item 6): every
+    `CartesianProduct` and `BroadcastNestedLoopJoin` line in the
+    executed plan. At 100 TB either node is O(left x right) compute
+    unless one side is a bounded (1-row / dimension-scale) aggregate
+    — queries where that holds are allowlisted with justification in
+    `tools/loop_join_allowlist.json`."""
+    return [
+        line.strip()
+        for line in plan.splitlines()
+        if "CartesianProduct" in line or "BroadcastNestedLoopJoin" in line
+    ]
 
 HEADER = """# PLANS — executed physical-plan audit (sf0.01, local[4])
 
@@ -208,20 +241,61 @@ def main() -> None:
     audit_names = (
         list(CASES) if args.skip_window_audit else list(registry.QUERIES)
     )
-    allow_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "single_partition_window_allowlist.json",
-    )
+    tools_dir = os.path.dirname(os.path.abspath(__file__))
     import json
 
-    with open(allow_path) as f:
+    with open(
+        os.path.join(tools_dir, "single_partition_window_allowlist.json")
+    ) as f:
         allowlist: dict[str, str] = json.load(f)
+    with open(os.path.join(tools_dir, "loop_join_allowlist.json")) as f:
+        loop_allow: dict[str, str] = json.load(f)
+    with open(
+        os.path.join(tools_dir, "collect_site_allowlist.json")
+    ) as f:
+        collect_allow: dict[str, str] = json.load(f)
+
+    # Driver-side collect audit (VERDICT r4 item 6): intercept every
+    # DataFrame.collect() issued while building/running a registered
+    # query and fail on call sites outside the allowlist — the
+    # plan-string audits can't see driver-side actions, and a
+    # data-proportional collect is the one scale sin Catalyst can't
+    # save you from. Sites are keyed by repo-relative file path (line
+    # numbers drift); each allowlisted file documents why its
+    # collects are bounded.
+    # Patch the CLASSIC subclass, not the pyspark.sql.DataFrame base:
+    # Spark 4 classic DataFrames override collect() in their own
+    # class, so a base-class patch silently intercepts nothing.
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    repo_root = os.path.dirname(tools_dir)
+    collect_log: list[tuple[str, str, int]] = []
+    current: list[str] = ["<none>"]
+    orig_collect = DataFrame.collect
+
+    def audited_collect(self):
+        import traceback
+
+        site = "<outside-repo>"
+        for fr in reversed(traceback.extract_stack()[:-1]):
+            if repo_root in fr.filename and "/tools/" not in fr.filename:
+                site = os.path.relpath(fr.filename, repo_root)
+                break
+        rows = orig_collect(self)
+        collect_log.append((current[0], site, len(rows)))
+        return rows
+
+    if not args.skip_window_audit:
+        DataFrame.collect = audited_collect
 
     offenders: list[str] = []
+    loop_offenders: dict[str, list[str]] = {}
+    seen_loop: set[str] = set()
     seen_single: set[str] = set()
     sections = [HEADER]
     for name in audit_names:
         claim = CASES.get(name)
+        current[0] = name
         df = registry.QUERIES[name](spark, args.sf)
         try:
             df.write.format("noop").mode("overwrite").save()
@@ -232,6 +306,12 @@ def main() -> None:
             seen_single.add(name)
             if name not in allowlist:
                 offenders.append(name)
+        if not args.skip_window_audit:
+            nodes = loop_join_nodes(plan)
+            if nodes:
+                seen_loop.add(name)
+                if name not in loop_allow:
+                    loop_offenders[name] = nodes[:2]
         if claim is None:
             continue
         keep = []
@@ -266,6 +346,8 @@ def main() -> None:
     print(f"wrote {out} ({len(sections) - 1} sections)")
 
     if not args.skip_window_audit:
+        DataFrame.collect = orig_collect
+        failed = False
         stale = sorted(set(allowlist) - seen_single)
         print(
             f"window audit: {len(seen_single)} queries with a "
@@ -281,8 +363,53 @@ def main() -> None:
                 "FAIL: unallowlisted single-partition Window on a "
                 f"gated query: {sorted(offenders)}"
             )
+            failed = True
+
+        stale_loop = sorted(set(loop_allow) - seen_loop)
+        print(
+            f"loop-join audit: {len(seen_loop)} queries with a "
+            f"CartesianProduct/BroadcastNestedLoopJoin, "
+            f"{len(loop_allow)} allowlisted"
+        )
+        if stale_loop:
+            print(
+                "STALE loop-join allowlist entries (no longer "
+                f"trigger — prune them): {stale_loop}"
+            )
+        if loop_offenders:
+            print(
+                "FAIL: unallowlisted unbounded join node: "
+                + "; ".join(
+                    f"{n}: {lines}"
+                    for n, lines in sorted(loop_offenders.items())
+                )
+            )
+            failed = True
+
+        bad_collects = sorted(
+            {
+                (q, site, rows)
+                for q, site, rows in collect_log
+                if site not in collect_allow
+            }
+        )
+        print(
+            f"collect audit: {len(collect_log)} driver-side collects "
+            f"from {len({s for _, s, _ in collect_log})} sites, "
+            f"{len(collect_allow)} sites allowlisted"
+        )
+        if bad_collects:
+            print(
+                "FAIL: unallowlisted driver-side collect(): "
+                + "; ".join(
+                    f"{q} via {site} ({rows} rows)"
+                    for q, site, rows in bad_collects
+                )
+            )
+            failed = True
+        if failed:
             raise SystemExit(1)
-        print("window audit: PASS")
+        print("plan audit: PASS (windows, loop joins, collects)")
 
 
 if __name__ == "__main__":
