@@ -15,7 +15,7 @@ sys.path.insert(
     ),
 )
 
-from plan_audit import single_partition_window  # noqa: E402
+from plan_audit import loop_join_nodes, single_partition_window  # noqa: E402
 
 from convert_parquet_to_csv_spark.plans.scratch import (  # noqa: E402
     scratch_dir,
@@ -76,3 +76,36 @@ def test_unrelated_single_partition_exchange_not_flagged():
             +- Exchange SinglePartition, [plan_id=4]
                +- FileScan parquet [k,ts,v]"""
     assert not single_partition_window(plan)
+
+
+def test_aqe_wrapped_single_partition_window_flagged():
+    # ADVICE r4: AQEShuffleRead/ShuffleQueryStage between Sort and the
+    # Exchange pushed the SinglePartition line past the old fixed
+    # 3-line lookahead — the audit silently failed open on exactly
+    # the plans AQE produces.
+    plan = """AdaptiveSparkPlan isFinalPlan=true
++- Window [ntile(10) windowspecdefinition(v ASC NULLS FIRST)]
+   +- Sort [v ASC NULLS FIRST], false, 0
+      +- AQEShuffleRead coalesced
+         +- ShuffleQueryStage 1
+            +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
+               +- FileScan parquet [v]"""
+    assert single_partition_window(plan)
+
+
+def test_loop_join_nodes_detected_and_clean_plan_empty():
+    flagged = """+- HashAggregate(keys=[], functions=[sum(v)])
+   +- BroadcastNestedLoopJoin BuildRight, Cross
+      :- FileScan parquet [v]
+      +- BroadcastExchange IdentityBroadcastMode
+         +- HashAggregate(keys=[], functions=[count(1)])"""
+    nodes = loop_join_nodes(flagged)
+    assert len(nodes) == 1 and "BroadcastNestedLoopJoin" in nodes[0]
+
+    cartesian = "+- CartesianProduct (a#1L < b#2L)\n   +- FileScan parquet"
+    assert loop_join_nodes(cartesian)
+
+    clean = """+- SortMergeJoin [k#1], [k#2], Inner
+   +- Exchange hashpartitioning(k#1, 32)
+      +- FileScan parquet [k]"""
+    assert loop_join_nodes(clean) == []
