@@ -275,6 +275,17 @@ def remove_duplicated_spans(
     Spark's ``sequence(0, negative)`` counts DOWNWARD) and pass
     through unchanged. Returns (id_col, clean_text, n_kept,
     n_removed); a fully-boilerplate doc comes back with clean_text=''.
+
+    Measured non-optimization (r5, ``tools/span_persist_ab.py``,
+    500k docs, interleaved min-of-2): although ``arr`` is referenced
+    3× and ``grams`` 2×, persisting them does NOT beat the
+    recompute: persist(arr) LOSES (9.1 s vs 6.7 s baseline — the
+    cache write + tokenized-array storage costs more than two extra
+    codegen'd split passes) and persist(grams) is within noise
+    (6.6 s). Unlike the triangle-orientation case (where the
+    re-run subtree contained a full shuffle), these branches recompute
+    only scan+project work that whole-stage codegen makes cheap.
+    Don't add persists here without re-measuring.
     """
     if n < 1:
         raise ValueError(f"span width must be >= 1, got {n}")

@@ -65,7 +65,7 @@ CASES = {
     "dq_constraint_checks": "DQ: all row-level checks fused into one scan per table, FK checks as left-anti joins",
     "scd2_user_state_history": "SCD2: lag->filter->lead on ONE reused user_id exchange",
     "streaming_stream_join_live": "stream-stream join: watermarked interval join, state-evicting",
-    "bigram_collocations_lift": "collocations: one posexplode, (doc,pos+1) self-join, unigram counts broadcast back",
+    "bigram_collocations_lift": "collocations: one posexplode, lead(token) window on one doc_id exchange (no token-stream self-join), unigram counts broadcast back",
     "q16_parts_supplier_relationship": "q16: distinct-pair derivation shuffle, broadcast part filter + anti denylist",
     "multi_touch_attribution": "attribution: binned interval join + one count window per purchase",
     "cohort_retention_matrix": "cohorts: two aggs + join reuse one user_id exchange",
