@@ -141,6 +141,34 @@ CASES = {
     "anova_f_between_status": "ANOVA: one pivoted aggregate collapses the table to a single row of integer sums",
     "asof_tolerance_attribution": "as-of tolerance: same single union+window exchange, gap filter afterward",
     "span_dedup_c4": "C4 span removal: shared tokenize, ONE 8-byte hashed-gram heavy-hitter shuffle (no gram strings shuffled), order-preserving reassembly on one doc-key exchange",
+    # r5: sections for every gate-prefix / r6-backlog query that lacked one
+    "python_datasource_scan": "python source: BatchScan over the custom reader, partition-parallel arrow batches, filter stays above the scan (pushdown pinned off per-query via _conf_pinned)",
+    "multimodal_resize_geometry": "resize: ONE MapInPandas batch seam straight over the media scan, zero exchanges before the Python boundary",
+    "transpose_status_summary": "transpose: one-shuffle partial/final status aggregate collapses to 3 rows, then DataFrame.transpose's documented driver-side flip (LocalTableScan — report-layout op, aggregate input only)",
+    "similarity_topk_ivf": "IVF: 16-centroid table broadcast (TakeOrdered sample), rank-1 list assignment + per-query nprobe lists via partial-before-exchange WindowGroupLimit, candidate join broadcast on list id, top-k WindowGroupLimit",
+    "listagg_nations_by_region": "listagg: region dim broadcast join, ONE r_name exchange with partial_listagg map-side combine",
+    "mom_revenue_growth": "MoM: one month-key agg shuffle collapses facts to calendar months; lag window over that bounded table (allowlisted single-partition readout)",
+    "null_ordering_topk": "NULL-placement gate: two stacked rank windows on one sort (k=20 semantics readout, allowlisted; production form is TakeOrdered)",
+    "audience_overlap_matrix": "overlap: (type,user) distinct pre-agg, pair join broadcast with type_a<type_b, per-type user counts broadcast back onto <=|types|^2 cells",
+    "status_transition_matrix": "transitions: lag window on one custkey exchange, (prev,cur) count agg, row margins broadcast back over <=|status|^2 cells",
+    "conversion_latency_percentiles": "latency: union+window as-of pairing on one user exchange, exact p50/p90 via two-phase (partial+final) percentile aggregate to a 1-row report",
+    "ols_price_trend": "OLS: five power sums fused in ONE partial/final aggregate per flag, closed-form slope from the 1-row-per-flag table, single scan",
+    "gini_order_value": "Gini: rank window + sum(i*v) ride ONE status exchange, integer fixed-point sums, no self-join",
+    "cohort_ltv_curve": "LTV: first-order cohort aggregate broadcast onto orders, (cohort,age) agg, cumulative window reuses the cohort exchange",
+    "rfm_segmentation": "RFM: one custkey aggregate collapses facts; three ntile windows over the per-customer table (dimension scale, allowlisted)",
+    "basket_lift_part_pairs": "lift: distinct (order,part) pre-agg, orderkey-bucketed pair join with pa<pb, per-part counts broadcast back, 1-row basket total close, top-20 TakeOrdered",
+    "abc_pareto_classification": "ABC: per-part agg collapses facts, cumulative-share window over the COLLAPSED part table (allowlisted), 1-row grand-total close",
+    "new_vs_returning_revenue": "new-vs-returning: per-customer first-month aggregate broadcast onto orders, ONE (month,segment) agg shuffle",
+    "label_centroid_distances": "centroids: posexplode to (label,pos) integer sums, label-pair comparison joined broadcast per position, DECIMAL(38) exact cross terms",
+    "null_safe_join_semantics": "null-safe gate: plain equi-join drops NULL keys while <=> compiles to (coalesce,isnull) composite hash keys — still a hash join, never a nested loop",
+    "surrogate_key_dimension": "surrogate keys: dense_rank over DISTINCT (source,lang) tuples (dimension scale, allowlisted), facts keyed via broadcast join back",
+    "mode_per_group": "mode: (status,priority) count agg then rank-1 WindowGroupLimit with partial top-1 BEFORE the status exchange",
+    "asof_forward_next_error": "forward as-of: union+window with DESC ordering and last(ignorenulls) lookahead on ONE user exchange (mirror of the backward as-of)",
+    "inverted_index_postings": "postings: (term,doc) partial-agg shuffle, term-keyed list assembly with map-side partial_collect, one Generate explode of the token stream",
+    "datetime_zoo": "datetime zoo: pure projection over a scan with the o_orderkey%101 filter pushed down, ZERO exchanges",
+    "time_weighted_avg_value": "TWA: lead window on one user exchange, integer-us durations, DECIMAL(38) fixed-point v*dt sums, final agg rides the window exchange",
+    "multimodal_features": "multimodal features: ONE MapInPandas batch seam over binary+meta, deterministic stub decode, range-partitioned ordered output",
+    "decontaminate_ngram_overlap_hashed": "hashed decontamination: bench gram hashes DISTINCT+broadcast, training grams hashed map-side from token-slice arrays (no gram strings), one (doc,gram) distinct shuffle",
 }
 
 KEY_MARKERS = (
