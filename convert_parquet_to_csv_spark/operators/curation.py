@@ -263,13 +263,33 @@ def remove_duplicated_spans(
        2⁻⁶⁴-collision acceptance as the minhash pipeline); hot
        grams = HAVING count_distinct(doc) > max_docs;
     3. coverage: occurrences of hot grams re-explode to the n covered
-       positions, deduped per (doc, pos). The hot-gram join is left to
-       AQE: the hot set is usually tiny (broadcast) but is
-       data-dependent, and a wrong forced broadcast at 100 TB would
-       OOM the executors;
-    4. word branch left-joins coverage on (doc, pos); survivors
-       reassemble via ``array_sort(collect_list(struct(pos, word)))``
-       — per-doc data, one doc-key shuffle.
+       positions, deduped per (doc, pos), then aggregated to ONE
+       covered-position array per doc — the only rows that ever
+       shuffle here are covered positions (boilerplate-sized), never
+       the word stream. The hot-gram join is left to AQE: the hot set
+       is usually tiny (broadcast) but is data-dependent, and a wrong
+       forced broadcast at 100 TB would OOM the executors;
+    4. array-native reassembly: the per-doc coverage table joins back
+       to the tokenized docs at DOC granularity (AQE broadcasts it
+       when small; worst case it is a doc-key exchange of covered
+       positions only) and an index lambda filters the token array in
+       place — the word corpus is never exploded and never crosses an
+       exchange.
+
+    Measured design change (r5, ``tools/span_reassembly_ab.py``,
+    interleaved cache-cleared min-of-2, full clean_text output): this
+    array-native reassembly beats the previous word-stream form
+    (posexplode every word -> left-join coverage on (doc, pos) ->
+    ``array_sort(collect_list(struct(pos, word)))`` on a doc-key
+    exchange) **5.9 s vs 13.1 s** on the sf0.01-derived 500k corpus
+    and **6.1 s vs 15.7 s** on the sf0.1-derived one (longer docs) —
+    the lost whole-stage codegen of the HOF lambda is far cheaper
+    than shuffling every word as a struct. Trade-off to re-measure if
+    corpora change: ``array_contains`` membership is O(len x cov)
+    comparisons per doc; it wins while coverage is boilerplate-sized,
+    and would degrade only on pathological corpora (multi-thousand-
+    word docs that are ~fully covered), where the word-stream form's
+    shuffle-heavy plan is the fallback.
 
     Docs shorter than ``n`` words contribute no shingles (guarded —
     Spark's ``sequence(0, negative)`` counts DOWNWARD) and pass
@@ -310,10 +330,10 @@ def remove_duplicated_spans(
         .filter(F.col("_nd") > max_docs)
         .select("gram")
     )
-    # `covered` and `words` share lineage through `arr`, so joining on
-    # same-named columns trips Spark's "trivially true equals
-    # predicate" auto-disambiguation warning (harmless but log-spam) —
-    # rename the coverage side's key columns instead.
+    # `covered` shares lineage with `arr`, so joining on same-named
+    # columns would trip Spark's "trivially true equals predicate"
+    # auto-disambiguation warning (harmless but log-spam) — the
+    # coverage side's key columns are renamed instead.
     covered = (
         grams.join(hot, "gram")
         .select(
@@ -324,27 +344,23 @@ def remove_duplicated_spans(
         )
         .distinct()
     )
-    words = arr.select(
-        id_col, F.posexplode("_a").alias("pos", "word")
+    cov_per_doc = covered.groupBy("_cid").agg(
+        F.collect_set("cpos").alias("_cov")
     )
-    joined = words.join(
-        covered,
-        (F.col(id_col) == F.col("_cid")) & (F.col("pos") == F.col("cpos")),
-        "left",
-    ).select(id_col, "pos", "word", "cpos")
-    return joined.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.expr(
-                "transform(array_sort(collect_list("
-                "CASE WHEN cpos IS NULL THEN struct(pos, word) END"
-                ")), x -> x.word)"
-            ),
-        ).alias("clean_text"),
-        F.sum(F.when(F.col("cpos").isNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_kept"),
-        F.count("cpos").cast("bigint").alias("n_removed"),
+    joined = arr.join(
+        cov_per_doc, F.col(id_col) == F.col("_cid"), "left"
+    )
+    # 0-based transform index matches the 0-based gram start
+    # positions; NULL `_cov` = doc has no covered span.
+    kept = F.expr(
+        "filter(transform(_a, (w, i) -> CASE WHEN _cov IS NULL OR NOT "
+        "array_contains(_cov, i) THEN w END), x -> x IS NOT NULL)"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        (F.size("_a") - F.size(kept)).cast("bigint").alias("n_removed"),
     )
 
 

@@ -140,7 +140,7 @@ CASES = {
     "max_records_per_file_cap": "file cap: capped CSV write + provenance readback, per-file audit broadcast into the row",
     "anova_f_between_status": "ANOVA: one pivoted aggregate collapses the table to a single row of integer sums",
     "asof_tolerance_attribution": "as-of tolerance: same single union+window exchange, gap filter afterward",
-    "span_dedup_c4": "C4 span removal: shared tokenize, ONE 8-byte hashed-gram heavy-hitter shuffle (no gram strings shuffled), order-preserving reassembly on one doc-key exchange",
+    "span_dedup_c4": "C4 span removal: shared tokenize, ONE 8-byte hashed-gram heavy-hitter shuffle (no gram strings shuffled), array-native reassembly — per-doc coverage arrays broadcast-joined back, the word stream is never exploded and never crosses an exchange",
     # r5: sections for every gate-prefix / r6-backlog query that lacked one
     "python_datasource_scan": "python source: BatchScan over the custom reader, partition-parallel arrow batches, filter stays above the scan (pushdown pinned off per-query via _conf_pinned)",
     "multimodal_resize_geometry": "resize: ONE MapInPandas batch seam straight over the media scan, zero exchanges before the Python boundary",
