@@ -223,6 +223,25 @@ def test_remove_duplicated_spans_overlapping_hot_grams(spark):
         assert out[i] == (f"pre{i} post{i}", 5)
 
 
+def test_remove_duplicated_spans_fully_boilerplate_doc(spark):
+    """A doc whose every word is covered must still come back — with
+    clean_text='' and n_kept=0 (docstring contract; the array-native
+    reassembly must not drop it on the coverage join)."""
+    boiler = "b1 b2 b3 b4"
+    df = spark.createDataFrame(
+        [(1, boiler), (2, boiler), (3, boiler), (4, f"solo {boiler} tail")],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in C.remove_duplicated_spans(df, n=4, max_docs=2).collect()
+    }
+    assert len(out) == 4
+    for i in (1, 2, 3):
+        assert out[i] == ("", 0, 4)
+    assert out[4] == ("solo tail", 2, 4)
+
+
 def test_flag_contaminated_hashed_matches_string_path(spark, sf_small):
     """The 100 TB form (xxhash64 gram keys) must agree with the exact
     string-key path on real corpus data."""
