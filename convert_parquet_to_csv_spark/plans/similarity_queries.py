@@ -558,7 +558,22 @@ def embedding_power_iteration_pc1(
     arithmetic, so an ITERATIVE algorithm's output hash-matches the
     oracle with zero tolerance. Sign convention inherited from v₀ =
     ones; two iterations are gated (convergence is the caller's
-    knob, determinism holds at any count)."""
+    knob, determinism holds at any count).
+
+    Partitioning reuse (r5): ``c`` is persisted PRE-PARTITIONED on
+    vec_id, so every per-iteration ``groupBy(vec_id)`` and the
+    ``join(yq, vec_id)`` consume that one upfront exchange instead of
+    re-shuffling the n·dim long table twice per iteration, and y/z
+    are persisted because each feeds _requant twice (max aggregate +
+    quantized projection). Measured at sf0.1, cache-cleared min-of-2:
+    3.98 → 3.3 s — modest, because sf0.1 has only 2000 vectors
+    (128k long rows) and the residual ~3 s is per-job scheduling and
+    codegen across the ~8 sequential broadcast jobs, not data work;
+    the shuffle-count fix is what matters at real scale. A
+    column-wise form (dim fixed sum expressions, zero joins) was
+    ALSO tried and measured 11-13 s — 64-deep DECIMAL(38,0)
+    expression chains fall out of whole-stage codegen into
+    interpreted decimal math; don't resurrect it."""
     flat = _vecs(spark, sf_dir).select(
         "vec_id",
         F.posexplode(F.col("embedding")).alias("pos", "x"),
@@ -572,6 +587,7 @@ def embedding_power_iteration_pc1(
     st = flat.groupBy("pos").agg(
         F.sum("fx").alias("s"), F.count(F.lit(1)).alias("n")
     )
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
     c = (
         flat.join(F.broadcast(st), "pos")
         .select(
@@ -581,22 +597,28 @@ def embedding_power_iteration_pc1(
             .cast("decimal(38,0)")
             .alias("c"),
         )
+        .repartition(nshuf, "vec_id")
         .persist()
     )
-    # v0 = ones: first matvec is the row sum.
-    y = c.groupBy("vec_id").agg(F.sum("c").alias("y"))
+    # v0 = ones: first matvec is the row sum. Each y/z feeds _requant
+    # TWICE (its max aggregate and the quantized projection) — persist
+    # them so neither matvec re-runs (y is one row per vector, z one
+    # per dimension; both trivially cacheable at any scale).
+    y = c.groupBy("vec_id").agg(F.sum("c").alias("y")).persist()
     for _ in range(2):
         yq = _requant(y, "y", "vec_id").withColumnRenamed("q", "yq")
         z = (
             c.join(yq, "vec_id")
             .groupBy("pos")
             .agg(F.sum(F.col("c") * F.col("yq")).alias("z"))
+            .persist()
         )
         v = _requant(z, "z", "pos").withColumnRenamed("q", "vq")
         y = (
             c.join(F.broadcast(v), "pos")
             .groupBy("vec_id")
             .agg(F.sum(F.col("c") * F.col("vq")).alias("y"))
+            .persist()
         )
     # The loop computes one matvec past v2; return v (the loop's last
     # re-quantized vector) — y is discarded.

@@ -58,7 +58,7 @@ CASES = {
     "q13_customer_distribution": "q13: LEFT OUTER preserved, two-level agg",
     "q17_small_quantity_revenue": "q17: correlated scalar subquery decorrelated to per-part agg + join",
     "q21_suppliers_waiting": "q21: EXISTS/NOT-EXISTS as two groupBys on one reused orderkey exchange",
-    "decontaminate_ngram_overlap": "decontamination: benchmark grams DISTINCT+broadcast, training grams filtered map-side, one per-doc count shuffle",
+    "decontaminate_ngram_overlap": "decontamination (exact, hash-accelerated): bench gram strings DISTINCT+broadcast with slice hashes, training side joins on xxhash64(token slice) map-side (no corpus gram strings) + array-equality verify in-stage, one per-doc count shuffle",
     "distinctive_terms_tfidf": "tf-idf: (doc,term)/(term) partial-agg shuffles, 1-row corpus count broadcast, WindowGroupLimit top-k",
     "source_mix_temperature": "mixing: per-source agg broadcast back as targets, one per-source window shuffle",
     "arrow_vector_checksum": "mapInArrow: ArrowEvalPython-free batch op, zero exchanges",
@@ -101,7 +101,7 @@ CASES = {
     "dedup_cluster_size_histogram": "dedup audit: fingerprint shuffle (shared with exact_dedup) + tiny size-histogram agg",
     "oov_rate_vs_topk_vocab": "OOV: one tokenize feeds vocab top-V and the scoring pass, vocab BROADCAST, no token-stream shuffle in the join",
     "char_trigram_familiarity": "trigram LM: one explode feeds corpus freq + scoring join, freq table broadcast (<=alphabet^3 keys)",
-    "embedding_power_iteration_pc1": "power iteration: per-matvec broadcast of the 64-row vector, long table never re-shuffles, DECIMAL(38) sums",
+    "embedding_power_iteration_pc1": "power iteration: per-matvec broadcast of the 64-row vector, long table persisted pre-partitioned on vec_id (one upfront exchange reused by every groupBy/join), y/z persisted against the _requant double reference, DECIMAL(38) sums",
     "sql_parameterized_args": "parameterized SQL: bound literals reach PushedFilters exactly like hand-written ones",
     "source_language_prune": "source prune: per-source verdicts BROADCAST back, doc stream filtered map-side",
     "chisq_independence_cells": "chi-square: one (type,dow) agg collapses input, margin windows over the tiny cell table",
