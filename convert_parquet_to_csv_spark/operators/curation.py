@@ -306,7 +306,9 @@ def remove_duplicated_spans(
        shuffles 8-byte keys instead of ~40-byte gram strings (r4:
        measured 41.8 s → see bench span_dedup_c4_500k_docs; same
        2⁻⁶⁴-collision acceptance as the minhash pipeline); hot
-       grams = HAVING count_distinct(doc) > max_docs;
+       grams = HAVING count_distinct(doc) > max_docs, computed as a
+       total-count pre-filter + exact distinct-count on survivors
+       (see next paragraph);
     3. coverage: occurrences of hot grams re-explode to the n covered
        positions, deduped per (doc, pos), then aggregated to ONE
        covered-position array per doc — the only rows that ever
@@ -335,6 +337,27 @@ def remove_duplicated_spans(
     and would degrade only on pathological corpora (multi-thousand-
     word docs that are ~fully covered), where the word-stream form's
     shuffle-heavy plan is the fallback.
+
+    Heavy-hitter pass shape (r5, measured by ``tools/scale_curve.py``
+    + a variant A/B at 1M/2M docs): a straight
+    ``groupBy(gram).agg(count_distinct(doc))`` plans TWO full-volume
+    exchanges — one keyed (gram, doc) for the distinct rewrite, one
+    keyed gram — and gram keys are mostly unique, so map-side partial
+    aggregation reduces nothing and the per-partition aggregate state
+    grows linearly with the corpus (the 2M-doc scale-curve point went
+    1.9× over linear once that state outgrew executor memory). The
+    shipped form cuts the full-volume exchanges to ONE: grams with
+    ``count(*) <= max_docs`` can never reach ``count_distinct(doc) >
+    max_docs`` (within-doc repeats only inflate the total), so a plain
+    occurrence-count groupBy screens first and the exact
+    distinct-count runs only on the surviving candidate grams
+    (boilerplate-scale; the candidate join is left to AQE exactly
+    like the hot-gram join below). Measured, interleaved
+    cache-cleared min-of-3: 2M docs 19.0 → 15.7 s; at 1M docs the
+    extra scan pass costs more than the saved exchange while nothing
+    spills (5.7 → 6.7 s) — the single-full-exchange form is kept
+    anyway because shuffle bytes on the dominant stage, not the
+    in-memory small case, are the 100 TB bottleneck.
 
     Docs shorter than ``n`` words contribute no shingles (guarded —
     Spark's ``sequence(0, negative)`` counts DOWNWARD) and pass
@@ -369,8 +392,18 @@ def remove_duplicated_spans(
         "pos",
         F.xxhash64(F.expr(f"slice(_a, pos + 1, {n})")).alias("gram"),
     )
-    hot = (
+    # Total-count pre-filter: the only full-volume exchange. Its
+    # survivors (total occurrences > max_docs) are a superset of the
+    # hot set; the exact distinct-doc count then runs candidate-sized.
+    cand = (
         grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_ct"))
+        .filter(F.col("_ct") > max_docs)
+        .select("gram")
+    )
+    hot = (
+        grams.join(cand, "gram")
+        .groupBy("gram")
         .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
         .filter(F.col("_nd") > max_docs)
         .select("gram")

@@ -1,0 +1,167 @@
+"""Measured scaling curve for the corpus-wide flagship operators.
+
+Answers the 100 TB question with measurement instead of argument: run
+the two heaviest text pipelines (`minhash_dedup`,
+`remove_duplicated_spans`) plus the hashed decontamination screen over
+replicated corpora at 500k / 1M / 2M docs and report seconds and the
+per-500k-docs normalized rate at each size. A scale-shaped plan shows
+a flat-to-gently-rising normalized rate (fixed scheduling overhead
+amortizes away); a hidden superlinearity (quadratic candidate growth,
+a driver-side bottleneck, an unpartitioned window) shows up as a
+rising curve long before it would OOM a real cluster.
+
+Corpus construction matches bench.py `_build_docs_500k`: every token
+gets a per-copy suffix so copies are NOT near-duplicates of each
+other — dup-cluster structure (and therefore candidate volume) stays
+LINEAR in the replication factor. An unmangled replication would turn
+every doc into an N-way dup cluster and bench the quadratic pathology
+instead of the operator.
+
+Protocol: cache-cleared before every timed run, min of 2 runs per
+(kernel, size), kernels interleaved within a size so box noise lands
+evenly (the bench.py calibration lesson). Output: one JSON line +
+a Markdown table appended to stdout. Usage:
+
+    python tools/scale_curve.py [sizes ...]        # default 500000 1000000 2000000
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/scale_curve.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from convert_parquet_to_csv_spark.session import get_spark
+from convert_parquet_to_csv_spark.sources.io_ops import read_parquet
+from convert_parquet_to_csv_spark.operators.dedup import minhash_dedup
+from convert_parquet_to_csv_spark.operators.curation import (
+    flag_contaminated,
+    remove_duplicated_spans,
+)
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPEAT = 2
+
+
+def _corpus_path(n: int) -> str:
+    import hashlib
+
+    key = hashlib.md5(f"{SF_DIR}:{n}".encode()).hexdigest()[:8]
+    return f"/tmp/cptc_curve_docs_{key}.parquet"
+
+
+def _build_corpus(spark, n: int) -> str:
+    """Replicate SF_DIR documents to >= n rows with per-copy token
+    mangling (see module docstring); cached across runs by path key."""
+    path = _corpus_path(n)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    base = read_parquet(spark, os.path.join(SF_DIR, "documents.parquet"))
+    base_n = base.count()
+    copies = max(1, -(-n // base_n))  # ceil
+    rep = spark.range(copies).select(F.col("id").alias("_copy"))
+    big = base.crossJoin(F.broadcast(rep)).select(
+        (F.col("doc_id") * copies + F.col("_copy")).alias("doc_id"),
+        F.regexp_replace(
+            F.col("text"),
+            F.lit(r"(\S+)"),
+            F.concat(F.lit("$1x"), F.col("_copy").cast("string")),
+        ).alias("text"),
+    )
+    big.repartition(int(CPUS)).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _timed(spark, fn) -> float:
+    best = float("inf")
+    for _ in range(REPEAT):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    spark.catalog.clearCache()
+    return round(best, 3)
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [500_000, 1_000_000, 2_000_000]
+    spark = get_spark(
+        app_name="cptc-scale-curve",
+        master=f"local[{CPUS}]",
+        extra_conf={"spark.sql.shuffle.partitions": CPUS},
+    )
+    results: dict[str, dict[int, float]] = {}
+    for n in sizes:
+        path = _build_corpus(spark, n)
+        docs = read_parquet(spark, path)
+        # A fixed small benchmark side: the decontamination screen's
+        # cost must scale with the CORPUS, not the benchmark.
+        bench_side = read_parquet(
+            spark, os.path.join(SF_DIR, "documents.parquet")
+        ).limit(200)
+        kernels = {
+            "minhash_dedup": lambda d=docs: minhash_dedup(
+                d, num_perm=32, bands=8, threshold=0.5
+            ),
+            "span_dedup_c4": lambda d=docs: remove_duplicated_spans(
+                d, n=4, max_docs=2
+            ),
+            "decontaminate_hashed": lambda d=docs, b=bench_side: (
+                flag_contaminated(d, b, n=5, hash_grams=True)
+            ),
+        }
+        for name, fn in kernels.items():
+            sec = _timed(spark, fn)
+            results.setdefault(name, {})[n] = sec
+            print(f"  {name} @ {n:>9,} docs: {sec:8.3f} s", file=sys.stderr)
+
+    base = sizes[0]
+    lines = [
+        "| kernel | "
+        + " | ".join(f"{n:,} docs" for n in sizes)
+        + " | norm (s per "
+        + f"{base//1000}k, largest size)"
+        + " | curve |",
+        "|---|" + "---|" * (len(sizes) + 2),
+    ]
+    for name, by_n in results.items():
+        largest = sizes[-1]
+        norm = by_n[largest] * base / largest
+        # superlinearity factor: measured_time(largest) relative to
+        # perfect-linear extrapolation from the smallest size.
+        factor = by_n[largest] / (by_n[base] * largest / base)
+        lines.append(
+            "| "
+            + name
+            + " | "
+            + " | ".join(f"{by_n[n]:.2f} s" for n in sizes)
+            + f" | {norm:.2f} s | {factor:.2f}x linear |"
+        )
+    print("\n".join(lines))
+    print(
+        json.dumps(
+            {
+                "metric": "scale_curve_sec",
+                "sf_dir": SF_DIR,
+                "sizes": sizes,
+                "repeat": REPEAT,
+                "results": {
+                    k: {str(n): v for n, v in by_n.items()}
+                    for k, by_n in results.items()
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
