@@ -363,6 +363,11 @@ def remove_duplicated_spans(
     Spark's ``sequence(0, negative)`` counts DOWNWARD) and pass
     through unchanged. Returns (id_col, clean_text, n_kept,
     n_removed); a fully-boilerplate doc comes back with clean_text=''.
+    NULL-text docs pass through as clean_text=NULL with
+    n_kept=0/n_removed=0 (``split(NULL)`` is NULL, so such docs have
+    no tokens to keep or remove; the guards below pin the contract —
+    ADVICE r5 flagged that the bare array form emitted '' with NULL
+    counts).
 
     Measured non-optimization (r5, ``tools/span_persist_ab.py``,
     500k docs, interleaved min-of-2): although ``arr`` is referenced
@@ -434,11 +439,17 @@ def remove_duplicated_spans(
         "filter(transform(_a, (w, i) -> CASE WHEN _cov IS NULL OR NOT "
         "array_contains(_cov, i) THEN w END), x -> x IS NOT NULL)"
     )
+    # NULL text ⇒ _a/kept are NULL: concat_ws would render '' and
+    # size() NULL — pin NULL clean_text + zero counts instead.
     return joined.select(
         F.col(id_col),
-        F.concat_ws(" ", kept).alias("clean_text"),
-        F.size(kept).cast("bigint").alias("n_kept"),
-        (F.size("_a") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.when(F.col("_a").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias("clean_text"),
+        F.coalesce(F.size(kept), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.size("_a") - F.size(kept), F.lit(0))
+        .cast("bigint")
+        .alias("n_removed"),
     )
 
 

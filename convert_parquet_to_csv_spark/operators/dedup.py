@@ -453,9 +453,14 @@ def simhash_pairs(
     verified exactly with ``bit_count(xor)``.
 
     Cache contract: same as :func:`lsh_candidate_pairs` — the
-    chunked table is persist()ed against its multiple references
-    and released only by the caller's ``clearCache()`` (docs×chunks
-    rows of three longs).
+    chunked table is persist()ed at BOTH double-reference points
+    (before the hot-bucket probe, and after the anti-join feeding
+    the self-join's two sides) and released only by the caller's
+    ``clearCache()`` (docs×chunks rows of three longs, twice).
+    Measured (tools/simhash_persist_ab.py, sf0.1 documents,
+    interleaved cache-cleared min-of-2): post-anti-join persist
+    3.06 s vs 3.50 s without (cold first-run gap 3.29 vs 7.67 s) —
+    the ADVICE r5 mirror of lsh_candidate_pairs holds.
     """
     width = 64 // chunks
     mask = (1 << width) - 1
@@ -489,6 +494,11 @@ def simhash_pairs(
             .select("_chunk", "_cv")
         )
         chunked = chunked.join(hot, ["_chunk", "_cv"], "left_anti")
+    # Mirror lsh_candidate_pairs (ADVICE r5): the anti-joined result
+    # feeds BOTH self-join sides — persist so the anti-join (and the
+    # hot probe above it) runs once, not per side. Re-measured at
+    # sf0.1 after the change (see docstring).
+    chunked = chunked.persist()
     a = chunked.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "_chunk", "_cv"
     )

@@ -604,6 +604,17 @@ def embedding_power_iteration_pc1(
     # TWICE (its max aggregate and the quantized projection) — persist
     # them so neither matvec re-runs (y is one row per vector, z one
     # per dimension; both trivially cacheable at any scale).
+    #
+    # Cache contract (ADVICE r5): EVERY iteration's y/z persist stays
+    # pinned until the caller's clearCache — deliberately. The whole
+    # plan is lazy (no action until the caller's), so no iteration's
+    # table is ever "superseded": iteration i's y feeds iteration
+    # i+1's z through _requant's two references at action time, and a
+    # build-time unpersist would cancel the cache BEFORE its first
+    # use, re-running the matvec chain 2^iters times. Memory grows
+    # linearly with the convergence knob but each pinned table is one
+    # row per vector (y) or per dimension (z) — bytes, at any corpus
+    # scale.
     y = c.groupBy("vec_id").agg(F.sum("c").alias("y")).persist()
     for _ in range(2):
         yq = _requant(y, "y", "vec_id").withColumnRenamed("q", "yq")

@@ -242,6 +242,26 @@ def test_remove_duplicated_spans_fully_boilerplate_doc(spark):
     assert out[4] == ("solo tail", 2, 4)
 
 
+def test_remove_duplicated_spans_null_text_passthrough(spark):
+    """NULL-text docs pass through as clean_text=NULL with zero
+    counts (ADVICE r5: split(NULL) is NULL — without the guards the
+    row came back as '' with NULL counts, matching neither the
+    pass-through contract nor the fully-boilerplate one)."""
+    boiler = "b1 b2 b3 b4"
+    df = spark.createDataFrame(
+        [(1, boiler), (2, boiler), (3, boiler), (4, None)],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in C.remove_duplicated_spans(df, n=4, max_docs=2).collect()
+    }
+    assert len(out) == 4
+    assert out[4] == (None, 0, 0)
+    for i in (1, 2, 3):
+        assert out[i] == ("", 0, 4)
+
+
 def test_flag_contaminated_hashed_matches_string_path(spark, sf_small):
     """The 100 TB form (xxhash64 gram keys) must agree with the exact
     string-key path on real corpus data."""
