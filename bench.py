@@ -109,6 +109,44 @@ DUAL_METHODOLOGY_NAMES = [
     "distinctive_terms_tfidf",
 ]
 
+# r6: similarity_topk_lsh/ivf became single-row PROPERTY GATES in the
+# registry (their gate plans also run the exact brute-force baseline).
+# The bench numbers under these names must keep timing the RAW ANN
+# top-k operator so the trend stays like-for-like with r1-r5 — this
+# map overrides the registry lookup with the pre-r6 plan.
+def _topk_lsh_plan(spark, sf_dir):
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from convert_parquet_to_csv_spark.operators import similarity as S
+
+    vecs = read_parquet(
+        spark, _os.path.join(sf_dir, "embeddings.parquet")
+    )
+    queries = vecs.filter(F.col("vec_id") < 5)
+    return S.topk_lsh(vecs, queries, dim=64, k=3, nbits=5, n_tables=32)
+
+
+def _topk_ivf_plan(spark, sf_dir):
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from convert_parquet_to_csv_spark.operators import similarity as S
+
+    vecs = read_parquet(
+        spark, _os.path.join(sf_dir, "embeddings.parquet")
+    )
+    queries = vecs.filter(F.col("vec_id") < 5)
+    return S.topk_ivf(vecs, queries, k=3, n_centroids=16, nprobe=8)
+
+
+BENCH_PLAN_OVERRIDES = {
+    "similarity_topk_lsh": _topk_lsh_plan,
+    "similarity_topk_ivf": _topk_ivf_plan,
+}
+
 # Keyed by SF_DIR (ADVICE r3 scratch-isolation class): a cached 500k
 # corpus built from a DIFFERENT scale factor must not silently serve.
 DOCS_500K_PATH = "/tmp/cptc_bench_docs500k_{}.parquet".format(
@@ -320,7 +358,7 @@ def main() -> None:
     # job time since the baseline engines are warm in-process
     # libraries (r1 VERDICT: "judge future rounds on the warm number").
     for name in BENCH_QUERY_NAMES:
-        fn = registry.QUERIES.get(name)
+        fn = BENCH_PLAN_OVERRIDES.get(name) or registry.QUERIES.get(name)
         if fn is None:
             continue
 

@@ -4,10 +4,12 @@
 ``dedup_minhash`` have full DuckDB oracles (hash-matched) — minhash's
 exact-Jaccard verification makes its survivor set SQL-expressible
 whenever band recall holds (see ``_MINHASH_SURVIVOR_ORACLE``).
-SimHash stays rows-only: its hamming-ball candidate set is a pure
-function of the Spark-side xxhash64 signature with no exact-verify
-stage against a SQL-expressible truth, so the property gates
-(``dedup_simhash_complete``) carry its semantics instead.
+SimHash's survivor ids are a pure function of the Spark-side xxhash64
+signature (not SQL-replayable), so ``dedup_simhash`` is gated as a
+single-row property check against the in-query brute-force hamming
+truth (``_SIMHASH_SURVIVOR_GATE_ORACLE``), with
+``dedup_simhash_complete`` separately pinning the chunk-LSH
+candidate set's exactness.
 """
 
 from __future__ import annotations
@@ -137,11 +139,75 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id").orderBy("doc_id")
 
 
-@query("dedup_simhash")  # rows-only: xxhash64-based signature
+# Survivor-set property gate (VERDICT r5 item 4): the simhash
+# SIGNATURE is a pure function of Spark's xxhash64, so DuckDB cannot
+# replay the survivor ids — but the survivor set's defining properties
+# can be verified in-query against an INDEPENDENT brute-force
+# hamming join over the same signature table (the dedup_simhash_
+# complete scaffold): survivors = exactly the docs never appearing as
+# the greater id of a hamming≤3 pair. ``n_input`` anchors on data;
+# the booleans assert the three clauses of that characterization.
+# A red row means the chunk-LSH pipeline dropped the wrong docs —
+# invisible to the old rows-only check.
+_SIMHASH_SURVIVOR_GATE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+       TRUE AS partition_ok,
+       TRUE AS kept_closed,
+       TRUE AS drops_minimal
+FROM documents
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_SURVIVOR_GATE_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup survivors (64-bit signature, hamming ≤ 3)."""
-    kept = D.simhash_dedup(_docs(spark, sf_dir))
-    return kept.select("doc_id").orderBy("doc_id")
+    """SimHash near-dup survivors (64-bit signature, hamming ≤ 3),
+    gated as a single-row property check (see
+    ``_SIMHASH_SURVIVOR_GATE_ORACLE``): ``partition_ok`` = survivor
+    count equals n_input minus brute-force loser count; ``kept_closed``
+    = no survivor is the greater id of any brute-force hamming≤3 pair;
+    ``drops_minimal`` = every dropped doc IS such a greater id.
+    Together the three pin the survivor set exactly, verified against
+    the O(n²) brute-force join (fixture-scale scaffold only — the
+    production path stays chunk-LSH candidate-bounded)."""
+    docs = _docs(spark, sf_dir)
+    kept = D.simhash_dedup(docs).select("doc_id")
+    sigs = D.simhash_signatures(docs).persist()
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb")
+    )
+    losers_brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= 3)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .persist()
+    )
+    n_input = docs.count()
+    n_kept = kept.count()
+    n_losers = losers_brute.count()
+    kept_in_losers = kept.join(losers_brute, "doc_id", "left_semi").count()
+    dropped_not_loser = (
+        docs.select("doc_id")
+        .join(kept, "doc_id", "left_anti")
+        .join(losers_brute, "doc_id", "left_anti")
+        .count()
+    )
+    sigs.unpersist()
+    losers_brute.unpersist()
+    return spark.createDataFrame(
+        [(
+            n_input,
+            n_kept == n_input - n_losers,
+            kept_in_losers == 0,
+            dropped_not_loser == 0,
+        )],
+        "n_input bigint, partition_ok boolean, kept_closed boolean, "
+        "drops_minimal boolean",
+    )
 
 
 # --- quality gates for the approximate methods ----------------------------

@@ -3,7 +3,9 @@
 ``multimodal_stats`` has a full DuckDB oracle (binary payloads are
 deterministic UTF-8 encodings, so octet arithmetic is replayable in
 SQL). Feature extraction goes through mapInPandas with a stubbed
-decoder → rows-only.
+decoder; since r6 it is gated per row on the SQL-expressible contract
+(row identity, kind mapping, feature width, component range) — the
+blake2b feature values themselves stay pytest-pinned.
 """
 
 from __future__ import annotations
@@ -44,12 +46,37 @@ def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_stats(_media(spark, sf_dir))
 
 
-@query("multimodal_features")  # rows-only: mapInPandas stub decoder
+# Per-row property oracle (VERDICT r5 item 5): DuckDB can't run the
+# blake2b stub decoder, but every row's CONTRACT is SQL-expressible —
+# one output row per media item (id + kind mapping replayed from
+# documents), fixed feature width, and the stub's [-1, 1) component
+# range verified per row. A red row means the mapInPandas seam
+# dropped/duplicated rows, mis-shaped a batch, or emitted garbage —
+# everything the old rows-only check couldn't see.
+_FEATURES_ORACLE = f"""
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+       CAST({M.FEATURE_DIM} AS INT) AS feature_dim,
+       TRUE AS in_range
+FROM documents
+"""
+
+
+@query("multimodal_features", oracle=_FEATURES_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction (stub decoder, real plumbing)."""
+    """Arrow-batched feature extraction (stub decoder, real plumbing),
+    gated per row: feature width and the deterministic stub's [-1, 1)
+    range are checked for every media item (see ``_FEATURES_ORACLE``).
+    The feature VALUES are additionally pinned exactly by
+    tests/test_multimodal.py against the reference stub."""
     feats = M.extract_features(_media(spark, sf_dir))
     return feats.select(
-        "media_id", "kind", F.size("feature").alias("feature_dim")
+        "media_id",
+        "kind",
+        F.size("feature").alias("feature_dim"),
+        F.forall(
+            "feature", lambda x: (x >= -1.0) & (x < 1.0)
+        ).alias("in_range"),
     ).orderBy("media_id")
 
 

@@ -79,32 +79,78 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order of QUERIES/ORACLES is therefore a CORRECTNESS-COVERAGE
 # decision, not cosmetics.
 #
-# r5 strategy (VERDICT r4 items 1+5): after four rounds, 178/246
-# queries carry a driver row; the 68-name never-gated backlog
-# (post-r4) leads this round's prefix. Layout: 3 canaries
-# (flagship `convert_roundtrip`, `python_datasource_scan` as the
-# conf-pinning sentinel, one multimodal mapInPandas seam) -> the 6
-# highest-divergence-risk backlog names first (verdict item 5:
-# arrow-UDF, observe(), transpose/pivot, the two rows-only
-# similarity top-k entries, plus `bigram_collocations_lift` whose
-# self-join was rewritten to an F.lead window this round) -> the
-# remaining 41 backlog names in prior order, filling the 50-slot
-# budget with 47 first-time rows -> the 21 deferred backlog names
-# (`order_to_ship_cycle_buckets` .. `decontaminate_ngram_overlap_
-# hashed`, the r6 rotation) -> everything already driver-green in
-# r1-r4 in prior order. Registry growth stays FROZEN (r4 verdict):
-# the r6 rotation (2-3 canaries + the 21 deferred names) finishes
-# the backlog, after which every registered query has a driver row
-# and the freeze can lift.
+# r6 strategy (VERDICT r5 items 1+2): this rotation FINISHES the
+# never-gated backlog. Layout (exactly the 50-slot gate budget):
+# 3 canaries (flagship `convert_roundtrip`, `python_datasource_scan`
+# as the conf-pinning sentinel, one multimodal mapInPandas seam) ->
+# the 21-name never-gated backlog (`order_to_ship_cycle_buckets` ..
+# `decontaminate_ngram_overlap_hashed`, replica-green 21/21 in the
+# r5 judge run) -> the 5 oracle-upgraded names whose driver rows are
+# stale or `err: no_oracle` (`sample_exact_n_rand`/`dedup_minhash`
+# gained real oracles in r5 after their r1/r2 rows;
+# `dedup_simhash`/`similarity_topk_lsh`/`similarity_topk_ivf` gained
+# property-gate oracles in r6) -> 21 refresh slots for the queries
+# whose latest driver row is r1 (oldest signal first:
+# `q1_pricing_summary` .. `grouping_sets_revenue`). After this round
+# every registered query owns a driver CORRECTNESS row and zero
+# rows-only/`err` rows remain; subsequent rotations just cycle the
+# refresh window (latest-row age order). Registry growth unfreezes
+# once the driver confirms (r4-verdict condition: backlog < gate
+# budget — now zero).
 FIRST_TIER: list[str] = [
     "convert_roundtrip",
     "python_datasource_scan",
     "multimodal_resize_geometry",
+    "order_to_ship_cycle_buckets",
+    "clamped_running_balance",
+    "wau_mau_stickiness",
+    "surrogate_key_dimension",
+    "doc_topic_projection",
+    "collapse_consecutive_events",
+    "mode_per_group",
+    "decile_lift_curve",
+    "interarrival_log2_histogram",
+    "rollup_grouping_id_labels",
+    "agg_filter_zoo",
+    "forward_fill_ignore_nulls",
+    "skewness_exact",
+    "anova_f_between_status",
+    "asof_forward_next_error",
+    "inverted_index_postings",
+    "cohort_retention_matrix",
+    "datetime_zoo",
+    "time_weighted_avg_value",
+    "multimodal_features",
+    "decontaminate_ngram_overlap_hashed",
+    "sample_exact_n_rand",
+    "dedup_minhash",
+    "dedup_simhash",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_customers_per_nation",
+    "events_json_extract",
+    "props_map_explode",
+    "setops_nations",
+    "table_profile_lineitem",
+    "funnel_view_click_purchase",
+    "histogram_order_prices",
+    "q6_revenue_filter",
+    "customers_inactive_1995_anti",
+    "customers_active_1995_semi",
+    "quantile_prices",
+    "distinct_customers_by_status",
+    "orders_above_customer_avg",
+    "scalar_functions_nation",
+    "orders_by_quarter",
+    "cube_revenue",
+    "rollup_revenue",
+    "grouping_sets_revenue",
     "arrow_python_udf_tokens",
     "observe_metrics_single_pass",
     "transpose_status_summary",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
     "bigram_collocations_lift",
     "ohlc_bars_events",
     "ewma_trailing_value",
@@ -147,27 +193,6 @@ FIRST_TIER: list[str] = [
     "max_drawdown_daily_value",
     "longest_daily_streak",
     "trimmed_mean_price",
-    "order_to_ship_cycle_buckets",
-    "clamped_running_balance",
-    "wau_mau_stickiness",
-    "surrogate_key_dimension",
-    "doc_topic_projection",
-    "collapse_consecutive_events",
-    "mode_per_group",
-    "decile_lift_curve",
-    "interarrival_log2_histogram",
-    "rollup_grouping_id_labels",
-    "agg_filter_zoo",
-    "forward_fill_ignore_nulls",
-    "skewness_exact",
-    "anova_f_between_status",
-    "asof_forward_next_error",
-    "inverted_index_postings",
-    "cohort_retention_matrix",
-    "datetime_zoo",
-    "time_weighted_avg_value",
-    "multimodal_features",
-    "decontaminate_ngram_overlap_hashed",
     "quantity_array_agg",
     "multimodal_audio_energy",
     "arrow_interop_roundtrip",

@@ -36,27 +36,15 @@ def test_every_oracle_has_a_query():
     assert orphans == []
 
 
-# The r5 rotation deliberately spends two prefix slots on rows-only
-# queries: VERDICT r4 item 5 ordered the never-gated similarity top-k
-# entries into the first 10 slots because a rows-only driver row is
-# the ONLY hard signal a hash-family-dependent row set can ever earn,
-# and they sit on the highest-divergence-risk surface (broadcast-UDF
-# candidate generation). Everything else in the budget prefix must
-# stay fully oracled.
-_ROWS_ONLY_PREFIX_BUDGET = {"similarity_topk_lsh", "similarity_topk_ivf"}
-
-
-def test_driver_budget_prefix_is_fully_oracled():
-    """The driver gates a ~50-query prefix; every slot spent on a
-    rows-only query is a slot of lost hash-match signal, so rows-only
-    names are banned from the prefix except the explicitly-budgeted
-    set above."""
+def test_every_query_has_an_oracle():
+    """r6 closed the rows-only class: the last four hash-family-
+    dependent queries (similarity_topk_lsh/ivf, dedup_simhash,
+    multimodal_features) were converted to property-gated oracles
+    (VERDICT r5 items 2/4/5), so EVERY registered query now carries a
+    DuckDB oracle and the driver's weaker rows-only path is dead code
+    for this registry. A new unoracled query is a regression of that
+    invariant — either give it a full value-hash oracle or a property
+    gate (the sample_exact_n_rand device), not a bare registration."""
     registry.load_all()
-    prefix = registry.ordered_names()[:50]
-    unoracled = [
-        n
-        for n in prefix
-        if n not in registry.ORACLES
-        and n not in _ROWS_ONLY_PREFIX_BUDGET
-    ]
+    unoracled = [n for n in registry.QUERIES if n not in registry.ORACLES]
     assert unoracled == [], unoracled
