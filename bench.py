@@ -97,6 +97,21 @@ BENCH_QUERY_NAMES = [
 # this gap. Bench BOTH per round (`<name>` = cache-cleared,
 # `<name>_warm` = warm-with-persist) so round-over-round deltas stay
 # interpretable without footnote archaeology.
+# VERDICT r5 item 6: the four sub-second r5 "regressions" were likely
+# VM steal-time noise, but nobody had proven it. These names get a
+# noise-floor protocol: 3 timed cache-cleared runs INTERLEAVED across
+# the set (one-sided steal spikes hit all four, not one — the same
+# doctrine as the Spark/DuckDB calibration interleave), reporting the
+# min plus a `<name>_spread_pct` dispersion key so a future
+# round-over-round delta smaller than the recorded spread reads as
+# noise, not code.
+NOISE_FLOOR_NAMES = [
+    "range_layout_scan",
+    "kafka_roundtrip_events",
+    "similarity_topk_bruteforce",
+    "q6_revenue_filter",
+]
+
 DUAL_METHODOLOGY_NAMES = [
     "dedup_minhash",
     "sparse_cosine_topk_pairs",
@@ -357,9 +372,14 @@ def main() -> None:
     # of the sweep — and BASELINE.md's comparison note prescribes warm
     # job time since the baseline engines are warm in-process
     # libraries (r1 VERDICT: "judge future rounds on the warm number").
+    noise_floor_fns = []
     for name in BENCH_QUERY_NAMES:
         fn = BENCH_PLAN_OVERRIDES.get(name) or registry.QUERIES.get(name)
         if fn is None:
+            continue
+        if name in NOISE_FLOOR_NAMES:
+            # timed later, interleaved across the whole set
+            noise_floor_fns.append((name, fn))
             continue
 
         def _run(fn=fn):
@@ -394,6 +414,24 @@ def main() -> None:
                 time_kernel(_run_warm, warmup=1, repeat=2), 4
             )
             spark.catalog.clearCache()
+
+    # Noise-floor set: one untimed warmup pass, then 3 timed passes
+    # interleaved across the queries (see NOISE_FLOOR_NAMES).
+    nf_samples: dict[str, list[float]] = {n: [] for n, _ in noise_floor_fns}
+    for pass_i in range(4):
+        for name, fn in noise_floor_fns:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            if pass_i > 0:
+                nf_samples[name].append(time.perf_counter() - t0)
+    for name, samples in nf_samples.items():
+        if not samples:
+            continue
+        queries[name] = round(min(samples), 4)
+        queries[f"{name}_spread_pct"] = round(
+            (max(samples) - min(samples)) / min(samples) * 100, 1
+        )
 
     # At-scale minhash-LSH dedup: full pipeline (shingle → signature →
     # banded candidates → exact-Jaccard verify → survivors) over the
@@ -439,25 +477,22 @@ def main() -> None:
         )
 
         docs = read_parquet(spark, DOCS_500K_PATH)
-        # Same cold/warm split as dedup_minhash_500k_docs (VERDICT r4
-        # item 3): the cold number is r4's 48.7 s full-recompute
-        # methodology; the warm number re-runs with the persisted
-        # intermediates cached, the protocol behind the ledger's
-        # 41.8 → 14.5 s A/B — both now ship in the artifact.
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        cleaned = remove_duplicated_spans(docs, n=4, max_docs=2)
-        cleaned.write.format("noop").mode("overwrite").save()
-        queries["span_dedup_c4_500k_docs"] = round(
-            time.perf_counter() - t0, 4
-        )
-        t0 = time.perf_counter()
-        remove_duplicated_spans(docs, n=4, max_docs=2).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        queries["span_dedup_c4_500k_docs_warm"] = round(
-            time.perf_counter() - t0, 4
-        )
+        # No `_warm` key here (VERDICT r5 item 3): r5 removed
+        # span-dedup's persists after measuring them as a NEGATIVE
+        # result (tools/span_persist_ab.py), so a "warm" re-run has
+        # no cached intermediates to reuse — r5's `_warm` number
+        # measured recompute + cache/GC pressure and shipped a
+        # warm-2.4×-slower-than-cold inversion. The plan has nothing
+        # to warm; min-of-2 cache-cleared runs is the whole story.
+        samples_span = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            remove_duplicated_spans(docs, n=4, max_docs=2).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            samples_span.append(time.perf_counter() - t0)
+        queries["span_dedup_c4_500k_docs"] = round(min(samples_span), 4)
         spark.catalog.clearCache()
     except Exception as ex:  # noqa: BLE001 — bench keeps reporting
         print(f"span_dedup_c4_500k_docs failed: {ex}", file=sys.stderr)
@@ -482,7 +517,14 @@ def main() -> None:
                     "cache-cleared-per-run-since-r04; "
                     "dual-keys-since-r05 (`<name>` = cache-cleared "
                     "full recompute, `<name>_warm` = persisted "
-                    "subtrees cached by a prior run)"
+                    "subtrees cached by a prior run; `_warm` only "
+                    "for DUAL_METHODOLOGY_NAMES, whose plans "
+                    "actually persist intermediates — r6 dropped "
+                    "span_dedup's inverted `_warm`); "
+                    "noise-floor-since-r06 (NOISE_FLOOR_NAMES: "
+                    "min-of-3 interleaved cache-cleared runs + "
+                    "`<name>_spread_pct` dispersion — deltas below "
+                    "the spread are VM noise, not code)"
                 ),
             }
         )
