@@ -379,6 +379,25 @@ def remove_duplicated_spans(
     re-run subtree contained a full shuffle), these branches recompute
     only scan+project work that whole-stage codegen makes cheap.
     Don't add persists here without re-measuring.
+
+    2M-doc floor check + second negative result (r6,
+    ``tools/span_repart_ab.py`` protocol: 3 interleaved cache-cleared
+    rounds per variant, MIN per variant — this VM's minute-scale
+    throughput swings reach 3×, so only interleaved minima are
+    admissible): at 2M sf0.1-derived docs the candidate/hot gram
+    tables reach ~2.27M rows (≈18 MB) — past the broadcast
+    threshold, so AQE plans the cand/hot joins as shuffle joins and
+    the gram stream crosses the exchange for the joins too, not
+    just the pre-screen groupBy. Pre-partitioning ``grams`` once on
+    the gram key so all three consumers share one exchange
+    (repartition 27.7 s / repartition+persist 24.6 s) does NOT beat
+    the shipped form (23.96 s): the explicit exchange carries the
+    full (id, pos, gram) payload while the groupBy exchange ships
+    partially-aggregated key/count pairs, and SMJ sorts eat the
+    rest. Floor-to-floor the shipped form is ~0.92× linear
+    (500k 6.5 s → 2M 24.0 s); the 55-62 s 2M points in the r6
+    scale-curve artifact are noise-window captures (same code,
+    same corpus, minutes apart), not superlinearity.
     """
     if n < 1:
         raise ValueError(f"span width must be >= 1, got {n}")

@@ -58,9 +58,14 @@ ORACLES: dict[str, str] = {}
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` under ``name``; optionally with DuckDB oracle SQL.
 
-    Queries without an oracle get the driver's weaker rows-only check —
-    reserved for genuinely non-SQL-expressible ops (LSH bucketing,
-    streaming state), per ``__spark_entry__.py:34-37``.
+    Queries without an oracle would get the driver's weaker rows-only
+    check — as of r6 that class is EMPTY and pinned empty by
+    tests/test_registry.py::test_every_query_has_an_oracle: ops whose
+    row sets aren't SQL-replayable (hash-family-dependent ANN/simhash,
+    stub-decoded features, seeded RNG samples) are gated as property
+    oracles instead (data-anchored counts + TRUE-literal invariants
+    verified in-query; see similarity_queries._TOPK_GATE_ORACLE for
+    the canonical device).
     """
 
     def deco(fn: QueryFn) -> QueryFn:
