@@ -42,7 +42,13 @@ def main() -> int:
         o, n = oq[name], nq[name]
         delta = (n - o) / o if o else 0.0
         flag = ""
-        if delta > args.tol:
+        # `_spread_pct` keys are DISPERSION metadata (r6 noise-floor
+        # protocol), `_`-prefixed keys are corpus-size metadata —
+        # neither is a job time, so neither can "regress".
+        is_timing = not (
+            name.endswith("_spread_pct") or name.startswith("_")
+        )
+        if is_timing and delta > args.tol:
             flag = "  << REGRESSION"
             regressions.append(name)
         print(f"{name:<32} {o:>8.3f} {n:>8.3f} {delta:>+7.1%}{flag}")
