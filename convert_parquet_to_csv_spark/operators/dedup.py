@@ -209,6 +209,93 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Ordered pairs (contained_id, container_id, containment) with
+    shingle-set containment |S(contained) ∩ S(container)| /
+    |S(contained)| ≥ threshold, contained ≠ container.
+
+    The ASYMMETRIC near-dup flavor Jaccard structurally misses: a
+    300-word excerpt quoted inside a 10k-word page has Jaccard ≈
+    |A|/|B| ≈ 0.03 but containment ≈ 1.0 — the quote/excerpt/
+    subset-page detector (the fifth near-dup family next to exact,
+    Jaccard, MinHash, SimHash, and edit-distance). Curation policy
+    differs from symmetric dedup too: the CONTAINED doc is usually
+    the drop candidate regardless of doc-id order.
+
+    Plan shape (mirrors :func:`ngram_jaccard_pairs` — same scale
+    properties): one shingle explode, optional hot-shingle guard
+    (``max_bucket``, the stop-shingle skew cap), ONE self-join on the
+    shingle computing the UNORDERED intersection count (id_a < id_b),
+    then the two ordered directions are expanded from that single
+    join output before the per-contained-side count join — the
+    expensive intersection is never computed twice. The per-doc count
+    table joins only the contained side (containment's denominator);
+    both joins are AQE-broadcastable when the pair table is small.
+
+    ``persist`` caches the exploded shingle table (referenced by the
+    intersection's two sides and the count aggregate); caller
+    releases via ``clearCache()`` — same contract as
+    ngram_jaccard_pairs.
+    """
+    sh = _shingle_table(df, id_col, text_col, k)
+    if persist:
+        sh = sh.persist()
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+
+    pair_source = sh
+    if max_bucket is not None:
+        hot = (
+            sh.groupBy("_shingle")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("_shingle")
+        )
+        pair_source = sh.join(hot, "_shingle", "left_anti")
+    a = pair_source.select(
+        F.col(id_col).alias("id_a"), F.col("_shingle").alias("_s")
+    )
+    b = pair_source.select(
+        F.col(id_col).alias("id_b"), F.col("_shingle").alias("_s")
+    )
+    inter = (
+        a.join(b, "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_i"))
+    )
+    ordered = inter.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        "_i",
+    ).unionByName(
+        inter.select(
+            F.col("id_b").alias("contained_id"),
+            F.col("id_a").alias("container_id"),
+            "_i",
+        )
+    )
+    nc = counts.select(
+        F.col(id_col).alias("contained_id"), F.col("_n").alias("_nc")
+    )
+    return (
+        ordered.join(nc, "contained_id")
+        .withColumn(
+            "containment",
+            F.col("_i").cast("double") / F.col("_nc").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("contained_id", "container_id", "containment")
+    )
+
+
 def drop_near_duplicates(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Keep-policy shared by all near-dup flavors: drop every doc that
     appears as the *greater* id of a duplicate pair (min-id survivor,

@@ -47,6 +47,55 @@ def test_ngram_jaccard_pairs(spark, corpus):
     assert (0, 4) not in pairs and (4, 5) not in pairs
 
 
+def test_containment_pairs_finds_excerpt_jaccard_misses(spark):
+    """A short excerpt quoted inside a long page has near-1.0
+    containment but tiny Jaccard — the asymmetric detector must flag
+    it (contained side first) while the symmetric one stays silent,
+    and unrelated docs must not pair."""
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(120))
+    excerpt = "alpha beta gamma delta epsilon zeta eta theta"
+    page = f"{filler} {excerpt}"
+    df = spark.createDataFrame(
+        [(0, page), (1, excerpt), (2, "totally unrelated words here")],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in D.containment_pairs(df, k=3, threshold=0.8).collect()
+    }
+    assert (1, 0) in out and out[(1, 0)] == 1.0
+    assert (0, 1) not in out  # page is NOT contained in the excerpt
+    assert not any(2 in pair for pair in out)
+    # symmetric Jaccard misses the same pair at any useful threshold
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(df, k=3, threshold=0.3).collect()
+    }
+    assert (0, 1) not in jac and (1, 0) not in jac
+
+
+def test_containment_threshold_and_direction(spark):
+    """Half-contained doc sits below a 0.8 threshold but above 0.4;
+    both ordered directions carry their own denominators."""
+    a = "p1 p2 p3 p4 p5 p6"            # 4 3-shingles
+    b = "p1 p2 p3 p4 q5 q6 q7 q8"     # shares shingles of 'p1 p2 p3 p4'
+    df = spark.createDataFrame(
+        [(0, a), (1, b)], "doc_id LONG, text STRING"
+    )
+    out = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in D.containment_pairs(df, k=3, threshold=0.4).collect()
+    }
+    # S(a)={p123,p234,p345,p456}, S(b)={p123,p234,p34q5,...}: i=2
+    assert out[(0, 1)] == 0.5          # 2/4 ≥ 0.4: contained dir in
+    assert (1, 0) not in out           # 2/6 ≈ 0.33 < 0.4: other dir out
+    out_hi = {
+        (r["contained_id"], r["container_id"])
+        for r in D.containment_pairs(df, k=3, threshold=0.8).collect()
+    }
+    assert out_hi == set()
+
+
 def test_minhash_signatures_shape_and_determinism(spark, corpus):
     s1 = D.minhash_signatures(corpus, num_perm=16)
     assert len(s1.columns) == 17
