@@ -96,6 +96,69 @@ def test_containment_threshold_and_direction(spark):
     assert out_hi == set()
 
 
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing guarantee: two docs sharing a token run of
+    length >= window + k - 1 MUST share at least one fingerprint
+    value, regardless of surrounding text."""
+    k, w = 5, 4
+    run = " ".join(f"r{i}" for i in range(k + w - 1))  # exactly w+k-1
+    df = spark.createDataFrame(
+        [
+            (0, f"aa bb cc {run} dd ee"),
+            (1, f"zz yy {run} xx ww vv uu"),
+            (2, "nothing in common with the others at all even once"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    fps = D.winnow_fingerprints(df, k=k, window=w)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in D.winnow_candidate_pairs(fps, min_shared=1).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert not any(2 in p for p in pairs)
+
+
+def test_winnow_selection_validity_and_density(spark):
+    """Every fingerprint is a real gram hash at a real position; the
+    selected count is far below the gram count (the ~2/(w+1) density
+    claim, loosely bounded); a sub-(k+w-1)-token doc still yields its
+    single overall-min gram; sub-k docs yield nothing."""
+    k, w = 5, 4
+    words = " ".join(f"t{i * 17 % 101}" for i in range(300))
+    df = spark.createDataFrame(
+        [(0, words), (1, "only six little words right here"),
+         (2, "too short")],
+        "doc_id LONG, text STRING",
+    )
+    fps = D.winnow_fingerprints(df, k=k, window=w)
+    rows = fps.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["fp"]))
+    n_grams_0 = 300 - k + 1
+    assert 0 < len(by_doc[0]) < n_grams_0 / 2  # well under half
+    assert all(0 <= p < n_grams_0 for p, _ in by_doc[0])
+    # doc 1 has 7 tokens → 3 grams < window → exactly one fingerprint
+    assert len(by_doc.get(1, [])) == 1
+    assert 2 not in by_doc
+
+
+def test_winnow_md5_flavor_same_guarantee(spark):
+    """The md5 (oracle-replayable) flavor keeps the guarantee and
+    yields positive longs parseable by both engines."""
+    k, w = 3, 3
+    run = " ".join(f"m{i}" for i in range(k + w - 1))
+    df = spark.createDataFrame(
+        [(0, f"pre {run} post"), (1, f"{run} tail words")],
+        "doc_id LONG, text STRING",
+    )
+    fps = D.winnow_fingerprints(df, k=k, window=w, hash_fn="md5")
+    assert fps.filter(F.col("fp") < 0).count() == 0
+    pairs = D.winnow_candidate_pairs(fps, min_shared=1)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(0, 1)}
+
+
 def test_minhash_signatures_shape_and_determinism(spark, corpus):
     s1 = D.minhash_signatures(corpus, num_perm=16)
     assert len(s1.columns) == 17
