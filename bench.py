@@ -112,16 +112,21 @@ NOISE_FLOOR_NAMES = [
     "q6_revenue_filter",
 ]
 
+# Pruned in r6 (the span_dedup `_warm` lesson generalized): a `_warm`
+# key is only meaningful when the warm run actually reuses a cache the
+# RETURNED plan retains (caller-released persist contract). Queries
+# that localCheckpoint eagerly and unpersist INTERNALLY
+# (kcore_copurchase, graph_triangle_copurchase,
+# char_trigram_familiarity, oov_rate_vs_topk_vocab) leave nothing for
+# a re-run to reuse — their r5 `_warm` keys measured recompute ± VM
+# noise (observed both above and below the cold number) — and
+# distinctive_terms_tfidf never persisted at all. Verified by reading
+# each plan's persist/unpersist flow; only these four retain caches:
 DUAL_METHODOLOGY_NAMES = [
     "dedup_minhash",
     "sparse_cosine_topk_pairs",
-    "kcore_copurchase",
-    "graph_triangle_copurchase",
     "embedding_power_iteration_pc1",
     "hll_distinct_customers",
-    "char_trigram_familiarity",
-    "oov_rate_vs_topk_vocab",
-    "distinctive_terms_tfidf",
 ]
 
 # r6: similarity_topk_lsh/ivf became single-row PROPERTY GATES in the
@@ -518,9 +523,10 @@ def main() -> None:
                     "dual-keys-since-r05 (`<name>` = cache-cleared "
                     "full recompute, `<name>_warm` = persisted "
                     "subtrees cached by a prior run; `_warm` only "
-                    "for DUAL_METHODOLOGY_NAMES, whose plans "
-                    "actually persist intermediates — r6 dropped "
-                    "span_dedup's inverted `_warm`); "
+                    "for DUAL_METHODOLOGY_NAMES, whose RETURNED "
+                    "plans retain persisted subtrees — r6 dropped "
+                    "span_dedup's inverted `_warm` and pruned the "
+                    "names that release their caches internally); "
                     "noise-floor-since-r06 (NOISE_FLOOR_NAMES: "
                     "min-of-3 interleaved cache-cleared runs + "
                     "`<name>_spread_pct` dispersion — deltas below "
