@@ -890,3 +890,162 @@ def survivorship_golden_record(
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# r6 additions: containment (asymmetric near-dup) + winnowing (MOSS)
+# Registered AFTER the r6 gate rotation froze — they sit past the
+# FIRST_TIER prefix, i.e. they are the r7 rotation's backlog.
+# --------------------------------------------------------------------------
+
+_CT_K, _CT_THRESH = 3, 0.5
+
+_CONTAINMENT_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(0, greatest(len(toks) - {_CT_K}, 0) + 1),
+             i -> array_to_string(toks[i + 1 : i + {_CT_K}], ' ')))) AS s
+  FROM tok WHERE len(toks) > 0
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), ordered AS (
+  SELECT id_a AS contained_id, id_b AS container_id, i FROM inter
+  UNION ALL
+  SELECT id_b AS contained_id, id_a AS container_id, i FROM inter
+)
+SELECT contained_id, container_id,
+       CAST(i AS DOUBLE) / CAST(c.n AS DOUBLE) AS containment
+FROM ordered JOIN cnt c ON c.doc_id = contained_id
+WHERE CAST(i AS DOUBLE) / CAST(c.n AS DOUBLE) >= {_CT_THRESH}
+"""
+
+
+@query("dedup_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-set containment pairs ≥ 0.5 — the
+    excerpt/quote detector (fifth near-dup family). Same shingle
+    explode + single unordered self-join as dedup_ngram_jaccard;
+    both ordered directions expand from that one join output."""
+    return D.containment_pairs(
+        _docs(spark, sf_dir), k=_CT_K, threshold=_CT_THRESH
+    )
+
+
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03). The md5 flavor is
+# bit-replayable in DuckDB: Spark conv(substring(md5(gram),1,15),16,10)
+# == DuckDB ('0x'||substr(md5(gram),1,15))::BIGINT (verified value-
+# equal), so the SELECTION — rightmost-minimal hash per sliding window
+# of gram positions — can be replayed exactly. DuckDB has no
+# struct-min window aggregate, so the oracle expands each valid window
+# start against its member grams (bounded: window=4 rows per start)
+# and picks the winner with row_number ordered by (h ASC, pos DESC) —
+# the same robust-winnowing tie-break the Spark plan encodes as
+# min(struct(h, -pos)).
+_WN_K, _WN_WINDOW = 5, 4
+
+_WINNOW_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos,
+         len(toks) - {_WN_K} + 1 AS g,
+         ('0x' || substr(md5(array_to_string(
+             toks[i + 1 : i + {_WN_K}], ' ')), 1, 15))::BIGINT AS h
+  FROM tok, unnest(range(0, len(toks) - {_WN_K} + 1)) AS t(i)
+  WHERE len(toks) >= {_WN_K}
+), starts AS (
+  SELECT doc_id, pos FROM grams
+  WHERE pos <= greatest(g - {_WN_WINDOW}, 0)
+), win AS (
+  SELECT s.doc_id, g2.pos AS gpos, g2.h,
+         row_number() OVER (
+             PARTITION BY s.doc_id, s.pos
+             ORDER BY g2.h ASC, g2.pos DESC) AS rn
+  FROM starts s
+  JOIN grams g2 ON g2.doc_id = s.doc_id
+              AND g2.pos BETWEEN s.pos AND s.pos + {_WN_WINDOW} - 1
+)
+SELECT DISTINCT doc_id, gpos AS pos, h AS fp
+FROM win WHERE rn = 1
+"""
+
+
+@query("dedup_winnow_fingerprints", oracle=_WINNOW_ORACLE)
+def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (md5 flavor, k=5, window=4): the
+    deterministic local-similarity index — any shared run of
+    window+k-1 = 8 words between two docs is guaranteed a shared
+    fingerprint, at ~2/(window+1) selection density."""
+    fps = D.winnow_fingerprints(
+        _docs(spark, sf_dir),
+        k=_WN_K,
+        window=_WN_WINDOW,
+        hash_fn="md5",
+    )
+    return fps.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "fp"
+    )
+
+
+_WN_MIN_SHARED = 2
+
+_WINNOW_PAIRS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos,
+         len(toks) - {_WN_K} + 1 AS g,
+         ('0x' || substr(md5(array_to_string(
+             toks[i + 1 : i + {_WN_K}], ' ')), 1, 15))::BIGINT AS h
+  FROM tok, unnest(range(0, len(toks) - {_WN_K} + 1)) AS t(i)
+  WHERE len(toks) >= {_WN_K}
+), starts AS (
+  SELECT doc_id, pos FROM grams
+  WHERE pos <= greatest(g - {_WN_WINDOW}, 0)
+), win AS (
+  SELECT s.doc_id, g2.pos AS gpos, g2.h,
+         row_number() OVER (
+             PARTITION BY s.doc_id, s.pos
+             ORDER BY g2.h ASC, g2.pos DESC) AS rn
+  FROM starts s
+  JOIN grams g2 ON g2.doc_id = s.doc_id
+              AND g2.pos BETWEEN s.pos AND s.pos + {_WN_WINDOW} - 1
+), fp AS (
+  SELECT DISTINCT doc_id, h AS fp FROM win WHERE rn = 1
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(*) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_WN_MIN_SHARED}
+"""
+
+
+@query("dedup_winnow_candidates", oracle=_WINNOW_PAIRS_ORACLE)
+def dedup_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style candidate pairs: docs sharing ≥ 2 winnowing
+    fingerprint values (fp self-join over the ~2/(window+1)-density
+    index, never over raw grams)."""
+    fps = D.winnow_fingerprints(
+        _docs(spark, sf_dir),
+        k=_WN_K,
+        window=_WN_WINDOW,
+        hash_fn="md5",
+    )
+    return D.winnow_candidate_pairs(fps, min_shared=_WN_MIN_SHARED)
