@@ -559,3 +559,220 @@ def epoch_resample(
             F.col("_copy").cast("int").alias("copy_idx"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition signals + quality-rule deck
+# --------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# (rule, threshold) — top-n-gram char share for n=2..4, duplicated
+# n-gram char share for n=5..10; values straight from the Gopher
+# paper's Table A1 (Rae et al. 2021, arXiv:2112.11446).
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Gopher repetition metrics: the fraction of
+    character mass inside the single most frequent word n-gram
+    (n=2..4, ``top_{n}gram_char_frac``) and inside n-grams occurring
+    more than once (n=5..10, ``dup_{n}gram_char_frac``).
+
+    Character mass is tokenizer-consistent — gram chars =
+    ``length(array_join(slice, ' '))``, doc chars = sum of token
+    lengths + (n_tokens − 1) separators — so multi-space/trim noise in
+    the raw text cannot skew the ratio. Occurrences are counted
+    overlapping (the cheap flavor; the paper's non-overlapping
+    dedup-within-doc refinement changes thresholds, not the signal's
+    shape), and every ratio is one integer-sum divided once — IEEE
+    bit-stable across engines.
+
+    Plan shape: ONE posexplode of the token array, cross-expanded to
+    the 9 gram lengths in the same projection (9 rows per position,
+    no second explode stage), then two partial-agg shuffles —
+    (doc, n, gram-hash) counts, then (doc, n) masses — both hashed on
+    doc-prefixed keys so the second reuses the first's clustering.
+    Gram identity is ``xxhash64(token-slice)`` (the measured shingle
+    lesson from dedup: never carry gram strings across a shuffle);
+    same ~2⁻⁶⁴ collision acceptance as minhash's base hash. Docs with
+    zero tokens pass through with all-zero metrics.
+    """
+    ns = sorted(GOPHER_TOP_NGRAM_MAX) + sorted(GOPHER_DUP_NGRAM_MAX)
+    base = df.select(
+        id_col,
+        tokens(text_col).alias("_tk"),
+    ).withColumn(
+        "_chars",
+        F.coalesce(
+            F.aggregate(
+                F.transform("_tk", F.length),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0),
+        )
+        + F.greatest(F.size("_tk") - 1, F.lit(0)),
+    )
+    pos = base.select(
+        id_col,
+        "_tk",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size("_tk") - 1, F.lit(0)))
+        ).alias("_i"),
+    ).filter(F.size("_tk") > 0)
+    grams = (
+        pos.select(
+            id_col,
+            "_tk",
+            "_i",
+            F.explode(F.array(*[F.lit(n) for n in ns])).alias("_n"),
+        )
+        .filter(F.col("_i") + F.col("_n") <= F.size("_tk"))
+        .select(
+            id_col,
+            "_n",
+            F.xxhash64(F.expr("slice(_tk, _i + 1, _n)")).alias("_gh"),
+            F.length(
+                F.array_join(F.expr("slice(_tk, _i + 1, _n)"), " ")
+            ).alias("_gl"),
+        )
+    )
+    gc = grams.groupBy(id_col, "_n", "_gh").agg(
+        F.count(F.lit(1)).alias("_c"), F.max("_gl").alias("_gl")
+    )
+    per_n = gc.groupBy(id_col, "_n").agg(
+        F.max(F.col("_c") * F.col("_gl")).alias("_top_mass"),
+        F.sum(
+            F.when(F.col("_c") >= 2, F.col("_c") * F.col("_gl")).otherwise(0)
+        ).alias("_dup_mass"),
+    )
+    frac = lambda mass: F.coalesce(  # noqa: E731
+        F.when(
+            F.col("_chars") > 0,
+            mass.cast("double") / F.col("_chars").cast("double"),
+        ),
+        F.lit(0.0),
+    )
+    aggs = [
+        F.coalesce(
+            F.max(F.when(F.col("_n") == n, F.col("_top_mass"))), F.lit(0)
+        ).alias(f"_tm{n}")
+        for n in sorted(GOPHER_TOP_NGRAM_MAX)
+    ] + [
+        F.coalesce(
+            F.max(F.when(F.col("_n") == n, F.col("_dup_mass"))), F.lit(0)
+        ).alias(f"_dm{n}")
+        for n in sorted(GOPHER_DUP_NGRAM_MAX)
+    ]
+    joined = (
+        base.select(id_col, "_chars")
+        .join(per_n, id_col, "left")
+        .groupBy(id_col, "_chars")
+        .agg(*aggs)
+    )
+    return joined.select(
+        id_col,
+        *[
+            frac(F.col(f"_tm{n}")).alias(f"top_{n}gram_char_frac")
+            for n in sorted(GOPHER_TOP_NGRAM_MAX)
+        ],
+        *[
+            frac(F.col(f"_dm{n}")).alias(f"dup_{n}gram_char_frac")
+            for n in sorted(GOPHER_DUP_NGRAM_MAX)
+        ],
+    )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.80,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule deck as per-document boolean flags plus
+    the conjunction (``passes_all``): word-count bounds, mean word
+    length bounds, alphabetic-word fraction, distinct-stopword
+    presence, and the nine repetition thresholds from
+    :func:`gopher_repetition_signals` (GOPHER_TOP_NGRAM_MAX /
+    GOPHER_DUP_NGRAM_MAX).
+
+    Flags, not a silent drop: curation pipelines tune thresholds per
+    corpus, and the flag table is what you aggregate to see WHICH rule
+    is doing the killing before committing to a filter. The paper's
+    line-shape rules (bullet/ellipsis line fractions, symbol-to-word
+    ratio) are omitted — they need raw line structure, which the
+    single-line test fixture cannot exercise; add them over
+    ``split(text, '\\n')`` when pointed at real multi-line corpora.
+
+    One narrow scan feeds both the scalar features (pure Column
+    algebra) and the repetition metrics (two partial-agg shuffles);
+    the final join is doc_id-keyed and AQE-broadcastable when the
+    signal table is small.
+    """
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    tok_chars = F.coalesce(
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+        ),
+        F.lit(0),
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    scalars = df.select(
+        id_col,
+        n_tokens.alias("_nt"),
+        tok_chars.alias("_tc"),
+        alpha_words.alias("_aw"),
+        stop_hits.alias("_sh"),
+    ).select(
+        id_col,
+        ((F.col("_nt") >= min_words) & (F.col("_nt") <= max_words)).alias(
+            "word_count_ok"
+        ),
+        F.when(F.col("_nt") > 0,
+            (F.col("_tc").cast("double") / F.col("_nt").cast("double")
+             >= min_mean_word_len)
+            & (F.col("_tc").cast("double") / F.col("_nt").cast("double")
+               <= max_mean_word_len),
+        ).otherwise(False).alias("mean_word_len_ok"),
+        F.when(F.col("_nt") > 0,
+            F.col("_aw").cast("double") / F.col("_nt").cast("double")
+            >= min_alpha_word_frac,
+        ).otherwise(False).alias("alpha_word_frac_ok"),
+        (F.col("_sh") >= min_stopword_hits).alias("stopword_ok"),
+    )
+    rep = gopher_repetition_signals(df, id_col=id_col, text_col=text_col)
+    rep_flags = rep.select(
+        id_col,
+        *[
+            (F.col(f"top_{n}gram_char_frac") <= t).alias(f"top_{n}gram_ok")
+            for n, t in sorted(GOPHER_TOP_NGRAM_MAX.items())
+        ],
+        *[
+            (F.col(f"dup_{n}gram_char_frac") <= t).alias(f"dup_{n}gram_ok")
+            for n, t in sorted(GOPHER_DUP_NGRAM_MAX.items())
+        ],
+    )
+    out = scalars.join(rep_flags, id_col)
+    flag_cols = [c for c in out.columns if c != id_col]
+    passes = flag_cols[0:1] and F.lit(True)
+    for c in flag_cols:
+        passes = passes & F.col(c)
+    return out.withColumn("passes_all", passes)

@@ -376,3 +376,156 @@ def source_language_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_bpe_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition signals + quality-rule deck (r6; past the gate
+# prefix — r7 rotation backlog)
+# --------------------------------------------------------------------------
+
+# DuckDB replays the metric definition verbatim over gram STRINGS;
+# Spark counts by xxhash64(token-slice) — counts are equal modulo the
+# documented ~2^-64 base-hash collision acceptance (same contract as
+# minhash). Every ratio is one integer mass divided once by the
+# tokenizer-consistent char total, so values are IEEE-identical.
+_GOPHER_GRAMS_CTE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, toks,
+         coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+           + greatest(len(toks) - 1, 0) AS chars
+  FROM tok
+), grams AS (
+  SELECT doc_id, n,
+         array_to_string(toks[i + 1 : i + n], ' ') AS gr
+  FROM base,
+       unnest([2,3,4,5,6,7,8,9,10]) AS tn(n),
+       unnest(range(0, len(toks))) AS tp(i)
+  WHERE i + n <= len(toks)
+), gc AS (
+  SELECT doc_id, n, gr, count(*) AS c, length(gr) AS gl
+  FROM grams GROUP BY doc_id, n, gr
+), per_n AS (
+  SELECT doc_id, n,
+         max(c * gl) AS top_mass,
+         sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS dup_mass
+  FROM gc GROUP BY doc_id, n
+), sig AS (
+  SELECT b.doc_id,
+         b.chars,
+"""
+
+_GOPHER_SIG_COLS = ",\n".join(
+    [
+        "         CASE WHEN b.chars > 0 THEN CAST(coalesce(max(CASE "
+        f"WHEN n = {n} THEN top_mass END), 0) AS DOUBLE) / "
+        f"CAST(b.chars AS DOUBLE) ELSE 0.0 END AS top_{n}gram_char_frac"
+        for n in (2, 3, 4)
+    ]
+    + [
+        "         CASE WHEN b.chars > 0 THEN CAST(coalesce(max(CASE "
+        f"WHEN n = {n} THEN dup_mass END), 0) AS DOUBLE) / "
+        f"CAST(b.chars AS DOUBLE) ELSE 0.0 END AS dup_{n}gram_char_frac"
+        for n in (5, 6, 7, 8, 9, 10)
+    ]
+)
+
+_GOPHER_SIG_ORACLE = (
+    _GOPHER_GRAMS_CTE
+    + _GOPHER_SIG_COLS
+    + """
+  FROM base b LEFT JOIN per_n p ON p.doc_id = b.doc_id
+  GROUP BY b.doc_id, b.chars
+)
+SELECT doc_id,
+       top_2gram_char_frac, top_3gram_char_frac, top_4gram_char_frac,
+       dup_5gram_char_frac, dup_6gram_char_frac, dup_7gram_char_frac,
+       dup_8gram_char_frac, dup_9gram_char_frac, dup_10gram_char_frac
+FROM sig
+"""
+)
+
+
+@query("gopher_repetition_signals", oracle=_GOPHER_SIG_ORACLE)
+def gopher_repetition_signals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gopher repetition metrics per doc: char-mass share of the top
+    2/3/4-gram and of duplicated 5..10-grams — the standard
+    looping-text filters (Rae et al. 2021, Table A1) missing from
+    doc_repetition_stats' unigram-only signals."""
+    return C.gopher_repetition_signals(_docs(spark, sf_dir))
+
+
+_GOPHER_FILTER_ORACLE = (
+    _GOPHER_GRAMS_CTE
+    + _GOPHER_SIG_COLS
+    + """
+  FROM base b LEFT JOIN per_n p ON p.doc_id = b.doc_id
+  GROUP BY b.doc_id, b.chars
+), scal AS (
+  SELECT doc_id,
+         len(toks) AS nt,
+         coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS tc,
+         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS aw,
+         len(list_intersect(
+             list_distinct(list_transform(toks, t -> lower(t))),
+             ['the','be','to','of','and','that','have','with'])) AS sh
+  FROM tok
+)
+SELECT s.doc_id,
+       s.nt BETWEEN 50 AND 100000 AS word_count_ok,
+       CASE WHEN s.nt > 0 THEN
+         CAST(s.tc AS DOUBLE) / CAST(s.nt AS DOUBLE) >= 3.0
+         AND CAST(s.tc AS DOUBLE) / CAST(s.nt AS DOUBLE) <= 10.0
+       ELSE FALSE END AS mean_word_len_ok,
+       CASE WHEN s.nt > 0 THEN
+         CAST(s.aw AS DOUBLE) / CAST(s.nt AS DOUBLE) >= 0.80
+       ELSE FALSE END AS alpha_word_frac_ok,
+       s.sh >= 1 AS stopword_ok,
+       g.top_2gram_char_frac <= 0.20 AS top_2gram_ok,
+       g.top_3gram_char_frac <= 0.18 AS top_3gram_ok,
+       g.top_4gram_char_frac <= 0.16 AS top_4gram_ok,
+       g.dup_5gram_char_frac <= 0.15 AS dup_5gram_ok,
+       g.dup_6gram_char_frac <= 0.14 AS dup_6gram_ok,
+       g.dup_7gram_char_frac <= 0.13 AS dup_7gram_ok,
+       g.dup_8gram_char_frac <= 0.12 AS dup_8gram_ok,
+       g.dup_9gram_char_frac <= 0.11 AS dup_9gram_ok,
+       g.dup_10gram_char_frac <= 0.10 AS dup_10gram_ok,
+       (s.nt BETWEEN 50 AND 100000)
+       AND CASE WHEN s.nt > 0 THEN
+             CAST(s.tc AS DOUBLE) / CAST(s.nt AS DOUBLE) >= 3.0
+             AND CAST(s.tc AS DOUBLE) / CAST(s.nt AS DOUBLE) <= 10.0
+           ELSE FALSE END
+       AND CASE WHEN s.nt > 0 THEN
+             CAST(s.aw AS DOUBLE) / CAST(s.nt AS DOUBLE) >= 0.80
+           ELSE FALSE END
+       AND s.sh >= 1
+       AND g.top_2gram_char_frac <= 0.20
+       AND g.top_3gram_char_frac <= 0.18
+       AND g.top_4gram_char_frac <= 0.16
+       AND g.dup_5gram_char_frac <= 0.15
+       AND g.dup_6gram_char_frac <= 0.14
+       AND g.dup_7gram_char_frac <= 0.13
+       AND g.dup_8gram_char_frac <= 0.12
+       AND g.dup_9gram_char_frac <= 0.11
+       AND g.dup_10gram_char_frac <= 0.10 AS passes_all
+FROM scal s JOIN sig g ON g.doc_id = s.doc_id
+"""
+)
+
+
+@query("gopher_quality_filter", oracle=_GOPHER_FILTER_ORACLE)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher rule deck as per-doc flags + conjunction.
+    ``min_stopword_hits=1`` (paper uses 2): the synthetic fixture
+    vocabulary contains exactly one canonical stopword ('the'), so the
+    paper threshold would zero out ``passes_all`` and gate nothing —
+    the flag columns carry every rule at paper thresholds either way."""
+    return C.gopher_quality_filter(
+        _docs(spark, sf_dir), min_stopword_hits=1
+    )

@@ -349,3 +349,71 @@ def test_epoch_resample_replication_shape(spark, sf_small):
             src,
             counts,
         )
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition signals + quality filter
+# --------------------------------------------------------------------------
+
+def _py_gopher_signals(text: str) -> dict[str, float]:
+    """Pure-Python reference for gopher_repetition_signals."""
+    toks = [t for t in text.split() if t]
+    chars = sum(len(t) for t in toks) + max(len(toks) - 1, 0)
+    out: dict[str, float] = {}
+    for n in range(2, 11):
+        counts: dict[str, int] = {}
+        for i in range(0, max(len(toks) - n + 1, 0)):
+            g = " ".join(toks[i : i + n])
+            counts[g] = counts.get(g, 0) + 1
+        top = max((c * len(g) for g, c in counts.items()), default=0)
+        dup = sum(c * len(g) for g, c in counts.items() if c >= 2)
+        key = (
+            f"top_{n}gram_char_frac" if n <= 4 else f"dup_{n}gram_char_frac"
+        )
+        mass = top if n <= 4 else dup
+        out[key] = mass / chars if chars > 0 else 0.0
+    return out
+
+
+def test_gopher_repetition_signals_match_python_reference(spark):
+    texts = [
+        (1, "a b a b a b a b c d e f g h i j"),          # heavy 2-gram loop
+        (2, "one two three four five six seven eight nine ten eleven"),
+        (3, "solo"),                                       # sub-2-gram doc
+        (4, ""),                                           # empty doc
+        (5, "x " * 40),                                    # pathological loop
+    ]
+    df = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in C.gopher_repetition_signals(df).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    for doc_id, text in texts:
+        want = _py_gopher_signals(text)
+        for k, v in want.items():
+            assert got[doc_id][k] == v, (doc_id, k, got[doc_id][k], v)
+    # the loop doc trips the dup thresholds the clean doc doesn't
+    assert got[5]["dup_10gram_char_frac"] > 0.9
+    assert got[2]["dup_5gram_char_frac"] == 0.0
+
+
+def test_gopher_quality_filter_rules(spark):
+    good = "the " + " ".join(f"word{i:03d}" for i in range(60))
+    loop = "the " + "spam ham " * 40
+    short = "the tiny doc"
+    numeric = "the " + " ".join(str(i) * 4 for i in range(60))
+    df = spark.createDataFrame(
+        [(1, good), (2, loop), (3, short), (4, numeric)],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        r.doc_id: r.asDict()
+        for r in C.gopher_quality_filter(df, min_stopword_hits=1).collect()
+    }
+    assert rows[1]["passes_all"] is True
+    assert rows[2]["top_2gram_ok"] is False and not rows[2]["passes_all"]
+    assert rows[3]["word_count_ok"] is False and not rows[3]["passes_all"]
+    assert rows[4]["alpha_word_frac_ok"] is False
+    # flag set is the documented deck: 4 scalar + 9 repetition + conj
+    assert len([c for c in rows[1] if c != "doc_id"]) == 14
