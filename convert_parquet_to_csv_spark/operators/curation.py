@@ -776,3 +776,131 @@ def gopher_quality_filter(
     for c in flag_cols:
         passes = passes & F.col(c)
     return out.withColumn("passes_all", passes)
+
+
+# --------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023,
+# arXiv:2302.03169) — hashed n-gram importance weights
+# --------------------------------------------------------------------------
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    ngram_ns: tuple[int, ...] = (1, 2),
+    hash_fn: str = "xxhash64",
+    persist: bool = True,
+) -> DataFrame:
+    """(id, score_micro): per-raw-doc DSIR importance score — the
+    log-likelihood ratio log p_target(doc)/p_raw(doc) under hashed
+    n-gram bag-of-words models, in integer MICRO-NATS.
+
+    The paper's recipe: featurize every doc as counts over
+    ``num_buckets`` hash buckets of its word unigrams+bigrams, fit
+    add-1-smoothed bucket distributions p (target corpus) and q (raw
+    corpus), and weight each raw doc by Σ_b c_b·(ln p_b − ln q_b).
+    Selecting top-weighted (or Gumbel-resampled) docs steers a raw
+    crawl toward the target domain.
+
+    Determinism device: the per-bucket log-ratio is quantized ONCE to
+    integer micro-nats (round(1e6·ln r)), so the per-doc score is an
+    exact integer dot product — order-independent under Spark's
+    unordered aggregation and replayable in any engine whose ln agrees
+    within the 1e-6 grid (the power-iteration fixed-point lesson).
+
+    Scale shape: the only full-volume work is one explode →
+    (doc, bucket) partial-agg shuffle over the raw corpus; the bucket
+    log-ratio table is ≤ num_buckets rows and BROADCAST into the
+    scoring join, so raw-corpus rows shuffle exactly once on doc-id
+    prefixed keys and nothing else moves. Target-corpus counts are a
+    bucket-sized aggregate. ``hash_fn='md5'`` is the DuckDB-replayable
+    flavor (hex-parsed, same value both engines); xxhash64 is the fast
+    production default.
+    """
+    if hash_fn == "xxhash64":
+        bucket = lambda g: F.pmod(F.xxhash64(g), F.lit(num_buckets))  # noqa: E731
+    elif hash_fn == "md5":
+        bucket = lambda g: F.pmod(  # noqa: E731
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+            F.lit(num_buckets),
+        )
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
+    def buckets(df: DataFrame) -> DataFrame:
+        grams = F.flatten(
+            F.array(*[ngrams(text_col, n=n) for n in ngram_ns])
+        )
+        return df.select(
+            F.col(id_col), F.explode(grams).alias("_g")
+        ).select(id_col, bucket(F.col("_g")).alias("_b"))
+
+    raw_b = buckets(raw)
+    doc_counts = raw_b.groupBy(id_col, "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    if persist:
+        # double-referenced: q_counts aggregates it AND the scoring
+        # join re-reads it — without the cache the raw-corpus explode
+        # runs twice. Caller releases via clearCache() (the
+        # lsh_candidate_pairs contract). At cluster scale where the
+        # count table outgrows memory, checkpoint/write it instead.
+        doc_counts = doc_counts.persist()
+    q_counts = doc_counts.groupBy("_b").agg(F.sum("_c").alias("_qc"))
+    p_counts = (
+        buckets(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_pc"))
+    )
+    # every doc bucket appears in q by construction; left-join p and
+    # add-1 smooth both sides. Totals ride along as literals would
+    # re-trigger jobs — use a cross-joined 1-row aggregate instead.
+    p_tot = p_counts.agg(F.sum("_pc").alias("_pt"))
+    q_tot = q_counts.agg(F.sum("_qc").alias("_qt"))
+    ratio = (
+        q_counts.join(p_counts, "_b", "left")
+        .na.fill({"_pc": 0})
+        .crossJoin(F.broadcast(p_tot))
+        .crossJoin(F.broadcast(q_tot))
+        .select(
+            "_b",
+            F.round(
+                (
+                    F.log(
+                        (F.col("_pc") + 1).cast("double")
+                        / (F.col("_pt") + num_buckets).cast("double")
+                    )
+                    - F.log(
+                        (F.col("_qc") + 1).cast("double")
+                        / (F.col("_qt") + num_buckets).cast("double")
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("_l"),
+        )
+    )
+    return (
+        doc_counts.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_c") * F.col("_l")).alias("score_micro"))
+    )
+
+
+def dsir_select_topk(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Top-k raw docs by DSIR importance (deterministic tiebreak on
+    id) — the selection step; one ORDER BY LIMIT k on the scored
+    table (TakeOrderedAndProject, no full sort materialization)."""
+    w = dsir_importance_weights(raw, target, id_col=id_col, **kw)
+    return (
+        raw.join(w, id_col)
+        .orderBy(F.desc("score_micro"), F.asc(id_col))
+        .limit(k)
+    )

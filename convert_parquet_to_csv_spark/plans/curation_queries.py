@@ -529,3 +529,82 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.gopher_quality_filter(
         _docs(spark, sf_dir), min_stopword_hits=1
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (r6; past the gate prefix — r7 backlog)
+# --------------------------------------------------------------------------
+
+# md5-bucket flavor so DuckDB replays the featurization bit-exactly;
+# the per-bucket log-ratio is quantized to integer micro-nats in BOTH
+# engines, so the only float step is one ln whose 1e-6 rounding grid
+# is ~10 orders of magnitude coarser than cross-engine libm ulp drift
+# — the per-doc score is then an exact integer dot product.
+_DSIR_ORACLE = r"""
+WITH rtok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t != '') AS toks
+  FROM documents WHERE source <> 'src0'
+), ttok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t != '') AS toks
+  FROM documents WHERE source = 'src0'
+), rg AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS b
+  FROM (
+    SELECT doc_id, unnest(toks) AS g FROM rtok
+    UNION ALL
+    SELECT doc_id, array_to_string(toks[i + 1 : i + 2], ' ') AS g
+    FROM rtok, unnest(range(0, len(toks) - 1)) AS t(i)
+    WHERE len(toks) >= 2
+  )
+), tg AS (
+  SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS b
+  FROM (
+    SELECT unnest(toks) AS g FROM ttok
+    UNION ALL
+    SELECT array_to_string(toks[i + 1 : i + 2], ' ') AS g
+    FROM ttok, unnest(range(0, len(toks) - 1)) AS t(i)
+    WHERE len(toks) >= 2
+  )
+), dc AS (
+  SELECT doc_id, b, count(*) AS c FROM rg GROUP BY 1, 2
+), qc AS (
+  SELECT b, sum(c) AS qcnt FROM dc GROUP BY 1
+), pc AS (
+  SELECT b, count(*) AS pcnt FROM tg GROUP BY 1
+), tot AS (
+  SELECT (SELECT coalesce(sum(pcnt), 0) FROM pc) AS pt,
+         (SELECT coalesce(sum(qcnt), 0) FROM qc) AS qt
+), ratio AS (
+  SELECT q.b,
+         CAST(round((
+             ln(CAST(coalesce(p.pcnt, 0) + 1 AS DOUBLE)
+                / CAST(t.pt + 4096 AS DOUBLE))
+           - ln(CAST(q.qcnt + 1 AS DOUBLE)
+                / CAST(t.qt + 4096 AS DOUBLE))
+         ) * 1e6) AS BIGINT) AS l
+  FROM qc q LEFT JOIN pc p ON p.b = q.b, tot t
+)
+SELECT dc.doc_id,
+       CAST(sum(dc.c * r.l) AS BIGINT) AS score_micro
+FROM dc JOIN ratio r ON r.b = dc.b
+GROUP BY dc.doc_id
+"""
+
+
+@query("dsir_importance_weights", oracle=_DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores for every non-src0 doc against the src0
+    'target domain' (hashed unigram+bigram bag models, integer
+    micro-nat scores). md5-bucket flavor for bit-replay; xxhash64 is
+    the production default."""
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    return C.dsir_importance_weights(
+        raw, target, num_buckets=4096, hash_fn="md5"
+    )

@@ -417,3 +417,100 @@ def test_gopher_quality_filter_rules(spark):
     assert rows[4]["alpha_word_frac_ok"] is False
     # flag set is the documented deck: 4 scalar + 9 repetition + conj
     assert len([c for c in rows[1] if c != "doc_id"]) == 14
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights
+# --------------------------------------------------------------------------
+
+def _py_dsir(raw: dict[int, str], target: list[str], B: int = 64):
+    """Pure-Python reference (md5-bucket flavor) for
+    dsir_importance_weights."""
+    import hashlib
+    import math
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    def grams(text: str) -> list[str]:
+        t = [x for x in text.lower().split() if x]
+        return t + [" ".join(t[i : i + 2]) for i in range(len(t) - 1)]
+
+    q: dict[int, int] = {}
+    dc: dict[int, dict[int, int]] = {}
+    for did, text in raw.items():
+        d = dc.setdefault(did, {})
+        for g in grams(text):
+            b = bucket(g)
+            d[b] = d.get(b, 0) + 1
+            q[b] = q.get(b, 0) + 1
+    p: dict[int, int] = {}
+    for text in target:
+        for g in grams(text):
+            b = bucket(g)
+            p[b] = p.get(b, 0) + 1
+    pt, qt = sum(p.values()), sum(q.values())
+    l = {
+        b: round(
+            (
+                math.log((p.get(b, 0) + 1) / (pt + B))
+                - math.log((qc + 1) / (qt + B))
+            )
+            * 1e6
+        )
+        for b, qc in q.items()
+    }
+    # featureless (empty) docs produce no score row
+    return {
+        did: sum(c * l[b] for b, c in d.items())
+        for did, d in dc.items()
+        if d
+    }
+
+
+def test_dsir_importance_weights_match_python_reference(spark):
+    raw = {
+        1: "spark shuffle join agg window",
+        2: "cat dog bird fish lizard cat dog",
+        3: "spark window agg cat",
+        4: "",
+    }
+    target = ["spark agg window shuffle", "spark join window"]
+    raw_df = spark.createDataFrame(
+        list(raw.items()), "doc_id LONG, text STRING"
+    )
+    tgt_df = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(target)],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: r.score_micro
+        for r in C.dsir_importance_weights(
+            raw_df, tgt_df, num_buckets=64, hash_fn="md5"
+        ).collect()
+    }
+    want = _py_dsir(raw, target, B=64)
+    assert got == want
+    # the target-vocabulary doc outranks the off-domain doc
+    assert got[1] > got[3] > got[2]
+    # empty doc has no features, hence no score row
+    assert 4 not in got
+
+
+def test_dsir_select_topk_xxhash_flavor(spark):
+    raw_df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "epsilon zeta eta theta"),
+            (3, "alpha beta gamma epsilon"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    tgt_df = spark.createDataFrame(
+        [(9, "alpha beta gamma")], "doc_id LONG, text STRING"
+    )
+    top = C.dsir_select_topk(raw_df, tgt_df, k=2, num_buckets=128)
+    rows = top.collect()
+    assert len(rows) == 2
+    assert {r.doc_id for r in rows} == {1, 3}
+    assert set(top.columns) >= {"doc_id", "text", "score_micro"}
