@@ -87,6 +87,14 @@ BENCH_QUERY_NAMES = [
     "embedding_power_iteration_pc1",
     "oov_rate_vs_topk_vocab",
     "char_trigram_familiarity",
+    # r6: the new curation-family heavy shapes — the 9-way gram pass
+    # (Gopher repetition), the hashed-feature scoring join (DSIR),
+    # and the winnowing fingerprint window. Production (xxhash64)
+    # flavors via overrides where the registry query pins the slower
+    # md5 oracle-replay flavor.
+    "gopher_repetition_signals",
+    "dsir_importance_weights",
+    "dedup_winnow_fingerprints",
 ]
 
 # VERDICT r4 items 2+7: queries whose plans persist() shared subtrees
@@ -127,6 +135,10 @@ DUAL_METHODOLOGY_NAMES = [
     "sparse_cosine_topk_pairs",
     "embedding_power_iteration_pc1",
     "hll_distinct_customers",
+    # r6: returned plan retains the persisted (doc, bucket) count
+    # table (caller-released contract) — a warm re-run legitimately
+    # reuses it.
+    "dsir_importance_weights",
 ]
 
 # r6: similarity_topk_lsh/ivf became single-row PROPERTY GATES in the
@@ -162,9 +174,42 @@ def _topk_ivf_plan(spark, sf_dir):
     return S.topk_ivf(vecs, queries, k=3, n_centroids=16, nprobe=8)
 
 
+def _dsir_plan(spark, sf_dir):
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from convert_parquet_to_csv_spark.operators import curation as C
+
+    docs = read_parquet(
+        spark, _os.path.join(sf_dir, "documents.parquet")
+    )
+    return C.dsir_importance_weights(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        num_buckets=4096,
+        hash_fn="xxhash64",
+    )
+
+
+def _winnow_plan(spark, sf_dir):
+    import os as _os
+
+    from convert_parquet_to_csv_spark.operators import dedup as D
+
+    docs = read_parquet(
+        spark, _os.path.join(sf_dir, "documents.parquet")
+    )
+    return D.winnow_fingerprints(docs, k=5, window=4, hash_fn="xxhash64")
+
+
 BENCH_PLAN_OVERRIDES = {
     "similarity_topk_lsh": _topk_lsh_plan,
     "similarity_topk_ivf": _topk_ivf_plan,
+    # registry flavors pin md5 for DuckDB bit-replay; the bench trend
+    # tracks the production xxhash64 forms.
+    "dsir_importance_weights": _dsir_plan,
+    "dedup_winnow_fingerprints": _winnow_plan,
 }
 
 # Keyed by SF_DIR (ADVICE r3 scratch-isolation class): a cached 500k

@@ -46,17 +46,20 @@ def test_dual_methodology_names_are_benchmarked(bench):
         assert name in bench.BENCH_QUERY_NAMES, name
 
 
-def test_overrides_build_raw_topk_plans(bench, spark, sf_small):
-    """The override plans must produce the pre-r6 top-k row shape
-    (query_id, neighbor_id, similarity) — NOT the property-gate
-    single-row shape — so BENCH trend numbers keep measuring the raw
-    ANN operator."""
+def test_overrides_build_raw_operator_plans(bench, spark, sf_small):
+    """Each override must produce its raw operator's row shape — NOT
+    the registry's property-gate single-row shape (similarity top-k)
+    or md5 oracle-replay flavor (dsir/winnow) — so BENCH trend numbers
+    keep measuring the production operator."""
+    expected = {
+        "similarity_topk_lsh": {"query_id", "neighbor_id", "similarity"},
+        "similarity_topk_ivf": {"query_id", "neighbor_id", "similarity"},
+        "dsir_importance_weights": {"doc_id", "score_micro"},
+        "dedup_winnow_fingerprints": {"doc_id", "pos", "fp"},
+    }
+    assert set(bench.BENCH_PLAN_OVERRIDES) == set(expected)
     for name, fn in bench.BENCH_PLAN_OVERRIDES.items():
         df = fn(spark, sf_small)
-        assert set(df.columns) == {
-            "query_id",
-            "neighbor_id",
-            "similarity",
-        }, name
+        assert set(df.columns) == expected[name], name
         rows = df.count()
         assert rows > 0, name
