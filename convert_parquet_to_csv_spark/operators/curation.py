@@ -604,24 +604,28 @@ def gopher_repetition_signals(
     zero tokens pass through with all-zero metrics.
     """
     ns = sorted(GOPHER_TOP_NGRAM_MAX) + sorted(GOPHER_DUP_NGRAM_MAX)
+    # _pf[i+1] = chars of tokens[0..i]: ONE per-doc prefix-sum HOF,
+    # so per-gram char length is pure arithmetic (two element_at) —
+    # building the gram string per (pos, n) row just to length() it
+    # measured 3.97 s vs 3.09 s for the count stage at sf0.1.
     base = df.select(
         id_col,
         tokens(text_col).alias("_tk"),
     ).withColumn(
+        "_pf",
+        F.expr(
+            "aggregate(_tk, array(0), (acc, t) -> "
+            "array_append(acc, element_at(acc, -1) + length(t)))"
+        ),
+    ).withColumn(
         "_chars",
-        F.coalesce(
-            F.aggregate(
-                F.transform("_tk", F.length),
-                F.lit(0),
-                lambda acc, x: acc + x,
-            ),
-            F.lit(0),
-        )
+        F.element_at("_pf", -1)
         + F.greatest(F.size("_tk") - 1, F.lit(0)),
     )
     pos = base.select(
         id_col,
         "_tk",
+        "_pf",
         F.explode(
             F.sequence(F.lit(0), F.greatest(F.size("_tk") - 1, F.lit(0)))
         ).alias("_i"),
@@ -630,6 +634,7 @@ def gopher_repetition_signals(
         pos.select(
             id_col,
             "_tk",
+            "_pf",
             "_i",
             F.explode(F.array(*[F.lit(n) for n in ns])).alias("_n"),
         )
@@ -638,8 +643,11 @@ def gopher_repetition_signals(
             id_col,
             "_n",
             F.xxhash64(F.expr("slice(_tk, _i + 1, _n)")).alias("_gh"),
-            F.length(
-                F.array_join(F.expr("slice(_tk, _i + 1, _n)"), " ")
+            (
+                F.element_at("_pf", F.col("_i") + F.col("_n") + 1)
+                - F.element_at("_pf", F.col("_i") + 1)
+                + F.col("_n")
+                - 1
             ).alias("_gl"),
         )
     )
