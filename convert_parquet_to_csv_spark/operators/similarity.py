@@ -595,3 +595,67 @@ def sparse_cosine_topk_pairs(
         .filter(F.col("rk") <= k)
         .select("d1", "d2", "dot", "cosine", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic dedup (Abbas et al. 2023,
+# arXiv:2303.09540)
+# --------------------------------------------------------------------------
+
+def semdedup(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Survivors of SemDeDup semantic deduplication: k-means-cluster
+    the embeddings, compare pairs ONLY within a cluster, drop the
+    greater id of every within-cluster pair with cosine ≥ threshold
+    (min-id survivor — the same keep policy as dedup.drop_near_duplicates).
+
+    This is the SCALE PATH for embedding near-dup that
+    :func:`embedding_dup_pairs`'s exact all-pairs flavor is not: the
+    self-join is bucketed by ``_list_id`` (cluster sizes ~N/k; the
+    paper sizes k so clusters stay comparison-bounded), so candidate
+    volume is Σ|cluster|² rather than N². Clustering is the
+    deterministic pipeline shared with IVF — seeded md5 sample →
+    fixed-iteration spherical Lloyd with fixed-point accumulation —
+    so the survivor set is a pure function of the inputs.
+
+    Approximation contract: every within-cluster pair is a true
+    cosine pair, so the drop set is a SUBSET of the exact all-pairs
+    drop set (soundness — gated in plans/similarity_queries.py);
+    pairs straddling a cluster boundary are missed (the paper's
+    accepted recall trade).
+
+    ``assigned`` is persisted (both self-join sides reference it);
+    caller releases via clearCache() — the lsh_candidate_pairs
+    contract.
+    """
+    sample, _ = ivf_index(vectors, n_clusters, id_col, vec_col)
+    centroids = kmeans_refine_centroids(
+        vectors, sample, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = _assign_to_centroids(
+        vectors, centroids, id_col, vec_col
+    ).select(id_col, vec_col, "_list_id").persist()
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        "_list_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        "_list_id",
+    )
+    losers = (
+        a.join(b, "_list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity("_va", "_vb") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return vectors.join(losers, id_col, "left_anti")

@@ -183,3 +183,41 @@ def test_sparse_cosine_pairs_invariants(spark, sf_small):
         ]
         if hit:
             assert abs(hit[0]["cosine"] - 1.0) < 1e-12
+
+
+# --------------------------------------------------------------------------
+# SemDeDup
+# --------------------------------------------------------------------------
+
+def test_semdedup_sound_and_keeps_min_id(spark):
+    """Within-cluster duplicates drop the greater id; near-identical
+    vectors (which always share a cluster) are caught, and the drop
+    set never contains a vector without a true cosine partner."""
+    import math
+
+    def unit(seed, dim=8):
+        # deterministic pseudo-random unit vector
+        vals = [math.sin(seed * 31 + i * 7) for i in range(dim)]
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+
+    base = unit(1)
+    rows = [
+        (1, base),
+        (2, [v * 0.999 + 0.001 for v in base]),  # near-dup of 1
+        (3, unit(2)),
+        (4, unit(3)),
+        (5, base),                                # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    surv = sorted(
+        r.vec_id
+        for r in S.semdedup(
+            df, threshold=0.99, n_clusters=2, n_iters=1
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    # 2 and 5 duplicate 1 → min-id survivor keeps 1
+    assert 1 in surv and 2 not in surv and 5 not in surv
+    # 3 and 4 are unrelated directions → kept
+    assert 3 in surv and 4 in surv

@@ -169,6 +169,13 @@ CASES = {
     "time_weighted_avg_value": "TWA: lead window on one user exchange, integer-us durations, DECIMAL(38) fixed-point v*dt sums, final agg rides the window exchange",
     "multimodal_features": "multimodal features: ONE MapInPandas batch seam over binary+meta, deterministic stub decode, range-partitioned ordered output",
     "decontaminate_ngram_overlap_hashed": "hashed decontamination: bench gram hashes DISTINCT+broadcast, training grams hashed map-side from token-slice arrays (no gram strings), one (doc,gram) distinct shuffle",
+    "dedup_containment": "containment: one shingle self-join computes the unordered intersection; both ordered directions expand from that single join output; contained-side count join only",
+    "dedup_winnow_fingerprints": "winnowing: positional gram hashes, ONE doc-partitioned range window (never single-partition) picks the rightmost-minimal hash, distinct rides the window exchange",
+    "dedup_winnow_candidates": "winnow candidates: fp self-join over the ~2/(w+1)-density fingerprint index (never raw grams), pair-count agg with min-shared filter",
+    "gopher_repetition_signals": "Gopher signals: ONE posexplode cross-expanded to 9 gram lengths, (doc,n,hash)->(doc,n)->(doc) aggregates all hash doc-prefixed keys; per-gram char length from prefix sums (no gram strings)",
+    "gopher_quality_filter": "Gopher deck: scalar flags map-side in one scan; repetition flags join doc_id-keyed (AQE-broadcastable signal table)",
+    "dsir_importance_weights": "DSIR: one (doc,bucket) partial-agg shuffle over the raw corpus, <=num_buckets log-ratio table broadcast into the scoring join, 1-row total closes",
+    "dedup_semdedup_clustered": "SemDeDup: centroid table broadcast for assignment, cluster-bucketed (_list_id) self-join — candidates Sum|cluster|^2, never N^2; exact all-pairs appears only as the gate's documented baseline",
 }
 
 KEY_MARKERS = (
