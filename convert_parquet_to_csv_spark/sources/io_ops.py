@@ -44,6 +44,12 @@ CSV_DEFAULTS: dict[str, str] = {
     "ignoreLeadingWhiteSpace": "false",
     "ignoreTrailingWhiteSpace": "false",
 }
+# Dialect boundary (also hypothesis-found): NUL bytes are OUTSIDE the
+# supported dialect. The writer emits them verbatim, but univocity
+# (Spark's CSV parser) uses '\0' as an internal no-character sentinel
+# and drops a quoted value's TRAILING NUL on readback — interior and
+# unquoted NULs survive. No reader option controls this; behavior is
+# pinned by tests/test_io_ops.py::test_csv_nul_byte_dialect_edge.
 
 
 def read_parquet(

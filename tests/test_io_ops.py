@@ -354,3 +354,32 @@ def test_dynamic_partition_pruning_fires(spark, sf_small):
     df.write.format("noop").mode("overwrite").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_csv_nul_byte_dialect_edge(spark, tmp_path):
+    """NUL bytes sit OUTSIDE the supported CSV dialect — pin exactly
+    how they degrade so a parser upgrade that changes the behavior is
+    caught. Writer: verbatim bytes. Reader (univocity, which uses
+    '\\0' as its internal no-character sentinel): a QUOTED value's
+    trailing NUL is dropped; interior and unquoted NULs survive.
+    Hypothesis found the edge ('\\n\\x00'); the roundtrip property
+    suite excludes \\x00 and points here."""
+    src = str(tmp_path / "src.parquet")
+    dst = str(tmp_path / "out_csv")
+    df = spark.createDataFrame(
+        [(1, "\n\x00"), (2, "a\x00b"), (3, "\x00")],
+        "id LONG, s STRING",
+    )
+    df.write.mode("overwrite").parquet(src)
+    convert_parquet_to_csv(spark, src, dst)
+    raw = b"".join(
+        open(f, "rb").read() for f in sorted(glob.glob(dst + "/*.csv"))
+    )
+    assert b"\x00" in raw  # writer emits NUL verbatim
+    back = {
+        r.id: r.s
+        for r in read_csv(spark, dst, schema="id LONG, s STRING").collect()
+    }
+    assert back[1] == "\n"      # quoted trailing NUL: dropped by parser
+    assert back[2] == "a\x00b"  # interior NUL: survives
+    assert back[3] == "\x00"    # unquoted NUL: survives

@@ -33,11 +33,19 @@ def _norm(v):
     return v
 
 
+# \x00 exclusion: NUL is outside the supported CSV dialect — the
+# writer emits it verbatim, but univocity (Spark's CSV parser) uses
+# '\0' as an internal no-character sentinel and silently drops a
+# quoted value's TRAILING NUL on readback (interior and unquoted NULs
+# survive). Hypothesis found the edge ('\n\x00'); the exact behavior
+# is pinned by tests/test_io_ops.py::test_csv_nul_byte_dialect_edge.
 _strings = st.one_of(
     st.none(),
     st.text(
         alphabet=st.characters(
-            codec="utf-8", exclude_categories=("Cs",), exclude_characters="\r"
+            codec="utf-8",
+            exclude_categories=("Cs",),
+            exclude_characters="\r\x00",
         ),
         max_size=40,
     ),
