@@ -826,6 +826,15 @@ def dsir_importance_weights(
     bucket-sized aggregate. ``hash_fn='md5'`` is the DuckDB-replayable
     flavor (hex-parsed, same value both engines); xxhash64 is the fast
     production default.
+
+    Measured (local[32], mangled-replica corpora, min-of-2
+    cache-cleared, isolated runs): 12.5 s at 1M docs → 25.7 s at 2M
+    (2.05× for 2× data — linear), persist=True beating persist=False
+    at both sizes (21.9/40.5 s). The r6 scale-curve artifact shows a
+    1.94×-linear step for this kernel because its timed run lands
+    right after gopher_repetition_signals' 243 s pass in the
+    interleaved protocol (heap/GC residue) — the isolated A/B above
+    is the operator's own curve.
     """
     if hash_fn == "xxhash64":
         # Production flavor: hash the raw TOKEN SLICE from an exploded

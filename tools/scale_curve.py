@@ -40,7 +40,9 @@ from convert_parquet_to_csv_spark.session import get_spark
 from convert_parquet_to_csv_spark.sources.io_ops import read_parquet
 from convert_parquet_to_csv_spark.operators.dedup import minhash_dedup
 from convert_parquet_to_csv_spark.operators.curation import (
+    dsir_importance_weights,
     flag_contaminated,
+    gopher_repetition_signals,
     remove_duplicated_spans,
 )
 
@@ -117,6 +119,16 @@ def main() -> None:
             ),
             "decontaminate_hashed": lambda d=docs, b=bench_side: (
                 flag_contaminated(d, b, n=5, hash_grams=True)
+            ),
+            # r6 additions: the 9-way gram pass and the hashed-feature
+            # scoring join — corpus-side cost only; DSIR's target side
+            # is the same fixed 200-doc table as the decontamination
+            # benchmark side.
+            "gopher_repetition": lambda d=docs: (
+                gopher_repetition_signals(d)
+            ),
+            "dsir_weights": lambda d=docs, b=bench_side: (
+                dsir_importance_weights(d, b, hash_fn="xxhash64")
             ),
         }
         for name, fn in kernels.items():
