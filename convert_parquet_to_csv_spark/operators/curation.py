@@ -959,3 +959,126 @@ def dsir_select_topk(
         .orderBy(F.desc("score_micro"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination: space-bounded membership screen
+# --------------------------------------------------------------------------
+
+def flag_contaminated_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    num_bits: int = 1 << 22,
+    num_hashes: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Bloom-filter flavor of :func:`flag_contaminated`: (id,
+    n_overlap) where n_overlap counts the doc's distinct grams that
+    MIGHT be benchmark grams under a ``num_bits``-bit Bloom filter
+    with ``num_hashes`` hash functions.
+
+    Why a third flavor: the hashed semi-join broadcasts 8 bytes per
+    DISTINCT benchmark gram — fine for MMLU-sized suites, but a
+    100M-gram benchmark union is an 800 MB broadcast. The Bloom
+    bitset is fixed at ``num_bits/8`` bytes REGARDLESS of benchmark
+    size (2²² bits = 512 KiB here), the classic space/precision
+    trade: no false negatives ever (every true overlap is flagged —
+    the property that matters for decontamination, where a false
+    positive merely over-drops), false-positive rate
+    ≈ (1-e^(-k·g/m))^k.
+
+    Plan shape: the bitset lives as a (word_index, bits) table of
+    ≤ num_bits/64 rows — built map-side from the benchmark grams with
+    one tiny distinct — and is BROADCAST into the training-side probe:
+    each (doc, gram) explodes to its ``num_hashes`` bit positions,
+    joins the word table, and needs min(bit set) per gram (Bloom AND
+    semantics via a boolean min — no UDF, no driver-side bitset, no
+    collect). Training grams are hashed token slices (xxhash64
+    flavor) — no gram strings, the flag_contaminated lesson.
+
+    ``hash_fn='md5'`` derives positions from
+    conv(substring(md5(j || ':' || gram), 1, 15), 16, 10) — the same
+    value DuckDB computes from ('0x'||substr(md5(...),1,15))::BIGINT,
+    so the ENTIRE Bloom computation (false positives included) is
+    value-hash replayable; xxhash64 two-level-hashes the 8-byte slice
+    hash with the probe index as seed (the minhash device).
+    """
+    if hash_fn == "xxhash64":
+        bench_grams = _hashed_ngram_table(
+            benchmark, [], text_col, n
+        ).distinct()
+        train_grams = _hashed_ngram_table(
+            docs, [id_col], text_col, n
+        ).distinct()
+
+        def pos(j: int):
+            return F.pmod(
+                F.xxhash64(F.lit(j), F.col("gram")), F.lit(num_bits)
+            )
+
+    elif hash_fn == "md5":
+        bench_grams = (
+            benchmark.select(
+                F.explode(ngrams(text_col, n=n)).alias("gram")
+            ).distinct()
+        )
+        train_grams = docs.select(
+            id_col, F.explode(ngrams(text_col, n=n)).alias("gram")
+        ).distinct()
+
+        def pos(j: int):
+            return F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}:"), F.col("gram"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(num_bits),
+            )
+
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
+    positions = F.array(*[pos(j) for j in range(num_hashes)])
+    words = (
+        bench_grams.select(F.explode(positions).alias("_p"))
+        .distinct()
+        .select(
+            (F.col("_p") / 64).cast("long").alias("_w"),
+            F.expr("shiftleft(1L, cast(_p % 64 as int))").alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.expr("bit_or(_m)").alias("_bits"))
+    )
+    probes = train_grams.select(
+        id_col, "gram", F.explode(positions).alias("_p")
+    ).select(
+        id_col,
+        "gram",
+        (F.col("_p") / 64).cast("long").alias("_w"),
+        F.expr("shiftleft(1L, cast(_p % 64 as int))").alias("_m"),
+    )
+    hits = (
+        probes.join(F.broadcast(words), "_w", "left")
+        .select(
+            id_col,
+            "gram",
+            F.coalesce(
+                F.col("_bits").bitwiseAND(F.col("_m")) != 0, F.lit(False)
+            ).alias("_hit"),
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.min("_hit").alias("_might"))  # Bloom AND over k probes
+    )
+    return (
+        hits.filter(F.col("_might"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )

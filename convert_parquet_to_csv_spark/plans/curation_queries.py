@@ -608,3 +608,75 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.dsir_importance_weights(
         raw, target, num_buckets=4096, hash_fn="md5"
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination (r6; past the gate prefix — r7 backlog)
+# --------------------------------------------------------------------------
+
+# DuckDB replays the ENTIRE Bloom computation, false positives
+# included: positions come from the md5-hex device (value-equal in
+# both engines), and "all num_hashes positions present in the
+# benchmark position set" is pure set logic — DuckDB does it with a
+# left join + bool_and where Spark probes a broadcast bitset-word
+# table. Any (num_bits, num_hashes) pair hash-matches by
+# construction.
+_BLOOM_BITS, _BLOOM_K = 1 << 20, 4
+_BLOOM_ORACLE = rf"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t != '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1),
+                             i -> array_to_string(w[i:i+2], ' '))
+         ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM words
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+), bpos AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || gram), 1, 15))
+           ::BIGINT % {_BLOOM_BITS} AS p
+  FROM bench, unnest([0, 1, 2, 3]) AS tj(j)
+), tgrams AS (
+  SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 97 <> 0
+), probe AS (
+  SELECT t.doc_id, t.gram, bool_and(b.p IS NOT NULL) AS might
+  FROM (
+    SELECT doc_id, gram,
+           ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || gram), 1, 15))
+             ::BIGINT % {_BLOOM_BITS} AS p
+    FROM tgrams, unnest([0, 1, 2, 3]) AS tj(j)
+  ) t
+  LEFT JOIN bpos b ON b.p = t.p
+  GROUP BY t.doc_id, t.gram
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM probe WHERE might
+GROUP BY doc_id
+"""
+
+
+@query("decontaminate_bloom", oracle=_BLOOM_ORACLE)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination screen: same benchmark split and
+    3-gram window as decontaminate_ngram_overlap, but membership is a
+    2²⁰-bit / 4-hash Bloom bitset broadcast as a (word, bits) table —
+    fixed 128 KiB regardless of benchmark size, no false negatives
+    ever (the property decontamination needs; a false positive merely
+    over-drops). md5-position flavor so DuckDB replays the Bloom
+    computation bit-exactly; xxhash64 is the production flavor."""
+    docs = _docs(spark, sf_dir)
+    is_bench = F.col("doc_id") % 97 == 0
+    return C.flag_contaminated_bloom(
+        docs.filter(~is_bench),
+        docs.filter(is_bench),
+        n=3,
+        num_bits=_BLOOM_BITS,
+        num_hashes=_BLOOM_K,
+        hash_fn="md5",
+    )

@@ -514,3 +514,52 @@ def test_dsir_select_topk_xxhash_flavor(spark):
     assert len(rows) == 2
     assert {r.doc_id for r in rows} == {1, 3}
     assert set(top.columns) >= {"doc_id", "text", "score_micro"}
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination
+# --------------------------------------------------------------------------
+
+def test_bloom_decontamination_no_false_negatives_and_superset(spark):
+    """At a deliberately tiny bitset (64 bits, forcing false
+    positives) the Bloom screen must still flag EVERY truly
+    contaminated doc (no false negatives — the Bloom guarantee), and
+    its flag set must be a superset of the exact screen's. At a
+    roomy bitset it must equal the exact screen."""
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "doc_id LONG, text STRING",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma y"),        # contaminated (1 gram)
+            (2, "alpha x beta y gamma"),        # shares words, no 3-gram
+            (3, "unrelated words entirely here"),
+            (4, "beta gamma delta then gamma delta epsilon"),  # 2 grams
+        ],
+        "doc_id LONG, text STRING",
+    )
+    exact = {
+        r.doc_id: r.n_overlap
+        for r in C.flag_contaminated(train, bench, n=3).collect()
+    }
+    assert exact == {1: 1, 4: 2}
+    for hash_fn in ("xxhash64", "md5"):
+        tiny = {
+            r.doc_id: r.n_overlap
+            for r in C.flag_contaminated_bloom(
+                train, bench, n=3, num_bits=64, num_hashes=2,
+                hash_fn=hash_fn,
+            ).collect()
+        }
+        # superset: every exact hit flagged with at least its count
+        for k, v in exact.items():
+            assert tiny.get(k, 0) >= v, (hash_fn, k, tiny)
+        roomy = {
+            r.doc_id: r.n_overlap
+            for r in C.flag_contaminated_bloom(
+                train, bench, n=3, num_bits=1 << 20, num_hashes=4,
+                hash_fn=hash_fn,
+            ).collect()
+        }
+        assert roomy == exact, hash_fn

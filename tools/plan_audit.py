@@ -176,6 +176,7 @@ CASES = {
     "gopher_quality_filter": "Gopher deck: scalar flags map-side in one scan; repetition flags join doc_id-keyed (AQE-broadcastable signal table)",
     "dsir_importance_weights": "DSIR: one (doc,bucket) partial-agg shuffle over the raw corpus, <=num_buckets log-ratio table broadcast into the scoring join, 1-row total closes",
     "dedup_semdedup_clustered": "SemDeDup: centroid table broadcast for assignment, cluster-bucketed (_list_id) self-join — candidates Sum|cluster|^2, never N^2; exact all-pairs appears only as the gate's documented baseline",
+    "decontaminate_bloom": "Bloom screen: fixed-size bitset-word table (<=num_bits/64 rows) broadcast, training probes stream map-side, ONE (doc,gram) distinct + per-doc count shuffle — broadcast size independent of benchmark gram count",
 }
 
 KEY_MARKERS = (
