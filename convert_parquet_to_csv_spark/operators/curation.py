@@ -35,7 +35,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from convert_parquet_to_csv_spark.functions.text import ngrams, tokens
+from convert_parquet_to_csv_spark.functions.text import (
+    ngrams,
+    token_count,
+    tokens,
+)
 
 
 def benchmark_ngrams(
@@ -1081,4 +1085,80 @@ def flag_contaminated_bloom(
         hits.filter(F.col("_might"))
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Greedy selection to a token budget (the step after scoring: DSIR /
+# quality ranking → "take the best docs until the budget is full")
+# --------------------------------------------------------------------------
+
+def select_to_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    score_col: str = "score_micro",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bins: int = 4096,
+) -> DataFrame:
+    """The maximal prefix of docs in (score desc, id asc) order whose
+    running token total stays ≤ ``budget_tokens`` — greedy
+    budget-constrained corpus selection, returned as
+    (id, score, n_tokens).
+
+    Semantics are GLOBAL-prefix (a doc is kept iff the running total
+    through it fits), but the plan never runs a data-scale
+    single-partition window: scores are binned into ``num_bins``
+    integer buckets (exact integer arithmetic off a 1-row min/max
+    close), bin token totals get one cumulative window over ≤num_bins
+    rows (dimension scale), and the within-bin refinement window is
+    PARTITIONED by bin — the decile_binning_mapside two-level trick
+    applied to a prefix-sum. Binning affects only the execution
+    shape; the kept set is exactly the naive global-cumsum answer
+    (which is what the DuckDB oracle replays).
+
+    Ties: deterministic (score desc, id asc). Zero-token docs at the
+    boundary are kept (they cost nothing). Works for any integer
+    score column — micro-nat DSIR weights, quality ranks, priorities.
+    """
+    d = docs.select(
+        F.col(id_col),
+        F.col(score_col).cast("long").alias("_s"),
+        token_count(text_col).alias("_nt"),
+    )
+    stats = d.agg(
+        F.min("_s").alias("_lo"), F.max("_s").alias("_hi")
+    )
+    # integer binning: ((s - lo) * NB) div (hi - lo + 1) ∈ [0, NB)
+    binned = d.crossJoin(F.broadcast(stats)).withColumn(
+        "_bin",
+        # integer `div`, not float `/`: exact by construction (no
+        # double rounding at bin edges). Range note: (s - lo) spans
+        # the score spread; × num_bins must fit a long — true for
+        # micro-nat DSIR weights and any rank-like score.
+        F.expr(f"((_s - _lo) * {num_bins}) div (_hi - _lo + 1)"),
+    )
+    per_bin = binned.groupBy("_bin").agg(F.sum("_nt").alias("_bt"))
+    w_bins = Window.orderBy(F.desc("_bin")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # tokens consumed by all strictly-higher bins (≤num_bins rows —
+    # dimension-scale single-partition window, allowlisted)
+    starts = per_bin.withColumn(
+        "_carry", F.coalesce(F.sum("_bt").over(w_bins), F.lit(0))
+    ).select("_bin", "_carry")
+    w_in = (
+        Window.partitionBy("_bin")
+        .orderBy(F.desc("_s"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = (
+        binned.join(F.broadcast(starts), "_bin")
+        .withColumn("_run", F.col("_carry") + F.sum("_nt").over(w_in))
+        .filter(F.col("_run") <= budget_tokens)
+    )
+    return kept.select(
+        id_col,
+        F.col("_s").alias(score_col),
+        F.col("_nt").alias("n_tokens"),
     )

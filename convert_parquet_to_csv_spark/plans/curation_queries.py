@@ -680,3 +680,66 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=_BLOOM_K,
         hash_fn="md5",
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-ranked greedy selection to a token budget (r6; r7 backlog)
+# --------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 5000
+
+# The oracle replays the SEMANTICS (naive global cumulative sum in
+# (score desc, id) order — keep while the running total fits); the
+# Spark plan computes the identical kept set two-level (bin carry +
+# within-bin prefix) so no data-scale single-partition window exists.
+_DSIR_BUDGET_ORACLE = (
+    _DSIR_ORACLE.replace(
+        """SELECT dc.doc_id,
+       CAST(sum(dc.c * r.l) AS BIGINT) AS score_micro
+FROM dc JOIN ratio r ON r.b = dc.b
+GROUP BY dc.doc_id
+""",
+        """, scores AS (
+  SELECT dc.doc_id,
+         CAST(sum(dc.c * r.l) AS BIGINT) AS score_micro
+  FROM dc JOIN ratio r ON r.b = dc.b
+  GROUP BY dc.doc_id
+), toks AS (
+  SELECT s.doc_id, s.score_micro,
+         CAST(len(rt.toks) AS BIGINT) AS n_tokens
+  FROM scores s JOIN rtok rt ON rt.doc_id = s.doc_id
+), run AS (
+  SELECT doc_id, score_micro, n_tokens,
+         sum(n_tokens) OVER (
+           ORDER BY score_micro DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks
+)
+SELECT doc_id, score_micro, n_tokens
+FROM run WHERE cum <= """
+        + str(_BUDGET_TOKENS)
+        + "\n",
+    ).replace("WITH rtok AS", "WITH rtok AS", 1)
+)
+
+
+@query("dsir_token_budget_selection", oracle=_DSIR_BUDGET_ORACLE)
+def dsir_token_budget_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The post-scoring step of a DSIR pipeline: greedily keep the
+    highest-importance docs until a 5000-token budget fills (maximal
+    prefix in (score desc, doc_id) order). Spark computes it
+    two-level (score bins → ≤4096-row carry window → within-bin
+    prefix windows); the oracle replays the equivalent naive global
+    cumsum."""
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    scored = C.dsir_importance_weights(
+        raw, target, num_buckets=4096, hash_fn="md5"
+    )
+    with_text = raw.select("doc_id", "text").join(scored, "doc_id")
+    return C.select_to_token_budget(
+        with_text, budget_tokens=_BUDGET_TOKENS
+    )

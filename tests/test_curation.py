@@ -563,3 +563,48 @@ def test_bloom_decontamination_no_false_negatives_and_superset(spark):
             ).collect()
         }
         assert roomy == exact, hash_fn
+
+
+# --------------------------------------------------------------------------
+# Token-budget greedy selection
+# --------------------------------------------------------------------------
+
+def test_select_to_token_budget_matches_naive_prefix(spark):
+    """The two-level (binned) plan must return exactly the naive
+    global-prefix answer: docs in (score desc, id asc) order kept
+    while the running token total fits — including score ties, a
+    boundary doc that exactly fills the budget, and zero-token docs
+    (kept for free)."""
+    rows = [
+        # (id, text, score)
+        (1, "a b c", 900),        # 3 tokens
+        (2, "d e", 900),          # tie with 1 → id order
+        (3, "f g h i", 800),      # 4 tokens
+        (4, "", 700),             # 0 tokens
+        (5, "j k l m n", 600),    # 5 tokens
+        (6, "o", 500),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, score_micro LONG")
+
+    def naive(budget):
+        total, kept = 0, []
+        for did, text, score in sorted(rows, key=lambda r: (-r[2], r[0])):
+            nt = len(text.split())
+            if total + nt <= budget:
+                total += nt
+                kept.append(did)
+            else:
+                break  # maximal PREFIX: stop at first overflow
+        return sorted(kept)
+
+    for budget in (0, 3, 5, 9, 9 + 5, 100):
+        got = sorted(
+            r.doc_id
+            for r in C.select_to_token_budget(
+                df, budget_tokens=budget, num_bins=4
+            ).collect()
+        )
+        assert got == naive(budget), (budget, got, naive(budget))
+    # columns carry score and token count for the selection report
+    out = C.select_to_token_budget(df, budget_tokens=9, num_bins=4)
+    assert set(out.columns) == {"doc_id", "score_micro", "n_tokens"}
