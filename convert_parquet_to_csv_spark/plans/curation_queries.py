@@ -743,3 +743,150 @@ def dsir_token_budget_selection(
     return C.select_to_token_budget(
         with_text, budget_tokens=_BUDGET_TOKENS
     )
+
+
+# --------------------------------------------------------------------------
+# Modern curation pipeline: Gopher gate -> exact dedup -> Bloom
+# decontamination -> per-source report (r6; r7 backlog)
+# --------------------------------------------------------------------------
+
+# The end-to-end composition of this round's operators, with the
+# oracle assembled from the same verified pieces: the Gopher CTEs
+# (restricted to the non-benchmark split), the exact-dedup fingerprint
+# rank, and the Bloom position-set probe. Every stage is individually
+# value-hash gated; this query gates the COMPOSITION.
+_MODERN_PIPE_ORACLE = (
+    _GOPHER_GRAMS_CTE.replace(
+        "FROM documents\n", "FROM documents WHERE doc_id % 97 <> 0\n", 1
+    )
+    + _GOPHER_SIG_COLS
+    + rf"""
+  FROM base b LEFT JOIN per_n p ON p.doc_id = b.doc_id
+  GROUP BY b.doc_id, b.chars
+), scal AS (
+  SELECT doc_id,
+         len(toks) AS nt,
+         coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS tc,
+         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS aw,
+         len(list_intersect(
+             list_distinct(list_transform(toks, t -> lower(t))),
+             ['the','be','to','of','and','that','have','with'])) AS sh
+  FROM tok
+), passing AS (
+  SELECT s.doc_id FROM scal s JOIN sig g ON g.doc_id = s.doc_id
+  WHERE (s.nt BETWEEN 50 AND 100000)
+    AND CASE WHEN s.nt > 0 THEN
+          CAST(s.tc AS DOUBLE) / CAST(s.nt AS DOUBLE) >= 3.0
+          AND CAST(s.tc AS DOUBLE) / CAST(s.nt AS DOUBLE) <= 10.0
+        ELSE FALSE END
+    AND CASE WHEN s.nt > 0 THEN
+          CAST(s.aw AS DOUBLE) / CAST(s.nt AS DOUBLE) >= 0.80
+        ELSE FALSE END
+    AND s.sh >= 1
+    AND g.top_2gram_char_frac <= 0.20
+    AND g.top_3gram_char_frac <= 0.18
+    AND g.top_4gram_char_frac <= 0.16
+    AND g.dup_5gram_char_frac <= 0.15
+    AND g.dup_6gram_char_frac <= 0.14
+    AND g.dup_7gram_char_frac <= 0.13
+    AND g.dup_8gram_char_frac <= 0.12
+    AND g.dup_9gram_char_frac <= 0.11
+    AND g.dup_10gram_char_frac <= 0.10
+), fp AS (
+  SELECT d.doc_id, d.source, d.text,
+         md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))) AS _fp
+  FROM documents d JOIN passing p ON p.doc_id = d.doc_id
+), dedup AS (
+  SELECT doc_id, source, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY _fp ORDER BY doc_id) AS rn
+    FROM fp
+  ) WHERE rn = 1
+), dwords AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t != '') AS w
+  FROM dedup
+), dgrams AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1),
+                             i -> array_to_string(w[i:i+2], ' '))
+         ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM dwords
+), bwords AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t != '') AS w
+  FROM documents WHERE doc_id % 97 = 0
+), bgrams AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1),
+                             i -> array_to_string(w[i:i+2], ' '))
+         ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM bwords
+), bpos AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || gram), 1, 15))
+           ::BIGINT % {_BLOOM_BITS} AS p
+  FROM bgrams, unnest([0, 1, 2, 3]) AS tj(j)
+), probe AS (
+  SELECT t.doc_id, t.gram, bool_and(b.p IS NOT NULL) AS might
+  FROM (
+    SELECT doc_id, gram,
+           ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || gram), 1, 15))
+             ::BIGINT % {_BLOOM_BITS} AS p
+    FROM dgrams, unnest([0, 1, 2, 3]) AS tj(j)
+  ) t
+  LEFT JOIN bpos b ON b.p = t.p
+  GROUP BY t.doc_id, t.gram
+), flagged AS (
+  SELECT DISTINCT doc_id FROM probe WHERE might
+), final AS (
+  SELECT d.doc_id, d.source FROM dedup d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
+)
+SELECT f.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(t.toks)) AS BIGINT) AS total_tokens
+FROM final f JOIN tok t ON t.doc_id = f.doc_id
+GROUP BY f.source
+"""
+)
+
+
+@query("modern_curation_pipeline", oracle=_MODERN_PIPE_ORACLE)
+def modern_curation_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The modern LLM curation chain end to end in one plan: Gopher
+    quality deck (paper thresholds, stopword≥1 — the fixture-vocab
+    note on gopher_quality_filter) → exact dedup (min-id per content
+    fingerprint) → Bloom decontamination vs the %97 benchmark split →
+    per-source (n_docs, total_tokens). Every stage is individually
+    value-hash gated (gopher_quality_filter / dedup_exact /
+    decontaminate_bloom); this query gates the COMPOSITION — stage
+    order, survivor plumbing, and the final report."""
+    from convert_parquet_to_csv_spark.functions.text import token_count
+    from convert_parquet_to_csv_spark.operators import dedup as D
+
+    docs = _docs(spark, sf_dir)
+    is_bench = F.col("doc_id") % 97 == 0
+    train = docs.filter(~is_bench)
+    flags = C.gopher_quality_filter(train, min_stopword_hits=1)
+    passing = train.join(
+        flags.filter(F.col("passes_all")).select("doc_id"), "doc_id"
+    )
+    kept = D.exact_dedup(passing)
+    flagged = C.flag_contaminated_bloom(
+        kept,
+        docs.filter(is_bench),
+        n=3,
+        num_bits=_BLOOM_BITS,
+        num_hashes=_BLOOM_K,
+        hash_fn="md5",
+    )
+    final = kept.join(flagged.select("doc_id"), "doc_id", "left_anti")
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
+    )
