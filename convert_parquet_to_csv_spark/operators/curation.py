@@ -1162,3 +1162,46 @@ def select_to_token_budget(
         F.col("_s").alias(score_col),
         F.col("_nt").alias("n_tokens"),
     )
+
+
+def select_to_token_budget_per_group(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    score_col: str = "score_micro",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group maximal prefix under a token budget: within each
+    ``group_col`` value, keep docs in (score desc, id asc) order
+    while the group's running token total stays ≤ ``budget_tokens``
+    — per-domain/source budget caps, the standard way a training
+    mixture bounds any one domain's contribution.
+
+    Unlike the global flavor (:func:`select_to_token_budget`, which
+    needs the two-level bin trick), the prefix window here is
+    naturally PARTITIONED by the group — one window shuffle on the
+    group key, no single-partition stage at any scale with bounded
+    per-group volume. Returns (id, group, score, n_tokens).
+    """
+    d = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col).cast("long").alias("_s"),
+        token_count(text_col).alias("_nt"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("_s"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.withColumn("_run", F.sum("_nt").over(w))
+        .filter(F.col("_run") <= budget_tokens)
+        .select(
+            id_col,
+            group_col,
+            F.col("_s").alias(score_col),
+            F.col("_nt").alias("n_tokens"),
+        )
+    )

@@ -890,3 +890,61 @@ def modern_curation_pipeline(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source stratified token budgets (r6; r7 backlog)
+# --------------------------------------------------------------------------
+
+_SRC_BUDGET_TOKENS = 1000
+
+_DSIR_SRC_BUDGET_ORACLE = _DSIR_ORACLE.replace(
+    """SELECT dc.doc_id,
+       CAST(sum(dc.c * r.l) AS BIGINT) AS score_micro
+FROM dc JOIN ratio r ON r.b = dc.b
+GROUP BY dc.doc_id
+""",
+    """, scores AS (
+  SELECT dc.doc_id,
+         CAST(sum(dc.c * r.l) AS BIGINT) AS score_micro
+  FROM dc JOIN ratio r ON r.b = dc.b
+  GROUP BY dc.doc_id
+), run AS (
+  SELECT s.doc_id, d.source, s.score_micro,
+         CAST(len(rt.toks) AS BIGINT) AS n_tokens,
+         sum(len(rt.toks)) OVER (
+           PARTITION BY d.source
+           ORDER BY s.score_micro DESC, s.doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM scores s
+  JOIN rtok rt ON rt.doc_id = s.doc_id
+  JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, source, score_micro, n_tokens
+FROM run WHERE cum <= """
+    + str(_SRC_BUDGET_TOKENS)
+    + "\n",
+)
+
+
+@query("dsir_stratified_source_budget", oracle=_DSIR_SRC_BUDGET_ORACLE)
+def dsir_stratified_source_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source budget caps over DSIR-ranked docs: within each
+    source keep the highest-importance prefix whose token total fits
+    1000 tokens — how a training mixture bounds any one domain. The
+    prefix window is naturally partitioned by source (contrast the
+    global flavor's two-level bin trick)."""
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    scored = C.dsir_importance_weights(
+        raw, target, num_buckets=4096, hash_fn="md5"
+    )
+    with_meta = raw.select("doc_id", "source", "text").join(
+        scored, "doc_id"
+    )
+    return C.select_to_token_budget_per_group(
+        with_meta, budget_tokens=_SRC_BUDGET_TOKENS
+    )

@@ -608,3 +608,27 @@ def test_select_to_token_budget_matches_naive_prefix(spark):
     # columns carry score and token count for the selection report
     out = C.select_to_token_budget(df, budget_tokens=9, num_bins=4)
     assert set(out.columns) == {"doc_id", "score_micro", "n_tokens"}
+
+
+def test_select_to_token_budget_per_group_caps_each_group(spark):
+    """Each group's kept prefix fits the budget independently; groups
+    don't steal from each other; ties break on id."""
+    rows = [
+        (1, "A", "a b c", 900),
+        (2, "A", "d e f g", 800),     # A: 3+4=7 > 5 → only doc 1
+        (3, "B", "h i", 900),
+        (4, "B", "j k", 900),         # tie → id order; 2+2=4 ≤ 5
+        (5, "B", "l m n o p", 100),   # would overflow B
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, source STRING, text STRING, score_micro LONG"
+    )
+    got = {
+        r.doc_id: (r.source, r.n_tokens)
+        for r in C.select_to_token_budget_per_group(
+            df, budget_tokens=5
+        ).collect()
+    }
+    assert set(got) == {1, 3, 4}
+    assert got[1] == ("A", 3)
+    assert got[3] == ("B", 2) and got[4] == ("B", 2)

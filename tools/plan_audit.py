@@ -179,6 +179,7 @@ CASES = {
     "decontaminate_bloom": "Bloom screen: fixed-size bitset-word table (<=num_bits/64 rows) broadcast, training probes stream map-side, ONE (doc,gram) distinct + per-doc count shuffle — broadcast size independent of benchmark gram count",
     "dsir_token_budget_selection": "budget selection: 1-row min/max close -> exact integer bins, <=4096-row carry window (allowlisted dimension-scale), within-bin prefix windows PARTITIONED by bin — global-prefix semantics with no data-scale single-partition window",
     "modern_curation_pipeline": "composition: Gopher deck map-side + doc-prefixed agg shuffles -> one fingerprint dedup shuffle (WindowGroupLimit per _fp) -> Bloom bitset-word broadcast probe -> tiny per-source report; no new exchange classes beyond the gated stages",
+    "dsir_stratified_source_budget": "per-group budget: the prefix window is PARTITIONED by source (one group-key window shuffle, no single-partition stage) on top of DSIR's one doc-bucket shuffle + broadcast ratio table",
 }
 
 KEY_MARKERS = (
