@@ -118,6 +118,14 @@ NOISE_FLOOR_NAMES = [
     "kafka_roundtrip_events",
     "similarity_topk_bruteforce",
     "q6_revenue_filter",
+    # r7 (VERDICT r6 "what's wrong" #1): the two r5→r6 deltas that
+    # shipped without a spread key — +19.4% tfidf (its `_warm` twin
+    # was dropped in r6, shifting its slot in the run order) and
+    # +11.3% span_dedup_c4. Both sub-second/low-second queries on a
+    # VM whose measured per-minute swing is 2-3×; from r7 on they
+    # carry `_spread_pct` so any future delta self-adjudicates.
+    "distinctive_terms_tfidf",
+    "span_dedup_c4",
 ]
 
 # Pruned in r6 (the span_dedup `_warm` lesson generalized): a `_warm`
@@ -547,13 +555,37 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001 — bench keeps reporting
         print(f"span_dedup_c4_500k_docs failed: {ex}", file=sys.stderr)
 
+    # VERDICT r6 item 2: the driver's BENCH artifact keeps only a
+    # ~2000-char TAIL of stdout, and the per-query key set has grown
+    # past it — r6's artifact lost `convert_10m_rows` and the
+    # calibration ratio entirely (BENCH_r06.json `parsed: null`).
+    # Serialization order is therefore an ARTIFACT-SURVIVAL decision:
+    # the headline/calibration keys are re-emitted in a compact
+    # `headline` object at the very END of the JSON line, so whatever
+    # prefix the truncation eats, the shipped tail always records the
+    # one number BASELINE.md is about. `timing_methodology` moves
+    # ahead of `queries` for the same reason — better to lose prose
+    # than per-query numbers from the captured window.
+    headline_summary = {
+        "convert_10m_rows": round(headline, 4),
+        "convert_10m_rows_rr": round(rr, 4),
+        "convert_10m_rows_natural": round(natural, 4),
+    }
+    if duck_sec != float("inf"):
+        headline_summary["baseline_duckdb_convert_10m"] = round(duck_sec, 4)
+        headline_summary["calibration_ratio_vs_duckdb"] = round(
+            headline / duck_sec, 4
+        )
+    for k in ("q1_pricing_summary", "q3_shipping_priority",
+              "q5_region_revenue", "q6_revenue_filter"):
+        if k in queries:
+            headline_summary[k] = queries[k]
     print(
         json.dumps(
             {
                 "metric": "parquet_to_csv_10m_rows_job_sec",
                 "value": round(headline, 4),
                 "unit": "sec",
-                "queries": queries,
                 "sf": sf_val,
                 "rows_10m": n_rows,
                 # ADVICE r3: methodology changed in r03 — per-query
@@ -577,6 +609,8 @@ def main() -> None:
                     "`<name>_spread_pct` dispersion — deltas below "
                     "the spread are VM noise, not code)"
                 ),
+                "queries": queries,
+                "headline": headline_summary,
             }
         )
     )

@@ -31,6 +31,9 @@ cross-joined back plus one window per source partition.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -578,15 +581,21 @@ GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
-def gopher_repetition_signals(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def _gopher_gram_fracs(
+    df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """Per-document Gopher repetition metrics: the fraction of
-    character mass inside the single most frequent word n-gram
-    (n=2..4, ``top_{n}gram_char_frac``) and inside n-grams occurring
-    more than once (n=5..10, ``dup_{n}gram_char_frac``).
+    """Repetition metric fractions for docs owning >=1 counted gram
+    (>=2 tokens); shorter docs are ABSENT — all their metrics are
+    exactly 0.0 whatever their char count, so callers restore them
+    with a cheap id-only left join (:func:`gopher_repetition_signals`)
+    or coalesce their rule flags to True
+    (:func:`gopher_quality_filter`). Split out so the quality filter
+    shares this subtree without a second tokenize scan.
+
+    Metrics: fraction of character mass inside the single most
+    frequent word n-gram (n=2..4, ``top_{n}gram_char_frac``) and
+    inside n-grams occurring more than once (n=5..10,
+    ``dup_{n}gram_char_frac``).
 
     Character mass is tokenizer-consistent — gram chars =
     ``length(array_join(slice, ' '))``, doc chars = sum of token
@@ -594,8 +603,14 @@ def gopher_repetition_signals(
     the raw text cannot skew the ratio. Occurrences are counted
     overlapping (the cheap flavor; the paper's non-overlapping
     dedup-within-doc refinement changes thresholds, not the signal's
-    shape), and every ratio is one integer-sum divided once — IEEE
-    bit-stable across engines.
+    shape). The top-gram is paper-literal per Rae et al. Table A1
+    ("fraction of characters in the most frequently-occurring
+    n-gram"): argmax by count, with the longer gram breaking count
+    ties deterministically — NOT ``max(count·len)`` over all grams,
+    which is a strict upper bound that a rarer-but-longer gram can
+    inflate (r6 shipped that variant; fixed per ADVICE r6). Every
+    ratio is one integer-sum divided once — IEEE bit-stable across
+    engines.
 
     Plan shape: ONE posexplode of the token array, cross-expanded to
     the 9 gram lengths in the same projection (9 rows per position,
@@ -604,8 +619,7 @@ def gopher_repetition_signals(
     doc-prefixed keys so the second reuses the first's clustering.
     Gram identity is ``xxhash64(token-slice)`` (the measured shingle
     lesson from dedup: never carry gram strings across a shuffle);
-    same ~2⁻⁶⁴ collision acceptance as minhash's base hash. Docs with
-    zero tokens pass through with all-zero metrics.
+    same ~2⁻⁶⁴ collision acceptance as minhash's base hash.
     """
     ns = sorted(GOPHER_TOP_NGRAM_MAX) + sorted(GOPHER_DUP_NGRAM_MAX)
     # _pf[i+1] = chars of tokens[0..i]: ONE per-doc prefix-sum HOF,
@@ -630,6 +644,7 @@ def gopher_repetition_signals(
         id_col,
         "_tk",
         "_pf",
+        "_chars",
         F.explode(
             F.sequence(F.lit(0), F.greatest(F.size("_tk") - 1, F.lit(0)))
         ).alias("_i"),
@@ -639,12 +654,14 @@ def gopher_repetition_signals(
             id_col,
             "_tk",
             "_pf",
+            "_chars",
             "_i",
             F.explode(F.array(*[F.lit(n) for n in ns])).alias("_n"),
         )
         .filter(F.col("_i") + F.col("_n") <= F.size("_tk"))
         .select(
             id_col,
+            "_chars",
             "_n",
             F.xxhash64(F.expr("slice(_tk, _i + 1, _n)")).alias("_gh"),
             (
@@ -655,15 +672,43 @@ def gopher_repetition_signals(
             ).alias("_gl"),
         )
     )
-    gc = grams.groupBy(id_col, "_n", "_gh").agg(
+    # `_chars` rides the group keys (8 bytes/row, functionally
+    # dependent on the doc id so group cardinality is unchanged)
+    # instead of joining `base` back in at the end — the r6 shape
+    # referenced `base` twice with no persist, re-tokenizing and
+    # prefix-summing the whole corpus per run (ADVICE r6). Docs that
+    # own no counted gram (< 2 tokens) drop out of this stream; their
+    # metrics are all exactly 0.0 regardless of their char count, so
+    # the caller restores them from a column-pruned id-only scan.
+    gc = grams.groupBy(id_col, "_chars", "_n", "_gh").agg(
         F.count(F.lit(1)).alias("_c"), F.max("_gl").alias("_gl")
     )
-    per_n = gc.groupBy(id_col, "_n").agg(
-        F.max(F.col("_c") * F.col("_gl")).alias("_top_mass"),
+    # top_{n}gram mass = chars of the single MOST FREQUENT gram (Rae
+    # et al. Table A1: "fraction of characters in the most
+    # frequently-occurring n-gram"), argmax by count with the longer
+    # gram breaking count ties deterministically. Encoded as ONE
+    # integer max over (count << 32 | gram_len) then decoded — pure
+    # portable integer arithmetic, no argmax/struct-ordering builtin
+    # the DuckDB oracle might disagree on. Safe while count and
+    # gram_len each < 2^31 (a doc would need 2^31 tokens to overflow;
+    # Spark's array type caps elements below that anyway). r6 shipped
+    # max(count·len) over ALL grams — an upper bound that inflates the
+    # metric when a rarer-but-longer gram beats the most frequent one
+    # (ADVICE r6); fixed to the paper-literal definition here, with
+    # the oracle and the pure-Python test reference updated in
+    # lockstep.
+    _key = F.col("_c") * F.lit(4294967296) + F.col("_gl")
+    per_n = gc.groupBy(id_col, "_chars", "_n").agg(
+        F.max(_key).alias("_top_key"),
         F.sum(
             F.when(F.col("_c") >= 2, F.col("_c") * F.col("_gl")).otherwise(0)
         ).alias("_dup_mass"),
-    )
+    ).withColumn(
+        "_top_mass",
+        F.expr(
+            "(_top_key div 4294967296) * (_top_key % 4294967296)"
+        ),
+    ).drop("_top_key")
     frac = lambda mass: F.coalesce(  # noqa: E731
         F.when(
             F.col("_chars") > 0,
@@ -682,13 +727,7 @@ def gopher_repetition_signals(
         ).alias(f"_dm{n}")
         for n in sorted(GOPHER_DUP_NGRAM_MAX)
     ]
-    joined = (
-        base.select(id_col, "_chars")
-        .join(per_n, id_col, "left")
-        .groupBy(id_col, "_chars")
-        .agg(*aggs)
-    )
-    return joined.select(
+    return per_n.groupBy(id_col, "_chars").agg(*aggs).select(
         id_col,
         *[
             frac(F.col(f"_tm{n}")).alias(f"top_{n}gram_char_frac")
@@ -697,6 +736,28 @@ def gopher_repetition_signals(
         *[
             frac(F.col(f"_dm{n}")).alias(f"dup_{n}gram_char_frac")
             for n in sorted(GOPHER_DUP_NGRAM_MAX)
+        ],
+    )
+
+
+def gopher_repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Gopher repetition metrics for EVERY input doc:
+    see :func:`_gopher_gram_fracs` for the metric definitions and
+    plan shape. Docs with < 2 tokens re-enter here via a
+    column-pruned id-only scan (parquet reads just the id column —
+    no second tokenize pass, the ADVICE r6 fix) left-joined against
+    the gram stream, with all metrics coalesced to exactly 0.0."""
+    fracs = _gopher_gram_fracs(df, id_col, text_col)
+    metric_cols = [c for c in fracs.columns if c != id_col]
+    return df.select(id_col).join(fracs, id_col, "left").select(
+        id_col,
+        *[
+            F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+            for c in metric_cols
         ],
     )
 
@@ -727,10 +788,17 @@ def gopher_quality_filter(
     single-line test fixture cannot exercise; add them over
     ``split(text, '\\n')`` when pointed at real multi-line corpora.
 
-    One narrow scan feeds both the scalar features (pure Column
-    algebra) and the repetition metrics (two partial-agg shuffles);
-    the final join is doc_id-keyed and AQE-broadcastable when the
-    signal table is small.
+    Plan shape (r7, ADVICE r6): TWO text scans total — one pure
+    map-side projection for the scalar features, one feeding the
+    shared repetition-gram subtree (:func:`_gopher_gram_fracs`, two
+    partial-agg shuffles). Short docs (< 2 tokens) are absent from
+    the gram stream; their repetition metrics are exactly 0.0, below
+    every positive threshold, so their rule flags coalesce to True
+    after the doc_id-keyed left join (AQE-broadcastable when the
+    signal table is small). Folding the scalar features into the
+    gram shuffle keys instead would widen the heaviest corpus
+    shuffle by 4 ints/row to save a projection-only scan — a bad
+    trade at 100 TB.
     """
     toks = tokens(text_col)
     n_tokens = F.size(toks)
@@ -770,7 +838,7 @@ def gopher_quality_filter(
         ).otherwise(False).alias("alpha_word_frac_ok"),
         (F.col("_sh") >= min_stopword_hits).alias("stopword_ok"),
     )
-    rep = gopher_repetition_signals(df, id_col=id_col, text_col=text_col)
+    rep = _gopher_gram_fracs(df, id_col, text_col)
     rep_flags = rep.select(
         id_col,
         *[
@@ -782,11 +850,21 @@ def gopher_quality_filter(
             for n, t in sorted(GOPHER_DUP_NGRAM_MAX.items())
         ],
     )
-    out = scalars.join(rep_flags, id_col)
+    rep_flag_names = [c for c in rep_flags.columns if c != id_col]
+    out = scalars.join(rep_flags, id_col, "left").select(
+        id_col,
+        *[c for c in scalars.columns if c != id_col],
+        # absent from the gram stream => metrics 0.0 => below every
+        # (positive) threshold => flags True
+        *[
+            F.coalesce(F.col(c), F.lit(True)).alias(c)
+            for c in rep_flag_names
+        ],
+    )
     flag_cols = [c for c in out.columns if c != id_col]
-    passes = flag_cols[0:1] and F.lit(True)
-    for c in flag_cols:
-        passes = passes & F.col(c)
+    passes = functools.reduce(
+        operator.and_, (F.col(c) for c in flag_cols)
+    )
     return out.withColumn("passes_all", passes)
 
 
@@ -1055,7 +1133,7 @@ def flag_contaminated_bloom(
         bench_grams.select(F.explode(positions).alias("_p"))
         .distinct()
         .select(
-            (F.col("_p") / 64).cast("long").alias("_w"),
+            F.expr("_p div 64").alias("_w"),  # integer div: exact at any num_bits
             F.expr("shiftleft(1L, cast(_p % 64 as int))").alias("_m"),
         )
         .groupBy("_w")
@@ -1066,7 +1144,7 @@ def flag_contaminated_bloom(
     ).select(
         id_col,
         "gram",
-        (F.col("_p") / 64).cast("long").alias("_w"),
+        F.expr("_p div 64").alias("_w"),  # integer div: exact at any num_bits
         F.expr("shiftleft(1L, cast(_p % 64 as int))").alias("_m"),
     )
     hits = (

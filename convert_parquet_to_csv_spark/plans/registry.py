@@ -84,75 +84,83 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order of QUERIES/ORACLES is therefore a CORRECTNESS-COVERAGE
 # decision, not cosmetics.
 #
-# r6 strategy (VERDICT r5 items 1+2): this rotation FINISHES the
-# never-gated backlog. Layout (exactly the 50-slot gate budget):
-# 3 canaries (flagship `convert_roundtrip`, `python_datasource_scan`
-# as the conf-pinning sentinel, one multimodal mapInPandas seam) ->
-# the 21-name never-gated backlog (`order_to_ship_cycle_buckets` ..
-# `decontaminate_ngram_overlap_hashed`, replica-green 21/21 in the
-# r5 judge run) -> the 5 oracle-upgraded names whose driver rows are
-# stale or `err: no_oracle` (`sample_exact_n_rand`/`dedup_minhash`
-# gained real oracles in r5 after their r1/r2 rows;
-# `dedup_simhash`/`similarity_topk_lsh`/`similarity_topk_ivf` gained
-# property-gate oracles in r6) -> 21 refresh slots for the queries
-# whose latest driver row is r1 (oldest signal first:
-# `q1_pricing_summary` .. `grouping_sets_revenue`). After this round
-# every registered query owns a driver CORRECTNESS row and zero
-# rows-only/`err` rows remain; subsequent rotations just cycle the
-# refresh window (latest-row age order). Registry growth unfreezes
-# once the driver confirms (r4-verdict condition: backlog < gate
-# budget — now zero).
+# r7 strategy (VERDICT r6 item 1): rotate the 11 r6-registered
+# curation operators through the gate so every registered query owns
+# a driver CORRECTNESS row (they replica-passed 11/11 in the r6
+# judge's own tools/oracle_check.py run; this is bookkeeping, not
+# risk). Layout (exactly the 50-slot gate budget): 3 canaries
+# (flagship `convert_roundtrip`, `python_datasource_scan` as the
+# conf-pinning sentinel, one multimodal mapInPandas seam) -> the 11
+# never-gated r6 registrations (`dedup_containment` ..
+# `dsir_stratified_source_budget`, registration order) -> any
+# r7-day-one registrations (oracle-on-registration-day invariant:
+# new queries enter the gate the round they are born, so the
+# never-gated class stays empty) -> refresh slots for the oldest
+# driver rows: the 12 whose latest row is r1
+# (`unpivot_status_totals` .. `trailing_7d_window`), then r2-latest
+# names in registration order, with `distinctive_terms_tfidf`
+# pulled forward because its bench delta was the one unadjudicated
+# r6 regression (VERDICT r6 "what's wrong" #1) and a fresh
+# correctness row bounds the blast radius to timing-only.
 FIRST_TIER: list[str] = [
     "convert_roundtrip",
     "python_datasource_scan",
     "multimodal_resize_geometry",
-    "order_to_ship_cycle_buckets",
-    "clamped_running_balance",
-    "wau_mau_stickiness",
-    "surrogate_key_dimension",
-    "doc_topic_projection",
-    "collapse_consecutive_events",
-    "mode_per_group",
-    "decile_lift_curve",
-    "interarrival_log2_histogram",
-    "rollup_grouping_id_labels",
-    "agg_filter_zoo",
-    "forward_fill_ignore_nulls",
-    "skewness_exact",
-    "anova_f_between_status",
-    "asof_forward_next_error",
-    "inverted_index_postings",
-    "cohort_retention_matrix",
-    "datetime_zoo",
-    "time_weighted_avg_value",
-    "multimodal_features",
-    "decontaminate_ngram_overlap_hashed",
-    "sample_exact_n_rand",
-    "dedup_minhash",
-    "dedup_simhash",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "top_customers_per_nation",
-    "events_json_extract",
-    "props_map_explode",
-    "setops_nations",
-    "table_profile_lineitem",
-    "funnel_view_click_purchase",
-    "histogram_order_prices",
-    "q6_revenue_filter",
-    "customers_inactive_1995_anti",
-    "customers_active_1995_semi",
-    "quantile_prices",
-    "distinct_customers_by_status",
-    "orders_above_customer_avg",
-    "scalar_functions_nation",
-    "orders_by_quarter",
-    "cube_revenue",
-    "rollup_revenue",
-    "grouping_sets_revenue",
+    # --- r6 registrations, never driver-gated (VERDICT r6 item 1) ---
+    "dedup_containment",
+    "dedup_winnow_fingerprints",
+    "dedup_winnow_candidates",
+    "dedup_semdedup_clustered",
+    "gopher_repetition_signals",
+    "gopher_quality_filter",
+    "dsir_importance_weights",
+    "decontaminate_bloom",
+    "dsir_token_budget_selection",
+    "modern_curation_pipeline",
+    "dsir_stratified_source_budget",
+    # --- r7 day-one registrations (gate the round they are born) ---
+    # (inserted here as they land; each displaces the trailing r2
+    # refresh slot to hold the 50-slot budget)
+    # --- refresh: latest driver row is r1 ---
+    "unpivot_status_totals",
+    "window_zoo_yearly_priority",
+    "promo_revenue_ratio",
+    "large_orders_having",
+    "disjunctive_filter_parts",
+    "customer_cohort_reconciliation",
+    "asof_click_attribution",
+    "error_click_pressure",
+    "sessionize_events",
+    "user_event_gaps",
+    "events_daily_gapfill",
+    "trailing_7d_window",
+    # --- refresh: latest driver row is r2 (registration order;
+    #     tfidf pulled forward, see above) ---
+    "distinctive_terms_tfidf",
+    "merged_scan_provenance",
+    "map_functions_zoo",
+    "array_functions_zoo",
+    "json_corrupt_handling",
+    "pivot_status_by_year",
+    "left_join_enrichment",
+    "right_join_enrichment",
+    "sample_exact_n_hash",
+    "sample_stratified_hash",
+    "sample_weighted_docs",
+    "split_train_val_test",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_recall",
+    "dedup_clusters_cc",
+    "dedup_fuzzy_levenshtein",
+    "dedup_incremental_batch",
+    "text_quality_stats",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "token_count_bpe",
+    "pandas_udf_token_count",
+    # --- below the expected ~50-row gate cut; kept for ordering ---
+    "curation_pipeline",
     "arrow_python_udf_tokens",
     "observe_metrics_single_pass",
     "transpose_status_summary",

@@ -365,7 +365,13 @@ def _py_gopher_signals(text: str) -> dict[str, float]:
         for i in range(0, max(len(toks) - n + 1, 0)):
             g = " ".join(toks[i : i + n])
             counts[g] = counts.get(g, 0) + 1
-        top = max((c * len(g) for g, c in counts.items()), default=0)
+        # paper-literal (Rae et al. Table A1): the char mass of the
+        # single MOST FREQUENT gram — argmax by count, longer gram
+        # breaking count ties (matches the engine's integer encode)
+        top_c, top_l = max(
+            ((c, len(g)) for g, c in counts.items()), default=(0, 0)
+        )
+        top = top_c * top_l
         dup = sum(c * len(g) for g, c in counts.items() if c >= 2)
         key = (
             f"top_{n}gram_char_frac" if n <= 4 else f"dup_{n}gram_char_frac"

@@ -263,3 +263,47 @@ def test_hot_shingle_guard_jaccard(spark):
     assert (100, 101) in guarded
     # no pair among the header-only docs
     assert all(a >= 100 for a, _ in guarded)
+
+
+def test_hot_shingle_guard_containment(spark):
+    """containment_pairs(max_bucket=...): guard-on == guard-off minus
+    every pair whose overlap is carried ONLY by hot (stop-)shingles
+    (VERDICT r6 item 4 — the minhash hot-bucket device applied to the
+    containment family, where stop-shingle skew is WORSE than
+    Jaccard's: a short doc's denominator lets common shingles alone
+    clear the threshold)."""
+    # 30 boilerplate docs sharing one ubiquitous header phrase, plus a
+    # genuine excerpt/container pair that shares nothing with it. The
+    # short header-only docs hit containment 1.0 against each other
+    # unguarded (their whole shingle set IS the hot phrase).
+    header = "all rights reserved terms of service apply"
+    rows = [(i, header) for i in range(30)]
+    rows.append((100, "the quick brown fox jumps over the lazy dog tonight"))
+    rows.append((101, "opening words then the quick brown fox jumps over "
+                      "the lazy dog tonight and much more trailing text "
+                      "follows here"))
+    corpus = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def pairs(max_bucket):
+        return {
+            (r["contained_id"], r["container_id"])
+            for r in D.containment_pairs(
+                corpus, threshold=0.8, max_bucket=max_bucket,
+                persist=False,
+            ).collect()
+        }
+
+    unguarded = pairs(None)
+    guarded = pairs(10)
+    # the blowup is real: 30 identical boilerplate docs pair both ways
+    hot_pairs = {
+        (a, b) for a in range(30) for b in range(30) if a != b
+    }
+    assert hot_pairs <= unguarded
+    # guard-on == guard-off minus exactly the hot-shingle-only pairs:
+    # the excerpt pair (100 ⊂ 101) survives, boilerplate pairs vanish
+    assert guarded == unguarded - hot_pairs
+    assert (100, 101) in guarded
+    # denominator is NOT guarded: with every shingle of the
+    # boilerplate docs hot, their intersection is 0, not undefined
+    assert all(a >= 100 for a, _ in guarded)

@@ -221,3 +221,43 @@ def test_semdedup_sound_and_keeps_min_id(spark):
     assert 1 in surv and 2 not in surv and 5 not in surv
     # 3 and 4 are unrelated directions → kept
     assert 3 in surv and 4 in surv
+
+
+def test_semdedup_multiprobe_monotone_recall(spark, sf_small):
+    """n_probe=2 (VERDICT r6 item 7): cluster membership at probe p
+    is a prefix-superset of p-1, so the drop set can only GROW —
+    soundness (subset of the exact cosine drop set) must survive,
+    and on the real embeddings fixture the boundary mitigation must
+    actually recover pairs (measured 0.374 → 0.679 recall at
+    sf0.001; gate at a conservative strict improvement)."""
+    from convert_parquet_to_csv_spark.sources import read_parquet
+    import os
+
+    vecs = read_parquet(
+        spark, os.path.join(sf_small, "embeddings.parquet")
+    )
+    all_ids = {r.vec_id for r in vecs.select("vec_id").collect()}
+    exact = {
+        r.vec_id
+        for r in S.embedding_dup_pairs(vecs, threshold=0.35, dim=None)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .collect()
+    }
+    drops = {}
+    for p in (1, 2):
+        surv = {
+            r.vec_id
+            for r in S.semdedup(
+                vecs, threshold=0.35, n_clusters=16, n_iters=2,
+                n_probe=p,
+            ).select("vec_id").collect()
+        }
+        spark.catalog.clearCache()
+        drops[p] = all_ids - surv
+    # soundness unchanged under multi-probe
+    assert drops[1] <= exact and drops[2] <= exact
+    # monotone: probe-2 membership superset ⇒ drop-set superset
+    assert drops[1] <= drops[2]
+    # the mitigation recovers real boundary pairs on this fixture
+    assert len(drops[2]) > len(drops[1])
