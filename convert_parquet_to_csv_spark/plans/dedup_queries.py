@@ -1067,3 +1067,213 @@ def dedup_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_fn="md5",
     )
     return D.winnow_candidate_pairs(fps, min_shared=_WN_MIN_SHARED)
+
+
+# --------------------------------------------------------------------------
+# r7 additions: URL- and domain-level dedup (the pre-content pass)
+# Day-one gated (FIRST_TIER slots reserved in the r7 rotation).
+# --------------------------------------------------------------------------
+
+# The documents fixture carries no URL column, so the gated queries
+# attach a DETERMINISTIC synthetic one — built from md5(doc_id) bits
+# and the source column with the exact same string algebra in Spark
+# and DuckDB (md5 is the repo's cross-engine RNG, registry.py rule 3).
+# The construction deliberately covers every canonicalization clause:
+# mixed schemes, optional www./cdn. prefixes, shared paths
+# (doc_id div 100 → ~5 docs per source×bucket at sf0.01), optional
+# trailing slash, tracking params that vary per doc (utm_source=,
+# fbclid=) and REAL params (page=, a=) inserted in non-sorted order.
+# Docs agreeing on (cdn-bit, source, path bucket, real params)
+# canonicalize identically however their scheme/www/slash/tracking
+# noise differs — those are the dup groups the operator must find.
+
+def _synth_url() -> "F.Column":
+    h = F.md5(F.col("doc_id").cast("string"))
+
+    def bit(i: int) -> "F.Column":
+        return F.ascii(F.substring(h, i, 1)) % 2 == 1
+
+    scheme = F.when(bit(1), F.lit("https://")).otherwise(F.lit("http://"))
+    www = F.when(bit(2), F.lit("www.")).otherwise(F.lit(""))
+    sub = F.when(bit(3), F.lit("cdn.")).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/Article/"),
+        F.expr("cast(doc_id div 100 as string)"),
+    )
+    slash = F.when(bit(4), F.lit("/")).otherwise(F.lit(""))
+    params = F.filter(
+        F.array(
+            F.when(
+                bit(5),
+                F.concat(
+                    F.lit("utm_source=feed"),
+                    (F.col("doc_id") % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                bit(6),
+                F.concat(
+                    F.lit("page="), (F.col("doc_id") % 3).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                bit(7), F.concat(F.lit("fbclid="), F.substring(h, 1, 6))
+            ).otherwise(F.lit("")),
+            F.when(
+                bit(8),
+                F.concat(F.lit("a="), (F.col("doc_id") % 2).cast("string")),
+            ).otherwise(F.lit("")),
+        ),
+        lambda p: p != "",
+    )
+    q = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        www,
+        sub,
+        F.col("source"),
+        # registered-domain diversity for the census: 3 TLD groups
+        # keyed off the source name (stable per source, so canonical
+        # dup groups are unaffected)
+        F.lit(".example"),
+        (F.ascii(F.substring(F.col("source"), 4, 1)) % 3).cast("string"),
+        F.lit(".org"),
+        path,
+        slash,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+# SQL twin of _synth_url + functions/web.py canonicalization — the
+# whole pipeline replayed clause for clause.
+_URL_BUILD_CTE = r"""
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 2 = 1
+               THEN 'https://' ELSE 'http://' END)
+      || (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) % 2 = 1
+               THEN 'www.' ELSE '' END)
+      || (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) % 2 = 1
+               THEN 'cdn.' ELSE '' END)
+      || source || '.example'
+      || CAST(ascii(substr(source, 4, 1)) % 3 AS VARCHAR) || '.org'
+      || '/Article/' || CAST(doc_id // 100 AS VARCHAR)
+      || (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) % 2 = 1
+               THEN '/' ELSE '' END)
+      || (CASE WHEN coalesce(array_to_string(list_filter(
+              [CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) % 2 = 1
+                    THEN 'utm_source=feed' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END,
+               CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) % 2 = 1
+                    THEN 'page=' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END,
+               CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) % 2 = 1
+                    THEN 'fbclid=' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) ELSE '' END,
+               CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) % 2 = 1
+                    THEN 'a=' || CAST(doc_id % 2 AS VARCHAR) ELSE '' END],
+              p -> p != ''), '&'), '') = '' THEN ''
+          ELSE '?' || array_to_string(list_filter(
+              [CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) % 2 = 1
+                    THEN 'utm_source=feed' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END,
+               CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) % 2 = 1
+                    THEN 'page=' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END,
+               CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) % 2 = 1
+                    THEN 'fbclid=' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) ELSE '' END,
+               CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) % 2 = 1
+                    THEN 'a=' || CAST(doc_id % 2 AS VARCHAR) ELSE '' END],
+              p -> p != ''), '&') END) AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_replace(
+             regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                            '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
+             '[/?].*$', '')), '^www\.', '') AS host,
+         regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                            '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
+             '^[^/?]*', ''), '\?.*$', '') AS rawpath,
+         CASE WHEN contains(regexp_replace(
+                  regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                                 '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
+                  '^[^/?]*', ''), '?')
+              THEN regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                                 '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
+                  '^[^/?]*', ''), '^[^?]*\?', '')
+              ELSE '' END AS rawq
+  FROM u
+), c2 AS (
+  SELECT doc_id, host,
+         host
+      || regexp_replace(rawpath, '/+$', '')
+      || (CASE WHEN coalesce(array_to_string(list_sort(list_filter(
+              string_split(rawq, '&'),
+              p -> p != '' AND NOT regexp_matches(p,
+                  '^(utm_[a-z]+|fbclid|gclid|mc_cid|mc_eid|ref)='))),
+              '&'), '') = '' THEN ''
+          ELSE '?' || array_to_string(list_sort(list_filter(
+              string_split(rawq, '&'),
+              p -> p != '' AND NOT regexp_matches(p,
+                  '^(utm_[a-z]+|fbclid|gclid|mc_cid|mc_eid|ref)='))),
+              '&') END) AS canonical_url,
+         regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+  FROM canon
+)
+"""
+
+_URL_DEDUP_ORACLE = (
+    _URL_BUILD_CTE
+    + """
+SELECT canonical_url, domain,
+       count(*) AS n_docs, min(doc_id) AS survivor_id
+FROM c2 GROUP BY 1, 2
+"""
+)
+
+
+@query("dedup_url_canonical", oracle=_URL_DEDUP_ORACLE)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup report (RefinedWeb/CCNet's pre-content pass):
+    canonicalize crawl URLs — scheme/www./trailing-slash/fragment
+    noise and tracking params (utm_*, fbclid, …) stripped, remaining
+    params sorted — then one partial-agg shuffle per canonical key:
+    (canonical_url, domain, n_docs, survivor_id). Groups with
+    n_docs ≥ 2 are recrawl/tracking-link duplicates detectable
+    before any text pass runs."""
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    from convert_parquet_to_csv_spark.operators.urls import (
+        url_dup_groups,
+    )
+
+    return url_dup_groups(docs)
+
+
+_DOMAIN_CENSUS_ORACLE = (
+    _URL_BUILD_CTE
+    + """
+, per_url AS (
+  SELECT domain, canonical_url, count(*) AS n
+  FROM c2 GROUP BY 1, 2
+)
+SELECT domain,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_canonical,
+       CAST(sum(n) - count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+         AS dup_frac
+FROM per_url GROUP BY 1
+"""
+)
+
+
+@query("url_domain_census", oracle=_DOMAIN_CENSUS_ORACLE)
+def url_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain crawl profile: raw docs, canonical
+    pages, duplicate fraction — the table that decides per-domain
+    mixture caps and flags crawler traps (high dup_frac). Two
+    partial-agg shuffles; domain = simplified last-two-labels (the
+    public-suffix-table seam is documented in operators/urls.py)."""
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    from convert_parquet_to_csv_spark.operators.urls import (
+        domain_census,
+    )
+
+    return domain_census(docs)

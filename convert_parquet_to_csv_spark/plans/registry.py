@@ -119,8 +119,9 @@ FIRST_TIER: list[str] = [
     "modern_curation_pipeline",
     "dsir_stratified_source_budget",
     # --- r7 day-one registrations (gate the round they are born) ---
-    # (inserted here as they land; each displaces the trailing r2
-    # refresh slot to hold the 50-slot budget)
+    # (each displaces a trailing r2 refresh slot past the 50-cut)
+    "dedup_url_canonical",
+    "url_domain_census",
     # --- refresh: latest driver row is r1 ---
     "unpivot_status_totals",
     "window_zoo_yearly_priority",

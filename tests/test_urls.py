@@ -1,0 +1,116 @@
+"""URL canonicalization + URL/domain-level dedup (functions/web.py,
+operators/urls.py) — spec-clause edge cases the synthetic fixture
+can't all reach (fragments, mixed-case hosts, gclid, root path)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from convert_parquet_to_csv_spark.functions.web import (  # noqa: E402
+    url_canonicalize,
+    url_host,
+    url_registered_domain,
+)
+from convert_parquet_to_csv_spark.operators import urls as U  # noqa: E402
+
+CASES = [
+    # (raw, canonical, host, domain)
+    (
+        "https://www.Example.COM/Path/To/Page/?utm_source=x&b=2&a=1#frag",
+        "example.com/Path/To/Page?a=1&b=2",
+        "example.com",
+        "example.com",
+    ),
+    (
+        "http://example.com/",
+        "example.com",
+        "example.com",
+        "example.com",
+    ),
+    (
+        "https://cdn.news.example.org/a?gclid=zzz&fbclid=yyy",
+        "cdn.news.example.org/a",
+        "cdn.news.example.org",
+        "example.org",
+    ),
+    # scheme-less input, params already sorted, ref dropped
+    (
+        "www.site.net/x?a=1&ref=tw",
+        "site.net/x?a=1",
+        "site.net",
+        "site.net",
+    ),
+    # path case preserved (RFC 3986), host case folded
+    (
+        "HTTPS://WWW.HOST.ORG/CaseSensitive",
+        "host.org/CaseSensitive",
+        "host.org",
+        "host.org",
+    ),
+    # query only, all params tracking → no '?'
+    (
+        "https://h.io?utm_campaign=a&utm_medium=b",
+        "h.io",
+        "h.io",
+        "h.io",
+    ),
+]
+
+
+def test_url_canonicalize_spec_clauses(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _, _, _) in enumerate(CASES)],
+        "i LONG, url STRING",
+    )
+    got = {
+        r["i"]: (r["c"], r["h"], r["d"])
+        for r in df.select(
+            "i",
+            url_canonicalize("url").alias("c"),
+            url_host("url").alias("h"),
+            url_registered_domain("url").alias("d"),
+        ).collect()
+    }
+    for i, (_, canon, host, domain) in enumerate(CASES):
+        assert got[i] == (canon, host, domain), (i, got[i])
+
+
+def test_url_dedup_min_id_survivor(spark):
+    rows = [
+        (1, "https://www.a.com/x?utm_source=feed"),
+        (2, "http://a.com/x/"),            # same canonical as 1
+        (3, "https://a.com/x?page=2"),     # real param → distinct
+        (4, "https://b.com/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING")
+    surv = {r["doc_id"] for r in U.url_dedup(df).collect()}
+    assert surv == {1, 3, 4}
+    groups = {
+        r["canonical_url"]: (r["n_docs"], r["survivor_id"])
+        for r in U.url_dup_groups(df).collect()
+    }
+    assert groups["a.com/x"] == (2, 1)
+    assert groups["a.com/x?page=2"] == (1, 3)
+
+
+def test_domain_census_dup_frac(spark):
+    rows = [
+        (1, "https://www.a.com/x"),
+        (2, "http://a.com/x"),
+        (3, "https://a.com/y"),
+        (4, "https://sub.b.org/only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING")
+    got = {
+        r["domain"]: (r["n_docs"], r["n_canonical"], r["dup_frac"])
+        for r in U.domain_census(df).collect()
+    }
+    assert got["a.com"] == (3, 2, (3 - 2) / 3)
+    assert got["b.org"] == (1, 1, 0.0)
