@@ -104,3 +104,102 @@ def pack_sequences(
     return chunks.withColumn(
         bin_col, F.floor(cum / F.lit(budget)).cast("long")
     )
+
+
+def concat_chunk_pack(
+    docs: DataFrame,
+    ctx: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bins: int = 4096,
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing report: concatenate every
+    document's token stream (BPE-ish counts + 1 EOS per doc) in
+    ``id_col`` order, cut the stream every ``ctx`` tokens, and report
+    per training chunk — (chunk_id, n_docs, n_docs_start, n_tokens):
+    how many documents touch the chunk, how many start in it, and its
+    token fill (= ctx everywhere but the final partial chunk).
+
+    This is the packing flavor that wastes zero padding but FRAGMENTS
+    documents across context windows; n_docs − n_docs_start per chunk
+    is exactly the boundary-crossing count a packing-quality review
+    reads (cf. pack_sequences for the whole-doc first-fit flavor —
+    together they are the two standard trades).
+
+    Tokenizer-aware: counts use ``token_count_bpe`` (word runs +
+    punctuation marks — the repo's cheap LLM-token proxy), not
+    whitespace words.
+
+    Scale shape: the global running offset is semantically a
+    corpus-wide prefix sum, but the plan never runs a data-scale
+    single-partition window — ids are range-binned into ``num_bins``
+    buckets (monotone id→bin, so bin order == concat order), bin token
+    totals take ONE cumulative window over ≤num_bins rows (dimension
+    scale), and the within-bin refinement window is PARTITIONED by
+    bin: the select_to_token_budget two-level device applied to the
+    packing offset. Chunk-range explode fan-out is Σ(nt/ctx + 1) ≈
+    corpus tokens / ctx. Binning affects only execution shape — the
+    output equals the naive global-cumsum answer the oracle replays.
+    """
+    from convert_parquet_to_csv_spark.functions.text import (
+        token_count_bpe,
+    )
+
+    d = docs.select(
+        F.col(id_col), (token_count_bpe(text_col) + 1).alias("_nt")
+    )
+    stats = d.agg(
+        F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi")
+    )
+    binned = d.crossJoin(F.broadcast(stats)).withColumn(
+        "_bin",
+        F.expr(
+            f"(({id_col} - _lo) * {num_bins}) div (_hi - _lo + 1)"
+        ),
+    )
+    per_bin = binned.groupBy("_bin").agg(F.sum("_nt").alias("_bt"))
+    w_bins = Window.orderBy(F.asc("_bin")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # tokens before this bin (≤num_bins rows — dimension-scale
+    # single-partition window, allowlisted)
+    starts = per_bin.withColumn(
+        "_carry", F.coalesce(F.sum("_bt").over(w_bins), F.lit(0))
+    ).select("_bin", "_carry")
+    w_in = (
+        Window.partitionBy("_bin")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    placed = (
+        binned.join(F.broadcast(starts), "_bin")
+        .withColumn(
+            "_start",
+            F.col("_carry") + F.sum("_nt").over(w_in) - F.col("_nt"),
+        )
+        .select(id_col, "_nt", "_start")
+    )
+    spans = placed.select(
+        id_col,
+        "_nt",
+        "_start",
+        F.explode(
+            F.sequence(
+                F.expr(f"_start div {ctx}"),
+                F.expr(f"(_start + _nt - 1) div {ctx}"),
+            )
+        ).alias("chunk_id"),
+    )
+    return spans.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.expr(f"_start div {ctx}") == F.col("chunk_id"), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_docs_start"),
+        F.sum(
+            F.least(
+                (F.col("chunk_id") + 1) * ctx, F.col("_start") + F.col("_nt")
+            )
+            - F.greatest(F.col("chunk_id") * ctx, F.col("_start"))
+        ).cast("bigint").alias("n_tokens"),
+    )

@@ -952,3 +952,72 @@ def dsir_stratified_source_budget(
     return C.select_to_token_budget_per_group(
         with_meta, budget_tokens=_SRC_BUDGET_TOKENS
     )
+
+
+# --------------------------------------------------------------------------
+# r7: mixture law — per-source token targets, epochs, and
+# diminishing-returns effective value (operators/curation.py
+# source_mixture_plan; Muennighoff-style repetition discounting in
+# exact rational arithmetic)
+# --------------------------------------------------------------------------
+
+_MIX_BUDGET = 200_000
+_MIX_EMAX = 20
+
+_MIXTURE_PLAN_ORACLE = f"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text,
+             '[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n]'))) AS BIGINT) AS nt
+  FROM documents GROUP BY source
+), sq AS (
+  SELECT *, CAST(floor(sqrt(CAST(nt AS DOUBLE)) * 1000000) AS BIGINT)
+              AS sqm
+  FROM per
+), tot AS (
+  SELECT CAST(sum(sqm) AS BIGINT) AS tot FROM sq
+), pl AS (
+  SELECT source, n_docs, nt, sqm, tot,
+         CAST(({_MIX_BUDGET} * sqm) // tot AS BIGINT) AS target
+  FROM sq, tot
+), kf AS (
+  SELECT *,
+         least(CASE WHEN nt > 0 THEN target // nt ELSE 0 END,
+               {_MIX_EMAX}) AS k,
+         CASE WHEN nt > 0 AND target // nt <= {_MIX_EMAX}
+              THEN target % nt ELSE 0 END AS r
+  FROM pl
+), pw AS (
+  SELECT *, CAST(power(5, k) AS BIGINT) AS p5,
+            CAST(power(4, k) AS BIGINT) AS p4
+  FROM kf
+)
+SELECT source, n_docs, nt AS natural_tokens,
+       CAST(sqm AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+       target AS target_tokens,
+       CAST(k AS BIGINT) AS epochs_full,
+       CAST(nt * 5 * (p5 - p4) + r * p4 AS DOUBLE)
+         / CAST(p5 AS DOUBLE) AS effective_tokens,
+       CASE WHEN target > 0
+            THEN CAST(nt * 5 * (p5 - p4) + r * p4 AS DOUBLE)
+                 / CAST(p5 * target AS DOUBLE)
+            ELSE 0.0 END AS value_retention
+FROM pw
+"""
+
+
+@query("source_mixture_epochs", oracle=_MIXTURE_PLAN_ORACLE)
+def source_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture plan under a 200k-token budget: sqrt-
+    temperature share, token target, implied repetition epochs, and
+    effective tokens after the 4/5-geometric diminishing-returns
+    discount — all exact integer arithmetic with one closing divide
+    per double column (see operators/curation.source_mixture_plan).
+    The tri-SF sweep exercises all three regimes: heavy repetition
+    (epoch cap) at sf0.001, mixed at sf0.01, sub-epoch at sf0.1."""
+    return C.source_mixture_plan(
+        _docs(spark, sf_dir),
+        budget_tokens=_MIX_BUDGET,
+        max_epochs=_MIX_EMAX,
+    )

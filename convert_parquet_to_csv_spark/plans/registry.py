@@ -122,6 +122,8 @@ FIRST_TIER: list[str] = [
     # (each displaces a trailing r2 refresh slot past the 50-cut)
     "dedup_url_canonical",
     "url_domain_census",
+    "pack_concat_chunks",
+    "source_mixture_epochs",
     # --- refresh: latest driver row is r1 ---
     "unpivot_status_totals",
     "window_zoo_yearly_priority",

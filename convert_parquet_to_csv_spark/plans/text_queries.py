@@ -1207,3 +1207,57 @@ def langid_confusion_matrix(
         ),
         (F.col("n").cast("double") / row_tot).alias("recall_contrib"),
     )
+
+
+# --------------------------------------------------------------------------
+# r7: tokenizer-aware concat-and-chunk packing (the other packing
+# flavor next to sequence_packing's whole-chunk first-fit)
+# --------------------------------------------------------------------------
+
+_CCP_CTX = 256
+
+_CONCAT_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{T.BPE_REGEX}')) + 1 AS nt
+  FROM documents
+), p AS (
+  SELECT doc_id, nt,
+         coalesce(sum(nt) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS s
+  FROM t
+), e AS (
+  SELECT doc_id, nt, s,
+         unnest(range(CAST(s // {_CCP_CTX} AS BIGINT),
+                      CAST((s + nt - 1) // {_CCP_CTX} + 1 AS BIGINT)))
+           AS chunk_id
+  FROM p
+)
+SELECT chunk_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN s // {_CCP_CTX} = chunk_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_start,
+       CAST(sum(least((chunk_id + 1) * {_CCP_CTX}, s + nt)
+                - greatest(chunk_id * {_CCP_CTX}, s)) AS BIGINT)
+         AS n_tokens
+FROM e GROUP BY 1
+"""
+
+
+@query("pack_concat_chunks", oracle=_CONCAT_PACK_ORACLE)
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing over BPE-ish token counts
+    (+1 EOS per doc), ctx=256: per-chunk doc counts, doc starts, and
+    token fill. n_docs − n_docs_start is the boundary-fragmentation
+    cost concat packing pays for zero padding — the number you weigh
+    against sequence_packing's padding waste. The Spark plan computes
+    the global packing offset with the two-level binned prefix sum
+    (no data-scale single-partition window; see
+    operators/chunking.concat_chunk_pack); the oracle replays the
+    naive global cumsum, which the binned plan must equal exactly."""
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        concat_chunk_pack,
+    )
+
+    return concat_chunk_pack(_docs(spark, sf_dir), ctx=_CCP_CTX)

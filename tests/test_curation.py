@@ -638,3 +638,62 @@ def test_select_to_token_budget_per_group_caps_each_group(spark):
     assert set(got) == {1, 3, 4}
     assert got[1] == ("A", 3)
     assert got[3] == ("B", 2) and got[4] == ("B", 2)
+
+
+# --------------------------------------------------------------------------
+# Mixture law (source_mixture_plan)
+# --------------------------------------------------------------------------
+
+def test_source_mixture_plan_matches_python_reference(spark):
+    """Exact-rational geometric decay vs a pure-Python replay on a
+    skewed corpus covering all regimes: sub-epoch (k=0), repetition
+    (k>=1), and the epoch cap."""
+    import math
+
+    rows = []
+    # big: ~40 tokens x 50 docs; small: 5 tokens x 2 docs (repeats);
+    # tiny: 1 token x 1 doc (hits the cap under a generous budget)
+    for i in range(50):
+        rows.append((i, "big", "alpha beta " * 20))
+    for i in range(50, 52):
+        rows.append((i, "small", "a b c d e"))
+    rows.append((52, "tiny", "z"))
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    budget, emax = 1500, 20
+    got = {
+        r["source"]: r.asDict()
+        for r in C.source_mixture_plan(
+            df, budget_tokens=budget, max_epochs=emax
+        ).collect()
+    }
+
+    nts = {"big": 50 * 40, "small": 2 * 5, "tiny": 1}
+    sqm = {s: math.floor(math.sqrt(nts[s]) * 1_000_000) for s in nts}
+    tot = sum(sqm.values())
+    for s in nts:
+        nt = nts[s]
+        target = (budget * sqm[s]) // tot
+        k = min(target // nt, emax)
+        r_ = target % nt if target // nt <= emax else 0
+        p5, p4 = 5**k, 4**k
+        eff = (nt * 5 * (p5 - p4) + r_ * p4) / p5
+        row = got[s]
+        assert row["natural_tokens"] == nt, s
+        assert row["target_tokens"] == target, s
+        assert row["epochs_full"] == k, s
+        assert row["share"] == sqm[s] / tot, s
+        assert row["effective_tokens"] == eff, s
+        if target > 0:
+            assert row["value_retention"] == (
+                nt * 5 * (p5 - p4) + r_ * p4
+            ) / (p5 * target), s
+    # regime coverage: big stays sub-epoch, small repeats, tiny caps
+    assert got["big"]["epochs_full"] == 0
+    assert got["small"]["epochs_full"] >= 1
+    assert got["tiny"]["epochs_full"] == 20
+    # diminishing returns: retention strictly decays with repetition
+    assert (
+        got["big"]["value_retention"]
+        > got["small"]["value_retention"]
+        > got["tiny"]["value_retention"]
+    )

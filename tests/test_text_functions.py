@@ -146,3 +146,53 @@ def test_redact_pii_leaves_clean_text_alone(spark):
         df.select(redact_pii("t").alias("r")).collect()[0].r
         == "just plain words here"
     )
+
+
+def test_concat_chunk_pack_matches_naive_and_conserves_tokens(spark):
+    """Two-level binned packing offset == naive global cumsum, and
+    the per-chunk report conserves every token: sum(n_tokens) ==
+    corpus BPE tokens + one EOS per doc; every chunk but the last is
+    filled to exactly ctx; doc starts sum to the doc count."""
+    from convert_parquet_to_csv_spark.functions.text import (
+        token_count_bpe,
+    )
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        concat_chunk_pack,
+    )
+
+    rows = [
+        (i, ("word " * (i % 37)) + ("x.y," * (i % 5)))
+        for i in range(0, 400, 3)  # gappy ids exercise the id binning
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    ctx = 64
+    got = {
+        r["chunk_id"]: (r["n_docs"], r["n_docs_start"], r["n_tokens"])
+        for r in concat_chunk_pack(df, ctx=ctx, num_bins=16).collect()
+    }
+
+    # naive python replay
+    counts = {
+        r["doc_id"]: r["nt"]
+        for r in df.select(
+            "doc_id", (token_count_bpe("text") + 1).alias("nt")
+        ).collect()
+    }
+    want: dict[int, list[int]] = {}
+    start = 0
+    for doc_id in sorted(counts):
+        nt = counts[doc_id]
+        for cid in range(start // ctx, (start + nt - 1) // ctx + 1):
+            w = want.setdefault(cid, [0, 0, 0])
+            w[0] += 1
+            w[1] += 1 if start // ctx == cid else 0
+            w[2] += min((cid + 1) * ctx, start + nt) - max(
+                cid * ctx, start
+            )
+        start += nt
+    assert got == {k: tuple(v) for k, v in want.items()}
+    total = sum(counts.values())
+    assert sum(v[2] for v in got.values()) == total
+    last = max(got)
+    assert all(got[c][2] == ctx for c in got if c != last)
+    assert sum(v[1] for v in got.values()) == len(counts)
