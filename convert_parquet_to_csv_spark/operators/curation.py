@@ -582,21 +582,40 @@ GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
-def _gopher_gram_fracs(
+def _gopher_gram_masses(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """Repetition metric fractions for docs owning >=1 counted gram
-    (>=2 tokens); shorter docs are ABSENT — all their metrics are
-    exactly 0.0 whatever their char count, so callers restore them
-    with a cheap id-only left join (:func:`gopher_repetition_signals`)
-    or coalesce their rule flags to True
-    (:func:`gopher_quality_filter`). Split out so the quality filter
-    shares this subtree without a second tokenize scan.
+    """Integer repetition char-MASSES for docs owning >=1 counted
+    gram (>=2 tokens): (id, _tm2, _tm3, _tm4, _dm5.._dm10). Shorter
+    docs are ABSENT — all their masses are exactly 0, so callers
+    restore them by left-joining against a cheap chars projection and
+    coalescing to 0 (:func:`gopher_repetition_signals`) or coalescing
+    their rule flags to True (:func:`gopher_quality_filter`). Split
+    out so the quality filter shares this subtree without a second
+    tokenize scan. Masses, not fractions: the doc char total stays
+    OUT of the gram pipeline — an r7 intermediate cut carried
+    `_chars` through the two 9-way-gram shuffles (8 bytes x ~10^9
+    rows at 2M docs); keeping them narrow saves those shuffle bytes,
+    and the divide happens after the per-doc collapse where a chars
+    column costs one row per DOC instead of one per gram.
 
-    Metrics: fraction of character mass inside the single most
-    frequent word n-gram (n=2..4, ``top_{n}gram_char_frac``) and
-    inside n-grams occurring more than once (n=5..10,
-    ``dup_{n}gram_char_frac``).
+    Measured r7 curve (min-of-2 cache-cleared, 500k/1M/2M mangled
+    replicas): 34.1 / 82.7 / 248.2 s. vs r6: 2M unchanged (243 s)
+    but ~2x faster at 500k — the removed second tokenize+prefix-sum
+    scan was a linear cost that dominated at small sizes. The
+    residual 2M superlinearity (~1.2x linear per octave) sits in the
+    ~10^9-group (doc, n, gram-hash) aggregate: measured INSENSITIVE
+    to heap (16g vs 64g: 250-305 s band both ways) and to shuffle
+    partitions (32 vs 256: 256 slower), i.e. the single-JVM
+    sort-agg/merge regime, not a plan defect — on a multi-executor
+    cluster this aggregate splits across machines and each partition
+    stays in the hash regime. Single-run variance on this VM is
+    +/-20%; judge deltas against the min-of-2 numbers.
+
+    Metrics derived downstream: fraction of character mass inside the
+    single most frequent word n-gram (n=2..4,
+    ``top_{n}gram_char_frac``) and inside n-grams occurring more than
+    once (n=5..10, ``dup_{n}gram_char_frac``).
 
     Character mass is tokenizer-consistent — gram chars =
     ``length(array_join(slice, ' '))``, doc chars = sum of token
@@ -636,16 +655,11 @@ def _gopher_gram_fracs(
             "aggregate(_tk, array(0), (acc, t) -> "
             "array_append(acc, element_at(acc, -1) + length(t)))"
         ),
-    ).withColumn(
-        "_chars",
-        F.element_at("_pf", -1)
-        + F.greatest(F.size("_tk") - 1, F.lit(0)),
     )
     pos = base.select(
         id_col,
         "_tk",
         "_pf",
-        "_chars",
         F.explode(
             F.sequence(F.lit(0), F.greatest(F.size("_tk") - 1, F.lit(0)))
         ).alias("_i"),
@@ -655,14 +669,12 @@ def _gopher_gram_fracs(
             id_col,
             "_tk",
             "_pf",
-            "_chars",
             "_i",
             F.explode(F.array(*[F.lit(n) for n in ns])).alias("_n"),
         )
         .filter(F.col("_i") + F.col("_n") <= F.size("_tk"))
         .select(
             id_col,
-            "_chars",
             "_n",
             F.xxhash64(F.expr("slice(_tk, _i + 1, _n)")).alias("_gh"),
             (
@@ -673,15 +685,7 @@ def _gopher_gram_fracs(
             ).alias("_gl"),
         )
     )
-    # `_chars` rides the group keys (8 bytes/row, functionally
-    # dependent on the doc id so group cardinality is unchanged)
-    # instead of joining `base` back in at the end — the r6 shape
-    # referenced `base` twice with no persist, re-tokenizing and
-    # prefix-summing the whole corpus per run (ADVICE r6). Docs that
-    # own no counted gram (< 2 tokens) drop out of this stream; their
-    # metrics are all exactly 0.0 regardless of their char count, so
-    # the caller restores them from a column-pruned id-only scan.
-    gc = grams.groupBy(id_col, "_chars", "_n", "_gh").agg(
+    gc = grams.groupBy(id_col, "_n", "_gh").agg(
         F.count(F.lit(1)).alias("_c"), F.max("_gl").alias("_gl")
     )
     # top_{n}gram mass = chars of the single MOST FREQUENT gram (Rae
@@ -699,7 +703,7 @@ def _gopher_gram_fracs(
     # the oracle and the pure-Python test reference updated in
     # lockstep.
     _key = F.col("_c") * F.lit(4294967296) + F.col("_gl")
-    per_n = gc.groupBy(id_col, "_chars", "_n").agg(
+    per_n = gc.groupBy(id_col, "_n").agg(
         F.max(_key).alias("_top_key"),
         F.sum(
             F.when(F.col("_c") >= 2, F.col("_c") * F.col("_gl")).otherwise(0)
@@ -710,13 +714,6 @@ def _gopher_gram_fracs(
             "(_top_key div 4294967296) * (_top_key % 4294967296)"
         ),
     ).drop("_top_key")
-    frac = lambda mass: F.coalesce(  # noqa: E731
-        F.when(
-            F.col("_chars") > 0,
-            mass.cast("double") / F.col("_chars").cast("double"),
-        ),
-        F.lit(0.0),
-    )
     aggs = [
         F.coalesce(
             F.max(F.when(F.col("_n") == n, F.col("_top_mass"))), F.lit(0)
@@ -728,16 +725,36 @@ def _gopher_gram_fracs(
         ).alias(f"_dm{n}")
         for n in sorted(GOPHER_DUP_NGRAM_MAX)
     ]
-    return per_n.groupBy(id_col, "_chars").agg(*aggs).select(
-        id_col,
-        *[
-            frac(F.col(f"_tm{n}")).alias(f"top_{n}gram_char_frac")
-            for n in sorted(GOPHER_TOP_NGRAM_MAX)
-        ],
-        *[
-            frac(F.col(f"_dm{n}")).alias(f"dup_{n}gram_char_frac")
-            for n in sorted(GOPHER_DUP_NGRAM_MAX)
-        ],
+    return per_n.groupBy(id_col).agg(*aggs)
+
+
+def _gopher_chars(text_col: str) -> "F.Column":
+    """Tokenizer-consistent doc char total WITHOUT tokenizing:
+    ``length(regexp_replace(trim(text), '\\s+', ' '))`` == sum of
+    token lengths + (n_tokens - 1) single-space separators — one
+    regexp per doc, no HOF, no array. This is what lets the callers
+    re-scan for the denominator at projection cost instead of either
+    re-running the tokenize+prefix-sum pass (the r6 double-scan
+    ADVICE flagged) or widening the gram shuffles (the r7 first cut
+    that went superlinear at 2M docs)."""
+    return F.coalesce(
+        F.length(
+            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+        ),
+        F.lit(0),
+    ).cast("long")
+
+
+def _gopher_frac(mass: "F.Column", chars: "F.Column") -> "F.Column":
+    """mass/chars with the 0-chars and absent-doc cases pinned to
+    exactly 0.0 (one closing divide, IEEE bit-stable)."""
+    return F.coalesce(
+        F.when(
+            chars > 0,
+            F.coalesce(mass, F.lit(0)).cast("double")
+            / chars.cast("double"),
+        ),
+        F.lit(0.0),
     )
 
 
@@ -747,18 +764,28 @@ def gopher_repetition_signals(
     text_col: str = "text",
 ) -> DataFrame:
     """Per-document Gopher repetition metrics for EVERY input doc:
-    see :func:`_gopher_gram_fracs` for the metric definitions and
-    plan shape. Docs with < 2 tokens re-enter here via a
-    column-pruned id-only scan (parquet reads just the id column —
-    no second tokenize pass, the ADVICE r6 fix) left-joined against
-    the gram stream, with all metrics coalesced to exactly 0.0."""
-    fracs = _gopher_gram_fracs(df, id_col, text_col)
-    metric_cols = [c for c in fracs.columns if c != id_col]
-    return df.select(id_col).join(fracs, id_col, "left").select(
+    see :func:`_gopher_gram_masses` for the metric definitions and
+    plan shape. The char denominator comes from a second,
+    projection-only scan (:func:`_gopher_chars` — one regexp, no
+    tokenize/HOF; the ADVICE r6 double-tokenize fix without the
+    wide-shuffle regression), left-joined against the per-doc mass
+    table so docs with < 2 tokens land at exactly 0.0."""
+    masses = _gopher_gram_masses(df, id_col, text_col)
+    chars = df.select(id_col, _gopher_chars(text_col).alias("_chars"))
+    joined = chars.join(masses, id_col, "left")
+    return joined.select(
         id_col,
         *[
-            F.coalesce(F.col(c), F.lit(0.0)).alias(c)
-            for c in metric_cols
+            _gopher_frac(F.col(f"_tm{n}"), F.col("_chars")).alias(
+                f"top_{n}gram_char_frac"
+            )
+            for n in sorted(GOPHER_TOP_NGRAM_MAX)
+        ],
+        *[
+            _gopher_frac(F.col(f"_dm{n}"), F.col("_chars")).alias(
+                f"dup_{n}gram_char_frac"
+            )
+            for n in sorted(GOPHER_DUP_NGRAM_MAX)
         ],
     )
 
@@ -790,16 +817,18 @@ def gopher_quality_filter(
     ``split(text, '\\n')`` when pointed at real multi-line corpora.
 
     Plan shape (r7, ADVICE r6): TWO text scans total — one pure
-    map-side projection for the scalar features, one feeding the
-    shared repetition-gram subtree (:func:`_gopher_gram_fracs`, two
-    partial-agg shuffles). Short docs (< 2 tokens) are absent from
-    the gram stream; their repetition metrics are exactly 0.0, below
-    every positive threshold, so their rule flags coalesce to True
-    after the doc_id-keyed left join (AQE-broadcastable when the
-    signal table is small). Folding the scalar features into the
-    gram shuffle keys instead would widen the heaviest corpus
-    shuffle by 4 ints/row to save a projection-only scan — a bad
-    trade at 100 TB.
+    map-side projection for the scalar features (which also yields
+    the char denominator: chars = _tc + (_nt - 1), no third scan),
+    one feeding the shared repetition-gram subtree
+    (:func:`_gopher_gram_masses`, two partial-agg shuffles kept
+    NARROW — no per-gram char column). Short docs (< 2 tokens) are
+    absent from the gram stream; their repetition masses are exactly
+    0, below every positive threshold, so their rule flags come out
+    True from the mass/chars comparison after the doc_id-keyed left
+    join (AQE-broadcastable when the mass table is small). Folding
+    the scalar features into the gram shuffle keys instead would
+    widen the heaviest corpus shuffle — the exact regression the r7
+    first cut measured (see _gopher_gram_masses).
     """
     toks = tokens(text_col)
     n_tokens = F.size(toks)
@@ -838,29 +867,35 @@ def gopher_quality_filter(
             >= min_alpha_word_frac,
         ).otherwise(False).alias("alpha_word_frac_ok"),
         (F.col("_sh") >= min_stopword_hits).alias("stopword_ok"),
+        # chars = token chars + (n_tokens - 1) separators, free here
+        (
+            F.col("_tc") + F.greatest(F.col("_nt") - 1, F.lit(0))
+        ).cast("long").alias("_chars"),
     )
-    rep = _gopher_gram_fracs(df, id_col, text_col)
-    rep_flags = rep.select(
+    rep = _gopher_gram_masses(df, id_col, text_col)
+    joined = scalars.join(rep, id_col, "left")
+    # mass coalesces to 0 for docs absent from the gram stream, so
+    # every repetition flag evaluates True through the same
+    # _gopher_frac the signals query uses
+    rep_flag_exprs = [
+        (
+            _gopher_frac(F.col(f"_tm{n}"), F.col("_chars")) <= t
+        ).alias(f"top_{n}gram_ok")
+        for n, t in sorted(GOPHER_TOP_NGRAM_MAX.items())
+    ] + [
+        (
+            _gopher_frac(F.col(f"_dm{n}"), F.col("_chars")) <= t
+        ).alias(f"dup_{n}gram_ok")
+        for n, t in sorted(GOPHER_DUP_NGRAM_MAX.items())
+    ]
+    out = joined.select(
         id_col,
         *[
-            (F.col(f"top_{n}gram_char_frac") <= t).alias(f"top_{n}gram_ok")
-            for n, t in sorted(GOPHER_TOP_NGRAM_MAX.items())
+            c
+            for c in scalars.columns
+            if c not in (id_col, "_chars")
         ],
-        *[
-            (F.col(f"dup_{n}gram_char_frac") <= t).alias(f"dup_{n}gram_ok")
-            for n, t in sorted(GOPHER_DUP_NGRAM_MAX.items())
-        ],
-    )
-    rep_flag_names = [c for c in rep_flags.columns if c != id_col]
-    out = scalars.join(rep_flags, id_col, "left").select(
-        id_col,
-        *[c for c in scalars.columns if c != id_col],
-        # absent from the gram stream => metrics 0.0 => below every
-        # (positive) threshold => flags True
-        *[
-            F.coalesce(F.col(c), F.lit(True)).alias(c)
-            for c in rep_flag_names
-        ],
+        *rep_flag_exprs,
     )
     flag_cols = [c for c in out.columns if c != id_col]
     passes = functools.reduce(

@@ -180,6 +180,10 @@ CASES = {
     "dsir_token_budget_selection": "budget selection: 1-row min/max close -> exact integer bins, <=4096-row carry window (allowlisted dimension-scale), within-bin prefix windows PARTITIONED by bin — global-prefix semantics with no data-scale single-partition window",
     "modern_curation_pipeline": "composition: Gopher deck map-side + doc-prefixed agg shuffles -> one fingerprint dedup shuffle (WindowGroupLimit per _fp) -> Bloom bitset-word broadcast probe -> tiny per-source report; no new exchange classes beyond the gated stages",
     "dsir_stratified_source_budget": "per-group budget: the prefix window is PARTITIONED by source (one group-key window shuffle, no single-partition stage) on top of DSIR's one doc-bucket shuffle + broadcast ratio table",
+    "dedup_url_canonical": "URL dedup: canonicalization pure map-side Column algebra, ONE partial-agg shuffle on the canonical key (no window, no join)",
+    "url_domain_census": "domain census: two partial-agg shuffles (domain,canonical)->(domain), canonicalization map-side",
+    "pack_concat_chunks": "concat packing: 1-row id min/max close -> integer id bins, <=num_bins carry window (allowlisted dimension-scale), within-bin offset windows PARTITIONED by bin, chunk-range explode bounded by tokens/ctx",
+    "source_mixture_epochs": "mixture law: one (source) partial-agg shuffle, 1-row sqrt-micro total broadcast, pure integer Column algebra after — dimension scale past the first aggregate",
 }
 
 KEY_MARKERS = (

@@ -38,10 +38,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from convert_parquet_to_csv_spark.session import get_spark
 from convert_parquet_to_csv_spark.sources.io_ops import read_parquet
-from convert_parquet_to_csv_spark.operators.dedup import minhash_dedup
+from convert_parquet_to_csv_spark.operators.dedup import (
+    containment_pairs,
+    minhash_dedup,
+    winnow_fingerprints,
+)
 from convert_parquet_to_csv_spark.operators.curation import (
     dsir_importance_weights,
     flag_contaminated,
+    flag_contaminated_bloom,
     gopher_repetition_signals,
     remove_duplicated_spans,
 )
@@ -50,7 +55,7 @@ from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-REPEAT = 2
+REPEAT = int(os.environ.get("SPARK_GRAFT_CURVE_REPEAT", "2"))
 
 
 def _corpus_path(n: int) -> str:
@@ -130,7 +135,31 @@ def main() -> None:
             "dsir_weights": lambda d=docs, b=bench_side: (
                 dsir_importance_weights(d, b, hash_fn="xxhash64")
             ),
+            # r7 additions (VERDICT r6 item 6): the remaining heavy
+            # r6 kernels. Containment runs with the hot-shingle guard
+            # ON (max_bucket=1000) — that IS the scale configuration;
+            # unguarded the stop-shingle self-join is the quadratic
+            # pathology the guard exists to cut. Bloom's cost must
+            # scale with the CORPUS side only (fixed 512 KiB bitset
+            # from the same 200-doc benchmark side). persist=False on
+            # containment: one-shot timing, no pinned storage.
+            "winnow_fingerprints": lambda d=docs: (
+                winnow_fingerprints(d, k=5, window=4, hash_fn="xxhash64")
+            ),
+            "containment_guarded": lambda d=docs: containment_pairs(
+                d, k=3, threshold=0.8, max_bucket=1000, persist=False
+            ),
+            "decontaminate_bloom": lambda d=docs, b=bench_side: (
+                flag_contaminated_bloom(d, b, n=5, hash_fn="xxhash64")
+            ),
         }
+        only = os.environ.get("SPARK_GRAFT_CURVE_KERNELS")
+        if only:
+            wanted = {k.strip() for k in only.split(",") if k.strip()}
+            unknown = wanted - set(kernels)
+            if unknown:
+                raise SystemExit(f"unknown kernels: {sorted(unknown)}")
+            kernels = {k: v for k, v in kernels.items() if k in wanted}
         for name, fn in kernels.items():
             sec = _timed(spark, fn)
             results.setdefault(name, {})[n] = sec
