@@ -1432,3 +1432,83 @@ def source_mixture_plan(
             ).cast("double"),
         ).otherwise(F.lit(0.0)).alias("value_retention"),
     )
+
+
+def source_ngram_overlap_matrix(
+    docs: DataFrame,
+    n: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+    max_gram_sources: int | None = None,
+) -> DataFrame:
+    """Pairwise cross-source n-gram overlap: for every unordered
+    source pair, the count of distinct shared word n-grams and the
+    set Jaccard — the mixture diagnostic that surfaces inter-source
+    contamination (two "independent" crawls sharing half their
+    grams) and near-duplicate source pairs BEFORE per-document dedup
+    spends compute on them. Columns: (source_a, source_b, n_shared,
+    jaccard), source_a < source_b.
+
+    Plan shape: one (source, gram-hash) DISTINCT shuffle collapses
+    the corpus to source-level vocabularies (bounded by
+    vocab x n_sources, corpus-size-independent past this point), one
+    self-join on the gram key produces intersections, per-source
+    set sizes join in for the Jaccard close. Gram identity is the
+    standard xxhash64 token-slice (no gram strings cross a shuffle;
+    ~2^-64 collision acceptance, same contract as minhash/gopher).
+
+    ``max_gram_sources`` is the hot-gram guard for LARGE source
+    counts: a gram present in more than that many sources leaves the
+    self-join (its pair fan-out is quadratic in source count) but
+    stays in the per-source set sizes — with hundreds of sources,
+    stop-grams otherwise dominate the join. None (default) is exact;
+    the 20-source fixtures don't need the cap.
+    """
+    grams = _hashed_ngram_table(
+        docs, [source_col], text_col, n
+    ).distinct()
+    sizes = grams.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("_sz")
+    )
+    pair_source = grams
+    if max_gram_sources is not None:
+        hot = (
+            grams.groupBy("gram")
+            .count()
+            .filter(F.col("count") > max_gram_sources)
+            .select("gram")
+        )
+        pair_source = grams.join(hot, "gram", "left_anti")
+    a = pair_source.select(
+        F.col(source_col).alias("source_a"), "gram"
+    )
+    b = pair_source.select(
+        F.col(source_col).alias("source_b"), "gram"
+    )
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col(source_col).alias("source_a"), F.col("_sz").alias("_na")
+    )
+    sb = sizes.select(
+        F.col(source_col).alias("source_b"), F.col("_sz").alias("_nb")
+    )
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (
+                    F.col("_na") + F.col("_nb") - F.col("n_shared")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -1021,3 +1021,52 @@ def source_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_tokens=_MIX_BUDGET,
         max_epochs=_MIX_EMAX,
     )
+
+
+# --------------------------------------------------------------------------
+# r7: cross-source n-gram overlap matrix (inter-source contamination
+# diagnostic; operators/curation.source_ngram_overlap_matrix)
+# --------------------------------------------------------------------------
+
+_SRC_OVERLAP_ORACLE = r"""
+WITH words AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t != '') AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT source, unnest(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1),
+                             i -> array_to_string(w[i:i+2], ' '))
+         ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM words
+), sizes AS (
+  SELECT source, count(*) AS sz FROM grams GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS i
+  FROM grams a JOIN grams b
+    ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       CAST(i AS BIGINT) AS n_shared,
+       CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""
+
+
+@query("source_ngram_overlap", oracle=_SRC_OVERLAP_ORACLE)
+def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level 3-gram overlap matrix (distinct shared
+    grams + set Jaccard, source_a < source_b) — the inter-source
+    contamination diagnostic run before spending per-document dedup
+    compute. One (source, gram-hash) distinct shuffle collapses the
+    corpus to source vocabularies; everything after is
+    vocabulary-scale. Exact flavor (no hot-gram cap) — right for the
+    20-source fixture; operators expose ``max_gram_sources`` for
+    hundreds-of-sources deployments."""
+    return C.source_ngram_overlap_matrix(_docs(spark, sf_dir), n=3)

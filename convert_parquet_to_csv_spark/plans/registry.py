@@ -124,6 +124,7 @@ FIRST_TIER: list[str] = [
     "url_domain_census",
     "pack_concat_chunks",
     "source_mixture_epochs",
+    "source_ngram_overlap",
     # --- refresh: latest driver row is r1 ---
     "unpivot_status_totals",
     "window_zoo_yearly_priority",

@@ -697,3 +697,31 @@ def test_source_mixture_plan_matches_python_reference(spark):
         > got["small"]["value_retention"]
         > got["tiny"]["value_retention"]
     )
+
+
+def test_source_ngram_overlap_matrix(spark):
+    """Known-overlap corpus: shared grams counted distinct, Jaccard
+    exact, non-overlapping pair absent, hot-gram cap drops the
+    ubiquitous gram from pair generation but not set sizes."""
+    boiler = "one two three"
+    rows = [
+        (1, f"{boiler} alpha beta gamma", "s1", 0),
+        (2, f"{boiler} delta epsilon zeta", "s2", 0),
+        (3, f"{boiler} eta theta iota", "s3", 0),
+        (4, "totally different words here", "s4", 0),
+    ]
+    docs = _docs(spark, rows)
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_shared"], r["jaccard"])
+        for r in C.source_ngram_overlap_matrix(docs, n=3).collect()
+    }
+    # each s1/s2/s3 doc has 4 grams; only "one two three" is shared
+    assert got[("s1", "s2")] == (1, 1 / 7)
+    assert got[("s1", "s3")] == (1, 1 / 7)
+    assert got[("s2", "s3")] == (1, 1 / 7)
+    assert not any("s4" in k for k in got)
+    # cap=2: the gram lives in 3 sources -> leaves pair generation
+    capped = C.source_ngram_overlap_matrix(
+        docs, n=3, max_gram_sources=2
+    ).collect()
+    assert capped == []

@@ -184,6 +184,7 @@ CASES = {
     "url_domain_census": "domain census: two partial-agg shuffles (domain,canonical)->(domain), canonicalization map-side",
     "pack_concat_chunks": "concat packing: 1-row id min/max close -> integer id bins, <=num_bins carry window (allowlisted dimension-scale), within-bin offset windows PARTITIONED by bin, chunk-range explode bounded by tokens/ctx",
     "source_mixture_epochs": "mixture law: one (source) partial-agg shuffle, 1-row sqrt-micro total broadcast, pure integer Column algebra after — dimension scale past the first aggregate",
+    "source_ngram_overlap": "source overlap: one (source, gram-hash) DISTINCT shuffle collapses corpus to source vocabularies; gram self-join + size joins all vocabulary-scale",
 }
 
 KEY_MARKERS = (
