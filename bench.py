@@ -95,6 +95,12 @@ BENCH_QUERY_NAMES = [
     "gopher_repetition_signals",
     "dsir_importance_weights",
     "dedup_winnow_fingerprints",
+    # r7: the ExactSubstr extents pass (total-count gram hotness +
+    # islands window) and the PQ-ADC probe (raw top-k via override —
+    # the registry query is a property gate that also runs the exact
+    # baseline).
+    "dedup_span_extents",
+    "similarity_topk_pq",
 ]
 
 # VERDICT r4 items 2+7: queries whose plans persist() shared subtrees
@@ -182,6 +188,22 @@ def _topk_ivf_plan(spark, sf_dir):
     return S.topk_ivf(vecs, queries, k=3, n_centroids=16, nprobe=8)
 
 
+def _topk_pq_plan(spark, sf_dir):
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from convert_parquet_to_csv_spark.operators import similarity as S
+
+    vecs = read_parquet(
+        spark, _os.path.join(sf_dir, "embeddings.parquet")
+    )
+    queries = vecs.filter(F.col("vec_id") < 5)
+    return S.topk_pq_adc(
+        vecs, queries, dim=64, k=3, m=32, codes=64, kmeans_iters=1
+    )
+
+
 def _dsir_plan(spark, sf_dir):
     import os as _os
 
@@ -214,6 +236,7 @@ def _winnow_plan(spark, sf_dir):
 BENCH_PLAN_OVERRIDES = {
     "similarity_topk_lsh": _topk_lsh_plan,
     "similarity_topk_ivf": _topk_ivf_plan,
+    "similarity_topk_pq": _topk_pq_plan,
     # registry flavors pin md5 for DuckDB bit-replay; the bench trend
     # tracks the production xxhash64 forms.
     "dsir_importance_weights": _dsir_plan,

@@ -40,6 +40,7 @@ from pyspark.sql.window import Window
 
 from convert_parquet_to_csv_spark.functions.text import (
     ngrams,
+    normalize_text,
     token_count,
     token_count_bpe,
     tokens,
@@ -294,6 +295,7 @@ def remove_duplicated_spans(
     max_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    min_total: int | None = None,
 ) -> DataFrame:
     """C4/RefinedWeb-style cross-document span removal: delete every
     word covered by an ``n``-gram that occurs in more than
@@ -427,19 +429,30 @@ def remove_duplicated_spans(
     # Total-count pre-filter: the only full-volume exchange. Its
     # survivors (total occurrences > max_docs) are a superset of the
     # hot set; the exact distinct-doc count then runs candidate-sized.
+    # ``min_total`` switches the hotness rule to ExactSubstr's (Lee
+    # et al. 2022): total occurrences >= min_total, within-doc
+    # repeats counting — the total-count exchange then IS the hot
+    # set and the distinct-doc stage disappears entirely.
     cand = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_ct"))
-        .filter(F.col("_ct") > max_docs)
+        .filter(
+            (F.col("_ct") >= min_total)
+            if min_total is not None
+            else (F.col("_ct") > max_docs)
+        )
         .select("gram")
     )
-    hot = (
-        grams.join(cand, "gram")
-        .groupBy("gram")
-        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
-        .filter(F.col("_nd") > max_docs)
-        .select("gram")
-    )
+    if min_total is not None:
+        hot = cand
+    else:
+        hot = (
+            grams.join(cand, "gram")
+            .groupBy("gram")
+            .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+            .filter(F.col("_nd") > max_docs)
+            .select("gram")
+        )
     # `covered` shares lineage with `arr`, so joining on same-named
     # columns would trip Spark's "trivially true equals predicate"
     # auto-disambiguation warning (harmless but log-spam) — the
@@ -1518,4 +1531,117 @@ def source_ngram_overlap_matrix(
                 ).cast("double")
             ).alias("jaccard"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style LM-score buckets (Wenzek et al. 2020, §4.4)
+# --------------------------------------------------------------------------
+
+def ccnet_lm_buckets(
+    docs: DataFrame,
+    sample_mod: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing by language-model score
+    (Wenzek et al. 2020 "CCNet", §4.4): per language, tercile cutoffs
+    are learned on a deterministic document SAMPLE and every document
+    is assigned head (most natural) / middle / tail by comparing its
+    score to the cutoffs — exactly CCNet's regime, which also fits
+    cutoffs on a held-out sample rather than sorting the corpus.
+
+    The LM score is the corpus char-trigram familiarity (mean corpus
+    frequency of the doc's trigrams, integer mean — the repo's
+    stand-in for KenLM perplexity, cf. char_trigram_familiarity;
+    higher = more natural, so head is the TOP tercile). A real KenLM
+    scorer slots in by replacing the score subquery.
+
+    Scale shape: ONE trigram explode (persisted — feeds the frequency
+    table and the scoring join); the frequency table is ≤|alphabet|³
+    and broadcasts; the per-lang ntile(3) window runs on the SAMPLE
+    only (md5-bit sample, rate = 1/``sample_mod`` — production uses a
+    hash-prefix rate around 1e-4 so the per-lang sort is
+    bounded-sample-scale, never corpus-scale; the fixture keeps 1/2
+    so every language's sample is non-degenerate); cutoffs are a
+    |langs|-row broadcast; assignment is one broadcast join + CASE.
+    All integer arithmetic until the closing mean divide.
+
+    Output: (lang, bucket, n_docs, n_tokens, mean_score) — bucket ∈
+    head/middle/tail, plus 'unsampled' for languages whose sample
+    carried fewer than 3 documents (no tercile cutoffs learnable).
+    """
+    norm = docs.select(
+        id_col,
+        lang_col,
+        normalize_text(text_col).alias("_t"),
+    )
+    tri = (
+        norm.filter(F.length("_t") >= 3)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.length("_t") - 2)).alias(
+                "_p"
+            ),
+            "_t",
+        )
+        .select(id_col, F.expr("substring(_t, _p, 3)").alias("_g"))
+        .persist()
+    )
+    freq = tri.groupBy("_g").agg(F.count(F.lit(1)).alias("_cnt"))
+    fam = (
+        tri.join(F.broadcast(freq), "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_tri"),
+            F.sum("_cnt").alias("_fam"),
+        )
+    )
+    scored = (
+        norm.join(fam, id_col)
+        .select(
+            id_col,
+            lang_col,
+            # integer mean trigram frequency — overflow-safe at any
+            # corpus size (no pre-multiplication; the per-doc score
+            # is bounded by the global max trigram count)
+            F.expr("_fam div _n_tri").alias("_q"),
+            tokens("_t").alias("_toks"),
+        )
+        .localCheckpoint()  # eager: releases the trigram cache below
+    )
+    tri.unpersist()
+    sample = scored.filter(
+        F.ascii(F.substring(F.md5(F.col(id_col).cast("string")), 1, 1))
+        % sample_mod
+        == 0
+    )
+    wt = Window.partitionBy(lang_col).orderBy(
+        F.asc("_q"), F.asc(id_col)
+    )
+    cuts = (
+        sample.withColumn("_tile", F.ntile(3).over(wt))
+        .groupBy(lang_col)
+        .agg(
+            F.max(F.when(F.col("_tile") == 1, F.col("_q"))).alias("_c1"),
+            F.max(F.when(F.col("_tile") == 2, F.col("_q"))).alias("_c2"),
+        )
+    )
+    assigned = scored.join(F.broadcast(cuts), lang_col, "left").select(
+        lang_col,
+        F.when(F.col("_c2").isNull(), F.lit("unsampled"))
+        .when(F.col("_q") > F.col("_c2"), F.lit("head"))
+        .when(F.col("_q") > F.col("_c1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        F.size("_toks").alias("_ntok"),
+        "_q",
+    )
+    return assigned.groupBy(lang_col, "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_ntok").cast("bigint").alias("n_tokens"),
+        (
+            F.sum("_q").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_score"),
     )

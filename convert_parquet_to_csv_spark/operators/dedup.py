@@ -792,3 +792,133 @@ def fuzzy_title_pairs(
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "distance")
     )
+
+
+# --------------------------------------------------------------------------
+# exact-substring duplicated-span extents (Lee et al. 2022, ExactSubstr)
+# --------------------------------------------------------------------------
+
+def duplicated_span_extents(
+    df: DataFrame,
+    k: int = 6,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated-span extents per document — the reporting
+    kernel of ExactSubstr dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022): a token position is
+    *duplicated* when covered by any ``k``-token gram whose TOTAL
+    occurrence count in the corpus is ≥ ``min_count`` (within-doc
+    repeats count — the suffix-array "appears elsewhere" rule, unlike
+    :func:`~..curation.remove_duplicated_spans`'s distinct-document
+    threshold), and adjacent duplicated positions merge into maximal
+    ``[span_start, span_end)`` extents. The paper removes these spans;
+    emitting the extents keeps both uses open (removal = one
+    array-filter join away, audit = this table directly). The paper's
+    50-token threshold maps to ``k``; defaults are fixture-calibrated.
+
+    Plan (all built-ins):
+    1. one tokenize, positions explode only for docs with ≥ k tokens
+       (no short-doc clamping — extents are positional);
+    2. gram key = ``xxhash64(slice(tokens))`` — array-hashed, no gram
+       string (the span-dedup de-stringing lesson); corpus-hot grams
+       via one 8-byte-key groupBy with map-side partial aggregation
+       (``count(*) >= min_count`` — a total count, cheaper than
+       span-dedup's distinct-doc count);
+    3. coverage: hot-gram occurrences re-explode to k positions,
+       deduped per (doc, pos) — only duplicated positions shuffle,
+       never the word stream; the hot join is left to AQE (usually
+       broadcast, data-dependent at 100 TB);
+    4. islands: the classic gaps-and-islands merge — ``pos −
+       row_number()`` over a DOC-partitioned window (doc-scale
+       partitions, same bound as the winnowing window) groups each
+       run of consecutive positions, then one groupBy emits
+       (start, end, length) per maximal extent.
+
+    Output: one row per maximal extent — ``(id, span_start,
+    span_end, span_toks)`` with 0-based token positions, end
+    exclusive. Exact and fully SQL-replayable (gram-string oracle;
+    xxhash64 equivalence up to the standard 2⁻⁶⁴ acceptance)."""
+    base = df.select(id_col, tokens(text_col).alias("_tk")).filter(
+        F.size("_tk") >= k
+    )
+    grams = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.size("_tk") - k)).alias("_p"),
+        "_tk",
+    ).select(
+        id_col,
+        "_p",
+        F.xxhash64(F.expr(f"slice(_tk, _p + 1, {k})")).alias("_h"),
+    )
+    # grams feeds the hot-count AND the coverage join — persist so the
+    # tokenize+explode runs once (same contract as the tri/oov caches:
+    # caller-side unpersist is not needed, the returned plan keeps it
+    # only until the action completes).
+    grams = grams.persist()
+    hot = (
+        grams.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    covered = (
+        grams.join(hot, "_h")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_p"), F.col("_p") + k - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = covered.withColumn(
+        "_grp", F.col("pos") - F.row_number().over(w)
+    )
+    return islands.groupBy(id_col, "_grp").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + 1).cast("bigint").alias("span_end"),
+        F.count(F.lit(1)).cast("bigint").alias("span_toks"),
+    ).select(id_col, "span_start", "span_end", "span_toks")
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    components: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor election per duplicate cluster: instead
+    of the min-id policy (:func:`drop_near_duplicates`), each
+    connected component keeps its highest-``quality_col`` member
+    (ties → min id). This is what production pipelines actually do —
+    near-dup clusters mix clean originals with truncated or
+    boilerplate-wrapped recrawls, and min-id keeps whichever crawled
+    first; electing by quality (doc length, a model score, ...) keeps
+    the best copy.
+
+    One equi-join (id) + one groupBy(component) with a struct-max
+    aggregate — max(struct(quality, −id)) is an order-independent
+    argmax with a deterministic tie-break, map-side combinable, no
+    window sort. Output: (component, survivor_id, quality,
+    n_members)."""
+    joined = docs.select(
+        id_col, F.col(quality_col).cast("bigint").alias("_q")
+    ).join(components, id_col)
+    agg = joined.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max(
+            F.struct(
+                F.col("_q").alias("_bq"),
+                (-F.col(id_col)).alias("_negid"),
+            )
+        ).alias("_b"),
+    )
+    return agg.select(
+        "component",
+        (-F.col("_b._negid")).cast("bigint").alias("survivor_id"),
+        F.col("_b._bq").alias("quality"),
+        "n_members",
+    )

@@ -687,3 +687,438 @@ def semdedup(
         .distinct()
     )
     return vectors.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011 — "Product
+# Quantization for Nearest Neighbor Search", IEEE TPAMI)
+# --------------------------------------------------------------------------
+
+def pq_train(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 8,
+    codes: int = 16,
+    kmeans_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace PQ codebooks: ``(_m, _code, _cv, _cn2)``.
+
+    The D-dim space splits into ``m`` subspaces of D/m dims; each gets
+    a ``codes``-entry codebook. Init is the md5-min deterministic
+    sample (the ivf_index device): the ``codes`` lowest-hash vectors
+    seed ALL subspace codebooks at once (their subvector slices), so
+    no per-subspace sampling pass and no data-scale window exists.
+    ``kmeans_iters`` Lloyd rounds per subspace follow — assignment is
+    a broadcast argmin per (vector, subspace); means accumulate in
+    fixed-point longs (floor(x·1e9): exact, order-independent — the
+    kmeans_refine_centroids convention), empty codes keep their old
+    centroid. ``_cn2`` is the centroid's squared norm — the piece ADC
+    needs to reconstruct cosine denominators without touching vectors.
+
+    Scale shape: codebooks are m·codes rows (KBs — always broadcast);
+    each Lloyd round is one broadcast join + argmin + one
+    (m, code, pos) partial aggregation. The training scan is the only
+    corpus-scale work and it never shuffles vectors."""
+    dsub = dim // m
+    seed = (
+        vectors.orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+        .limit(codes)
+        .select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_sv"))
+        # codes-row table: the global rank window below is bounded by
+        # `codes` (dimension-scale), never by the corpus
+        .withColumn(
+            "_code",
+            F.row_number().over(
+                Window.orderBy(
+                    F.md5(F.col("_sid").cast("string")), F.col("_sid")
+                )
+            )
+            - 1,
+        )
+    )
+    books = seed.select(
+        "_code",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_m"),
+        "_sv",
+    ).select(
+        "_m",
+        "_code",
+        F.expr(f"slice(_sv, _m * {dsub} + 1, {dsub})").alias("_cv"),
+    ).localCheckpoint()
+
+    sub = vectors.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_m"),
+        F.expr(f"slice({vec_col}, _m * {dsub} + 1, {dsub})").alias(
+            "_sub"
+        ),
+    )
+    for _ in range(kmeans_iters):
+        assigned = _pq_assign(sub, books, id_col)
+        flat = (
+            assigned.select(
+                "_m",
+                "_code",
+                F.posexplode("_sub").alias("_pos", "_val"),
+            )
+            .groupBy("_m", "_code", "_pos")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("_val").cast("double")
+                        * F.lit(1_000_000_000)
+                    ).cast("long")
+                ).alias("_fx"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+        )
+        new = flat.groupBy("_m", "_code").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "_pos",
+                            (
+                                (
+                                    F.col("_fx").cast("double")
+                                    / F.lit(1_000_000_000.0)
+                                )
+                                / F.col("_n").cast("double")
+                            ).alias("_v"),
+                        )
+                    )
+                ),
+                lambda s: s["_v"].cast("float"),
+            ).alias("_ncv")
+        )
+        books = (
+            books.join(new, ["_m", "_code"], "left")
+            .select(
+                "_m",
+                "_code",
+                F.coalesce("_ncv", "_cv").alias("_cv"),
+            )
+            .localCheckpoint()
+        )
+    return books.withColumn(
+        "_cn2",
+        F.aggregate(
+            "_cv",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        ),
+    )
+
+
+def _pq_assign(
+    sub: DataFrame, books: DataFrame, id_col: str
+) -> DataFrame:
+    """Argmin-L2 code per (vector, subspace): one broadcast join on
+    ``_m`` (codes-way fan-out, map-side), squared distance via
+    zip_with/aggregate (codegen'd), min(struct(dist, code)) — an
+    order-independent argmin with code-asc tie-break, map-side
+    combinable, no window."""
+    scored = sub.join(F.broadcast(books), "_m").withColumn(
+        "_d2",
+        F.aggregate(
+            F.zip_with(
+                "_sub",
+                "_cv",
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        scored.groupBy(id_col, "_m", "_sub")
+        .agg(
+            F.min(F.struct(F.col("_d2"), F.col("_code"))).alias("_b")
+        )
+        .select(id_col, "_m", "_sub", F.col("_b._code").alias("_code"))
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    books: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes, exploded layout ``(id, _m, _code)`` — m small ints
+    per vector instead of D floats (the 32×-compression memory story
+    at 100 TB). Kept exploded: ADC consumes (id, _m, _code) directly,
+    so packing into an array here would just be unpacked again."""
+    dsub = dim // m
+    sub = vectors.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_m"),
+        F.expr(f"slice({vec_col}, _m * {dsub} + 1, {dsub})").alias(
+            "_sub"
+        ),
+    )
+    return _pq_assign(sub, books, id_col).select(id_col, "_m", "_code")
+
+
+def topk_pq_adc(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    codes: int = 16,
+    kmeans_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation over PQ
+    codes (Jégou et al. 2011 §IV): queries stay full-precision, the
+    corpus is m-byte codes, and similarity is the EXACT cosine
+    between the query and each vector's codebook reconstruction —
+    numerator Σ_m ⟨q_sub, c_{m,code}⟩ and denominator √Σ_m ‖c‖²
+    both assemble from per-(query, subspace, code) lookup-table
+    pieces, so the vector table is never read at query time.
+
+    Scale shape: the LUT is |queries|·m·codes rows (broadcast); the
+    probe is one broadcast join against the code table + one
+    (query, vector) partial aggregation — the classic PQ trade:
+    scan cost proportional to CODES not floats, recall traded via
+    m/codes. At billion scale you'd front this with the IVF coarse
+    quantizer (IVFADC); both pieces exist here and compose.
+
+    Queries are L2-normalized inside (fixture vectors are unit-norm;
+    the reconstruction is not, hence the ‖recon‖ denominator)."""
+    from convert_parquet_to_csv_spark.functions.vectors import (
+        l2_normalize,
+    )
+
+    books = pq_train(
+        vectors,
+        dim,
+        m=m,
+        codes=codes,
+        kmeans_iters=kmeans_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    enc = pq_encode(
+        vectors, books, dim, m=m, id_col=id_col, vec_col=vec_col
+    )
+    dsub = dim // m
+    qsub = queries.select(
+        F.col(id_col).alias(query_id_col),
+        l2_normalize(vec_col).alias("_qn"),
+    ).select(
+        query_id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_m"),
+        F.expr(f"slice(_qn, _m * {dsub} + 1, {dsub})").alias("_qsub"),
+    )
+    lut = qsub.join(F.broadcast(books), "_m").select(
+        query_id_col,
+        "_m",
+        "_code",
+        dot_product("_qsub", "_cv").alias("_part"),
+        "_cn2",
+    )
+    scored = (
+        enc.join(F.broadcast(lut), ["_m", "_code"])
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.sum("_part").alias("_num"),
+            F.sum("_cn2").alias("_den2"),
+        )
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            (F.col("_num") / F.sqrt("_den2")).alias("similarity"),
+        )
+    )
+    if exclude_self:
+        scored = scored.filter(
+            F.col("neighbor_id") != F.col(query_id_col)
+        )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("similarity"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, "neighbor_id", "similarity")
+    )
+
+
+def topk_ivfadc(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    codes: int = 16,
+    kmeans_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §V): the IVF coarse quantizer prunes
+    the probe set AND the PQ codebooks encode RESIDUALS v − c(v) —
+    residuals concentrate near zero, so the same code budget spends
+    on much finer structure than raw-vector PQ. Similarity is the
+    exact cosine between the query and each vector's two-level
+    reconstruction c(v) + pq(v − c(v)), assembled WITHOUT touching
+    vectors at query time:
+
+        num  = ⟨q, c⟩ + Σₘ ⟨q_sub, r_{m,code}⟩
+        ‖v̂‖² = ‖c‖² + 2 Σₘ ⟨c_sub, r_{m,code}⟩ + Σₘ ‖r_{m,code}‖²
+
+    — the ⟨q,·⟩ pieces come from a per-query broadcast LUT, and the
+    query-independent ⟨c_sub, r⟩ cross term precomputes into a
+    (list, m, code) broadcast table at index-build time (the trick
+    that makes residual ADC as cheap as plain ADC).
+
+    Scale shape: probe selection and both lookup tables are broadcast
+    (lists·m·codes rows); the only corpus-scale work is the code
+    table of the PROBED lists joining those broadcasts — scan cost
+    |corpus|·nprobe/n_centroids rows of m codes, the billion-scale
+    ANN layout. Index build = ivf_index + pq_train on residuals."""
+    from convert_parquet_to_csv_spark.functions.vectors import (
+        l2_normalize,
+    )
+
+    centroids, assigned = ivf_index(vectors, n_centroids, id_col, vec_col)
+    resid = assigned.join(F.broadcast(centroids), "_list_id").select(
+        id_col,
+        "_list_id",
+        F.zip_with(
+            vec_col,
+            "_cv",
+            lambda a, b: (a.cast("double") - b.cast("double")).cast(
+                "float"
+            ),
+        ).alias("_res"),
+    )
+    # residual PQ: train + encode on the residual column. persist —
+    # resid feeds training (kmeans_iters scans) and encoding.
+    resid = resid.persist()
+    books = pq_train(
+        resid,
+        dim,
+        m=m,
+        codes=codes,
+        kmeans_iters=kmeans_iters,
+        id_col=id_col,
+        vec_col="_res",
+    )
+    enc = pq_encode(
+        resid, books, dim, m=m, id_col=id_col, vec_col="_res"
+    ).join(
+        resid.select(id_col, "_list_id"), id_col
+    )
+    dsub = dim // m
+    # query-independent cross term ⟨c_sub, r_{m,code}⟩ and the list
+    # norms — both broadcast-scale, built once per index
+    csub = centroids.select(
+        "_list_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_m"),
+        F.expr(f"slice(_cv, _m * {dsub} + 1, {dsub})").alias("_csub"),
+    )
+    cross = csub.join(F.broadcast(books), "_m").select(
+        "_list_id",
+        "_m",
+        "_code",
+        dot_product("_csub", "_cv").alias("_cxr"),
+        "_cn2",
+    )
+    cnorm = centroids.select(
+        "_list_id", dot_product("_cv", "_cv").alias("_cl2")
+    )
+    # probe the nprobe nearest lists per (unit-normalized) query
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        l2_normalize(vec_col).alias("_qn"),
+    )
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "_csim", cosine_similarity("_qn", "_cv")
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_csim"), F.asc("_list_id")
+    )
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(
+            query_id_col,
+            "_list_id",
+            "_qn",
+            dot_product("_qn", "_cv").alias("_qc"),
+        )
+        .join(F.broadcast(cnorm), "_list_id")
+    )
+    # per-(query, m, code) LUT: ⟨q_sub, r⟩ — independent of the list
+    lut = (
+        q.select(
+            query_id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_m"),
+            F.expr(f"slice(_qn, _m * {dsub} + 1, {dsub})").alias(
+                "_qsub"
+            ),
+        )
+        .join(F.broadcast(books), "_m")
+        .select(
+            query_id_col,
+            "_m",
+            "_code",
+            dot_product("_qsub", "_cv").alias("_qdot"),
+        )
+    )
+    scored = (
+        enc.join(
+            F.broadcast(probes.select(query_id_col, "_list_id", "_qc", "_cl2")),
+            "_list_id",
+        )
+        .join(F.broadcast(lut), [query_id_col, "_m", "_code"])
+        .join(F.broadcast(cross), ["_list_id", "_m", "_code"])
+        .groupBy(query_id_col, id_col)
+        .agg(
+            (F.first("_qc") + F.sum("_qdot")).alias("_num"),
+            (
+                F.first("_cl2")
+                + F.lit(2.0) * F.sum("_cxr")
+                + F.sum("_cn2")
+            ).alias("_den2"),
+        )
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.when(
+                F.col("_den2") > 0,
+                F.col("_num") / F.sqrt("_den2"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("similarity"),
+        )
+    )
+    if exclude_self:
+        scored = scored.filter(
+            F.col("neighbor_id") != F.col(query_id_col)
+        )
+    resid.unpersist()
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("similarity"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, "neighbor_id", "similarity")
+    )

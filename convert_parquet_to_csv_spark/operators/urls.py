@@ -105,3 +105,61 @@ def domain_census(
             / F.sum("_n").cast("double")
         ).alias("dup_frac"),
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: list[str],
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-blocklist verdict per document (UT1/adult-list style,
+    the RefinedWeb §3.1 URL-filtering stage): a document is blocked
+    when its host equals a blocklist entry OR falls under one as a
+    dot-suffix (``cdn.bad.example.org`` matches entry
+    ``bad.example.org`` — the standard wildcard-subdomain semantics
+    of domain blocklists).
+
+    Scale shape: the host's dot-suffixes are generated per row
+    (bounded by the label count, ≤~10 for real hosts — a transform
+    over a sequence, map-side) and equi-joined against the BROADCAST
+    blocklist (real lists are a few MB — UT1 is ~4M lines), so the
+    corpus never shuffles: one explode bounded by labels×docs, one
+    broadcast hash join, one per-doc min. No LIKE-per-entry scans —
+    suffix-explode turns the wildcard match into an equi-join, which
+    is the only shape that survives a million-entry list.
+
+    Output: (id, host, blocked_by) — ``blocked_by`` is the
+    alphabetically-first matching entry, NULL when the document is
+    kept (deterministic under multi-entry matches).
+    """
+    from convert_parquet_to_csv_spark.functions.web import url_host
+
+    spark = docs.sparkSession
+    entries = spark.createDataFrame(
+        [(e,) for e in sorted(set(blocklist))], "_entry string"
+    )
+    base = docs.select(
+        id_col, url_host(url_col).alias("host")
+    ).withColumn("_labels", F.split(F.col("host"), r"\."))
+    suffixes = base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_labels) - 2), "
+                "i -> array_join(slice(_labels, i + 1, "
+                "size(_labels) - i), '.'))"
+            )
+        ).alias("_suffix"),
+    )
+    matches = (
+        suffixes.join(
+            F.broadcast(entries),
+            suffixes["_suffix"] == entries["_entry"],
+        )
+        .groupBy(id_col)
+        .agg(F.min("_entry").alias("blocked_by"))
+    )
+    return base.select(id_col, "host").join(
+        matches, id_col, "left"
+    ).select(id_col, "host", "blocked_by")

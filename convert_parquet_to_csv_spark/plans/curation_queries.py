@@ -1070,3 +1070,138 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     20-source fixture; operators expose ``max_gram_sources`` for
     hundreds-of-sources deployments."""
     return C.source_ngram_overlap_matrix(_docs(spark, sf_dir), n=3)
+
+
+# --------------------------------------------------------------------------
+# r7 addition: CCNet LM-score head/middle/tail buckets
+# Day-one gated (FIRST_TIER slot reserved in the r7 rotation).
+# --------------------------------------------------------------------------
+
+_CCNET_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), tri AS (
+  SELECT doc_id, substring(t, i, 3) AS g
+  FROM norm, LATERAL unnest(range(1, length(t) - 1)) AS u(i)
+  WHERE length(t) >= 3
+), freq AS (
+  SELECT g, COUNT(*) AS cnt FROM tri GROUP BY g
+), fam AS (
+  SELECT t.doc_id, COUNT(*) AS n_tri, SUM(f.cnt) AS fam
+  FROM tri t JOIN freq f USING (g) GROUP BY 1
+), scored AS (
+  SELECT n.doc_id, n.lang, fam.fam // fam.n_tri AS q,
+         len(list_filter(string_split_regex(n.t, '\\s+'),
+                         x -> x != '')) AS ntok
+  FROM norm n JOIN fam USING (doc_id)
+), samp AS (
+  SELECT lang, q,
+         ntile(3) OVER (PARTITION BY lang ORDER BY q, doc_id) AS tile
+  FROM scored
+  WHERE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 2 = 0
+), cuts AS (
+  SELECT lang,
+         max(q) FILTER (tile = 1) AS c1,
+         max(q) FILTER (tile = 2) AS c2
+  FROM samp GROUP BY lang
+), assigned AS (
+  SELECT s.lang,
+         CASE WHEN c.c2 IS NULL THEN 'unsampled'
+              WHEN s.q > c.c2 THEN 'head'
+              WHEN s.q > c.c1 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         s.ntok, s.q
+  FROM scored s LEFT JOIN cuts c USING (lang)
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_score
+FROM assigned GROUP BY lang, bucket
+"""
+
+
+@query("ccnet_perplexity_buckets", oracle=_CCNET_ORACLE)
+def ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet head/middle/tail LM-score buckets (operators/curation.
+    ccnet_lm_buckets; Wenzek et al. 2020 §4.4): per-language tercile
+    cutoffs learned on a deterministic md5-bit document sample, every
+    document assigned by comparing its char-trigram familiarity (the
+    repo's integer KenLM stand-in, cf. char_trigram_familiarity;
+    higher = more natural = head) to the broadcast cutoffs. Exactly
+    CCNet's regime — their cutoffs too come from a sample, so the
+    per-lang sort never touches the corpus (sample rate is the knob;
+    production ~1e-4, fixture 1/2 so each language's sample holds ≥3
+    docs). Reports per (lang, bucket) doc count, token mass, and mean
+    score. The oracle replays trigram LM → integer score → sample
+    ntile cutoffs → assignment clause for clause."""
+    return C.ccnet_lm_buckets(
+        _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    )
+
+
+# --------------------------------------------------------------------------
+# r7 addition: ExactSubstr span REMOVAL (the Lee et al. 2022 action,
+# completing dedup_span_extents' audit view). Day-one gated.
+# --------------------------------------------------------------------------
+
+_XSR_K, _XSR_MIN = 6, 2
+
+_XS_REMOVAL_ORACLE = f"""
+WITH arr AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(p AS INT) AS pos,
+         array_to_string(a[CAST(p AS INT)+1:CAST(p AS INT)+{_XSR_K}],
+                         ' ') AS gram
+  FROM arr, UNNEST(range(0, greatest(len(a) - {_XSR_K} + 1, 0)))
+    AS t(p)
+),
+hot AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING COUNT(*) >= {_XSR_MIN}
+),
+covered AS (
+  SELECT DISTINCT g.doc_id, g.pos + CAST(c AS INT) AS cpos
+  FROM grams g JOIN hot USING (gram),
+       UNNEST(range(0, {_XSR_K})) AS u(c)
+),
+words AS (
+  SELECT doc_id, CAST(p AS INT) AS pos, a[CAST(p AS INT)+1] AS word
+  FROM arr, UNNEST(range(0, len(a))) AS t(p)
+)
+SELECT w.doc_id,
+       COALESCE(array_to_string(
+         list(w.word ORDER BY w.pos) FILTER (c.cpos IS NULL), ' '),
+         '') AS clean_text,
+       CAST(COUNT(*) FILTER (c.cpos IS NULL) AS BIGINT) AS n_kept,
+       CAST(COUNT(c.cpos) AS BIGINT) AS n_removed
+FROM words w LEFT JOIN covered c
+  ON w.doc_id = c.doc_id AND w.pos = c.cpos
+GROUP BY w.doc_id
+"""
+
+
+@query("dedup_exact_substring_removal", oracle=_XS_REMOVAL_ORACLE)
+def dedup_exact_substring_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ExactSubstr span removal (Lee et al. 2022, the paper's actual
+    action over dedup_span_extents' audit view): delete every word
+    covered by a 6-gram with ≥2 TOTAL corpus occurrences (within-doc
+    repeats count — remove_duplicated_spans' ``min_total`` rule,
+    which also drops the distinct-doc stage so the total-count
+    groupBy is the single full-volume exchange), keep the rest of
+    each document in order. Same fixture calibration as
+    dedup_span_extents (k=6/min=2); the oracle replays tokenize →
+    gram → total-count → coverage → word-exact reassembly."""
+    return C.remove_duplicated_spans(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        n=_XSR_K,
+        min_total=_XSR_MIN,
+    )

@@ -1277,3 +1277,213 @@ def url_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return domain_census(docs)
+
+
+# --------------------------------------------------------------------------
+# r7 addition: exact-substring duplicated-span extents (Lee et al. 2022)
+# Day-one gated (FIRST_TIER slot reserved in the r7 rotation).
+# --------------------------------------------------------------------------
+
+_XS_K, _XS_MIN = 6, 2
+
+_SPAN_EXTENTS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(toks[CAST(i AS INT) + 1 :
+                              CAST(i AS INT) + {_XS_K}], ' ') AS g
+  FROM tok, unnest(range(0, len(toks) - {_XS_K} + 1)) AS t(i)
+  WHERE len(toks) >= {_XS_K}
+), hot AS (
+  -- TOTAL occurrence count >= min_count: within-doc repeats count,
+  -- the ExactSubstr "appears elsewhere" rule (vs span_dedup_c4's
+  -- distinct-document threshold)
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= {_XS_MIN}
+), covered AS (
+  SELECT DISTINCT gr.doc_id, gr.pos + CAST(c AS INT) AS pos
+  FROM grams gr JOIN hot USING (g), unnest(range(0, {_XS_K})) AS u(c)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS grp
+  FROM covered
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 1 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS span_toks
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+@query("dedup_span_extents", oracle=_SPAN_EXTENTS_ORACLE)
+def dedup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-span extents (operators/dedup.
+    duplicated_span_extents) — the ExactSubstr report from Lee et al.
+    2022: every maximal run of token positions covered by a 6-gram
+    occurring ≥2 times corpus-wide (within-doc repeats count),
+    emitted as [span_start, span_end) extents. Complements
+    span_dedup_c4 (frequency-thresholded boilerplate REMOVAL at
+    distinct-doc granularity) with the suffix-array-style
+    duplicated-extent AUDIT; the gaps-and-islands merge is the new
+    kernel (pos − row_number over a doc-partitioned window).
+
+    Fixture calibration: k=6 / min_count=2 marks 47 extents across
+    47 docs at sf0.01 (529 at sf0.1) — the seeded near-duplicate
+    docs light up without degenerating into whole-corpus coverage
+    (the synthetic vocabulary makes k≤5 grams corpus-hot). The
+    oracle replays tokenize → gram → total-count → coverage →
+    islands on gram STRINGS vs Spark's array-slice xxhash64 —
+    value-equal up to the standard 2⁻⁶⁴ hash-collision acceptance."""
+    return D.duplicated_span_extents(
+        _docs(spark, sf_dir), k=_XS_K, min_count=_XS_MIN
+    )
+
+
+# --------------------------------------------------------------------------
+# r7 addition: domain-blocklist filtering (the other pre-content pass)
+# Day-one gated (FIRST_TIER slot reserved in the r7 rotation).
+# --------------------------------------------------------------------------
+
+# Entries are fixture-calibrated against _synth_url's host space
+# ([cdn.]srcN.exampleX.org): one full-site block (src3.example0.org —
+# also catches its cdn. subdomain), one registered-domain block
+# (example2.org — every source whose digit ≡ 2 mod 3), and one
+# negative control that matches nothing.
+_BLOCKLIST = [
+    "src3.example0.org",
+    "example2.org",
+    "blocked.example9.org",
+]
+
+_BLOCKLIST_ORACLE = (
+    _URL_BUILD_CTE
+    + """
+, bl AS (
+  SELECT * FROM (VALUES ('src3.example0.org'), ('example2.org'),
+                        ('blocked.example9.org')) AS t(entry)
+), sfx AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(0, len(string_split(host, '.')) - 1),
+             i -> array_to_string(string_split(host, '.')[i + 1 :],
+                                  '.'))) AS suffix
+  FROM c2
+), m AS (
+  SELECT doc_id, min(entry) AS blocked_by
+  FROM sfx JOIN bl ON suffix = entry GROUP BY 1
+)
+SELECT c2.doc_id, c2.host, m.blocked_by
+FROM c2 LEFT JOIN m USING (doc_id)
+"""
+)
+
+
+@query("domain_blocklist_filter", oracle=_BLOCKLIST_ORACLE)
+def domain_blocklist_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """URL blocklist verdicts (operators/urls.blocklist_filter;
+    RefinedWeb §3.1's first stage, UT1-style lists): host equals an
+    entry or falls under one as a dot-suffix (wildcard-subdomain
+    semantics). The suffix-explode + broadcast equi-join shape is the
+    one that survives a multi-million-entry list — no per-entry LIKE
+    scan ever runs. Same synthetic URL column as dedup_url_canonical;
+    the oracle replays the suffix expansion and the min-entry
+    tie-break clause for clause."""
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    from convert_parquet_to_csv_spark.operators.urls import (
+        blocklist_filter,
+    )
+
+    return blocklist_filter(docs, _BLOCKLIST)
+
+
+# --------------------------------------------------------------------------
+# r7 addition: quality-aware survivor election per duplicate cluster
+# Day-one gated (FIRST_TIER slot reserved in the r7 rotation).
+# --------------------------------------------------------------------------
+
+_BEST_ORACLE = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(0, greatest(len(toks) - {_K}, 0) + 1),
+             i -> array_to_string(toks[i + 1 : i + {_K}], ' ')))) AS s
+  FROM tok WHERE len(toks) > 0
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN cnt na ON na.doc_id = id_a
+  JOIN cnt nb ON nb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= {_THRESH}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node AS doc_id, MIN(label) AS component
+  FROM reach GROUP BY node
+), ranked AS (
+  SELECT c.component, d.doc_id, CAST(d.n_chars AS BIGINT) AS q,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, d.doc_id ASC)
+           AS rn,
+         count(*) OVER (PARTITION BY c.component) AS n_members
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT component,
+       CAST(doc_id AS BIGINT) AS survivor_id,
+       q AS quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("dedup_keep_best_quality", oracle=_BEST_ORACLE)
+def dedup_keep_best_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-aware survivor election (operators/dedup.
+    keep_best_per_cluster) over the exact-Jaccard≥0.1 duplicate
+    clusters of dedup_clusters_cc: each cluster keeps its LONGEST
+    member (n_chars as the quality proxy — the model-score seam is
+    the quality_col parameter), ties → min doc_id. Complements the
+    min-id keep policy: near-dup clusters mix clean originals with
+    truncated recrawls, and id order is crawl-order luck, not
+    quality. The argmax is one struct-max groupBy (order-independent,
+    map-side combinable — no window sort); the oracle replays the
+    recursive-CTE components and elects with a row_number window."""
+    from convert_parquet_to_csv_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, k=_K, threshold=_THRESH)
+    comps = connected_components(
+        docs.select("doc_id"),
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ),
+        id_col="doc_id",
+    )
+    return D.keep_best_per_cluster(
+        docs.select("doc_id", "n_chars"), comps, "n_chars"
+    )

@@ -125,6 +125,13 @@ FIRST_TIER: list[str] = [
     "pack_concat_chunks",
     "source_mixture_epochs",
     "source_ngram_overlap",
+    "dedup_span_extents",
+    "ccnet_perplexity_buckets",
+    "domain_blocklist_filter",
+    "dedup_keep_best_quality",
+    "similarity_topk_pq",
+    "similarity_topk_ivfadc",
+    "dedup_exact_substring_removal",
     # --- refresh: latest driver row is r1 ---
     "unpivot_status_totals",
     "window_zoo_yearly_priority",

@@ -54,6 +54,7 @@ def test_overrides_build_raw_operator_plans(bench, spark, sf_small):
     expected = {
         "similarity_topk_lsh": {"query_id", "neighbor_id", "similarity"},
         "similarity_topk_ivf": {"query_id", "neighbor_id", "similarity"},
+        "similarity_topk_pq": {"query_id", "neighbor_id", "similarity"},
         "dsir_importance_weights": {"doc_id", "score_micro"},
         "dedup_winnow_fingerprints": {"doc_id", "pos", "fp"},
     }

@@ -725,3 +725,92 @@ def test_source_ngram_overlap_matrix(spark):
         docs, n=3, max_gram_sources=2
     ).collect()
     assert capped == []
+
+
+def test_ccnet_lm_buckets(spark):
+    """CCNet bucketing: per-lang totals conserved, head holds the
+    most-familiar docs, a language absent from the sample goes
+    'unsampled' (the md5-bit sample is deterministic, so the test
+    can pick ids on either side of it)."""
+    import hashlib
+
+    def sampled(i):  # mirrors the operator's md5-bit sample
+        return ord(hashlib.md5(str(i).encode()).hexdigest()[0]) % 2 == 0
+
+    in_ids = [i for i in range(200) if sampled(i)]
+    out_ids = [i for i in range(200) if not sampled(i)]
+    # 'en': 9 docs in-sample (3 per tercile by construction: repeated
+    # trigrams score high) + 3 out-of-sample; 'zz': 2 docs, both
+    # OUTSIDE the sample -> no cutoffs -> 'unsampled'.
+    rows = []
+    texts = [
+        "aaaaaaaaaaaa", "aaaaaaaaaaab", "aaaaaaaaaaba",  # high fam
+        "abcabcabcabc", "bcabcabcabca", "cabcabcabcab",  # mid fam
+        "qwxrtyzpvmnu", "zpqvmxwrtynu", "mnpqrvwxyztu",  # low fam
+    ]
+    for i, t in zip(in_ids[:9], texts):
+        rows.append((i, "en", t))
+    for i in out_ids[:3]:
+        rows.append((i, "en", "aaaaaaaaaaaa"))  # assigned, not sampled
+    for i in out_ids[3:5]:
+        rows.append((i, "zz", "hello world hello"))
+    docs = spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+    got = {
+        (r["lang"], r["bucket"]): (r["n_docs"], r["mean_score"])
+        for r in C.ccnet_lm_buckets(docs).collect()
+    }
+    assert got[("zz", "unsampled")][0] == 2
+    en_total = sum(n for (l, b), (n, _) in got.items() if l == "en")
+    assert en_total == 12
+    # the out-of-sample high-familiarity 'en' docs land in head: head
+    # count = 3 sampled + 3 assigned
+    assert got[("en", "head")][0] == 6
+    # mean scores are monotone head > middle > tail
+    assert (
+        got[("en", "head")][1]
+        > got[("en", "middle")][1]
+        > got[("en", "tail")][1]
+    )
+
+
+def test_exact_substring_removal_consistent_with_extents(spark):
+    """The removal flavor (remove_duplicated_spans(min_total=...))
+    and the audit flavor (duplicated_span_extents) must agree: per
+    doc, n_removed == Σ span_toks, and clean_text is the token
+    sequence minus exactly the extent ranges. Short docs (< k
+    tokens) pass through unchanged."""
+    from convert_parquet_to_csv_spark.operators.dedup import (
+        duplicated_span_extents,
+    )
+
+    rows = [
+        (0, "a b c q r s t a b c"),
+        (1, "p p p x y z q q q"),
+        (2, "m m m m x y z"),
+        (3, "u v w unique only here"),
+        (4, "too short"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    removed = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in C.remove_duplicated_spans(
+            corpus, n=3, min_total=2
+        ).collect()
+    }
+    extents = {}
+    for r in duplicated_span_extents(corpus, k=3, min_count=2).collect():
+        extents.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_toks"])
+        )
+    for i, text in rows:
+        toks = text.split()
+        spans = extents.get(i, [])
+        cov = {p for s, e, _ in spans for p in range(s, e)}
+        expect_clean = " ".join(
+            w for p, w in enumerate(toks) if p not in cov
+        )
+        clean, kept, nrem = removed[i]
+        assert clean == expect_clean, i
+        assert nrem == sum(t for _, _, t in spans), i
+        assert kept == len(toks) - nrem, i
+    assert removed[4] == ("too short", 2, 0)

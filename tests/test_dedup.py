@@ -307,3 +307,81 @@ def test_hot_shingle_guard_containment(spark):
     # denominator is NOT guarded: with every shingle of the
     # boilerplate docs hot, their intersection is 0, not undefined
     assert all(a >= 100 for a, _ in guarded)
+
+
+def test_duplicated_span_extents_islands(spark):
+    """ExactSubstr extents vs a pure-Python reference: total-count
+    hotness (within-doc repeats count, Lee et al.'s rule) and
+    gaps-and-islands merging into maximal [start, end) extents."""
+    # doc 0 repeats its own 3-gram "a b c" twice (within-doc dup);
+    # docs 1 and 2 share "x y z" once each (cross-doc dup); doc 3 is
+    # clean. k=3, min_count=2.
+    rows = [
+        (0, "a b c q r s t a b c"),
+        (1, "p p p x y z q q q"),
+        (2, "m m m m x y z"),
+        (3, "u v w unique only here"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_toks"])
+        for r in D.duplicated_span_extents(
+            corpus, k=3, min_count=2
+        ).collect()
+    }
+
+    def ref(rows, k, min_count):
+        toks = {i: t.split() for i, t in rows}
+        from collections import Counter
+        cnt = Counter()
+        for i, tk in toks.items():
+            for p in range(len(tk) - k + 1):
+                cnt[tuple(tk[p:p + k])] += 1
+        out = set()
+        for i, tk in toks.items():
+            cov = sorted({
+                p + c
+                for p in range(len(tk) - k + 1)
+                if cnt[tuple(tk[p:p + k])] >= min_count
+                for c in range(k)
+            })
+            start = None
+            prev = None
+            for pos in cov + [None]:
+                if start is None:
+                    start, prev = pos, pos
+                elif pos is not None and pos == prev + 1:
+                    prev = pos
+                else:
+                    out.add((i, start, prev + 1, prev + 1 - start))
+                    start, prev = pos, pos
+        return out
+
+    expect = ref(rows, 3, 2)
+    assert got == expect
+    # doc 0: both "a b c" occurrences covered (within-doc rule) as
+    # two separate extents; doc 3 clean; "p p p" in doc 1 and
+    # "m m m" runs in doc 2 ARE hot (total-count >= 2 via overlap
+    # counting within the run) — the reference encodes the truth.
+    assert (0, 0, 3, 3) in got and (0, 7, 10, 3) in got
+    assert not any(d == 3 for d, *_ in got)
+
+
+def test_keep_best_per_cluster_argmax(spark):
+    """Survivor = max quality, ties -> min id; singletons survive."""
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 7)],
+        "doc_id LONG, n_chars INT",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)],
+        "doc_id LONG, component LONG",
+    )
+    got = {
+        (r["component"], r["survivor_id"], r["quality"], r["n_members"])
+        for r in D.keep_best_per_cluster(
+            docs, comps, "n_chars"
+        ).collect()
+    }
+    # cluster 1: quality tie 30/30 between ids 2 and 3 -> min id 2
+    assert got == {(1, 2, 30, 3), (4, 4, 7, 1)}

@@ -261,3 +261,98 @@ def test_semdedup_multiprobe_monotone_recall(spark, sf_small):
     assert drops[1] <= drops[2]
     # the mitigation recovers real boundary pairs on this fixture
     assert len(drops[2]) > len(drops[1])
+
+
+def test_pq_adc_exact_on_duplicated_orthogonal_basis(spark):
+    """PQ end-to-end on a designed corpus: 4 orthogonal unit vectors,
+    each duplicated. With codes=4 and kmeans_iters=0 the codebooks
+    ARE (subvectors of) four corpus vectors, so every vector
+    reconstructs exactly and ADC cosine becomes exact: each vector's
+    top-1 neighbor is its duplicate at similarity 1.0."""
+    dim, m = 8, 4
+    basis = [[0.0] * dim for _ in range(4)]
+    for i in range(4):
+        basis[i][2 * i] = 1.0  # one hot per 2-dim subspace slot
+    rows = []
+    for i, v in enumerate(basis):
+        rows.append((i, v))          # original
+        rows.append((i + 4, v))      # duplicate
+    vecs = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    books = S.pq_train(vecs, dim, m=m, codes=4, kmeans_iters=0)
+    assert books.count() == m * 4
+    enc = S.pq_encode(vecs, books, dim, m=m)
+    per_vec = (
+        enc.groupBy("vec_id").count().select("count").distinct().collect()
+    )
+    assert [r["count"] for r in per_vec] == [m]
+    out = S.topk_pq_adc(
+        vecs, vecs, dim, k=1, m=m, codes=4, kmeans_iters=0
+    ).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["neighbor_id"] % 4 == r["query_id"] % 4
+        assert abs(r["similarity"] - 1.0) < 1e-6
+
+
+def test_pq_adc_scores_bounded_and_deterministic(spark):
+    """ADC scores are exact cosines of reconstructions (|s| <= 1 by
+    Cauchy-Schwarz) and the whole pipeline is a pure function of its
+    inputs (two runs, identical rows)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    vecs = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    qs = vecs.filter(F.col("vec_id") < 3)
+
+    def run():
+        return sorted(
+            (r["query_id"], r["neighbor_id"], round(r["similarity"], 9))
+            for r in S.topk_pq_adc(
+                vecs, qs, 8, k=5, m=4, codes=8, kmeans_iters=1
+            ).collect()
+        )
+
+    a, b = run(), run()
+    assert a == b
+    assert all(-1 - 1e-9 <= s <= 1 + 1e-9 for _, _, s in a)
+    per_q = {}
+    for q, _, _ in a:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(c == 5 for c in per_q.values())
+
+
+def test_ivfadc_exact_when_residuals_vanish(spark):
+    """IVFADC end-to-end exactness case: 4 orthogonal unit vectors
+    duplicated, n_centroids=4 -> every vector IS (a duplicate of) a
+    coarse centroid, so all residuals are zero, the reconstruction is
+    the centroid itself, and each vector's top-1 neighbor is its
+    duplicate at exactly 1.0 (the cross/cn2 terms must cancel to
+    zero, exercising the two-level norm assembly)."""
+    dim, m = 8, 4
+    basis = [[0.0] * dim for _ in range(4)]
+    for i in range(4):
+        basis[i][2 * i] = 1.0
+    rows = []
+    for i, v in enumerate(basis):
+        rows.append((i, v))
+        rows.append((i + 4, v))
+    vecs = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    out = S.topk_ivfadc(
+        vecs, vecs, dim, k=1, n_centroids=4, nprobe=1, m=m, codes=4,
+        kmeans_iters=0,
+    ).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["neighbor_id"] % 4 == r["query_id"] % 4
+        assert abs(r["similarity"] - 1.0) < 1e-6

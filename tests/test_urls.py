@@ -114,3 +114,31 @@ def test_domain_census_dup_frac(spark):
     }
     assert got["a.com"] == (3, 2, (3 - 2) / 3)
     assert got["b.org"] == (1, 1, 0.0)
+
+
+def test_blocklist_filter_suffix_semantics(spark):
+    """Wildcard-subdomain matching: exact host, dot-suffix, NO
+    partial-label match; multi-entry hits break ties to the
+    alphabetically-first entry; www. is canonicalized off first."""
+    rows = [
+        (1, "https://bad.example.org/x"),        # exact entry match
+        (2, "http://cdn.bad.example.org/y"),     # subdomain of entry
+        (3, "https://notbad.example.org/z"),     # partial label: kept
+        (4, "https://www.bad.example.org/w"),    # www-stripped exact
+        (5, "https://clean.site.com/ok"),        # kept
+        (6, "https://a.b.example.org/m"),        # two entries match
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING")
+    bl = ["bad.example.org", "b.example.org", "a.b.example.org"]
+    got = {
+        r["doc_id"]: r["blocked_by"]
+        for r in U.blocklist_filter(df, bl).collect()
+    }
+    assert got[1] == "bad.example.org"
+    assert got[2] == "bad.example.org"
+    assert got[3] is None          # 'notbad.example.org' != suffix
+    assert got[4] == "bad.example.org"
+    assert got[5] is None
+    # host a.b.example.org matches both a.b.example.org and
+    # b.example.org -> alphabetically first
+    assert got[6] == "a.b.example.org"

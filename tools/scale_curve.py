@@ -40,6 +40,7 @@ from convert_parquet_to_csv_spark.session import get_spark
 from convert_parquet_to_csv_spark.sources.io_ops import read_parquet
 from convert_parquet_to_csv_spark.operators.dedup import (
     containment_pairs,
+    duplicated_span_extents,
     minhash_dedup,
     winnow_fingerprints,
 )
@@ -151,6 +152,13 @@ def main() -> None:
             ),
             "decontaminate_bloom": lambda d=docs, b=bench_side: (
                 flag_contaminated_bloom(d, b, n=5, hash_fn="xxhash64")
+            ),
+            # r7 addition: ExactSubstr extents — structurally span
+            # dedup minus the distinct-doc count (total-count hotness
+            # is fully map-side-combinable) plus the islands window
+            # (doc-partitioned, doc-scale).
+            "span_extents": lambda d=docs: duplicated_span_extents(
+                d, k=6, min_count=2
             ),
         }
         only = os.environ.get("SPARK_GRAFT_CURVE_KERNELS")
