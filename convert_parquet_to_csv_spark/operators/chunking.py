@@ -203,3 +203,97 @@ def concat_chunk_pack(
             - F.greatest(F.col("chunk_id") * ctx, F.col("_start"))
         ).cast("bigint").alias("n_tokens"),
     )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learn the first ``rounds`` BPE merges over a corpus (Sennrich,
+    Haddow, Birch 2016 §3.2): words decompose to character symbols;
+    each round counts adjacent symbol pairs weighted by word
+    frequency, picks the heaviest (ties → lexicographic l, then r)
+    and merges its non-overlapping left-to-right occurrences in
+    every word. Output: one row per learned merge — (rank, l, r,
+    pair_weight).
+
+    Scale shape: the corpus contributes ONE exchange (the word-
+    frequency groupBy — everything after is VOCAB-scale, which is
+    what makes BPE training feasible at 100 TB: the corpus size
+    bounds nothing downstream). Each round is one pair-explode +
+    partial-agg over the vocab, a 1-row TakeOrdered argmax, a 1-row
+    broadcast close applying the merge, and a localCheckpoint to
+    keep the iterative plan flat (the connected-components
+    convention). Words are carried as SPACED SYMBOL STRINGS
+    (' a b c ') and the merge is a literal string replace of
+    ' l r ' → ' lr ' — LTR non-overlapping in both Spark and
+    DuckDB (verified ' a a a ' → ' aa a ', the BPE greedy rule),
+    which makes every round bit-replayable in SQL. No UDFs, no
+    driver-side loops over data — the Python ``for`` ranges over
+    ROUNDS, not rows."""
+    from convert_parquet_to_csv_spark.functions.text import tokens
+
+    words = docs.select(F.explode(tokens(text_col)).alias("_w"))
+    vocab = (
+        words.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .select(
+            F.concat(
+                F.lit(" "), F.regexp_replace("_w", "(.)", "$1 ")
+            ).alias("_s"),
+            "_f",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for rnd in range(1, rounds + 1):
+        sym = vocab.select(
+            "_f", F.split(F.trim("_s"), " ").alias("_sy")
+        ).filter(F.size("_sy") >= 2)
+        pairs = sym.select(
+            "_f",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_sy) - 2), i -> "
+                    "struct(element_at(_sy, i + 1) AS l, "
+                    "element_at(_sy, i + 2) AS r))"
+                )
+            ).alias("_p"),
+        ).select("_f", "_p.l", "_p.r")
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("_f").cast("bigint").alias("pair_weight"))
+            .orderBy(F.desc("pair_weight"), F.asc("l"), F.asc("r"))
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(rnd).alias("rank"), "l", "r", "pair_weight"
+            )
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("l", "r")))
+            .select(
+                F.replace(
+                    "_s",
+                    F.concat(
+                        F.lit(" "),
+                        F.col("l"),
+                        F.lit(" "),
+                        F.col("r"),
+                        F.lit(" "),
+                    ),
+                    F.concat(
+                        F.lit(" "), F.col("l"), F.col("r"), F.lit(" ")
+                    ),
+                ).alias("_s"),
+                "_f",
+            )
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionByName(mdf)
+    return out

@@ -839,7 +839,14 @@ def duplicated_span_extents(
     Output: one row per maximal extent — ``(id, span_start,
     span_end, span_toks)`` with 0-based token positions, end
     exclusive. Exact and fully SQL-replayable (gram-string oracle;
-    xxhash64 equivalence up to the standard 2⁻⁶⁴ acceptance)."""
+    xxhash64 equivalence up to the standard 2⁻⁶⁴ acceptance).
+
+    Measured scale curve (tools/scale_curve.py, min-of-2, sf0.1-
+    derived mangled replicas, local[32]): 500k/1M/2M docs =
+    10.1 / 12.8 / 29.0 s — 0.72× linear at 2M; the total-count
+    hotness rule keeps the single full-volume exchange map-side-
+    combinable (cf. remove_duplicated_spans' measured note on why
+    the distinct-doc rule is the expensive one)."""
     base = df.select(id_col, tokens(text_col).alias("_tk")).filter(
         F.size("_tk") >= k
     )

@@ -132,6 +132,7 @@ FIRST_TIER: list[str] = [
     "similarity_topk_pq",
     "similarity_topk_ivfadc",
     "dedup_exact_substring_removal",
+    "bpe_merge_learning",
     # --- refresh: latest driver row is r1 ---
     "unpivot_status_totals",
     "window_zoo_yearly_priority",

@@ -1261,3 +1261,75 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return concat_chunk_pack(_docs(spark, sf_dir), ctx=_CCP_CTX)
+
+
+# --------------------------------------------------------------------------
+# r7 addition: corpus-scale BPE merge learning (Sennrich et al. 2016)
+# Day-one gated (FIRST_TIER slot reserved in the r7 rotation).
+# --------------------------------------------------------------------------
+
+# One round of the oracle = pair counts over spaced-symbol strings,
+# argmax (weight DESC, l, r), literal-replace merge. replace() is LTR
+# non-overlapping in BOTH engines (verified ' a a a ' -> ' aa a ', the
+# BPE greedy rule), so three unrolled rounds replay Spark bit-exactly.
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle(rounds: int) -> str:
+    sql = r"""
+WITH w0 AS (
+  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, f FROM (
+    SELECT tok AS w, COUNT(*) AS f FROM (
+      SELECT unnest(list_filter(
+          string_split_regex(trim(text), '\s+'), t -> t != '')) AS tok
+      FROM documents) GROUP BY tok)
+)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+p{i} AS (
+  SELECT l, r, SUM(f) AS w FROM (
+    SELECT f, sy[i + 1] AS l, sy[i + 2] AS r FROM (
+      SELECT string_split(trim(s), ' ') AS sy, f FROM w{i - 1}
+      WHERE len(string_split(trim(s), ' ')) >= 2),
+    unnest(range(0, len(sy) - 1)) AS t(i))
+  GROUP BY l, r
+),
+b{i} AS (
+  SELECT l, r, CAST(w AS BIGINT) AS pair_weight
+  FROM p{i} ORDER BY w DESC, l ASC, r ASC LIMIT 1
+),
+w{i} AS (
+  SELECT replace(s, ' ' || b.l || ' ' || b.r || ' ',
+                    ' ' || b.l || b.r || ' ') AS s, f
+  FROM w{i - 1}, b{i} b
+)"""
+    selects = [
+        f"SELECT {i} AS rank, l, r, pair_weight FROM b{i}"
+        for i in range(1, rounds + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL ".join(selects)
+
+
+_BPE_ORACLE = _bpe_oracle(_BPE_ROUNDS)
+
+
+@query("bpe_merge_learning", oracle=_BPE_ORACLE)
+def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 BPE merges learned over the corpus (operators/
+    chunking.bpe_learn_merges; Sennrich et al. 2016 §3.2) — the
+    train-your-own-tokenizer primitive: heaviest adjacent symbol
+    pair per round (frequency-weighted, lexicographic tie-break),
+    merged greedily LTR in every vocabulary word. The corpus
+    contributes exactly ONE exchange (word-frequency groupBy);
+    every round after is vocabulary-scale — the property that makes
+    BPE training feasible at 100 TB. The oracle unrolls the three
+    rounds as CTEs over the same spaced-symbol string algebra and
+    replays ranks, pairs, and weights bit-exactly."""
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        bpe_learn_merges,
+    )
+
+    return bpe_learn_merges(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        rounds=_BPE_ROUNDS,
+    )

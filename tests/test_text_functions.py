@@ -196,3 +196,63 @@ def test_concat_chunk_pack_matches_naive_and_conserves_tokens(spark):
     last = max(got)
     assert all(got[c][2] == ctx for c in got if c != last)
     assert sum(v[1] for v in got.values()) == len(counts)
+
+
+def test_bpe_learn_merges_matches_python_reference(spark):
+    """Three learned merges vs a pure-Python Sennrich-style BPE on a
+    designed corpus: frequency-weighted pair counts, lexicographic
+    tie-break, greedy LTR non-overlapping merge within a round (the
+    'aaa' overlap case is in the corpus), later rounds seeing merged
+    symbols as atoms."""
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        bpe_learn_merges,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new new",
+        "aaa aaa banana",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    def ref(texts, rounds):
+        from collections import Counter
+        vocab = Counter()
+        for t in texts:
+            for w in t.split():
+                vocab[" ".join(w)] += 1
+        merges = []
+        for _ in range(rounds):
+            pairs = Counter()
+            for s, f in vocab.items():
+                sy = s.split(" ")
+                for a, b in zip(sy, sy[1:]):
+                    pairs[(a, b)] += f
+            if not pairs:
+                break
+            (l, r), w = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            merges.append((l, r, w))
+            nv = Counter()
+            for s, f in vocab.items():
+                # greedy LTR non-overlapping merge
+                nv[
+                    (" " + s + " ").replace(
+                        f" {l} {r} ", f" {l}{r} "
+                    ).strip()
+                ] += f
+            vocab = nv
+        return merges
+
+    expect = [
+        (i + 1, l, r, w) for i, (l, r, w) in enumerate(ref(texts, 3))
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = [
+        (r["rank"], r["l"], r["r"], r["pair_weight"])
+        for r in bpe_learn_merges(corpus, rounds=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
