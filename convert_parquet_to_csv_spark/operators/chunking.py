@@ -209,15 +209,17 @@ def bpe_learn_merges(
     docs: DataFrame,
     rounds: int = 3,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Learn the first ``rounds`` BPE merges over a corpus (Sennrich,
     Haddow, Birch 2016 §3.2): words decompose to character symbols;
     each round counts adjacent symbol pairs weighted by word
     frequency, picks the heaviest (ties → lexicographic l, then r)
-    and merges its non-overlapping left-to-right occurrences in
-    every word. Output: one row per learned merge — (rank, l, r,
-    pair_weight).
+    and merges its non-overlapping occurrences left-to-right in
+    every word — the EXACT tokenwise greedy rule, including l == r
+    runs ('aaaaa' + merge (a,a) → [aa, aa, a], never [aa, a, aa]; a
+    padded-string replace device was measured WRONG here and
+    rejected, see tests). Output: one row per learned merge —
+    (rank, l, r, pair_weight).
 
     Scale shape: the corpus contributes ONE exchange (the word-
     frequency groupBy — everything after is VOCAB-scale, which is
@@ -226,11 +228,10 @@ def bpe_learn_merges(
     partial-agg over the vocab, a 1-row TakeOrdered argmax, a 1-row
     broadcast close applying the merge, and a localCheckpoint to
     keep the iterative plan flat (the connected-components
-    convention). Words are carried as SPACED SYMBOL STRINGS
-    (' a b c ') and the merge is a literal string replace of
-    ' l r ' → ' lr ' — LTR non-overlapping in both Spark and
-    DuckDB (verified ' a a a ' → ' aa a ', the BPE greedy rule),
-    which makes every round bit-replayable in SQL. No UDFs, no
+    convention). The merge itself is an ``aggregate`` fold over the
+    symbol array — greedy is a left fold by definition, and the
+    fold is sound because a merged symbol can never equal ``l``
+    (strictly longer), so one pass is exact. No UDFs, no
     driver-side loops over data — the Python ``for`` ranges over
     ROUNDS, not rows."""
     from convert_parquet_to_csv_spark.functions.text import tokens
@@ -239,19 +240,20 @@ def bpe_learn_merges(
     vocab = (
         words.groupBy("_w")
         .agg(F.count(F.lit(1)).alias("_f"))
-        .select(
-            F.concat(
-                F.lit(" "), F.regexp_replace("_w", "(.)", "$1 ")
-            ).alias("_s"),
-            "_f",
-        )
+        .select(F.split("_w", "").alias("_sy"), "_f")
         .localCheckpoint()
+    )
+    merge_fold = F.expr(
+        "aggregate(_sy, cast(array() as array<string>), "
+        "(acc, x) -> CASE WHEN size(acc) > 0 "
+        "AND element_at(acc, -1) = l AND x = r "
+        "THEN concat(slice(acc, 1, size(acc) - 1), "
+        "array(concat(l, r))) "
+        "ELSE concat(acc, array(x)) END)"
     )
     merges = []
     for rnd in range(1, rounds + 1):
-        sym = vocab.select(
-            "_f", F.split(F.trim("_s"), " ").alias("_sy")
-        ).filter(F.size("_sy") >= 2)
+        sym = vocab.filter(F.size("_sy") >= 2)
         pairs = sym.select(
             "_f",
             F.explode(
@@ -275,22 +277,7 @@ def bpe_learn_merges(
         )
         vocab = (
             vocab.crossJoin(F.broadcast(best.select("l", "r")))
-            .select(
-                F.replace(
-                    "_s",
-                    F.concat(
-                        F.lit(" "),
-                        F.col("l"),
-                        F.lit(" "),
-                        F.col("r"),
-                        F.lit(" "),
-                    ),
-                    F.concat(
-                        F.lit(" "), F.col("l"), F.col("r"), F.lit(" ")
-                    ),
-                ).alias("_s"),
-                "_f",
-            )
+            .select(merge_fold.alias("_sy"), "_f")
             .localCheckpoint()
         )
     out = merges[0]

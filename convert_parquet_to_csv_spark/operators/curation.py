@@ -1570,7 +1570,12 @@ def ccnet_lm_buckets(
 
     Output: (lang, bucket, n_docs, n_tokens, mean_score) — bucket ∈
     head/middle/tail, plus 'unsampled' for languages whose sample
-    carried fewer than 3 documents (no tercile cutoffs learnable).
+    carried fewer than 2 documents (ntile(3) over one row populates
+    only tile 1, so no upper cutoff is learnable). Documents whose
+    normalized text is shorter than 3 chars carry no trigram score
+    and are EXCLUDED from the census (the inner score join, mirrored
+    by the oracle) — production corpora length-filter far above
+    this; feed such docs a length gate first if they must appear.
     """
     norm = docs.select(
         id_col,

@@ -910,9 +910,13 @@ def keep_best_per_cluster(
     aggregate — max(struct(quality, −id)) is an order-independent
     argmax with a deterministic tie-break, map-side combinable, no
     window sort. Output: (component, survivor_id, quality,
-    n_members)."""
+    n_members). ``quality_col`` keeps its own numeric type (a
+    fractional model score is NOT truncated — casting here would
+    silently degenerate the election to min-id); ids must be
+    numeric for the negation tie-break, the repo-wide id
+    convention."""
     joined = docs.select(
-        id_col, F.col(quality_col).cast("bigint").alias("_q")
+        id_col, F.col(quality_col).alias("_q")
     ).join(components, id_col)
     agg = joined.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),

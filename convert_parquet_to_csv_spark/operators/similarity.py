@@ -694,6 +694,36 @@ def semdedup(
 # Quantization for Nearest Neighbor Search", IEEE TPAMI)
 # --------------------------------------------------------------------------
 
+def _pq_dsub(dim: int, m: int) -> int:
+    """Subspace width, validated: a dim not divisible by m would
+    SILENTLY drop the trailing dimensions from codebooks, codes, and
+    query LUTs (wrong answers, not an error) — refuse instead."""
+    if m < 1 or dim % m != 0 or dim // m == 0:
+        raise ValueError(
+            f"PQ requires dim divisible by m with dim/m >= 1; "
+            f"got dim={dim}, m={m}"
+        )
+    return dim // m
+
+
+def _subspaces(
+    df: DataFrame, vec_col: str, m: int, dsub: int, out_col: str
+) -> DataFrame:
+    """Explode a vector column into its m subvector slices — the one
+    definition of the 1-based slice arithmetic every PQ consumer
+    (training, encoding, query LUTs, centroid cross terms) shares."""
+    return df.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_m"),
+    ).select(
+        *[c for c in df.columns if c != vec_col],
+        "_m",
+        F.expr(f"slice({vec_col}, _m * {dsub} + 1, {dsub})").alias(
+            out_col
+        ),
+    )
+
+
 def pq_train(
     vectors: DataFrame,
     dim: int,
@@ -721,7 +751,7 @@ def pq_train(
     each Lloyd round is one broadcast join + argmin + one
     (m, code, pos) partial aggregation. The training scan is the only
     corpus-scale work and it never shuffles vectors."""
-    dsub = dim // m
+    dsub = _pq_dsub(dim, m)
     seed = (
         vectors.orderBy(
             F.md5(F.col(id_col).cast("string")), F.col(id_col)
@@ -740,22 +770,12 @@ def pq_train(
             - 1,
         )
     )
-    books = seed.select(
-        "_code",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_m"),
-        "_sv",
-    ).select(
-        "_m",
-        "_code",
-        F.expr(f"slice(_sv, _m * {dsub} + 1, {dsub})").alias("_cv"),
+    books = _subspaces(
+        seed.select("_code", "_sv"), "_sv", m, dsub, "_cv"
     ).localCheckpoint()
 
-    sub = vectors.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_m"),
-        F.expr(f"slice({vec_col}, _m * {dsub} + 1, {dsub})").alias(
-            "_sub"
-        ),
+    sub = _subspaces(
+        vectors.select(id_col, vec_col), vec_col, m, dsub, "_sub"
     )
     for _ in range(kmeans_iters):
         assigned = _pq_assign(sub, books, id_col)
@@ -856,13 +876,9 @@ def pq_encode(
     per vector instead of D floats (the 32×-compression memory story
     at 100 TB). Kept exploded: ADC consumes (id, _m, _code) directly,
     so packing into an array here would just be unpacked again."""
-    dsub = dim // m
-    sub = vectors.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_m"),
-        F.expr(f"slice({vec_col}, _m * {dsub} + 1, {dsub})").alias(
-            "_sub"
-        ),
+    dsub = _pq_dsub(dim, m)
+    sub = _subspaces(
+        vectors.select(id_col, vec_col), vec_col, m, dsub, "_sub"
     )
     return _pq_assign(sub, books, id_col).select(id_col, "_m", "_code")
 
@@ -913,14 +929,16 @@ def topk_pq_adc(
     enc = pq_encode(
         vectors, books, dim, m=m, id_col=id_col, vec_col=vec_col
     )
-    dsub = dim // m
-    qsub = queries.select(
-        F.col(id_col).alias(query_id_col),
-        l2_normalize(vec_col).alias("_qn"),
-    ).select(
-        query_id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_m"),
-        F.expr(f"slice(_qn, _m * {dsub} + 1, {dsub})").alias("_qsub"),
+    dsub = _pq_dsub(dim, m)
+    qsub = _subspaces(
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            l2_normalize(vec_col).alias("_qn"),
+        ),
+        "_qn",
+        m,
+        dsub,
+        "_qsub",
     )
     lut = qsub.join(F.broadcast(books), "_m").select(
         query_id_col,
@@ -939,7 +957,14 @@ def topk_pq_adc(
         .select(
             query_id_col,
             F.col(id_col).alias("neighbor_id"),
-            (F.col("_num") / F.sqrt("_den2")).alias("similarity"),
+            # all-zero reconstruction (degenerate codebook) → defined
+            # 0.0, not a NULL that would still occupy a top-k slot
+            # and break the unit-range gate — the topk_ivfadc guard
+            F.when(
+                F.col("_den2") > 0, F.col("_num") / F.sqrt("_den2")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("similarity"),
         )
     )
     if exclude_self:
@@ -1020,18 +1045,21 @@ def topk_ivfadc(
         id_col=id_col,
         vec_col="_res",
     )
-    enc = pq_encode(
-        resid, books, dim, m=m, id_col=id_col, vec_col="_res"
-    ).join(
-        resid.select(id_col, "_list_id"), id_col
+    enc = (
+        pq_encode(
+            resid, books, dim, m=m, id_col=id_col, vec_col="_res"
+        )
+        .join(resid.select(id_col, "_list_id"), id_col)
+        # eager: the returned plan reads enc (which references resid
+        # TWICE) lazily — materializing here lets the resid cache be
+        # released below while the encoding work still runs once
+        .localCheckpoint()
     )
-    dsub = dim // m
+    dsub = _pq_dsub(dim, m)
     # query-independent cross term ⟨c_sub, r_{m,code}⟩ and the list
     # norms — both broadcast-scale, built once per index
-    csub = centroids.select(
-        "_list_id",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_m"),
-        F.expr(f"slice(_cv, _m * {dsub} + 1, {dsub})").alias("_csub"),
+    csub = _subspaces(
+        centroids.select("_list_id", "_cv"), "_cv", m, dsub, "_csub"
     )
     cross = csub.join(F.broadcast(books), "_m").select(
         "_list_id",
@@ -1067,13 +1095,7 @@ def topk_ivfadc(
     )
     # per-(query, m, code) LUT: ⟨q_sub, r⟩ — independent of the list
     lut = (
-        q.select(
-            query_id_col,
-            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_m"),
-            F.expr(f"slice(_qn, _m * {dsub} + 1, {dsub})").alias(
-                "_qsub"
-            ),
-        )
+        _subspaces(q, "_qn", m, dsub, "_qsub")
         .join(F.broadcast(books), "_m")
         .select(
             query_id_col,
@@ -1113,6 +1135,8 @@ def topk_ivfadc(
         scored = scored.filter(
             F.col("neighbor_id") != F.col(query_id_col)
         )
+    # safe: enc was localCheckpoint'ed above, so the returned plan no
+    # longer references resid (training already ran eagerly too)
     resid.unpersist()
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("similarity"), F.asc("neighbor_id")

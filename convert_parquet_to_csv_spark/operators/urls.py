@@ -129,6 +129,12 @@ def blocklist_filter(
     suffix-explode turns the wildcard match into an equi-join, which
     is the only shape that survives a million-entry list.
 
+    ALL suffix lengths ≥ 1 are generated, so single-label hosts
+    (intranet-style ``localhost``) neither crash the sequence
+    arithmetic nor escape single-label entries — and a bare-TLD
+    entry like ``org`` blocks everything under it, which IS the
+    suffix semantics (the caller curates the list).
+
     Output: (id, host, blocked_by) — ``blocked_by`` is the
     alphabetically-first matching entry, NULL when the document is
     kept (deterministic under multi-entry matches).
@@ -146,7 +152,7 @@ def blocklist_filter(
         id_col,
         F.explode(
             F.expr(
-                "transform(sequence(0, size(_labels) - 2), "
+                "transform(sequence(0, size(_labels) - 1), "
                 "i -> array_join(slice(_labels, i + 1, "
                 "size(_labels) - i), '.'))"
             )

@@ -1369,7 +1369,7 @@ _BLOCKLIST_ORACLE = (
 ), sfx AS (
   SELECT doc_id,
          unnest(list_transform(
-             range(0, len(string_split(host, '.')) - 1),
+             range(0, len(string_split(host, '.'))),
              i -> array_to_string(string_split(host, '.')[i + 1 :],
                                   '.'))) AS suffix
   FROM c2
@@ -1485,5 +1485,12 @@ def dedup_keep_best_quality(
         id_col="doc_id",
     )
     return D.keep_best_per_cluster(
-        docs.select("doc_id", "n_chars"), comps, "n_chars"
+        # the operator preserves the quality column's own type (a
+        # float model score must not truncate) — the bigint the
+        # oracle compares against is cast HERE, at the call site
+        docs.select(
+            "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+        ),
+        comps,
+        "n_chars",
     )

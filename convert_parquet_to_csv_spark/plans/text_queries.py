@@ -1268,17 +1268,23 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Day-one gated (FIRST_TIER slot reserved in the r7 rotation).
 # --------------------------------------------------------------------------
 
-# One round of the oracle = pair counts over spaced-symbol strings,
-# argmax (weight DESC, l, r), literal-replace merge. replace() is LTR
-# non-overlapping in BOTH engines (verified ' a a a ' -> ' aa a ', the
-# BPE greedy rule), so three unrolled rounds replay Spark bit-exactly.
+# One round of the oracle = pair counts over symbol lists, argmax
+# (weight DESC, l, r), then the EXACT tokenwise greedy merge replayed
+# with windows: match flags per position, maximal runs of consecutive
+# matches (j − row_number islands), greedy = even offsets within each
+# run (two matches in a row share a token, so greedy takes every
+# other; disjoint matches are all taken), skip the position after a
+# chosen one, rebuild the list in order. This replays Spark's
+# aggregate-fold bit-exactly INCLUDING l == r runs, where a
+# padded-string replace() device was measured to pair differently
+# ('aaaaa' → [aa, a, aa] instead of greedy [aa, aa, a]) and rejected.
 _BPE_ROUNDS = 3
 
 
 def _bpe_oracle(rounds: int) -> str:
     sql = r"""
 WITH w0 AS (
-  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, f FROM (
+  SELECT w, string_split(w, '') AS sy, f FROM (
     SELECT tok AS w, COUNT(*) AS f FROM (
       SELECT unnest(list_filter(
           string_split_regex(trim(text), '\s+'), t -> t != '')) AS tok
@@ -1287,21 +1293,42 @@ WITH w0 AS (
     for i in range(1, rounds + 1):
         sql += f""",
 p{i} AS (
-  SELECT l, r, SUM(f) AS w FROM (
-    SELECT f, sy[i + 1] AS l, sy[i + 2] AS r FROM (
-      SELECT string_split(trim(s), ' ') AS sy, f FROM w{i - 1}
-      WHERE len(string_split(trim(s), ' ')) >= 2),
-    unnest(range(0, len(sy) - 1)) AS t(i))
+  SELECT l, r, SUM(f) AS wt FROM (
+    SELECT f, sy[j + 1] AS l, sy[j + 2] AS r
+    FROM w{i - 1}, unnest(range(0, len(sy) - 1)) AS t(j))
   GROUP BY l, r
 ),
 b{i} AS (
-  SELECT l, r, CAST(w AS BIGINT) AS pair_weight
-  FROM p{i} ORDER BY w DESC, l ASC, r ASC LIMIT 1
+  SELECT l, r, CAST(wt AS BIGINT) AS pair_weight
+  FROM p{i} ORDER BY wt DESC, l ASC, r ASC LIMIT 1
+),
+tok{i} AS (
+  SELECT w, f, j, sy[j + 1] AS tok, b.l AS bl, b.r AS br,
+         (j + 1 < len(sy) AND sy[j + 1] = b.l AND sy[j + 2] = b.r)
+           AS mtch
+  FROM w{i - 1}, b{i} b, unnest(range(0, len(sy))) AS t(j)
+),
+isl{i} AS (
+  SELECT *, CASE WHEN mtch THEN j - row_number()
+      OVER (PARTITION BY w, mtch ORDER BY j) END AS island
+  FROM tok{i}
+),
+ch{i} AS (
+  SELECT *, CASE WHEN mtch THEN
+      (j - MIN(j) OVER (PARTITION BY w, island)) % 2 = 0
+    ELSE FALSE END AS chosen
+  FROM isl{i}
+),
+chp{i} AS (
+  SELECT *, coalesce(LAG(chosen) OVER (PARTITION BY w ORDER BY j),
+                     FALSE) AS prev
+  FROM ch{i}
 ),
 w{i} AS (
-  SELECT replace(s, ' ' || b.l || ' ' || b.r || ' ',
-                    ' ' || b.l || b.r || ' ') AS s, f
-  FROM w{i - 1}, b{i} b
+  SELECT w, MAX(f) AS f,
+         list(CASE WHEN chosen THEN bl || br ELSE tok END ORDER BY j)
+           FILTER (WHERE NOT prev) AS sy
+  FROM chp{i} GROUP BY w
 )"""
     selects = [
         f"SELECT {i} AS rank, l, r, pair_weight FROM b{i}"
@@ -1319,12 +1346,15 @@ def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunking.bpe_learn_merges; Sennrich et al. 2016 §3.2) — the
     train-your-own-tokenizer primitive: heaviest adjacent symbol
     pair per round (frequency-weighted, lexicographic tie-break),
-    merged greedily LTR in every vocabulary word. The corpus
-    contributes exactly ONE exchange (word-frequency groupBy);
-    every round after is vocabulary-scale — the property that makes
-    BPE training feasible at 100 TB. The oracle unrolls the three
-    rounds as CTEs over the same spaced-symbol string algebra and
-    replays ranks, pairs, and weights bit-exactly."""
+    merged greedily LTR in every vocabulary word (exact tokenwise
+    greedy, l == r runs included). The corpus contributes exactly
+    ONE exchange (word-frequency groupBy); every round after is
+    vocabulary-scale — the property that makes BPE training
+    feasible at 100 TB. The oracle unrolls the three rounds as CTEs
+    replaying the greedy merge with run-parity windows (an
+    implementation INDEPENDENT of Spark's aggregate fold — see the
+    comment above _bpe_oracle) and matches ranks, pairs, and
+    weights bit-exactly."""
     from convert_parquet_to_csv_spark.operators.chunking import (
         bpe_learn_merges,
     )

@@ -385,3 +385,19 @@ def test_keep_best_per_cluster_argmax(spark):
     }
     # cluster 1: quality tie 30/30 between ids 2 and 3 -> min id 2
     assert got == {(1, 2, 30, 3), (4, 4, 7, 1)}
+
+
+def test_keep_best_per_cluster_float_quality(spark):
+    """Fractional model scores must elect correctly (no silent
+    integer truncation — 0.97 beats 0.13)."""
+    docs = spark.createDataFrame(
+        [(1, 0.13), (2, 0.97), (3, 0.5)],
+        "doc_id LONG, score DOUBLE",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id LONG, component LONG"
+    )
+    got = D.keep_best_per_cluster(docs, comps, "score").collect()
+    assert len(got) == 1
+    assert got[0]["survivor_id"] == 2
+    assert abs(got[0]["quality"] - 0.97) < 1e-12

@@ -356,3 +356,16 @@ def test_ivfadc_exact_when_residuals_vanish(spark):
     for r in out:
         assert r["neighbor_id"] % 4 == r["query_id"] % 4
         assert abs(r["similarity"] - 1.0) < 1e-6
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    """dim % m != 0 must raise, not silently drop trailing dims."""
+    import pytest as _pytest
+
+    vecs = spark.createDataFrame(
+        [(0, [0.6, 0.8, 0.0, 0.0, 1.0])], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    with _pytest.raises(ValueError, match="divisible"):
+        S.pq_train(vecs, dim=5, m=2)
+    with _pytest.raises(ValueError, match="divisible"):
+        S.topk_pq_adc(vecs, vecs, dim=5, m=2)

@@ -212,20 +212,33 @@ def test_bpe_learn_merges_matches_python_reference(spark):
         "low low low lower lowest",
         "new newer newest new new",
         "aaa aaa banana",
+        "aaaaa aaaa",  # l == r runs: greedy must pair (0,1),(2,3)...
     ]
     rows = [(i, t) for i, t in enumerate(texts)]
+
+    def greedy(sy, l, r):
+        # tokenwise greedy LTR non-overlapping merge — the Sennrich
+        # rule, independent of the operator's aggregate-fold device
+        out, i = [], 0
+        while i < len(sy):
+            if i + 1 < len(sy) and sy[i] == l and sy[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(sy[i])
+                i += 1
+        return out
 
     def ref(texts, rounds):
         from collections import Counter
         vocab = Counter()
         for t in texts:
             for w in t.split():
-                vocab[" ".join(w)] += 1
+                vocab[tuple(w)] += 1
         merges = []
         for _ in range(rounds):
             pairs = Counter()
-            for s, f in vocab.items():
-                sy = s.split(" ")
+            for sy, f in vocab.items():
                 for a, b in zip(sy, sy[1:]):
                     pairs[(a, b)] += f
             if not pairs:
@@ -235,13 +248,8 @@ def test_bpe_learn_merges_matches_python_reference(spark):
             )
             merges.append((l, r, w))
             nv = Counter()
-            for s, f in vocab.items():
-                # greedy LTR non-overlapping merge
-                nv[
-                    (" " + s + " ").replace(
-                        f" {l} {r} ", f" {l}{r} "
-                    ).strip()
-                ] += f
+            for sy, f in vocab.items():
+                nv[tuple(greedy(list(sy), l, r))] += f
             vocab = nv
         return merges
 

@@ -142,3 +142,23 @@ def test_blocklist_filter_suffix_semantics(spark):
     # host a.b.example.org matches both a.b.example.org and
     # b.example.org -> alphabetically first
     assert got[6] == "a.b.example.org"
+
+
+def test_blocklist_filter_single_label_hosts_and_entries(spark):
+    """Single-label hosts must not crash the suffix arithmetic
+    (sequence(0, -1) counts DOWNWARD in Spark) and single-label
+    entries must be matchable — including as a suffix of deeper
+    hosts (bare-TLD semantics)."""
+    rows = [
+        (1, "http://localhost/page"),      # 1-label host, exact entry
+        (2, "https://intranet/x"),         # 1-label host, kept
+        (3, "https://a.bad/x"),            # 1-label entry as suffix
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING")
+    got = {
+        r["doc_id"]: r["blocked_by"]
+        for r in U.blocklist_filter(df, ["localhost", "bad"]).collect()
+    }
+    assert got[1] == "localhost"
+    assert got[2] is None
+    assert got[3] == "bad"
