@@ -195,3 +195,47 @@ def dq_report(parts: list[DataFrame]) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("ok"),
     )
+
+
+def fs_link_scores(
+    a: DataFrame,
+    b: DataFrame,
+    block_col: str,
+    fields: "list[tuple[Column, int, int]]",
+    threshold_milli: int = 0,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter
+    1969; the Splink/dedupe model): candidate pairs come from a
+    blocking equi-join on ``block_col``, and each pair's match score
+    is the sum of per-field log-likelihood weights — ``w_agree =
+    log2(m/u)`` when the field agrees, ``w_disagree =
+    log2((1−m)/(1−u))`` when it doesn't (m = P(agree | match), u =
+    P(agree | non-match); both are MODEL PARAMETERS the caller fixes
+    — EM estimation is an offline concern). Weights are integer
+    MILLI-log2 units, so the score sum is exact and engine-portable;
+    pairs at or above ``threshold_milli`` survive.
+
+    ``a`` and ``b`` must carry ``block_col`` plus the columns the
+    ``fields`` conditions reference (disambiguate names before the
+    call — the conditions are evaluated on the joined frame). Each
+    fields entry: (agreement Column, w_agree_milli, w_disagree_milli).
+
+    Scale shape: ONE blocking equi-join (candidate volume =
+    Σ|block_a|·|block_b| — at web scale you run multiple passes with
+    finer block keys, sorted-neighborhood or rolling blocks; the
+    score algebra is identical) and a map-side score projection. No
+    windows, no UDFs."""
+    import functools
+    import operator as _op
+
+    cand = a.join(b, block_col)
+    score = functools.reduce(
+        _op.add,
+        [
+            F.when(cond, F.lit(w_agree)).otherwise(F.lit(w_dis))
+            for cond, w_agree, w_dis in fields
+        ],
+    )
+    return cand.withColumn(
+        "score_milli", score.cast("bigint")
+    ).filter(F.col("score_milli") >= threshold_milli)

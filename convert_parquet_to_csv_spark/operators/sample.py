@@ -265,3 +265,54 @@ def split_train_val_test(
         .otherwise("test")
     )
     return df.withColumn(split_col, label)
+
+
+def split_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    weights: tuple[int, int, int] = (8, 1, 1),
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: every row of a GROUP
+    (duplicate cluster, domain, source) receives the SAME label, so
+    near-duplicates and same-site pages can never straddle train and
+    test — the contamination a row-level split (cf.
+    :func:`split_train_val_test`) structurally allows. Groups are
+    ordered by md5 of the group key (no RNG, engine-replayable) and
+    assigned by CUMULATIVE ROW MASS against exact integer thresholds
+    (group g is train while 10·C_g ≤ 8·T, then val while ≤ 9·T,
+    else test, for weights 8/1/1) — proportions track row counts,
+    not group counts, so one giant domain doesn't starve the others.
+
+    Scale shape: one per-group size aggregation, a cumulative window
+    over the GROUP table ordered by hash, a 1-row total broadcast,
+    and a group-key join back (broadcast for dimension-scale groups;
+    AQE decides otherwise). The cumulative window is single-partition
+    over GROUPS — fine for domain/source-scale keys; for data-scale
+    group keys (per-cluster ids) route the cumsum through the
+    two-level binned device used by select_to_token_budget."""
+    total_w = sum(weights)
+    c1 = weights[0]
+    c2 = weights[0] + weights[1]
+    key = F.md5(F.concat_ws("|", *[F.col(c) for c in group_cols]))
+    sizes = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_gn")
+    )
+    w = Window.orderBy(key, *[F.col(c) for c in group_cols])
+    cum = sizes.withColumn(
+        "_cum",
+        F.sum("_gn").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    total = sizes.agg(F.sum("_gn").alias("_total"))
+    labeled = cum.crossJoin(F.broadcast(total)).select(
+        *group_cols,
+        F.when(
+            F.col("_cum") * total_w <= F.col("_total") * c1, "train"
+        )
+        .when(F.col("_cum") * total_w <= F.col("_total") * c2, "val")
+        .otherwise("test")
+        .alias(split_col),
+    )
+    return df.join(labeled, group_cols)

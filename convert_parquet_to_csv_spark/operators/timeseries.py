@@ -113,3 +113,74 @@ def gap_fill_daily(
         else:
             out_cols.append(F.col(name))
     return dense.select(*out_cols)
+
+
+def cusum_changepoint(
+    series: DataFrame,
+    group_col: str = "event_type",
+    order_col: str = "day",
+    value_col: str = "v4",
+    scale: int = 10_000,
+) -> DataFrame:
+    """CUSUM changepoint per group (Page 1954): the ``order_col``
+    position maximizing |S_t| where S_t = Σ_{i≤t}(x_i − x̄) — the
+    standard level-shift detector. ``series`` is an already-rolled-up
+    (group, order, integer value) table; ``scale`` is the fixed-point
+    factor the values carry (reported magnitudes divide it back out).
+
+    Exact selection: S_t is fractional (x̄ = T/n), but n·S_t =
+    n·C_t − t·T is an INTEGER (C_t prefix sum, T total, t rank) — the
+    argmax is multiplied through by n so no float enters it; ties
+    break to the earliest position. The magnitudes (cusum_peak,
+    mean_before, mean_after) are closing divides; mean_after is NULL
+    when the peak is the final position (empty after-segment).
+
+    Scale shape: every window is partitioned by ``group_col`` over
+    the rolled-up positions (dimension-scale — the caller's rollup is
+    the only data-scale stage)."""
+    wcum = Window.partitionBy(group_col).orderBy(order_col)
+    wall = Window.partitionBy(group_col)
+    curve = (
+        series.withColumn("_t", F.row_number().over(wcum))
+        .withColumn(
+            "_c",
+            F.sum(value_col).over(
+                wcum.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_total", F.sum(value_col).over(wall))
+    )
+    scored = curve.withColumn(
+        "_nd",
+        F.abs(
+            F.col("_n") * F.col("_c") - F.col("_t") * F.col("_total")
+        ),
+    ).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(
+                F.desc("_nd"), F.asc("_t")
+            )
+        ),
+    )
+    fscale = float(scale)
+    return scored.filter(F.col("_rn") == 1).select(
+        group_col,
+        F.col(order_col).alias("change_day"),
+        F.col("_n").cast("bigint").alias("n_days"),
+        (F.col("_nd").cast("double") / F.col("_n") / fscale).alias(
+            "cusum_peak"
+        ),
+        (F.col("_c").cast("double") / F.col("_t") / fscale).alias(
+            "mean_before"
+        ),
+        F.when(
+            F.col("_n") > F.col("_t"),
+            (F.col("_total") - F.col("_c")).cast("double")
+            / (F.col("_n") - F.col("_t"))
+            / fscale,
+        ).alias("mean_after"),
+    )

@@ -1494,3 +1494,103 @@ def dedup_keep_best_quality(
         comps,
         "n_chars",
     )
+
+
+# --------------------------------------------------------------------------
+# r7 addition: Fellegi–Sunter probabilistic record linkage
+# Day-one gated (FIRST_TIER slot reserved in the r7 rotation).
+# --------------------------------------------------------------------------
+
+# A–B linkage setting: B is a deterministic "dirty mirror" of the
+# customer table (md5-bit perturbations — segment corrupted for 1/8
+# of rows, balance jittered ±1.0 in 0.1 steps, exact 1/21 of rows
+# unchanged), blocked on nationkey. Field weights are FIXED model
+# parameters in integer milli-log2 (m = P(agree|match) from the
+# perturbation rates, u = P(agree|non-match) from the value
+# cardinalities): segment m=7/8, u=1/5 → (+2129, −2678); balance
+# bucket (floor/100) m≈0.99, u≈1/110 → (+6767, −6631); exact balance
+# m=1/21, u≈1e-4 → (+8896, −70). Threshold 5000 milli-log2 ≈ 5 bits
+# of evidence: un-corrupted true pairs score ~8826+, segment-flipped
+# true pairs (~12.5%) score 4019 and are MISSED, same-bucket random
+# pairs occasionally pass — the FS precision/recall trade, faithfully.
+_FS_ORACLE = """
+WITH a AS (
+  SELECT c_custkey AS a_key, c_nationkey AS nation,
+         c_mktsegment AS a_seg, c_acctbal AS a_bal
+  FROM customer
+), b AS (
+  SELECT c_custkey AS b_key, c_nationkey AS nation,
+         CASE WHEN ascii(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1))
+                   % 8 = 0
+              THEN c_mktsegment || '_X' ELSE c_mktsegment END AS b_seg,
+         c_acctbal
+           + (ascii(substr(md5(CAST(c_custkey AS VARCHAR)), 2, 1))
+              % 21 - 10) / 10.0 AS b_bal
+  FROM customer
+), scored AS (
+  SELECT a_key, b_key,
+         (CASE WHEN a_seg = b_seg THEN 2129 ELSE -2678 END)
+       + (CASE WHEN floor(a_bal / 100) = floor(b_bal / 100)
+               THEN 6767 ELSE -6631 END)
+       + (CASE WHEN a_bal = b_bal THEN 8896 ELSE -70 END)
+           AS score_milli
+  FROM a JOIN b USING (nation)
+)
+SELECT a_key, b_key, CAST(score_milli AS BIGINT) AS score_milli
+FROM scored WHERE score_milli >= 5000
+"""
+
+
+@query("fs_record_linkage", oracle=_FS_ORACLE)
+def fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter A–B record linkage (operators/dq.
+    fs_link_scores; Fellegi & Sunter 1969, the Splink model):
+    candidates from a nationkey blocking join, match score = sum of
+    per-field agreement log-likelihood weights in exact integer
+    milli-log2, pairs ≥ 5 bits survive. B is the md5-perturbed dirty
+    mirror of the customer table (see the oracle comment for the
+    field model and the deliberate miss/false-positive structure).
+    All arithmetic — the jitter, the bucket floors, the weight sums —
+    is replayed clause-for-clause by the oracle, so the gate pins the
+    full score distribution above threshold."""
+    from convert_parquet_to_csv_spark.operators.dq import (
+        fs_link_scores,
+    )
+
+    cust = read_parquet(
+        spark, os.path.join(sf_dir, "customer.parquet")
+    )
+    h = F.md5(F.col("c_custkey").cast("string"))
+    a = cust.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("a_seg"),
+        F.col("c_acctbal").alias("a_bal"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_nationkey").alias("nation"),
+        F.when(
+            F.ascii(F.substring(h, 1, 1)) % 8 == 0,
+            F.concat(F.col("c_mktsegment"), F.lit("_X")),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("b_seg"),
+        (
+            F.col("c_acctbal")
+            + (F.ascii(F.substring(h, 2, 1)) % 21 - 10) / F.lit(10.0)
+        ).alias("b_bal"),
+    )
+    fields = [
+        (F.col("a_seg") == F.col("b_seg"), 2129, -2678),
+        (
+            F.floor(F.col("a_bal") / 100)
+            == F.floor(F.col("b_bal") / 100),
+            6767,
+            -6631,
+        ),
+        (F.col("a_bal") == F.col("b_bal"), 8896, -70),
+    ]
+    return fs_link_scores(
+        a, b, "nation", fields, threshold_milli=5000
+    ).select("a_key", "b_key", "score_milli")

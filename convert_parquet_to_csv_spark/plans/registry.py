@@ -133,6 +133,9 @@ FIRST_TIER: list[str] = [
     "similarity_topk_ivfadc",
     "dedup_exact_substring_removal",
     "bpe_merge_learning",
+    "cusum_changepoint_daily",
+    "fs_record_linkage",
+    "split_group_safe",
     # --- refresh: latest driver row is r1 ---
     "unpivot_status_totals",
     "window_zoo_yearly_priority",

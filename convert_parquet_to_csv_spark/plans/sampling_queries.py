@@ -173,3 +173,53 @@ def split_train_val_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, strata_cols=["lang"], key_cols=["doc_id"]
     )
     return out.groupBy("lang", "split").agg(F.count("*").alias("n_docs"))
+
+
+# --- leakage-safe group-integrity split (r7 addition, day-one gated) ------
+
+_GROUP_SPLIT_ORACLE = """
+WITH sizes AS (
+  SELECT source, COUNT(*) AS gn FROM documents GROUP BY source
+), cum AS (
+  SELECT source, gn,
+         SUM(gn) OVER (
+           ORDER BY md5(source), source) AS c,
+         SUM(gn) OVER () AS t
+  FROM sizes
+), labeled AS (
+  SELECT source,
+         CASE WHEN c * 10 <= t * 8 THEN 'train'
+              WHEN c * 10 <= t * 9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM cum
+)
+SELECT l.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_groups
+FROM documents d JOIN labeled l USING (source)
+GROUP BY l.split
+"""
+
+
+@query("split_group_safe", oracle=_GROUP_SPLIT_ORACLE)
+def split_group_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 8/1/1 split by SOURCE group (operators/sample.
+    split_by_group): whole sources land in one split, so same-site
+    near-duplicates can never straddle train and test — the
+    contamination row-level splits structurally allow (and the split
+    you actually want after dedup, with cluster ids as the group).
+    Groups are hash-ordered and dealt by cumulative ROW MASS against
+    exact integer thresholds; the oracle replays the cumsum and the
+    threshold algebra. Reports per-split doc and group counts."""
+    from convert_parquet_to_csv_spark.operators.sample import (
+        split_by_group,
+    )
+
+    docs = read_parquet(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+    out = split_by_group(docs, ["source"])
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_groups"),
+    )

@@ -1458,3 +1458,79 @@ def asof_tolerance_attribution(
             F.when(F.col("gap_us") <= tol, F.col("gap_us"))
         ).cast("bigint").alias("fresh_gap_sum_us"),
     )
+
+
+# --- CUSUM changepoint detection (Page 1954) -------------------------------
+#
+# r7 addition, day-one gated. Exact-integer device: the centered
+# cumulative sum S_t = Σ_{i<=t}(x_i − x̄) is fractional, but n·S_t =
+# n·C_t − t·T (C_t = prefix sum, T = total) is an INTEGER — multiply
+# the argmax through by n and no float ever enters the selection; the
+# reported magnitudes take one closing divide each.
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CAST(floor(value * 10000) AS BIGINT)) AS v4
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), curve AS (
+  SELECT event_type, day, v4,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+           AS t,
+         SUM(v4) OVER (PARTITION BY event_type ORDER BY day)
+           AS c,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(v4) OVER (PARTITION BY event_type) AS total
+  FROM daily
+), scored AS (
+  SELECT *, abs(n * c - t * total) AS nd,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(n * c - t * total) DESC,
+                                     t ASC) AS rn
+  FROM curve
+)
+SELECT event_type, day AS change_day,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(nd AS DOUBLE) / n / 10000.0 AS cusum_peak,
+       CAST(c AS DOUBLE) / t / 10000.0 AS mean_before,
+       CASE WHEN n > t THEN
+         CAST(total - c AS DOUBLE) / (n - t) / 10000.0 END
+         AS mean_after
+FROM scored WHERE rn = 1
+"""
+
+
+@query("cusum_changepoint_daily", oracle=_CUSUM_ORACLE)
+def cusum_changepoint_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSUM changepoint per event type (Page 1954; the standard
+    level-shift detector): the day t maximizing |S_t|, S_t = the
+    centered cumulative sum of the daily value series — where the
+    series' mean shifted, the KPI-regression readout. Selection is
+    EXACT integer arithmetic: n·S_t = n·C_t − t·T never leaves
+    bigint (q1 fixed-point device ×10⁴ on values), argmax ties break
+    to the earliest day; the peak magnitude and the before/after
+    means take one closing divide each (mean_after is NULL when the
+    peak lands on the final day — an empty after-segment).
+
+    Scale shape: one daily pre-aggregation collapses the corpus;
+    every window after is partitioned by event_type over DAYS
+    (dimension-scale, the drawdown class — operators/timeseries.
+    cusum_changepoint). At 100 TB the daily rollup is the only
+    data-scale stage."""
+    from convert_parquet_to_csv_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("DAY", "ts")).alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 10000).cast("bigint")).alias(
+            "v4"
+        )
+    )
+    return cusum_changepoint(daily, scale=10_000)

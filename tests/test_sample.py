@@ -171,3 +171,44 @@ def test_split_small_stratum_within_one_row_of_exact(spark):
     assert abs(c2["train"] - 77.6) <= 1
     assert abs(c2["val"] - 9.7) <= 1
     assert abs(c2["test"] - 9.7) <= 1
+
+
+def test_split_by_group_integrity_and_mass(spark):
+    """Group integrity (every group in exactly one split) and
+    row-mass proportionality with exact integer thresholds."""
+    from convert_parquet_to_csv_spark.operators.sample import (
+        split_by_group,
+    )
+
+    rows = []
+    for g in range(10):
+        for i in range(g + 1):  # group sizes 1..10, total 55
+            rows.append((f"g{g}", g * 100 + i))
+    df = spark.createDataFrame(rows, "grp STRING, id LONG")
+    out = split_by_group(df, ["grp"]).collect()
+    by_group = {}
+    by_split = {}
+    for r in out:
+        by_group.setdefault(r["grp"], set()).add(r["split"])
+        by_split[r["split"]] = by_split.get(r["split"], 0) + 1
+    # integrity: one split per group
+    assert all(len(s) == 1 for s in by_group.values())
+    # train carries the bulk of the mass (a BIG group may legally
+    # jump the narrow val band entirely — mass thresholds, not
+    # guaranteed band occupancy)
+    assert by_split["train"] >= 0.6 * 55
+    # threshold exactness: replay the cumulative rule in Python
+    import hashlib
+
+    sizes = {f"g{g}": g + 1 for g in range(10)}
+    order = sorted(sizes, key=lambda g: (hashlib.md5(
+        g.encode()).hexdigest(), g))
+    cum, expect = 0, {}
+    for g in order:
+        cum += sizes[g]
+        expect[g] = (
+            "train" if cum * 10 <= 55 * 8
+            else "val" if cum * 10 <= 55 * 9 else "test"
+        )
+    got = {g: next(iter(s)) for g, s in by_group.items()}
+    assert got == expect

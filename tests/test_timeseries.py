@@ -210,3 +210,81 @@ def test_mom_growth_identity(spark, sf_small):
     assert rows[0]["mom_growth"] is None
     for prev, cur in zip(rows, rows[1:]):
         assert cur["mom_growth"] == cur["revenue"] / prev["revenue"] - 1.0
+
+
+def test_cusum_changepoint_designed_shift(spark):
+    """Designed level shift: 5 days at 10.0, then 5 days at 20.0 —
+    CUSUM peaks at the last pre-shift day; a constant series has
+    |S| = 0 everywhere and ties to the earliest day."""
+    from convert_parquet_to_csv_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    rows = []
+    for d in range(1, 6):
+        rows.append(("shift", f"2024-01-{d:02d}", 100_000))  # 10.0
+    for d in range(6, 11):
+        rows.append(("shift", f"2024-01-{d:02d}", 200_000))  # 20.0
+    for d in range(1, 5):
+        rows.append(("flat", f"2024-01-{d:02d}", 70_000))
+    series = spark.createDataFrame(
+        rows, "event_type STRING, day STRING, v4 LONG"
+    )
+    got = {
+        r["event_type"]: r
+        for r in cusum_changepoint(series, scale=10_000).collect()
+    }
+    s = got["shift"]
+    assert s["change_day"] == "2024-01-05"
+    # S_5 = 5*(10 - 15) = -25 → |S| = 25
+    assert abs(s["cusum_peak"] - 25.0) < 1e-9
+    assert abs(s["mean_before"] - 10.0) < 1e-9
+    assert abs(s["mean_after"] - 20.0) < 1e-9
+    f = got["flat"]
+    assert f["change_day"] == "2024-01-01"
+    assert f["cusum_peak"] == 0.0
+
+
+def test_fs_link_scores_designed_weights(spark):
+    """FS scores are the exact per-field weight sums; the threshold
+    filters below-evidence pairs; blocking bounds candidates."""
+    from pyspark.sql import functions as F
+
+    from convert_parquet_to_csv_spark.operators.dq import (
+        fs_link_scores,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10, "AUTO", 5.0), (2, 10, "HOME", 7.0), (3, 20, "AUTO", 9.0)],
+        "a_key LONG, blk INT, a_seg STRING, a_val DOUBLE",
+    )
+    b = spark.createDataFrame(
+        [(1, 10, "AUTO", 5.0), (2, 10, "AUTO", 7.5), (9, 20, "AUTO", 1.0)],
+        "b_key LONG, blk INT, b_seg STRING, b_val DOUBLE",
+    )
+    fields = [
+        (F.col("a_seg") == F.col("b_seg"), 1000, -500),
+        (F.col("a_val") == F.col("b_val"), 2000, -100),
+    ]
+    got = {
+        (r["a_key"], r["b_key"]): r["score_milli"]
+        # threshold far below any score: the full scored candidate set
+        for r in fs_link_scores(
+            a, b, "blk", fields, threshold_milli=-(10**9)
+        ).collect()
+    }
+    # block 10: 2x2 pairs; block 20: 1x1 — cross-block (1,9) never scored
+    assert (1, 9) not in got and (3, 1) not in got
+    assert got[(1, 1)] == 3000    # both agree
+    assert got[(1, 2)] == 900     # seg agrees, val doesn't
+    assert got[(2, 1)] == -600    # neither
+    assert got[(2, 2)] == -600
+    assert got[(3, 9)] == 900
+    # threshold drops the weak pairs
+    kept = {
+        (r["a_key"], r["b_key"])
+        for r in fs_link_scores(
+            a, b, "blk", fields, threshold_milli=1000
+        ).collect()
+    }
+    assert kept == {(1, 1)}
