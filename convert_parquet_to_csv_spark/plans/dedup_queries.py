@@ -1594,3 +1594,83 @@ def fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_link_scores(
         a, b, "nation", fields, threshold_milli=5000
     ).select("a_key", "b_key", "score_milli")
+
+
+# --------------------------------------------------------------------------
+# r7 addition: sorted-neighborhood blocking (Hernández–Stolfo 1995)
+# Day-one gated (FIRST_TIER slot reserved in the r7 rotation).
+# --------------------------------------------------------------------------
+
+# The merge/purge candidate generator over the SAME A ∪ dirty-mirror-B
+# setting as fs_record_linkage: both tables union (B keys offset by
+# 10M), sort by account balance within the reliable nation partition,
+# and each record pairs with its 2 successors — typo'd/jittered values
+# stay NEIGHBORS in sort order even when exact blocking keys break.
+_SN_ORACLE = """
+WITH a AS (
+  SELECT c_custkey AS rec_key, c_nationkey AS nation,
+         c_acctbal AS bal
+  FROM customer
+), b AS (
+  SELECT c_custkey + 10000000 AS rec_key, c_nationkey AS nation,
+         c_acctbal
+           + (ascii(substr(md5(CAST(c_custkey AS VARCHAR)), 2, 1))
+              % 21 - 10) / 10.0 AS bal
+  FROM customer
+), u AS (
+  SELECT * FROM a UNION ALL SELECT * FROM b
+), led AS (
+  SELECT rec_key,
+         lead(rec_key, 1) OVER w AS n1,
+         lead(rec_key, 2) OVER w AS n2
+  FROM u WINDOW w AS (PARTITION BY nation ORDER BY bal, rec_key)
+)
+SELECT rec_key AS key_a, n AS key_b,
+       CAST(r AS INT) AS neighbor_rank
+FROM led, LATERAL (VALUES (n1, 1), (n2, 2)) AS t(n, r)
+WHERE n IS NOT NULL
+"""
+
+
+@query("sn_blocking_linkage", oracle=_SN_ORACLE)
+def sn_blocking_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (operators/dq.
+    sorted_neighborhood_pairs; Hernández & Stolfo 1995 merge/purge)
+    over the fs_record_linkage A ∪ dirty-mirror-B union: sort by
+    balance within the reliable nation partition, pair each record
+    with its 2 sort successors. The generator survives value noise
+    that breaks exact blocking (the jittered mirror balances sort
+    adjacent to their originals), and costs (window−1)·n rows from
+    window−1 lead projections — NO self-join, no quadratic block.
+    Compose with fs_link_scores on the emitted pairs for scored
+    linkage. The oracle replays the union, the jitter, and both
+    leads clause-for-clause."""
+    from convert_parquet_to_csv_spark.operators.dq import (
+        sorted_neighborhood_pairs,
+    )
+
+    cust = read_parquet(
+        spark, os.path.join(sf_dir, "customer.parquet")
+    )
+    h = F.md5(F.col("c_custkey").cast("string"))
+    a = cust.select(
+        F.col("c_custkey").alias("rec_key"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    b = cust.select(
+        (F.col("c_custkey") + 10_000_000).alias("rec_key"),
+        F.col("c_nationkey").alias("nation"),
+        (
+            F.col("c_acctbal")
+            + (F.ascii(F.substring(h, 2, 1)) % 21 - 10) / F.lit(10.0)
+        ).alias("bal"),
+    )
+    u = a.unionByName(b)
+    return sorted_neighborhood_pairs(
+        u,
+        sort_cols=["bal"],
+        window=3,
+        partition_cols=["nation"],
+        key_col="rec_key",
+    )

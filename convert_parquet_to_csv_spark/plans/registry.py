@@ -136,6 +136,7 @@ FIRST_TIER: list[str] = [
     "cusum_changepoint_daily",
     "fs_record_linkage",
     "split_group_safe",
+    "sn_blocking_linkage",
     # --- refresh: latest driver row is r1 ---
     "unpivot_status_totals",
     "window_zoo_yearly_priority",

@@ -207,3 +207,32 @@ def test_observe_metrics_match_direct_aggregate(spark, sf_small):
     assert row["n_rows"] == direct["n"]
     assert row["n_discounted"] == direct["nd"]
     assert row["n_null_ship"] == direct["nn"]
+
+
+def test_sorted_neighborhood_pairs(spark):
+    """Window-w neighbors in sort order, partition-bounded, no
+    self-join: each record pairs with exactly its w-1 successors;
+    jittered near-values are adjacent even when exact keys differ."""
+    from pyspark.sql import functions as F
+
+    from convert_parquet_to_csv_spark.operators.dq import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "X", 10.0), (2, "X", 10.4), (3, "X", 11.0), (4, "X", 99.0),
+        (5, "Y", 10.1),
+    ]
+    df = spark.createDataFrame(rows, "rec_key LONG, blk STRING, v DOUBLE")
+    got = {
+        (r["key_a"], r["key_b"], r["neighbor_rank"])
+        for r in sorted_neighborhood_pairs(
+            df, sort_cols=["v"], window=3, partition_cols=["blk"]
+        ).collect()
+    }
+    expect = {
+        (1, 2, 1), (1, 3, 2), (2, 3, 1), (2, 4, 2), (3, 4, 1),
+    }
+    assert got == expect  # Y's singleton emits nothing; no cross-block
+    # candidate count law: sum over records of min(w-1, successors)
+    assert len(got) == 5
