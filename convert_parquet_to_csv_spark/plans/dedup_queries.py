@@ -1674,3 +1674,63 @@ def sn_blocking_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_cols=["nation"],
         key_col="rec_key",
     )
+
+
+# --------------------------------------------------------------------------
+# r7 addition: k-anonymity audit (Sweeney 2002). Day-one gated.
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+WITH cells AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         COUNT(*) AS n
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_small_cells,
+       CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END)
+            AS BIGINT) AS n_rows_at_risk,
+       CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END)
+            AS DOUBLE) / SUM(n) AS risk_frac,
+       CAST(MIN(n) AS BIGINT) AS min_cell
+FROM cells
+"""
+
+
+@query("k_anonymity_audit", oracle=_KANON_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the quasi-identifier
+    tuple (nation, segment, 1000-unit balance band): a release is
+    k-anonymous when every QI cell holds ≥ k records — cells below k
+    re-identify their members by linkage. Reports the cell census,
+    the below-k cell count, the rows at risk and their fraction, and
+    the minimum cell size (the k the data actually achieves). One
+    partial-agg groupBy + a 5-column rollup; the generalization
+    lattice search (coarsen bands until min_cell ≥ k) iterates this
+    exact query. All integer counts, one closing divide."""
+    cust = read_parquet(
+        spark, os.path.join(sf_dir, "customer.parquet")
+    )
+    cells = cust.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000)
+        .cast("bigint")
+        .alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    small = F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(
+        F.lit(0)
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum((F.col("n") < _KANON_K).cast("int"))
+        .cast("bigint")
+        .alias("n_small_cells"),
+        F.sum(small).cast("bigint").alias("n_rows_at_risk"),
+        (F.sum(small).cast("double") / F.sum("n")).alias("risk_frac"),
+        F.min("n").cast("bigint").alias("min_cell"),
+    )

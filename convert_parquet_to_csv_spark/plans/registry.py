@@ -137,6 +137,7 @@ FIRST_TIER: list[str] = [
     "fs_record_linkage",
     "split_group_safe",
     "sn_blocking_linkage",
+    "k_anonymity_audit",
     # --- refresh: latest driver row is r1 ---
     "unpivot_status_totals",
     "window_zoo_yearly_priority",
