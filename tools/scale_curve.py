@@ -44,7 +44,11 @@ from convert_parquet_to_csv_spark.operators.dedup import (
     minhash_dedup,
     winnow_fingerprints,
 )
+from convert_parquet_to_csv_spark.operators.chunking import (
+    bpe_learn_merges,
+)
 from convert_parquet_to_csv_spark.operators.curation import (
+    ccnet_lm_buckets,
     dsir_importance_weights,
     flag_contaminated,
     flag_contaminated_bloom,
@@ -159,6 +163,18 @@ def main() -> None:
             # (doc-partitioned, doc-scale).
             "span_extents": lambda d=docs: duplicated_span_extents(
                 d, k=6, min_count=2
+            ),
+            # r7 block 2/3: the other corpus-scale new kernels. BPE's
+            # corpus cost is ONE word-frequency exchange (rounds are
+            # vocab-scale); ccnet is two trigram passes + a sample
+            # window. Both should be ~linear in docs.
+            "bpe_merges": lambda d=docs: bpe_learn_merges(
+                d, rounds=3
+            ),
+            "ccnet_buckets": lambda d=docs: ccnet_lm_buckets(
+                d.withColumn("lang", F.lit("xx"))
+                if "lang" not in d.columns
+                else d
             ),
         }
         only = os.environ.get("SPARK_GRAFT_CURVE_KERNELS")
