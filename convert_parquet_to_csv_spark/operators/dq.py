@@ -229,6 +229,11 @@ def fs_link_scores(
     import functools
     import operator as _op
 
+    if not fields:
+        raise ValueError(
+            "fs_link_scores requires at least one field "
+            "(a config-driven caller filtered them all out?)"
+        )
     cand = a.join(b, block_col)
     score = functools.reduce(
         _op.add,
@@ -262,7 +267,9 @@ def sorted_neighborhood_pairs(
     passing none is the single-partition textbook form and is for
     dimension-scale inputs only), and pair generation is window-1
     ``lead`` projections per row — no self-join, no explode beyond
-    the window constant, candidates = (window−1)·n rows exactly.
+    the window constant, candidates AT MOST (window−1)·n rows (the
+    last window−1 records of each sort partition have fewer
+    successors and emit fewer pairs).
 
     Output: (key_a, key_b, neighbor_rank) — rank 1 = adjacent in
     sort order."""

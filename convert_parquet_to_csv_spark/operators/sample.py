@@ -307,7 +307,7 @@ def split_by_group(
     )
     total = sizes.agg(F.sum("_gn").alias("_total"))
     labeled = cum.crossJoin(F.broadcast(total)).select(
-        *group_cols,
+        *[F.col(c).alias(f"_lg_{c}") for c in group_cols],
         F.when(
             F.col("_cum") * total_w <= F.col("_total") * c1, "train"
         )
@@ -315,4 +315,14 @@ def split_by_group(
         .otherwise("test")
         .alias(split_col),
     )
-    return df.join(labeled, group_cols)
+    # NULL-SAFE join back: groupBy keeps a NULL group (missing
+    # metadata is common), and a plain equi-join would silently DROP
+    # those rows while their mass still moved the thresholds — the
+    # split must label every input row, like the row-level splitter.
+    cond = None
+    for c in group_cols:
+        clause = F.col(c).eqNullSafe(F.col(f"_lg_{c}"))
+        cond = clause if cond is None else (cond & clause)
+    return df.join(labeled, cond).drop(
+        *[f"_lg_{c}" for c in group_cols]
+    )

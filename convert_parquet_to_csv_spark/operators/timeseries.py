@@ -154,9 +154,17 @@ def cusum_changepoint(
         .withColumn("_total", F.sum(value_col).over(wall))
     )
     scored = curve.withColumn(
+        # decimal(38,0), not bigint: n·C_t can pass 2⁶³ once daily
+        # fixed-point masses reach ~1e15 over a multi-year series —
+        # bigint would WRAP silently under Spark's default non-ANSI
+        # arithmetic and elect an arbitrary day. 38 digits bounds
+        # |n·C| by 1e38: safe past any physical corpus.
         "_nd",
         F.abs(
-            F.col("_n") * F.col("_c") - F.col("_t") * F.col("_total")
+            F.col("_n").cast("decimal(38,0)")
+            * F.col("_c").cast("decimal(38,0)")
+            - F.col("_t").cast("decimal(38,0)")
+            * F.col("_total").cast("decimal(38,0)")
         ),
     ).withColumn(
         "_rn",

@@ -1502,17 +1502,32 @@ def dedup_keep_best_quality(
 # --------------------------------------------------------------------------
 
 # A–B linkage setting: B is a deterministic "dirty mirror" of the
-# customer table (md5-bit perturbations — segment corrupted for 1/8
-# of rows, balance jittered ±1.0 in 0.1 steps, exact 1/21 of rows
-# unchanged), blocked on nationkey. Field weights are FIXED model
-# parameters in integer milli-log2 (m = P(agree|match) from the
-# perturbation rates, u = P(agree|non-match) from the value
+# customer table (md5-hex-char perturbations — segment corrupted for
+# 2/16 of rows (hex chars '0'/'8'), balance jittered by a
+# NON-UNIFORM hex-derived step in {−0.4 … +0.8} that is exactly zero
+# for the 1/16 of rows whose second hash char is '4'), blocked on
+# nationkey. Field weights are FIXED model parameters in integer
+# milli-log2 (m = P(agree|match), u = P(agree|non-match) from value
 # cardinalities): segment m=7/8, u=1/5 → (+2129, −2678); balance
 # bucket (floor/100) m≈0.99, u≈1/110 → (+6767, −6631); exact balance
-# m=1/21, u≈1e-4 → (+8896, −70). Threshold 5000 milli-log2 ≈ 5 bits
-# of evidence: un-corrupted true pairs score ~8826+, segment-flipped
-# true pairs (~12.5%) score 4019 and are MISSED, same-bucket random
-# pairs occasionally pass — the FS precision/recall trade, faithfully.
+# +8896 (the log2(m/u) of m=1/21, u≈1e-4 — a slight understatement
+# of the true m=1/16, whose exact weight is +9288; FS weights are
+# MODEL INPUTS and the gate pins the outputs either way). Threshold
+# 5000 milli-log2 ≈ 5 bits of evidence: un-corrupted true pairs
+# score ~8826+, segment-flipped true pairs (12.5%) score 4019 and
+# are MISSED, same-bucket random pairs occasionally pass — the FS
+# precision/recall trade, faithfully.
+def _mirror_jitter() -> "F.Column":
+    """Deterministic dirty-mirror balance jitter SHARED by
+    fs_record_linkage and sn_blocking_linkage (single definition so
+    the perturbation model can never drift between the two Spark
+    plans; see the model comment above _FS_ORACLE): hex-char-derived
+    step in {-0.4 ... +0.8}, exactly zero for the 1/16 of rows whose
+    second md5 hex char is '4'."""
+    h = F.md5(F.col("c_custkey").cast("string"))
+    return (F.ascii(F.substring(h, 2, 1)) % 21 - 10) / F.lit(10.0)
+
+
 _FS_ORACLE = """
 WITH a AS (
   SELECT c_custkey AS a_key, c_nationkey AS nation,
@@ -1576,10 +1591,7 @@ def fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("c_mktsegment"))
         .alias("b_seg"),
-        (
-            F.col("c_acctbal")
-            + (F.ascii(F.substring(h, 2, 1)) % 21 - 10) / F.lit(10.0)
-        ).alias("b_bal"),
+        (F.col("c_acctbal") + _mirror_jitter()).alias("b_bal"),
     )
     fields = [
         (F.col("a_seg") == F.col("b_seg"), 2129, -2678),
@@ -1602,17 +1614,17 @@ def fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # The merge/purge candidate generator over the SAME A ∪ dirty-mirror-B
-# setting as fs_record_linkage: both tables union (B keys offset by
-# 10M), sort by account balance within the reliable nation partition,
+# setting as fs_record_linkage: both tables union (B keys 2k+1 vs A keys 2k —
+# side-disjoint at every scale factor), sort by account balance within the reliable nation partition,
 # and each record pairs with its 2 successors — typo'd/jittered values
 # stay NEIGHBORS in sort order even when exact blocking keys break.
 _SN_ORACLE = """
 WITH a AS (
-  SELECT c_custkey AS rec_key, c_nationkey AS nation,
+  SELECT c_custkey * 2 AS rec_key, c_nationkey AS nation,
          c_acctbal AS bal
   FROM customer
 ), b AS (
-  SELECT c_custkey + 10000000 AS rec_key, c_nationkey AS nation,
+  SELECT c_custkey * 2 + 1 AS rec_key, c_nationkey AS nation,
          c_acctbal
            + (ascii(substr(md5(CAST(c_custkey AS VARCHAR)), 2, 1))
               % 21 - 10) / 10.0 AS bal
@@ -1640,8 +1652,9 @@ def sn_blocking_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance within the reliable nation partition, pair each record
     with its 2 sort successors. The generator survives value noise
     that breaks exact blocking (the jittered mirror balances sort
-    adjacent to their originals), and costs (window−1)·n rows from
-    window−1 lead projections — NO self-join, no quadratic block.
+    adjacent to their originals), and costs at most (window−1)·n rows
+    from window−1 lead projections — NO self-join, no quadratic
+    block.
     Compose with fs_link_scores on the emitted pairs for scored
     linkage. The oracle replays the union, the jitter, and both
     leads clause-for-clause."""
@@ -1652,19 +1665,18 @@ def sn_blocking_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_parquet(
         spark, os.path.join(sf_dir, "customer.parquet")
     )
-    h = F.md5(F.col("c_custkey").cast("string"))
+    # key scheme 2k / 2k+1: side-disjoint at EVERY scale factor (a
+    # constant offset collides with real custkeys once the table
+    # outgrows it)
     a = cust.select(
-        F.col("c_custkey").alias("rec_key"),
+        (F.col("c_custkey") * 2).alias("rec_key"),
         F.col("c_nationkey").alias("nation"),
         F.col("c_acctbal").alias("bal"),
     )
     b = cust.select(
-        (F.col("c_custkey") + 10_000_000).alias("rec_key"),
+        (F.col("c_custkey") * 2 + 1).alias("rec_key"),
         F.col("c_nationkey").alias("nation"),
-        (
-            F.col("c_acctbal")
-            + (F.ascii(F.substring(h, 2, 1)) % 21 - 10) / F.lit(10.0)
-        ).alias("bal"),
+        (F.col("c_acctbal") + _mirror_jitter()).alias("bal"),
     )
     u = a.unionByName(b)
     return sorted_neighborhood_pairs(

@@ -1484,10 +1484,17 @@ WITH daily AS (
          SUM(v4) OVER (PARTITION BY event_type) AS total
   FROM daily
 ), scored AS (
-  SELECT *, abs(n * c - t * total) AS nd,
+  -- DECIMAL(38,0) like the Spark plan: bigint n*c wraps silently at
+  -- ~1e15 daily masses over multi-year series
+  SELECT *, abs(CAST(n AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))
+              - CAST(t AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0)))
+              AS nd,
          ROW_NUMBER() OVER (PARTITION BY event_type
-                            ORDER BY abs(n * c - t * total) DESC,
-                                     t ASC) AS rn
+                            ORDER BY abs(CAST(n AS DECIMAL(38,0))
+                                         * CAST(c AS DECIMAL(38,0))
+                                       - CAST(t AS DECIMAL(38,0))
+                                         * CAST(total AS DECIMAL(38,0)))
+                              DESC, t ASC) AS rn
   FROM curve
 )
 SELECT event_type, day AS change_day,
@@ -1509,8 +1516,10 @@ def cusum_changepoint_daily(
     level-shift detector): the day t maximizing |S_t|, S_t = the
     centered cumulative sum of the daily value series — where the
     series' mean shifted, the KPI-regression readout. Selection is
-    EXACT integer arithmetic: n·S_t = n·C_t − t·T never leaves
-    bigint (q1 fixed-point device ×10⁴ on values), argmax ties break
+    EXACT integer arithmetic: n·S_t = n·C_t − t·T evaluates in
+    DECIMAL(38,0) (bigint would wrap silently once daily fixed-point
+    masses reach ~1e15 over multi-year series; ×10⁴ q1 device on
+    values), argmax ties break
     to the earliest day; the peak magnitude and the before/after
     means take one closing divide each (mean_after is NULL when the
     peak lands on the final day — an empty after-segment).

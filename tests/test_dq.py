@@ -236,3 +236,16 @@ def test_sorted_neighborhood_pairs(spark):
     assert got == expect  # Y's singleton emits nothing; no cross-block
     # candidate count law: sum over records of min(w-1, successors)
     assert len(got) == 5
+
+
+def test_fs_link_scores_rejects_empty_fields(spark):
+    import pytest as _pytest
+
+    from convert_parquet_to_csv_spark.operators.dq import (
+        fs_link_scores,
+    )
+
+    a = spark.createDataFrame([(1, 1)], "a_key LONG, blk INT")
+    b = spark.createDataFrame([(2, 1)], "b_key LONG, blk INT")
+    with _pytest.raises(ValueError, match="at least one field"):
+        fs_link_scores(a, b, "blk", [])

@@ -212,3 +212,18 @@ def test_split_by_group_integrity_and_mass(spark):
         )
     got = {g: next(iter(s)) for g, s in by_group.items()}
     assert got == expect
+
+
+def test_split_by_group_null_group_rows_are_labeled(spark):
+    """Rows with a NULL group key must be labeled, not dropped (the
+    null-safe join-back)."""
+    from convert_parquet_to_csv_spark.operators.sample import (
+        split_by_group,
+    )
+
+    rows = [("a", 1), ("a", 2), (None, 3), (None, 4), ("b", 5)]
+    df = spark.createDataFrame(rows, "grp STRING, id LONG")
+    out = split_by_group(df, ["grp"]).collect()
+    assert len(out) == 5
+    null_splits = {r["split"] for r in out if r["grp"] is None}
+    assert len(null_splits) == 1  # the NULL group is one group
