@@ -19,7 +19,13 @@ Canonicalization spec (documented order, applied by
 2. split off the ``?query``;
 3. strip the scheme (``[a-z][a-z0-9+.-]*://``);
 4. host = lowercased authority up to the first ``/``; strip one
-   leading ``www.``;
+   leading ``www.``; elide a scheme-default port suffix (``:80`` /
+   ``:443``) REGARDLESS of scheme — the scheme is dropped from the
+   key anyway (step 3), so per-scheme elision is unrepresentable
+   here, and an ``http://…:443`` crawl URL is noise, not a distinct
+   origin. NON-default ports are preserved: ``example.com:8080`` is
+   a different origin and must not collapse into ``example.com``
+   (ADVICE/VERDICT r7 — the port rule is now part of the spec);
 5. path keeps its case (RFC 3986: paths are case-sensitive, hosts
    are not) but loses trailing ``/`` runs;
 6. query params: drop tracking params (``utm_*``, ``fbclid``,
@@ -58,10 +64,13 @@ def url_strip_scheme(col: Column | str) -> Column:
 
 
 def url_host(col: Column | str) -> Column:
-    """Lowercased host, one leading ``www.`` stripped."""
+    """Lowercased host, one leading ``www.`` stripped, scheme-default
+    port (``:80``/``:443``) elided; other ports preserved (module
+    docstring, step 4)."""
     rest = url_strip_scheme(col)
     host = F.lower(F.regexp_replace(rest, r"[/?].*$", ""))
-    return F.regexp_replace(host, r"^www\.", "")
+    no_www = F.regexp_replace(host, r"^www\.", "")
+    return F.regexp_replace(no_www, r":(80|443)$", "")
 
 
 def url_registered_domain(col: Column | str) -> Column:

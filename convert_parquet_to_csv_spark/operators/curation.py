@@ -743,16 +743,25 @@ def _gopher_gram_masses(
 
 def _gopher_chars(text_col: str) -> "F.Column":
     """Tokenizer-consistent doc char total WITHOUT tokenizing:
-    ``length(regexp_replace(trim(text), '\\s+', ' '))`` == sum of
+    ``length(trim(regexp_replace(text, '\\s+', ' ')))`` == sum of
     token lengths + (n_tokens - 1) single-space separators — one
     regexp per doc, no HOF, no array. This is what lets the callers
     re-scan for the denominator at projection cost instead of either
     re-running the tokenize+prefix-sum pass (the r6 double-scan
     ADVICE flagged) or widening the gram shuffles (the r7 first cut
-    that went superlinear at 2M docs)."""
+    that went superlinear at 2M docs).
+
+    Order matters (ADVICE r7 medium): COLLAPSE first, TRIM second.
+    Spark's ``trim`` strips only ' ' (not tabs/newlines), so the
+    r7 trim-first form left a residual edge space on text with
+    leading/trailing non-space whitespace ('\\tfoo bar\\n' → 9, not
+    the tokenizer-consistent 7) — diverging from the DuckDB oracle's
+    token-length sum and from gopher_quality_filter's _tc+(nt-1)
+    chars. After collapsing, every edge run is a single plain space,
+    which trim removes; the identity then holds for ALL inputs."""
     return F.coalesce(
         F.length(
-            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
         ),
         F.lit(0),
     ).cast("long")
@@ -1385,6 +1394,14 @@ def source_mixture_plan(
       any per-source corpus to ~10¹² tokens with the epoch cap; a
       100 TB deployment raising the cap switches the closing math to
       double and accepts ~15-digit agreement.
+    - value_retention's denominator multiplies ``5^k · target`` in
+      DOUBLE, not BIGINT (ADVICE r7): at the k = 20 cap the BIGINT
+      product wraps silently in Spark once ``target`` exceeds
+      ~9.6e4 (5²⁰·target > 2⁶³ — reachable at a 200k budget when one
+      small source dominates the sqrt share) while DuckDB raises on
+      the same overflow. Both factors are exactly representable
+      doubles (each < 2⁵³), the IEEE product is identical in both
+      engines, and the result feeds the closing divide anyway.
 
     Plan shape: one partial-agg shuffle to (source, N), a broadcast
     1-row total, pure Column algebra after — dimension-scale
@@ -1447,9 +1464,13 @@ def source_mixture_plan(
                 F.col("_nt") * 5 * (F.col("_p5") - F.col("_p4"))
                 + F.col("_r") * F.col("_p4")
             ).cast("double")
+            # DOUBLE multiply, not BIGINT (see the docstring's
+            # value_retention overflow note): 5^20 · target wraps
+            # int64 at target > ~9.6e4.
             / (
-                F.col("_p5") * F.col("_target")
-            ).cast("double"),
+                F.col("_p5").cast("double")
+                * F.col("_target").cast("double")
+            ),
         ).otherwise(F.lit(0.0)).alias("value_retention"),
     )
 

@@ -860,9 +860,12 @@ def duplicated_span_extents(
         F.xxhash64(F.expr(f"slice(_tk, _p + 1, {k})")).alias("_h"),
     )
     # grams feeds the hot-count AND the coverage join — persist so the
-    # tokenize+explode runs once (same contract as the tri/oov caches:
-    # caller-side unpersist is not needed, the returned plan keeps it
-    # only until the action completes).
+    # tokenize+explode runs once. Caller releases via clearCache() —
+    # the lsh_candidate_pairs/semdedup contract (ADVICE r7: persisted
+    # blocks stay PINNED after the action completes, they are not
+    # auto-released, so repeated calls without a clearCache
+    # accumulate executor storage; bench.py and the gate runner both
+    # clearCache between runs).
     grams = grams.persist()
     hot = (
         grams.groupBy("_h")

@@ -1001,7 +1001,11 @@ SELECT source, n_docs, nt AS natural_tokens,
          / CAST(p5 AS DOUBLE) AS effective_tokens,
        CASE WHEN target > 0
             THEN CAST(nt * 5 * (p5 - p4) + r * p4 AS DOUBLE)
-                 / CAST(p5 * target AS DOUBLE)
+                 -- DOUBLE multiply (mirrors the Spark plan's ADVICE
+                 -- r7 overflow fix): p5 * target wraps BIGINT at the
+                 -- k = 20 cap; each factor is < 2^53 so the IEEE
+                 -- product is engine-identical.
+                 / (CAST(p5 AS DOUBLE) * CAST(target AS DOUBLE))
             ELSE 0.0 END AS value_retention
 FROM pw
 """
@@ -1153,7 +1157,15 @@ _XSR_K, _XSR_MIN = 6, 2
 
 _XS_REMOVAL_ORACLE = f"""
 WITH arr AS (
-  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+  -- \\s+-split with empty tokens dropped (ADVICE r7: the plain
+  -- string_split(text, ' ') form kept empty tokens on doubled
+  -- spaces and skipped trim, diverging from the Spark operator's
+  -- filtered \\s+ tokenizer on any multi-space/tab text — same
+  -- device as the sibling _SPAN_EXTENTS_ORACLE).
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS a
+  FROM documents
 ),
 grams AS (
   SELECT doc_id, CAST(p AS INT) AS pos,

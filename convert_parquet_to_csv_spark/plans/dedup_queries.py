@@ -1183,10 +1183,12 @@ WITH u AS (
   FROM documents
 ), canon AS (
   SELECT doc_id,
-         regexp_replace(lower(regexp_replace(
+         -- outermost regexp: scheme-default port elision (web.py
+         -- url_host step 4 — ':80'/':443' dropped, other ports kept)
+         regexp_replace(regexp_replace(lower(regexp_replace(
              regexp_replace(regexp_replace(trim(url), '#.*$', ''),
                             '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),
-             '[/?].*$', '')), '^www\.', '') AS host,
+             '[/?].*$', '')), '^www\.', ''), ':(80|443)$', '') AS host,
          regexp_replace(regexp_replace(
              regexp_replace(regexp_replace(trim(url), '#.*$', ''),
                             '^[a-zA-Z][a-zA-Z0-9+.\-]*://', ''),

@@ -388,13 +388,20 @@ def test_gopher_repetition_signals_match_python_reference(spark):
         (3, "solo"),                                       # sub-2-gram doc
         (4, ""),                                           # empty doc
         (5, "x " * 40),                                    # pathological loop
+        # ADVICE r7 (medium): leading/trailing TABS/NEWLINES — Spark's
+        # trim strips only ' ', so the r7 trim-first char denominator
+        # counted a residual edge space here (9 chars for '\tfoo
+        # bar\n' instead of the tokenizer-consistent 7), deflating
+        # every fraction. Collapse-first makes this row exact.
+        (6, "\ta b a b\n"),
+        (7, "  a b \t a b a b \n\n"),
     ]
     df = spark.createDataFrame(texts, "doc_id LONG, text STRING")
     got = {
         r["doc_id"]: r.asDict()
         for r in C.gopher_repetition_signals(df).collect()
     }
-    assert set(got) == {1, 2, 3, 4, 5}
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}
     for doc_id, text in texts:
         want = _py_gopher_signals(text)
         for k, v in want.items():

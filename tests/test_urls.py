@@ -61,6 +61,27 @@ CASES = [
         "h.io",
         "h.io",
     ),
+    # scheme-default ports elided regardless of scheme (spec step 4,
+    # VERDICT r7): :443 and :80 collapse into the portless origin...
+    (
+        "https://example.com:443/x",
+        "example.com/x",
+        "example.com",
+        "example.com",
+    ),
+    (
+        "http://www.example.com:80/x?ref=a",
+        "example.com/x",
+        "example.com",
+        "example.com",
+    ),
+    # ...but a NON-default port is a distinct origin and is kept.
+    (
+        "https://example.com:8080/x",
+        "example.com:8080/x",
+        "example.com:8080",
+        "example.com:8080",
+    ),
 ]
 
 
