@@ -548,6 +548,64 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001 — bench keeps reporting
         print(f"dedup_minhash_500k_docs failed: {ex}", file=sys.stderr)
 
+    # VERDICT r7 item 4: the combined `similarity_topk_pq` key (still
+    # emitted, for trend continuity) conflates three costs — codebook
+    # training at the fixture-constant 5k-vector corpus, PQ encoding,
+    # and the ADC probe — and only the probe is the scale story
+    # (query-time cost proportional to CODE rows, never floats; see
+    # operators/similarity.pq_probe's docstring). Split keys:
+    # `similarity_topk_pq_train` = index build (pq_train + pq_encode
+    # materialized once, min-of-2), `similarity_topk_pq_probe` = ADC
+    # probe against the pre-built index (min-of-3 + `_spread_pct`,
+    # the noise-floor protocol — the probe is sub-second, where VM
+    # jitter dominates).
+    try:
+        from pyspark.sql import functions as F
+
+        from convert_parquet_to_csv_spark.operators import (
+            similarity as S,
+        )
+
+        vecs = read_parquet(
+            spark, os.path.join(SF_DIR, "embeddings.parquet")
+        )
+        pq_queries = vecs.filter(F.col("vec_id") < 5)
+        spark.catalog.clearCache()
+        train_samples = []
+        books_c = enc_c = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            books = S.pq_train(
+                vecs, 64, m=32, codes=64, kmeans_iters=1
+            )
+            books_c = books.localCheckpoint()  # eager: training runs
+            enc_c = S.pq_encode(
+                vecs, books_c, 64, m=32
+            ).localCheckpoint()  # eager: encoding runs
+            train_samples.append(time.perf_counter() - t0)
+        queries["similarity_topk_pq_train"] = round(
+            min(train_samples), 4
+        )
+        probe_samples = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            S.pq_probe(
+                enc_c, books_c, pq_queries, 64, k=3, m=32
+            ).write.format("noop").mode("overwrite").save()
+            if i > 0:  # first pass is the untimed warmup
+                probe_samples.append(time.perf_counter() - t0)
+        queries["similarity_topk_pq_probe"] = round(
+            min(probe_samples), 4
+        )
+        queries["similarity_topk_pq_probe_spread_pct"] = round(
+            (max(probe_samples) - min(probe_samples))
+            / min(probe_samples)
+            * 100,
+            1,
+        )
+    except Exception as ex:  # noqa: BLE001 — bench keeps reporting
+        print(f"similarity_topk_pq split failed: {ex}", file=sys.stderr)
+
     # At-scale C4 span removal over the same 500k corpus (VERDICT r3
     # item 6): the other corpus-wide heavy-hitter pass — tokenize →
     # gram explode → hot-gram shuffle → order-preserving reassembly —
@@ -634,6 +692,33 @@ def main() -> None:
                 ),
                 "queries": queries,
                 "headline": headline_summary,
+            }
+        )
+    )
+    # VERDICT r7 item 3: the driver keeps only a ~2000-char TAIL of
+    # stdout, and the big line above is far larger — so the tail is
+    # the truncated MIDDLE of one JSON line and the driver's `parsed`
+    # field has been null since r6. Emit a SECOND, complete, small
+    # JSON line LAST: it carries the full driver contract fields
+    # (metric/value/unit/sf/queries) with the compact headline subset
+    # as `queries`, is well under the tail window, and parses on its
+    # own — whatever the truncation eats from the big line, the
+    # artifact's last line is machine-readable end-to-end
+    # (tools/bench_compare.load prefers it).
+    print(
+        json.dumps(
+            {
+                "metric": "parquet_to_csv_10m_rows_job_sec",
+                "value": round(headline, 4),
+                "unit": "sec",
+                "sf": sf_val,
+                "rows_10m": n_rows,
+                "queries": headline_summary,
+                "headline": headline_summary,
+                "note": (
+                    "compact re-emit of the headline keys; the full "
+                    "per-query map is the previous stdout line"
+                ),
             }
         )
     )

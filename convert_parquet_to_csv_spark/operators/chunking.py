@@ -112,6 +112,7 @@ def concat_chunk_pack(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_bins: int = 4096,
+    counts_df: DataFrame | None = None,
 ) -> DataFrame:
     """GPT-style concat-and-chunk packing report: concatenate every
     document's token stream (BPE-ish counts + 1 EOS per doc) in
@@ -128,7 +129,13 @@ def concat_chunk_pack(
 
     Tokenizer-aware: counts use ``token_count_bpe`` (word runs +
     punctuation marks — the repo's cheap LLM-token proxy), not
-    whitespace words.
+    whitespace words. ``counts_df`` (VERDICT r7 item 5) rebases the
+    packing on an EXTERNAL per-doc count table instead — one
+    ``(id_col, n_bpe_tokens)`` row per doc, e.g. the output of
+    :func:`bpe_apply_merges`, so the chunk layout reflects the
+    tokenizer that was actually trained; +1 EOS per doc is still
+    added here. Default (None) keeps the regex proxy — the
+    pre-existing gated queries are unchanged by construction.
 
     Scale shape: the global running offset is semantically a
     corpus-wide prefix sum, but the plan never runs a data-scale
@@ -145,9 +152,15 @@ def concat_chunk_pack(
         token_count_bpe,
     )
 
-    d = docs.select(
-        F.col(id_col), (token_count_bpe(text_col) + 1).alias("_nt")
-    )
+    if counts_df is not None:
+        d = counts_df.select(
+            F.col(id_col),
+            (F.col("n_bpe_tokens") + 1).cast("bigint").alias("_nt"),
+        )
+    else:
+        d = docs.select(
+            F.col(id_col), (token_count_bpe(text_col) + 1).alias("_nt")
+        )
     stats = d.agg(
         F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi")
     )
@@ -205,6 +218,25 @@ def concat_chunk_pack(
     )
 
 
+# the exact tokenwise greedy LTR merge of one (l, r) pair over a
+# symbol array, as a pure `aggregate` fold: greedy is a left fold by
+# definition, and ONE pass is exact because a merged symbol (l || r,
+# strictly longer than l) can never itself equal l. Shared by the
+# learner and the encoder so train and apply are the same device by
+# construction (built lazily: F.expr needs an active session).
+# Expects columns `_sy` (array<string>) and the 1-row broadcast
+# merge columns `l`, `r` in scope.
+def _merge_fold() -> "F.Column":
+    return F.expr(
+        "aggregate(_sy, cast(array() as array<string>), "
+        "(acc, x) -> CASE WHEN size(acc) > 0 "
+        "AND element_at(acc, -1) = l AND x = r "
+        "THEN concat(slice(acc, 1, size(acc) - 1), "
+        "array(concat(l, r))) "
+        "ELSE concat(acc, array(x)) END)"
+    )
+
+
 def bpe_learn_merges(
     docs: DataFrame,
     rounds: int = 3,
@@ -250,14 +282,7 @@ def bpe_learn_merges(
         .select(F.split("_w", "").alias("_sy"), "_f")
         .localCheckpoint()
     )
-    merge_fold = F.expr(
-        "aggregate(_sy, cast(array() as array<string>), "
-        "(acc, x) -> CASE WHEN size(acc) > 0 "
-        "AND element_at(acc, -1) = l AND x = r "
-        "THEN concat(slice(acc, 1, size(acc) - 1), "
-        "array(concat(l, r))) "
-        "ELSE concat(acc, array(x)) END)"
-    )
+    merge_fold = _merge_fold()
     merges = []
     for rnd in range(1, rounds + 1):
         sym = vocab.filter(F.size("_sy") >= 2)
@@ -290,4 +315,138 @@ def bpe_learn_merges(
     out = merges[0]
     for mdf in merges[1:]:
         out = out.unionByName(mdf)
+    return out
+
+
+def bpe_apply_merges(
+    docs: DataFrame,
+    merges: DataFrame,
+    rounds: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode a corpus with a LEARNED merge table (the apply half of
+    :func:`bpe_learn_merges` — VERDICT r7 item 5: the engine learned
+    merges but kept counting tokens with the regex proxy; this closes
+    the loop so packing/budget operators can consume counts from the
+    tokenizer that was actually trained). Output: one row per input
+    document — ``(id, n_bpe_tokens)``, the symbol count after all
+    ``rounds`` merges are applied greedily left-to-right in rank
+    order (exactly the tokenwise rule the learner used, via the
+    shared :func:`_merge_fold` fold, so train and apply can never
+    drift apart). Docs with no tokens encode to 0.
+
+    ``merges`` must hold exactly one ``(rank, l, r)`` row per rank in
+    ``1..rounds`` (what :func:`bpe_learn_merges` emits — an absent
+    rank would annihilate the vocabulary through the 1-row broadcast
+    crossJoin, same contract as the learner's own per-round close).
+
+    Scale shape — the BPE-encoding trick that makes apply as cheap
+    as train: encoding is WORD-LOCAL, so the corpus is never folded
+    directly. One exchange collapses the corpus to per-(doc, word)
+    counts; the DISTINCT word vocabulary (bounded, corpus-size-
+    independent) runs the ``rounds`` merge folds with a
+    localCheckpoint per round (vocab-scale, the learner's own
+    device); one join maps word → encoded length back onto the
+    (doc, word) table (AQE broadcasts it when the vocab is small);
+    one groupBy(id) sums. Corpus-scale work: exactly two exchanges,
+    independent of ``rounds``."""
+    from convert_parquet_to_csv_spark.functions.text import tokens
+
+    occ = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("_w"))
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    vocab = (
+        occ.select("_w")
+        .distinct()
+        .select("_w", F.split("_w", "").alias("_sy"))
+        .localCheckpoint()
+    )
+    for rnd in range(1, rounds + 1):
+        step = merges.filter(F.col("rank") == rnd).select("l", "r")
+        vocab = (
+            vocab.crossJoin(F.broadcast(step))
+            .select("_w", _merge_fold().alias("_sy"))
+            .localCheckpoint()
+        )
+    enc_len = vocab.select("_w", F.size("_sy").alias("_len"))
+    summed = (
+        occ.join(enc_len, "_w")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_c") * F.col("_len")).alias("_n"))
+    )
+    return docs.select(id_col).join(summed, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def bpe_compression_curve(
+    docs: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus compression per learned BPE merge — the tokenizer-
+    training diagnostic: one row per rank ``0..rounds`` with the
+    TOTAL corpus symbol count after that many merges (rank 0 =
+    character count of all word occurrences). The marginal drop at
+    rank i is the number of CHOSEN merge occurrences — ≤ that
+    merge's pair_weight, strictly less on overlapping ``l == r``
+    runs (pair COUNTING is overlapping: 'aaaaa' holds 4 (a,a)
+    pairs; greedy MERGING is not: only 2 collapse) — so the curve
+    is the honest compression readout the weights alone overstate.
+
+    Same scale shape as the learner (it IS the learner with a
+    vocab-scale Σ f·|symbols| aggregate snapshotted per round): ONE
+    corpus exchange, then vocabulary-scale rounds."""
+    from convert_parquet_to_csv_spark.functions.text import tokens
+
+    words = docs.select(F.explode(tokens(text_col)).alias("_w"))
+    vocab = (
+        words.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .select(F.split("_w", "").alias("_sy"), "_f")
+        .localCheckpoint()
+    )
+
+    def _snapshot(v: DataFrame, rank: int) -> DataFrame:
+        return v.agg(
+            F.lit(rank).cast("bigint").alias("rank"),
+            F.coalesce(
+                F.sum(F.col("_f") * F.size("_sy")), F.lit(0)
+            ).cast("bigint").alias("corpus_tokens"),
+        )
+
+    snaps = [_snapshot(vocab, 0)]
+    for rnd in range(1, rounds + 1):
+        sym = vocab.filter(F.size("_sy") >= 2)
+        pairs = sym.select(
+            "_f",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_sy) - 2), i -> "
+                    "struct(element_at(_sy, i + 1) AS l, "
+                    "element_at(_sy, i + 2) AS r))"
+                )
+            ).alias("_p"),
+        ).select("_f", "_p.l", "_p.r")
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("_f").cast("bigint").alias("pair_weight"))
+            .orderBy(F.desc("pair_weight"), F.asc("l"), F.asc("r"))
+            .limit(1)
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("l", "r")))
+            .select(_merge_fold().alias("_sy"), "_f")
+            .localCheckpoint()
+        )
+        snaps.append(_snapshot(vocab, rnd))
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
     return out

@@ -784,6 +784,7 @@ def gopher_repetition_signals(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_tokens_per_doc: int | None = None,
 ) -> DataFrame:
     """Per-document Gopher repetition metrics for EVERY input doc:
     see :func:`_gopher_gram_masses` for the metric definitions and
@@ -791,7 +792,27 @@ def gopher_repetition_signals(
     projection-only scan (:func:`_gopher_chars` — one regexp, no
     tokenize/HOF; the ADVICE r6 double-tokenize fix without the
     wide-shuffle regression), left-joined against the per-doc mass
-    table so docs with < 2 tokens land at exactly 0.0."""
+    table so docs with < 2 tokens land at exactly 0.0.
+
+    ``max_tokens_per_doc`` (VERDICT r7 item 7): score each doc on its
+    FIRST ``cap`` tokens only. The paper itself drops >100k-token
+    docs before these signals run (word_count_ok's upper bound), so a
+    truncating cap is semantically aligned — and operationally it
+    bounds the per-doc contribution to the (doc, n, hash) aggregate,
+    the measured single-JVM sort-agg tail at 2M fixture docs (r7
+    ledger). Implemented as one pre-projection rebuilding the text
+    from the first ``cap`` tokens (``array_join(slice(tokens))``), so
+    numerator AND denominator see the same truncated doc and every
+    downstream identity (chars == Σ token lens + n−1) still holds."""
+    if max_tokens_per_doc is not None:
+        if max_tokens_per_doc < 1:
+            raise ValueError("max_tokens_per_doc must be >= 1")
+        df = df.select(
+            F.col(id_col),
+            F.array_join(
+                F.slice(tokens(text_col), 1, max_tokens_per_doc), " "
+            ).alias(text_col),
+        )
     masses = _gopher_gram_masses(df, id_col, text_col)
     chars = df.select(id_col, _gopher_chars(text_col).alias("_chars"))
     joined = chars.join(masses, id_col, "left")
@@ -1677,4 +1698,137 @@ def ccnet_lm_buckets(
         (
             F.sum("_q").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("mean_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# r8: license/copyright signal deck (the robots/license filtering pass
+# RefinedWeb §3.1 and every compliance-aware pipeline run before
+# training-data selection)
+# --------------------------------------------------------------------------
+
+# One (?i) alternation per signal class, mirrored VERBATIM in the
+# gated query's DuckDB oracle (both engines compile these with their
+# native regex libs — Java util.regex vs RE2 — on the shared subset:
+# literal alternations, character classes, \d, no backrefs).
+LICENSE_SIGNAL_REGEXES: dict[str, str] = {
+    # permissive, attribution-style licenses
+    "cc_license": r"(?i)creative commons|cc[- ]by(?:[- ][a-z]{2})?\b",
+    "open_license": (
+        r"(?i)apache license|mit license|bsd license|gpl|mpl[- ]2|"
+        r"public domain|licensed under"
+    ),
+    # restrictive markers
+    "rights_reserved": r"(?i)all rights reserved",
+    "copyright_mark": r"(?i)copyright \d{4}|\(c\) \d{4}|©",
+}
+
+
+def license_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document license/copyright signal flags + a policy class.
+
+    Four boolean columns (one per :data:`LICENSE_SIGNAL_REGEXES`
+    entry) and ``license_class`` by documented precedence:
+
+    1. ``restricted``  — 'all rights reserved' anywhere (an explicit
+       reservation wins over any permissive marker near it; the
+       conservative call a compliance pass must make);
+    2. ``permissive``  — a CC or open-source license marker;
+    3. ``copyright_only`` — a bare copyright line, no license;
+    4. ``unmarked``    — none of the above (most web text).
+
+    Pure Column algebra — four ``rlike`` per doc in ONE projection,
+    no shuffle at all: the deck composes map-side with any scan, and
+    at 100 TB it is bandwidth-bound like every other scan-only
+    filter. Downstream selection typically keeps permissive +
+    unmarked and routes restricted to review."""
+    flags = {
+        name: F.col(text_col).rlike(rx)
+        for name, rx in LICENSE_SIGNAL_REGEXES.items()
+    }
+    return docs.select(
+        F.col(id_col),
+        *[flags[n].alias(n) for n in LICENSE_SIGNAL_REGEXES],
+        F.when(flags["rights_reserved"], F.lit("restricted"))
+        .when(
+            flags["cc_license"] | flags["open_license"],
+            F.lit("permissive"),
+        )
+        .when(flags["copyright_mark"], F.lit("copyright_only"))
+        .otherwise(F.lit("unmarked"))
+        .alias("license_class"),
+    )
+
+
+# --------------------------------------------------------------------------
+# r8: lexical-diversity quality signals (type/token statistics — the
+# cheap repetition/quality deck complementing Gopher's n-gram masses)
+# --------------------------------------------------------------------------
+
+def lexical_diversity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document type/token quality signals: ``n_tokens``,
+    ``n_types`` (distinct tokens), ``type_token_ratio``,
+    ``top_token_frac`` (mass of the single most frequent token — the
+    unigram cousin of Gopher's top-2gram), and ``hapax_frac``
+    (fraction of TYPES occurring exactly once — low hapax means
+    template/boilerplate text). Every ratio is exact integers with
+    one closing divide; docs with zero tokens emit 0 counts and 0.0
+    ratios (pinned, not NULL).
+
+    Plan: one explode → (id, token) partial-agg groupBy (map-side
+    combinable — the same single-exchange shape as exact dedup's
+    fingerprint pass), one per-doc agg, one left join back to the
+    doc spine for empty docs. Token-count work is linear in corpus
+    tokens; nothing is quadratic in doc length (an array-HOF
+    formulation of top_token_frac would be — filter-per-distinct is
+    O(L²) on a 100k-token doc, so the exchange is the scale-correct
+    choice)."""
+    counts = (
+        docs.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("_t")
+        )
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("_c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.max("_c").cast("bigint").alias("_top"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_hapax"),
+    )
+    spine = docs.select(id_col)
+    joined = spine.join(per_doc, id_col, "left")
+    n = F.coalesce(F.col("n_tokens"), F.lit(0))
+    ty = F.coalesce(F.col("n_types"), F.lit(0))
+    return joined.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        ty.alias("n_types"),
+        F.when(n > 0, ty.cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("type_token_ratio"),
+        F.when(
+            n > 0,
+            F.coalesce(F.col("_top"), F.lit(0)).cast("double")
+            / n.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_token_frac"),
+        F.when(
+            ty > 0,
+            F.coalesce(F.col("_hapax"), F.lit(0)).cast("double")
+            / ty.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("hapax_frac"),
     )

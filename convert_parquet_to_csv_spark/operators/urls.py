@@ -169,3 +169,85 @@ def blocklist_filter(
     return base.select(id_col, "host").join(
         matches, id_col, "left"
     ).select(id_col, "host", "blocked_by")
+
+
+def url_keep_newest(
+    docs: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl-snapshot dedup, keep-NEWEST policy: group documents by
+    canonical URL and elect the most recent fetch (max ``ts_col``,
+    ties → min ``id_col``) — the CommonCrawl recrawl rule, where the
+    latest snapshot of a page supersedes the rest (unlike
+    :func:`url_dedup`'s min-id/first-crawled policy; both are one
+    election away from the same canonical key). Output: one row per
+    canonical URL — ``(canonical_url, n_crawls, kept_id, kept_ts)``.
+
+    One groupBy on the canonical key with a struct-max argmax
+    (max(struct(ts, −id)) — order-independent, map-side combinable,
+    no window sort; the keep_best_per_cluster device on a timestamp).
+    ``ts_col`` must be numeric or timestamp; ids numeric (the
+    repo-wide convention)."""
+    keyed = docs.select(
+        url_canonicalize(url_col).alias("canonical_url"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+    )
+    agg = keyed.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_crawls"),
+        F.max(
+            F.struct(
+                F.col("_ts").alias("_bts"),
+                (-F.col("_id")).alias("_negid"),
+            )
+        ).alias("_b"),
+    )
+    return agg.select(
+        "canonical_url",
+        "n_crawls",
+        (-F.col("_b._negid")).cast("bigint").alias("kept_id"),
+        F.col("_b._bts").alias("kept_ts"),
+    )
+
+
+def robots_policy_filter(
+    docs: DataFrame,
+    policies: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Robots/AI-directive compliance filter: annotate every document
+    with its host's crawl policy and the keep verdict. ``policies``
+    is a per-HOST table ``(host, disallow_crawl, noai)`` — the
+    distilled form a robots.txt/X-Robots-Tag ingestion job produces
+    (parsing robots.txt itself is an ingest concern; this operator is
+    the corpus-side enforcement join). A host absent from the table
+    is ALLOWED — the robots default — via left join + coalesce
+    FALSE, never a NULL verdict. ``kept`` = neither flag set.
+
+    Scale shape: the policy table is host-cardinality (millions of
+    rows at web scale, kilobytes here) — broadcast, so enforcement
+    is one map-side hash join composed into the scan; the corpus
+    never shuffles. Host extraction is the same Column algebra as
+    every other URL operator (functions/web.py)."""
+    from convert_parquet_to_csv_spark.functions.web import url_host
+
+    base = docs.withColumn("host", url_host(url_col))
+    pol = policies.select(
+        "host",
+        F.col("disallow_crawl").alias("_dc"),
+        F.col("noai").alias("_na"),
+    )
+    joined = base.join(F.broadcast(pol), "host", "left")
+    return joined.select(
+        F.col(id_col),
+        "host",
+        F.coalesce(F.col("_dc"), F.lit(False)).alias("disallow_crawl"),
+        F.coalesce(F.col("_na"), F.lit(False)).alias("noai"),
+        (
+            ~F.coalesce(F.col("_dc"), F.lit(False))
+            & ~F.coalesce(F.col("_na"), F.lit(False))
+        ).alias("kept"),
+    )

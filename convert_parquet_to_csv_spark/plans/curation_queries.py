@@ -1217,3 +1217,139 @@ def dedup_exact_substring_removal(
         n=_XSR_K,
         min_total=_XSR_MIN,
     )
+
+
+# --------------------------------------------------------------------------
+# r8: Gopher signals under the max_tokens_per_doc cap (VERDICT r7
+# item 7 — the practical mitigation for the measured single-JVM
+# 2M-doc agg tail; the paper's own >100k-token drop makes truncation
+# semantically aligned). Day-one gated, and the capped pre-projection
+# runs the SAME fixed _gopher_chars / gram kernel as the uncapped
+# query, so this row also freshly gates the ADVICE r7 collapse-first
+# fix.
+# --------------------------------------------------------------------------
+
+_GOPHER_CAP = 24
+
+_GOPHER_CAPPED_CTE = _GOPHER_GRAMS_CTE.replace(
+    "t -> t != '') AS toks",
+    f"t -> t != '')[1:{_GOPHER_CAP}] AS toks",
+)
+# the replace target must keep matching the shared CTE — a silent
+# no-op here would gate the UNCAPPED kernel under the capped name
+assert f"[1:{_GOPHER_CAP}] AS toks" in _GOPHER_CAPPED_CTE
+
+_GOPHER_CAPPED_ORACLE = (
+    _GOPHER_CAPPED_CTE
+    + _GOPHER_SIG_COLS
+    + """
+  FROM base b LEFT JOIN per_n p ON p.doc_id = b.doc_id
+  GROUP BY b.doc_id, b.chars
+)
+SELECT doc_id,
+       top_2gram_char_frac, top_3gram_char_frac, top_4gram_char_frac,
+       dup_5gram_char_frac, dup_6gram_char_frac, dup_7gram_char_frac,
+       dup_8gram_char_frac, dup_9gram_char_frac, dup_10gram_char_frac
+FROM sig
+"""
+)
+
+
+@query("gopher_signals_capped", oracle=_GOPHER_CAPPED_ORACLE)
+def gopher_signals_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """gopher_repetition_signals with ``max_tokens_per_doc=24``: every
+    document scored on its first 24 tokens only (truncation hits most
+    fixture docs, so the gate exercises the cap, not a no-op). The
+    Spark cap is one pre-projection rebuilding text from the sliced
+    token array; the oracle slices the token list in its tok CTE —
+    both sides truncate BEFORE the chars denominator, keeping the
+    chars == Σ len + n−1 identity on the truncated doc."""
+    return C.gopher_repetition_signals(
+        _docs(spark, sf_dir), max_tokens_per_doc=_GOPHER_CAP
+    )
+
+
+# --------------------------------------------------------------------------
+# r8: license/copyright filtering deck (VERDICT r7 item 8's
+# robots/license candidate — the compliance pass). The fixture
+# vocabulary carries no license strings, so the gated query ATTACHES
+# deterministic license markers by md5-bit class (the dedup_url
+# synthetic-column device) and both engines replay the augmentation
+# clause for clause.
+# --------------------------------------------------------------------------
+
+_LICENSE_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                       % 2) * 2
+                    + (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))
+                       % 2)
+           WHEN 0 THEN ' Licensed under the MIT License.'
+                       || ' All Rights Reserved.'
+           WHEN 1 THEN ' Licensed under the Apache License 2.0'
+           WHEN 2 THEN ' Copyright 2024 Example Corp'
+           ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_matches(text,
+         '(?i)creative commons|cc[- ]by(?:[- ][a-z]{2})?\b')
+         AS cc_license,
+       regexp_matches(text,
+         '(?i)apache license|mit license|bsd license|gpl|mpl[- ]2|public domain|licensed under')
+         AS open_license,
+       regexp_matches(text, '(?i)all rights reserved')
+         AS rights_reserved,
+       regexp_matches(text, '(?i)copyright \d{4}|\(c\) \d{4}|©')
+         AS copyright_mark,
+       CASE
+         WHEN regexp_matches(text, '(?i)all rights reserved')
+           THEN 'restricted'
+         WHEN regexp_matches(text,
+                '(?i)creative commons|cc[- ]by(?:[- ][a-z]{2})?\b')
+           OR regexp_matches(text,
+                '(?i)apache license|mit license|bsd license|gpl|mpl[- ]2|public domain|licensed under')
+           THEN 'permissive'
+         WHEN regexp_matches(text,
+                '(?i)copyright \d{4}|\(c\) \d{4}|©')
+           THEN 'copyright_only'
+         ELSE 'unmarked'
+       END AS license_class
+FROM aug
+"""
+
+
+@query("license_filter_deck", oracle=_LICENSE_ORACLE)
+def license_filter_deck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document license/copyright signal flags + policy class
+    (operators/curation.license_signals): four (?i) regex classes in
+    one map-side projection, classified by documented precedence
+    (restricted > permissive > copyright_only > unmarked — class 0's
+    combined MIT+all-rights-reserved marker exercises exactly that
+    precedence edge). Deterministic md5-bit license markers appended
+    to the fixture text; the oracle replays the augmentation and
+    every regex verbatim (Java regex vs RE2 on their shared subset)."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    cls = (F.ascii(F.substring(h, 1, 1)) % 2) * 2 + (
+        F.ascii(F.substring(h, 2, 1)) % 2
+    )
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                cls == 0,
+                F.lit(
+                    " Licensed under the MIT License."
+                    " All Rights Reserved."
+                ),
+            )
+            .when(cls == 1, F.lit(" Licensed under the Apache License 2.0"))
+            .when(cls == 2, F.lit(" Copyright 2024 Example Corp"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return C.license_signals(aug)

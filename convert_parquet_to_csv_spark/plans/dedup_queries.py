@@ -1748,3 +1748,135 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(small).cast("double") / F.sum("n")).alias("risk_frac"),
         F.min("n").cast("bigint").alias("min_cell"),
     )
+
+
+# --------------------------------------------------------------------------
+# r8: crawl-snapshot dedup, keep-NEWEST policy (the CommonCrawl
+# recrawl rule, complementing dedup_url_canonical's min-id/
+# first-crawled election). Day-one gated — and since canonicalization
+# includes the r8 port-elision clause, this row freshly gates the
+# updated functions/web.py spec end-to-end.
+# --------------------------------------------------------------------------
+
+_KEEP_NEWEST_ORACLE = (
+    _URL_BUILD_CTE
+    + """
+, ts AS (
+  SELECT doc_id, canonical_url,
+         CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 9, 1)) * 256
+              + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 10, 1))
+           AS BIGINT) AS fetch_ts
+  FROM c2
+), r AS (
+  SELECT canonical_url, doc_id, fetch_ts,
+         row_number() OVER (PARTITION BY canonical_url
+                            ORDER BY fetch_ts DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY canonical_url) AS n
+  FROM ts
+)
+SELECT canonical_url,
+       CAST(n AS BIGINT) AS n_crawls,
+       CAST(doc_id AS BIGINT) AS kept_id,
+       CAST(fetch_ts AS BIGINT) AS kept_ts
+FROM r WHERE rn = 1
+"""
+)
+
+
+@query("url_recrawl_keep_newest", oracle=_KEEP_NEWEST_ORACLE)
+def url_recrawl_keep_newest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keep-newest crawl-snapshot dedup (operators/urls.
+    url_keep_newest): per canonical URL, elect the most recent fetch
+    (max ts, ties → min id) via one struct-max argmax groupBy — no
+    window sort, map-side combinable. Same synthetic URL column as
+    dedup_url_canonical plus a deterministic md5-bit fetch timestamp;
+    the oracle replays the URL build, the canonicalization (including
+    the r8 default-port elision), the timestamp, and the election
+    (row_number ts DESC, id ASC — the window formulation equal to the
+    struct-max by construction)."""
+    from convert_parquet_to_csv_spark.operators.urls import (
+        url_keep_newest,
+    )
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        _synth_url().alias("url"),
+        (
+            F.ascii(F.substring(h, 9, 1)) * 256
+            + F.ascii(F.substring(h, 10, 1))
+        ).cast("bigint").alias("fetch_ts"),
+    )
+    return url_keep_newest(docs)
+
+
+# --------------------------------------------------------------------------
+# r8: robots/AI-directive compliance filter (VERDICT r7 item 8's
+# robots candidate). Policies are a per-HOST table — here synthesized
+# from md5 bits of the host (the fixture ships no robots.txt), in
+# production the distilled output of a robots.txt/X-Robots-Tag
+# ingestion job. Day-one gated.
+# --------------------------------------------------------------------------
+
+_ROBOTS_ORACLE = (
+    _URL_BUILD_CTE
+    + """
+SELECT doc_id, host,
+       ascii(substr(md5(host), 1, 1)) % 4 = 0 AS disallow_crawl,
+       ascii(substr(md5(host), 2, 1)) % 4 = 0 AS noai,
+       NOT (ascii(substr(md5(host), 1, 1)) % 4 = 0)
+       AND NOT (ascii(substr(md5(host), 2, 1)) % 4 = 0) AS kept
+FROM c2
+"""
+)
+
+
+@query("robots_noai_filter", oracle=_ROBOTS_ORACLE)
+def robots_noai_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots/AI-directive enforcement (operators/urls.
+    robots_policy_filter): every document annotated with its host's
+    (disallow_crawl, noai) policy and the keep verdict, via one
+    BROADCAST join of the host-cardinality policy table — the corpus
+    never shuffles, enforcement composes into the scan. Policies are
+    md5-bit functions of the host (%4, so ~25% of hosts carry each
+    flag); hosts absent from the table default to allowed (left join
+    + coalesce FALSE, the robots default — exercised by building the
+    policy table from a strict subset of hosts). The oracle computes
+    the same flags directly per doc, which equals the join by
+    determinism of the synthesis."""
+    from convert_parquet_to_csv_spark.functions.web import url_host
+    from convert_parquet_to_csv_spark.operators.urls import (
+        robots_policy_filter,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _synth_url().alias("url")
+    )
+    hh = F.md5(F.col("host"))
+    policies = (
+        docs.select(url_host("url").alias("host"))
+        .distinct()
+        # strict subset, flag-safe: every host with ANY flag set
+        # stays in the table (omitting one would silently launder it
+        # through the allowed default); of the flag-FREE hosts, the
+        # md5-bit-3-odd half is left out entirely, so the left-join
+        # default path executes for real rows while the join result
+        # stays identical to the oracle's direct per-doc computation
+        # (an omitted host's default — both flags FALSE — equals its
+        # synthesized flags by construction of the omission rule).
+        .filter(
+            (F.ascii(F.substring(hh, 1, 1)) % 4 == 0)
+            | (F.ascii(F.substring(hh, 2, 1)) % 4 == 0)
+            | (F.ascii(F.substring(hh, 3, 1)) % 2 == 0)
+        )
+        .select(
+            "host",
+            (F.ascii(F.substring(hh, 1, 1)) % 4 == 0).alias(
+                "disallow_crawl"
+            ),
+            (F.ascii(F.substring(hh, 2, 1)) % 4 == 0).alias("noai"),
+        )
+    )
+    return robots_policy_filter(docs, policies)

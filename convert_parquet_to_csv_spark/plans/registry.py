@@ -84,81 +84,32 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order of QUERIES/ORACLES is therefore a CORRECTNESS-COVERAGE
 # decision, not cosmetics.
 #
-# r7 strategy (VERDICT r6 item 1): rotate the 11 r6-registered
-# curation operators through the gate so every registered query owns
-# a driver CORRECTNESS row (they replica-passed 11/11 in the r6
-# judge's own tools/oracle_check.py run; this is bookkeeping, not
-# risk). Layout (exactly the 50-slot gate budget): 3 canaries
-# (flagship `convert_roundtrip`, `python_datasource_scan` as the
-# conf-pinning sentinel, one multimodal mapInPandas seam) -> the 11
-# never-gated r6 registrations (`dedup_containment` ..
-# `dsir_stratified_source_budget`, registration order) -> any
-# r7-day-one registrations (oracle-on-registration-day invariant:
-# new queries enter the gate the round they are born, so the
-# never-gated class stays empty) -> refresh slots for the oldest
-# driver rows: the 12 whose latest row is r1
-# (`unpivot_status_totals` .. `trailing_7d_window`), then r2-latest
-# names in registration order, with `distinctive_terms_tfidf`
-# pulled forward because its bench delta was the one unadjudicated
-# r6 regression (VERDICT r6 "what's wrong" #1) and a fresh
-# correctness row bounds the blast radius to timing-only.
+# r8 strategy (VERDICT r7 item 2): the never-gated class is empty
+# since r7 (new queries gate the round they are born — maintained:
+# the 8 r8 registrations sit right behind the canaries), so the
+# whole refresh budget goes to the OLDEST-signal class — all 39
+# queries whose latest driver row is r2 (5 rounds old; the r7 judge
+# replica-sampled 16 of them green, this is rotation bookkeeping).
+# Layout is exactly the 50-slot gate budget: 3 canaries + 8 r8
+# day-one + 39 r2-latest; after the driver run the oldest signal
+# anywhere is >= r3. Queries whose kernels/oracles the r8 advice
+# fixes touched sit just past the cut (replica-verified tri-SF this
+# round, see the ledger) and lead the r9 refresh.
 FIRST_TIER: list[str] = [
+    # --- canaries (every round): flagship roundtrip, conf-pinning sentinel, mapInPandas seam ---
     "convert_roundtrip",
     "python_datasource_scan",
     "multimodal_resize_geometry",
-    # --- r6 registrations, never driver-gated (VERDICT r6 item 1) ---
-    "dedup_containment",
-    "dedup_winnow_fingerprints",
-    "dedup_winnow_candidates",
-    "dedup_semdedup_clustered",
-    "gopher_repetition_signals",
-    "gopher_quality_filter",
-    "dsir_importance_weights",
-    "decontaminate_bloom",
-    "dsir_token_budget_selection",
-    "modern_curation_pipeline",
-    "dsir_stratified_source_budget",
-    # --- r7 day-one registrations (gate the round they are born) ---
-    # (each displaces a trailing r2 refresh slot past the 50-cut)
-    "dedup_url_canonical",
-    "url_domain_census",
-    "pack_concat_chunks",
-    "source_mixture_epochs",
-    "source_ngram_overlap",
-    "dedup_span_extents",
-    "ccnet_perplexity_buckets",
-    "domain_blocklist_filter",
-    "dedup_keep_best_quality",
-    "similarity_topk_pq",
-    "similarity_topk_ivfadc",
-    "dedup_exact_substring_removal",
-    "bpe_merge_learning",
-    "cusum_changepoint_daily",
-    "fs_record_linkage",
-    "split_group_safe",
-    "sn_blocking_linkage",
-    "k_anonymity_audit",
-    # --- refresh: latest driver row is r1 ---
-    "unpivot_status_totals",
-    "window_zoo_yearly_priority",
-    "promo_revenue_ratio",
-    "large_orders_having",
-    "disjunctive_filter_parts",
-    "customer_cohort_reconciliation",
-    "asof_click_attribution",
-    "error_click_pressure",
-    "sessionize_events",
-    "user_event_gaps",
-    "events_daily_gapfill",
-    "trailing_7d_window",
-    # --- refresh: latest driver row is r2 (registration order;
-    #     tfidf pulled forward, see above) ---
-    "distinctive_terms_tfidf",
-    "merged_scan_provenance",
-    "map_functions_zoo",
-    "array_functions_zoo",
-    "json_corrupt_handling",
-    "pivot_status_by_year",
+    # --- r8 day-one registrations (gate the round they are born) ---
+    "bpe_encode_corpus",
+    "pack_chunks_bpe",
+    "bpe_compression_curve",
+    "lexical_diversity_quality",
+    "gopher_signals_capped",
+    "license_filter_deck",
+    "url_recrawl_keep_newest",
+    "robots_noai_filter",
+    # --- refresh: the 39 queries whose latest driver row is r2 (VERDICT r7 item 2 — the oldest-signal class; after this round the oldest signal everywhere is >= r3). Registration order. ---
     "left_join_enrichment",
     "right_join_enrichment",
     "sample_exact_n_hash",
@@ -176,8 +127,77 @@ FIRST_TIER: list[str] = [
     "doc_fingerprint",
     "token_count_bpe",
     "pandas_udf_token_count",
-    # --- below the expected ~50-row gate cut; kept for ordering ---
     "curation_pipeline",
+    "doc_chunking",
+    "pandas_udaf_chars_by_lang",
+    "udtf_bigrams",
+    "sequence_packing",
+    "pii_redaction",
+    "doc_repetition_stats",
+    "corpus_vocab_stats",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_line_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_suppliers_waiting",
+    "q22_sales_opportunity",
+    "q16_parts_supplier_relationship",
+    "decontaminate_ngram_overlap",
+    "source_mix_temperature",
+    # --- just past the ~50 cut: queries whose KERNELS or ORACLES were touched by the r8 advice fixes — replica-verified tri-SF this round (ledger), first in line for the r9 gate ---
+    "gopher_repetition_signals",
+    "gopher_quality_filter",
+    "source_mixture_epochs",
+    "dedup_exact_substring_removal",
+    "dedup_url_canonical",
+    "url_domain_census",
+    "dedup_span_extents",
+    "pack_concat_chunks",
+    # --- below the gate cut; kept for ordering ---
+    "dedup_containment",
+    "dedup_winnow_fingerprints",
+    "dedup_winnow_candidates",
+    "dedup_semdedup_clustered",
+    "dsir_importance_weights",
+    "decontaminate_bloom",
+    "dsir_token_budget_selection",
+    "modern_curation_pipeline",
+    "dsir_stratified_source_budget",
+    "source_ngram_overlap",
+    "ccnet_perplexity_buckets",
+    "domain_blocklist_filter",
+    "dedup_keep_best_quality",
+    "similarity_topk_pq",
+    "similarity_topk_ivfadc",
+    "bpe_merge_learning",
+    "cusum_changepoint_daily",
+    "fs_record_linkage",
+    "split_group_safe",
+    "sn_blocking_linkage",
+    "k_anonymity_audit",
+    "unpivot_status_totals",
+    "window_zoo_yearly_priority",
+    "promo_revenue_ratio",
+    "large_orders_having",
+    "disjunctive_filter_parts",
+    "customer_cohort_reconciliation",
+    "asof_click_attribution",
+    "error_click_pressure",
+    "sessionize_events",
+    "user_event_gaps",
+    "events_daily_gapfill",
+    "trailing_7d_window",
+    "distinctive_terms_tfidf",
+    "merged_scan_provenance",
+    "map_functions_zoo",
+    "array_functions_zoo",
+    "json_corrupt_handling",
+    "pivot_status_by_year",
     "arrow_python_udf_tokens",
     "observe_metrics_single_pass",
     "transpose_status_summary",

@@ -1281,7 +1281,12 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 3
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_chain(rounds: int) -> str:
+    """The w0..w{rounds} CTE chain: vocabulary decomposition plus one
+    learned-merge round per CTE block. Shared by the learner oracle
+    (_bpe_oracle), the r8 encoder oracle (_BPE_ENCODE_ORACLE), the
+    BPE-count packing oracle (_PACK_BPE_ORACLE), and the compression
+    curve — train and apply replay the SAME merge device."""
     sql = r"""
 WITH w0 AS (
   SELECT w, string_split(w, '') AS sy, f FROM (
@@ -1330,11 +1335,15 @@ w{i} AS (
            FILTER (WHERE NOT prev) AS sy
   FROM chp{i} GROUP BY w
 )"""
+    return sql
+
+
+def _bpe_oracle(rounds: int) -> str:
     selects = [
         f"SELECT {i} AS rank, l, r, pair_weight FROM b{i}"
         for i in range(1, rounds + 1)
     ]
-    return sql + "\n" + "\nUNION ALL ".join(selects)
+    return _bpe_chain(rounds) + "\n" + "\nUNION ALL ".join(selects)
 
 
 _BPE_ORACLE = _bpe_oracle(_BPE_ROUNDS)
@@ -1362,4 +1371,194 @@ def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn_merges(
         _docs(spark, sf_dir).select("doc_id", "text"),
         rounds=_BPE_ROUNDS,
+    )
+
+
+# --------------------------------------------------------------------------
+# r8: BPE ENCODING with the learned merge table (VERDICT r7 item 5 —
+# the learner existed since r7; these close the train→apply→consume
+# loop). Day-one gated.
+# --------------------------------------------------------------------------
+
+# the per-occurrence word stream, shared by the encode/pack oracles
+_BPE_OCC_CTE = r""",
+occ AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            t -> t != '')) AS w
+  FROM documents
+)"""
+
+_BPE_ENCODE_ORACLE = _bpe_chain(_BPE_ROUNDS) + _BPE_OCC_CTE + f"""
+SELECT d.doc_id,
+       CAST(coalesce(sum(len(e.sy)), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d
+LEFT JOIN occ ON occ.doc_id = d.doc_id
+LEFT JOIN w{_BPE_ROUNDS} e ON e.w = occ.w
+GROUP BY d.doc_id
+"""
+
+
+@query("bpe_encode_corpus", oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count under the LEARNED 3-merge BPE table
+    (operators/chunking.bpe_apply_merges): learn merges over the
+    corpus (bpe_merge_learning's exact plan), then encode every
+    document with them — the apply half of training your own
+    tokenizer, sharing the learner's greedy-LTR fold so train and
+    apply cannot drift. Encoding is word-local, so the corpus never
+    folds directly: distinct-word vocabulary encodes once
+    (vocab-scale rounds), one join maps lengths back. The oracle
+    replays the merge chain (_bpe_chain — the run-parity window
+    device, implementation-independent of Spark's fold) and sums
+    encoded lengths per document."""
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        bpe_apply_merges,
+        bpe_learn_merges,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = bpe_learn_merges(docs, rounds=_BPE_ROUNDS)
+    return bpe_apply_merges(docs, merges, rounds=_BPE_ROUNDS)
+
+
+_PACK_BPE_ORACLE = (
+    _bpe_chain(_BPE_ROUNDS)
+    + _BPE_OCC_CTE
+    + f""",
+cnt AS (
+  SELECT d.doc_id,
+         CAST(coalesce(sum(len(e.sy)), 0) + 1 AS BIGINT) AS nt
+  FROM documents d
+  LEFT JOIN occ ON occ.doc_id = d.doc_id
+  LEFT JOIN w{_BPE_ROUNDS} e ON e.w = occ.w
+  GROUP BY d.doc_id
+), p AS (
+  SELECT doc_id, nt,
+         coalesce(sum(nt) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS s
+  FROM cnt
+), ex AS (
+  SELECT doc_id, nt, s,
+         unnest(range(CAST(s // {_CCP_CTX} AS BIGINT),
+                      CAST((s + nt - 1) // {_CCP_CTX} + 1 AS BIGINT)))
+           AS chunk_id
+  FROM p
+)
+SELECT chunk_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN s // {_CCP_CTX} = chunk_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_start,
+       CAST(sum(least((chunk_id + 1) * {_CCP_CTX}, s + nt)
+                - greatest(chunk_id * {_CCP_CTX}, s)) AS BIGINT)
+         AS n_tokens
+FROM ex GROUP BY 1
+"""
+)
+
+
+@query("pack_chunks_bpe", oracle=_PACK_BPE_ORACLE)
+def pack_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_concat_chunks REBASED on the learned-BPE token counts
+    (concat_chunk_pack's ``counts_df`` flag — VERDICT r7 item 5's
+    "make the packing consistent with the tokenizer that was
+    actually trained"; the default-path query pack_concat_chunks is
+    byte-identical to r7 by construction). Same ctx, same two-level
+    binned prefix sum; only the per-doc counts change — so diffing
+    this result against pack_concat_chunks' is exactly the
+    proxy-vs-learned tokenizer layout drift."""
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        bpe_apply_merges,
+        bpe_learn_merges,
+        concat_chunk_pack,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = bpe_learn_merges(docs, rounds=_BPE_ROUNDS)
+    counts = bpe_apply_merges(docs, merges, rounds=_BPE_ROUNDS)
+    return concat_chunk_pack(docs, ctx=_CCP_CTX, counts_df=counts)
+
+
+_BPE_CURVE_ORACLE = _bpe_chain(_BPE_ROUNDS) + "\n" + "\nUNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS rank, "
+    f"CAST(coalesce(sum(f * len(sy)), 0) AS BIGINT) AS corpus_tokens "
+    f"FROM w{i}"
+    for i in range(0, _BPE_ROUNDS + 1)
+)
+
+
+@query("bpe_compression_curve", oracle=_BPE_CURVE_ORACLE)
+def bpe_compression_curve_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus symbol count after 0..3 learned merges (operators/
+    chunking.bpe_compression_curve) — the tokenizer-training
+    progress readout. Rank i − rank i+1 is the CHOSEN-occurrence
+    count of merge i+1 — ≤ its pair_weight, strictly less on
+    overlapping l == r runs (the unit test pins both the bound and
+    a strict case); the oracle recomputes every snapshot from the
+    independent run-parity merge replay."""
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        bpe_compression_curve,
+    )
+
+    return bpe_compression_curve(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        rounds=_BPE_ROUNDS,
+    )
+
+
+# --------------------------------------------------------------------------
+# r8: lexical-diversity quality signals
+# --------------------------------------------------------------------------
+
+_LEXDIV_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            t -> t != '')) AS t
+  FROM documents
+), cnt AS (
+  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+), per AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(max(c) AS BIGINT) AS top,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hapax
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_types, 0) AS BIGINT) AS n_types,
+       CASE WHEN coalesce(p.n_tokens, 0) > 0
+            THEN CAST(p.n_types AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+            ELSE 0.0 END AS type_token_ratio,
+       CASE WHEN coalesce(p.n_tokens, 0) > 0
+            THEN CAST(p.top AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+            ELSE 0.0 END AS top_token_frac,
+       CASE WHEN coalesce(p.n_types, 0) > 0
+            THEN CAST(p.hapax AS DOUBLE) / CAST(p.n_types AS DOUBLE)
+            ELSE 0.0 END AS hapax_frac
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+@query("lexical_diversity_quality", oracle=_LEXDIV_ORACLE)
+def lexical_diversity_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Type/token quality deck per document (operators/curation.
+    lexical_diversity): token and type counts, type-token ratio,
+    top-token mass (the unigram cousin of Gopher's top-2gram), and
+    hapax fraction — low hapax flags template/boilerplate text. One
+    (doc, token) exchange, exact integers, one closing divide per
+    ratio; empty docs pinned to 0/0.0."""
+    from convert_parquet_to_csv_spark.operators.curation import (
+        lexical_diversity,
+    )
+
+    return lexical_diversity(
+        _docs(spark, sf_dir).select("doc_id", "text")
     )

@@ -64,3 +64,108 @@ def test_overrides_build_raw_operator_plans(bench, spark, sf_small):
         assert set(df.columns) == expected[name], name
         rows = df.count()
         assert rows > 0, name
+
+
+# --------------------------------------------------------------------------
+# bench_compare drift anchor (VERDICT r7 item 1)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bench_compare():
+    return importlib.import_module("tools.bench_compare")
+
+
+def _cap(bc, old_q, new_q, **kw):
+    import io
+
+    buf = io.StringIO()
+    flagged = bc.compare(
+        {"queries": old_q, "value": None},
+        {"queries": new_q, "value": None},
+        out=buf,
+        **kw,
+    )
+    return flagged, buf.getvalue()
+
+
+def test_anchor_normalizes_uniform_vm_drift(bench_compare):
+    """A uniform slowdown that tracks the same-run DuckDB anchor is
+    VM drift, not code — zero flags after normalization (the r6→r7
+    lesson: median +14% across 35 untouched queries with the anchor
+    itself +18%)."""
+    a = bench_compare.ANCHOR_DEFAULT
+    old = {a: 4.0, "q_x": 1.0, "q_y": 2.0}
+    new = {a: 5.0, "q_x": 1.25, "q_y": 2.5}  # everything x1.25
+    flagged, txt = _cap(bench_compare, old, new, tol=0.1)
+    assert flagged == []
+    assert "x1.250" in txt
+    # without the anchor the same numbers would all flag
+    flagged_raw, _ = _cap(bench_compare, old, new, tol=0.1, anchor=None)
+    assert set(flagged_raw) == {"q_x", "q_y"}
+
+
+def test_anchor_still_flags_real_regressions(bench_compare):
+    """A query that slowed MORE than the VM did stays flagged."""
+    a = bench_compare.ANCHOR_DEFAULT
+    old = {a: 4.0, "q_x": 1.0}
+    new = {a: 4.4, "q_x": 2.0}  # VM x1.1, query x2
+    flagged, _ = _cap(bench_compare, old, new, tol=0.25)
+    assert flagged == ["q_x"]
+
+
+def test_spread_key_marks_delta_as_noise(bench_compare):
+    """An adjusted delta below the recorded `_spread_pct` dispersion
+    is noise by the r6 noise-floor doctrine — reported, not flagged."""
+    old = {"q_x": 1.0, "q_x_spread_pct": 50.0}
+    new = {"q_x": 1.4, "q_x_spread_pct": 20.0}
+    flagged, txt = _cap(bench_compare, old, new, tol=0.25, anchor=None)
+    assert flagged == []
+    assert "noise" in txt
+    # ...but a delta past both the tolerance and the spread flags
+    new2 = {"q_x": 1.8, "q_x_spread_pct": 20.0}
+    flagged2, _ = _cap(bench_compare, old, new2, tol=0.25, anchor=None)
+    assert flagged2 == ["q_x"]
+
+
+def test_tail_recovery_parses_driver_records(bench_compare, tmp_path):
+    """Pre-r8 driver BENCH records (parsed: null, 2000-char tail of
+    one huge JSON line) must yield per-query numbers by regex."""
+    import json
+
+    rec = {
+        "n": 7,
+        "rc": 0,
+        "cpus": 32,
+        "sf": 0.1,
+        "tail": '_warm": 1.3388, "q6_revenue_filter": 0.3164, '
+        '"q6_revenue_filter_spread_pct": 16.6}, "headline": '
+        '{"convert_10m_rows": 2.12}}',
+        "parsed": None,
+    }
+    p = tmp_path / "BENCH_rX.json"
+    p.write_text(json.dumps(rec, indent=1))
+    got = bench_compare.load(str(p))
+    assert got["queries"]["q6_revenue_filter"] == 0.3164
+    assert got["queries"]["convert_10m_rows"] == 2.12
+    # meta fields must NOT masquerade as query timings
+    assert "cpus" not in got["queries"]
+
+
+def test_final_summary_line_parses_alone(bench_compare, tmp_path):
+    """The r8 bench contract: stdout's LAST line is a complete,
+    small JSON object (metric/value/unit/sf/headline) so the
+    driver's tail always ends in parseable JSON — bench_compare
+    must prefer it when the big line is truncated away."""
+    big = '{"metric": "parquet_to_csv_10m_rows_job_sec", "value": 2.0'
+    small = (
+        '{"metric": "parquet_to_csv_10m_rows_job_sec", "value": 2.0, '
+        '"unit": "sec", "sf": 0.1, '
+        '"headline": {"convert_10m_rows": 2.0, '
+        '"baseline_duckdb_convert_10m": 4.0}}'
+    )
+    p = tmp_path / "stdout.txt"
+    p.write_text(big[:40] + "\n" + small + "\n")
+    got = bench_compare.load(str(p))
+    assert got["queries"]["baseline_duckdb_convert_10m"] == 4.0
+    assert got["value"] == 2.0

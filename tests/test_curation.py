@@ -821,3 +821,150 @@ def test_exact_substring_removal_consistent_with_extents(spark):
         assert nrem == sum(t for _, _, t in spans), i
         assert kept == len(toks) - nrem, i
     assert removed[4] == ("too short", 2, 0)
+
+
+# --------------------------------------------------------------------------
+# r8: license deck / lexical diversity / gopher cap / mixture overflow
+# --------------------------------------------------------------------------
+
+
+def test_license_signals_precedence(spark):
+    rows = [
+        (1, "plain text with no markers at all"),
+        (2, "shared under Creative Commons CC BY-SA terms"),
+        (3, "Licensed under the Apache License, Version 2.0"),
+        (4, "Copyright 2023 Example Corp"),
+        (5, "All Rights Reserved."),
+        # restricted beats permissive (the precedence edge)
+        (6, "MIT License. All rights reserved by the author"),
+        # permissive beats copyright_only
+        (7, "copyright 2021, licensed under GPL v3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    from convert_parquet_to_csv_spark.operators.curation import (
+        license_signals,
+    )
+
+    got = {
+        r["doc_id"]: r.asDict() for r in license_signals(df).collect()
+    }
+    assert got[1]["license_class"] == "unmarked"
+    assert got[2]["license_class"] == "permissive" and got[2]["cc_license"]
+    assert got[3]["license_class"] == "permissive" and got[3]["open_license"]
+    assert got[4]["license_class"] == "copyright_only"
+    assert got[5]["license_class"] == "restricted"
+    assert got[6]["license_class"] == "restricted"  # precedence
+    assert got[6]["open_license"] and got[6]["rights_reserved"]
+    assert got[7]["license_class"] == "permissive"
+
+
+def test_lexical_diversity_matches_python(spark):
+    rows = [
+        (1, "a b c a b a"),        # n=6, types=3, top=3, hapax=1 (c)
+        (2, "x x x x"),            # n=4, types=1, top=4, hapax=0
+        (3, "u v w"),              # all hapax
+        (4, ""),                   # empty → zeros, not NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    from convert_parquet_to_csv_spark.operators.curation import (
+        lexical_diversity,
+    )
+
+    got = {r["doc_id"]: r.asDict() for r in lexical_diversity(df).collect()}
+    for i, text in rows:
+        toks = text.split()
+        from collections import Counter
+
+        c = Counter(toks)
+        n, ty = len(toks), len(c)
+        want = dict(
+            n_tokens=n,
+            n_types=ty,
+            type_token_ratio=ty / n if n else 0.0,
+            top_token_frac=max(c.values()) / n if n else 0.0,
+            hapax_frac=(
+                sum(1 for v in c.values() if v == 1) / ty if ty else 0.0
+            ),
+        )
+        for k, v in want.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+
+
+def test_gopher_cap_equals_pretruncated_corpus(spark):
+    """gopher_repetition_signals(max_tokens_per_doc=k) must equal the
+    uncapped kernel on a corpus truncated to k tokens in Python —
+    numerator AND denominator see the same truncated doc."""
+    texts = [
+        (1, "a b " * 30),              # truncates
+        (2, "one two three"),           # shorter than the cap
+        (3, ""),                        # empty
+        (4, "\tx y x y x y\n"),        # whitespace edges + cap
+    ]
+    df = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    cap = 5
+    capped = {
+        r["doc_id"]: r.asDict()
+        for r in C.gopher_repetition_signals(
+            df, max_tokens_per_doc=cap
+        ).collect()
+    }
+    pre = spark.createDataFrame(
+        [(i, " ".join(t.split()[:cap])) for i, t in texts],
+        "doc_id LONG, text STRING",
+    )
+    want = {
+        r["doc_id"]: r.asDict()
+        for r in C.gopher_repetition_signals(pre).collect()
+    }
+    assert capped == want
+    # and the cap actually bit: doc 1 differs from its uncapped run
+    full = {
+        r["doc_id"]: r.asDict()
+        for r in C.gopher_repetition_signals(df).collect()
+    }
+    assert capped[1] != full[1]
+
+
+def test_mixture_value_retention_overflow_regime(spark):
+    """ADVICE r7: at the k = 20 epoch cap, 5^20 * target exceeds
+    int64 once target > ~9.6e4 — the old BIGINT denominator wrapped
+    silently. Pin the DOUBLE path against pure-Python float math in
+    exactly that regime (tiny source + dominant budget → huge
+    target, k capped)."""
+    rows = [(f"d{i}", 10, "src_tiny") for i in range(3)] + [
+        (f"e{i}", 10, "src_other") for i in range(3)
+    ]
+    docs = spark.createDataFrame(
+        [(i, "w " * nt, src) for i, (_, nt, src) in enumerate(rows)],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    budget = 10_000_000  # target per source ~5e6 >> 9.6e4
+    got = {
+        r["source"]: r.asDict()
+        for r in C.source_mixture_plan(
+            docs, budget_tokens=budget, max_epochs=20
+        ).collect()
+    }
+    import math
+
+    for src, row in got.items():
+        nt = row["natural_tokens"]
+        sqm = math.floor(math.sqrt(float(nt)) * 1_000_000)
+        tot = sum(
+            math.floor(math.sqrt(float(r["natural_tokens"])) * 1_000_000)
+            for r in got.values()
+        )
+        target = (budget * sqm) // tot
+        assert target > 96_400, "fixture must reach the overflow regime"
+        k = min(target // nt, 20)
+        assert k == 20, "epoch cap must engage"
+        r_ = target % nt if target // nt <= 20 else 0
+        p5, p4 = 5**20, 4**20
+        eff = float(nt * 5 * (p5 - p4) + r_ * p4) / float(p5)
+        want = float(nt * 5 * (p5 - p4) + r_ * p4) / (
+            float(p5) * float(target)
+        )
+        assert 5**20 * target > 2**63, "denominator would wrap in int64"
+        assert row["effective_tokens"] == eff, src
+        assert row["value_retention"] == want, src
+        assert row["value_retention"] > 0

@@ -264,3 +264,166 @@ def test_bpe_learn_merges_matches_python_reference(spark):
         .collect()
     ]
     assert got == expect
+
+
+def _ref_bpe(texts, rounds):
+    """Pure-Python Sennrich BPE (learn + greedy-LTR apply) — the
+    implementation-independent reference shared by the r8 encode/
+    curve tests; returns (merges, encode_fn)."""
+    from collections import Counter
+
+    def greedy(sy, l, r):
+        out, i = [], 0
+        while i < len(sy):
+            if i + 1 < len(sy) and sy[i] == l and sy[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(sy[i])
+                i += 1
+        return out
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            vocab[tuple(w)] += 1
+    merges = []
+    for _ in range(rounds):
+        pairs = Counter()
+        for sy, f in vocab.items():
+            for a, b in zip(sy, sy[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (l, r), w = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, w))
+        nv = Counter()
+        for sy, f in vocab.items():
+            nv[tuple(greedy(list(sy), l, r))] += f
+        vocab = nv
+
+    def encode_len(text):
+        n = 0
+        for w in text.split():
+            sy = list(w)
+            for l, r, _ in merges:
+                sy = greedy(sy, l, r)
+            n += len(sy)
+        return n
+
+    return merges, encode_len
+
+
+def test_bpe_apply_merges_matches_python_reference(spark):
+    """bpe_apply_merges on the LEARNED table == the pure-Python
+    greedy encoder applied per word, including the l == r run corpus
+    and an empty doc (→ 0, not NULL)."""
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        bpe_apply_merges,
+        bpe_learn_merges,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new new",
+        "aaa aaa banana",
+        "aaaaa aaaa",
+        "",  # empty doc: encodes to 0
+    ]
+    _, encode_len = _ref_bpe([t for t in texts if t], rounds=3)
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    merges = bpe_learn_merges(corpus, rounds=3)
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_apply_merges(corpus, merges, rounds=3).collect()
+    }
+    assert set(got) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        assert got[i] == encode_len(t), (i, got[i], encode_len(t))
+
+
+def test_bpe_compression_curve_matches_python_reference(spark):
+    """rank 0 == total char occurrences; every snapshot equals the
+    pure-Python greedy encoder's corpus symbol count after that many
+    merges. Each marginal drop is the number of CHOSEN
+    (non-overlapping) merge occurrences — ≤ pair_weight, strictly
+    less on overlapping l == r runs ('aaaaa' counts 4 (a,a) pairs
+    but greedy collapses only 2), which the corpus includes so the
+    distinction is exercised, not assumed away."""
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        bpe_compression_curve,
+        bpe_learn_merges,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new new",
+        "aaaaa aaaa",
+    ]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    curve = {
+        r["rank"]: r["corpus_tokens"]
+        for r in bpe_compression_curve(corpus, rounds=3).collect()
+    }
+    weights = {
+        r["rank"]: r["pair_weight"]
+        for r in bpe_learn_merges(corpus, rounds=3).collect()
+    }
+    total_chars = sum(len(w) for t in texts for w in t.split())
+    assert curve[0] == total_chars
+    for i in (1, 2, 3):
+        # reference snapshot: encode with the first i merges only
+        _, enc_i = _ref_bpe(texts, rounds=i)
+        assert curve[i] == sum(enc_i(t) for t in texts), i
+        drop = curve[i - 1] - curve[i]
+        assert 0 < drop <= weights[i], i
+    # the l == r overlap corpus makes at least one drop STRICTLY
+    # below its pair_weight (the curve-vs-weight distinction is real)
+    assert any(
+        curve[i - 1] - curve[i] < weights[i] for i in (1, 2, 3)
+    )
+
+
+def test_concat_chunk_pack_counts_df_override(spark):
+    """counts_df rebases the packing on external per-doc counts (+1
+    EOS still added); the default path is untouched."""
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        concat_chunk_pack,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "irrelevant text") for i in range(6)],
+        "doc_id LONG, text STRING",
+    )
+    counts = spark.createDataFrame(
+        [(i, 7 + i) for i in range(6)], "doc_id LONG, n_bpe_tokens LONG"
+    )
+    ctx = 10
+    got = {
+        r["chunk_id"]: (r["n_docs"], r["n_docs_start"], r["n_tokens"])
+        for r in concat_chunk_pack(
+            docs, ctx=ctx, counts_df=counts
+        ).collect()
+    }
+    # naive reference over nt = counts + 1 EOS
+    nts = [7 + i + 1 for i in range(6)]
+    starts, s = [], 0
+    for nt in nts:
+        starts.append(s)
+        s += nt
+    ref = {}
+    for d, (st, nt) in enumerate(zip(starts, nts)):
+        for cid in range(st // ctx, (st + nt - 1) // ctx + 1):
+            n, nst, tok = ref.get(cid, (0, 0, 0))
+            ref[cid] = (
+                n + 1,
+                nst + (1 if st // ctx == cid else 0),
+                tok
+                + min((cid + 1) * ctx, st + nt)
+                - max(cid * ctx, st),
+            )
+    assert got == ref

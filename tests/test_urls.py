@@ -183,3 +183,61 @@ def test_blocklist_filter_single_label_hosts_and_entries(spark):
     assert got[1] == "localhost"
     assert got[2] is None
     assert got[3] == "bad"
+
+
+def test_url_keep_newest_election(spark):
+    rows = [
+        # same canonical URL, three snapshots: newest (ts=30) wins
+        (1, "https://a.com/x", 10),
+        (2, "http://www.a.com/x/", 30),
+        (3, "https://a.com/x?utm_source=z", 20),
+        # ts tie → min id
+        (4, "https://b.com/y", 7),
+        (5, "https://b.com/y", 7),
+        # singleton
+        (6, "https://c.com/z", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, url STRING, fetch_ts LONG"
+    )
+    got = {
+        r["canonical_url"]: (r["n_crawls"], r["kept_id"], r["kept_ts"])
+        for r in U.url_keep_newest(df).collect()
+    }
+    assert got["a.com/x"] == (3, 2, 30)
+    assert got["b.com/y"] == (2, 4, 7)
+    assert got["c.com/z"] == (1, 6, 1)
+
+
+def test_robots_policy_filter_defaults_and_flags(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "https://blocked.com/a"),
+            (2, "https://noai.org/b"),
+            (3, "https://open.net/c"),
+            (4, "https://unlisted.io/d"),  # absent host → allowed
+        ],
+        "doc_id LONG, url STRING",
+    )
+    policies = spark.createDataFrame(
+        [
+            ("blocked.com", True, False),
+            ("noai.org", False, True),
+            ("open.net", False, False),
+        ],
+        "host STRING, disallow_crawl BOOLEAN, noai BOOLEAN",
+    )
+    got = {
+        r["doc_id"]: (
+            r["host"],
+            r["disallow_crawl"],
+            r["noai"],
+            r["kept"],
+        )
+        for r in U.robots_policy_filter(docs, policies).collect()
+    }
+    assert got[1] == ("blocked.com", True, False, False)
+    assert got[2] == ("noai.org", False, True, False)
+    assert got[3] == ("open.net", False, False, True)
+    # the robots default: unlisted host is allowed, flags FALSE not NULL
+    assert got[4] == ("unlisted.io", False, False, True)

@@ -1,29 +1,190 @@
-"""Per-query bench regression check between two bench JSON lines.
+"""Per-query bench regression check between two bench JSON captures.
 
 The driver records ``BENCH_r{N}.json`` each round; this diffs any two
 (or a BENCH file vs a fresh ``python bench.py`` capture) and flags
 regressions, so a round that speeds up the headline but quietly
 doubles a secondary query gets caught.
 
+Cross-run drift anchor (VERDICT r7 item 1): bench VMs differ in raw
+speed round to round — r7 measured the identical DuckDB job +18%
+slower than r6, and every untouched query drifted with it. A raw
+old-vs-new delta therefore conflates VM drift with code. Both bench
+runs time DuckDB converting the same 10M-row input on their own box
+(``baseline_duckdb_convert_10m``), so the ratio of those two numbers
+is a same-workload, Spark-independent measure of the VM speed change;
+per-query deltas are normalized by it BEFORE flagging:
+
+    drift    = anchor_new / anchor_old
+    adjusted = (new / drift − old) / old
+
+A query also carrying a ``<name>_spread_pct`` dispersion key (the r6
+noise-floor protocol) is flagged only when the adjusted delta exceeds
+BOTH the tolerance and the larger of the two runs' recorded spreads —
+within-run dispersion marks deltas below it as VM noise by doctrine.
+
+Input formats: a bench.py stdout capture (one or two JSON lines — the
+final compact line added in r8 parses on its own), or a driver
+``BENCH_r{N}.json`` record; when the driver's ``parsed`` field is
+null (pre-r8 truncation), per-query numbers are recovered from the
+stored 2000-char ``tail`` by regex.
+
 Usage:
     python tools/bench_compare.py OLD.json NEW.json [--tol 0.25]
+        [--anchor baseline_duckdb_convert_10m | --no-anchor]
 
 Exit code 1 if any shared query slowed by more than --tol (default
-25%, generous because local[32] job times jitter by scheduler noise).
+25%, generous because local[32] job times jitter by scheduler noise)
+after drift adjustment.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
+
+ANCHOR_DEFAULT = "baseline_duckdb_convert_10m"
+
+# driver-record fields that regex recovery must not mistake for
+# query timings
+_META_KEYS = {"n", "rc", "cpus", "sf", "value", "rows_10m"}
+
+
+def _queries_from_tail(tail: str) -> dict[str, float]:
+    """Recover ``"name": number`` pairs from a truncated stdout tail.
+
+    The tail is the trailing window of one huge JSON line, so it is
+    not parseable as JSON; the per-query keys it retains are still
+    well-formed ``"key": 1.234`` fragments. Keys repeated by the
+    trailing ``headline`` re-emit resolve to their LAST occurrence
+    (identical values by construction)."""
+    out: dict[str, float] = {}
+    for m in re.finditer(r'"([A-Za-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', tail):
+        name, val = m.group(1), float(m.group(2))
+        if name not in _META_KEYS:
+            out[name] = val
+    return out
 
 
 def load(path: str) -> dict:
+    """Return a ``{"queries": {...}, "value": float|None}`` view of
+    either a bench stdout capture or a driver BENCH record."""
     with open(path) as f:
         text = f.read().strip()
-    # tolerate a file holding exactly one JSON line (driver format)
-    return json.loads(text.splitlines()[-1])
+    # candidates: the whole file (driver records are pretty-printed
+    # multi-line JSON), then each line last-to-first (bench stdout
+    # ends with the compact r8 summary line).
+    candidates = [text] + [
+        ln.strip() for ln in reversed(text.splitlines()) if ln.strip()
+    ]
+    for cand in candidates:
+        try:
+            rec = json.loads(cand)
+        except json.JSONDecodeError:
+            continue
+        if not isinstance(rec, dict):
+            continue
+        if "queries" in rec or "headline" in rec:
+            q = dict(rec.get("queries", {}))
+            q.update(rec.get("headline", {}))
+            return {"queries": q, "value": rec.get("value")}
+        if "tail" in rec:  # driver record
+            parsed = rec.get("parsed")
+            if isinstance(parsed, dict) and parsed.get("queries"):
+                q = dict(parsed["queries"])
+                q.update(parsed.get("headline", {}))
+                return {"queries": q, "value": parsed.get("value")}
+            return {
+                "queries": _queries_from_tail(rec.get("tail", "")),
+                "value": None,
+            }
+    raise ValueError(f"no parseable bench record in {path}")
+
+
+def compare(
+    old: dict,
+    new: dict,
+    tol: float = 0.25,
+    anchor: str | None = ANCHOR_DEFAULT,
+    anchor_values: tuple[float, float] | None = None,
+    out=sys.stdout,
+) -> list[str]:
+    """Print the comparison table; return the flagged query names.
+
+    ``anchor_values``: explicit (old, new) anchor seconds for records
+    that predate the r8 summary line and lost the anchor key to the
+    driver's 2000-char tail truncation (e.g. BENCH_r06's DuckDB
+    calibration, 3.81 s per the r6 ledger)."""
+    oq, nq = dict(old["queries"]), dict(new["queries"])
+    if anchor and anchor_values:
+        oq.setdefault(anchor, anchor_values[0])
+        nq.setdefault(anchor, anchor_values[1])
+    drift = 1.0
+    if anchor and oq.get(anchor) and nq.get(anchor):
+        drift = nq[anchor] / oq[anchor]
+        print(
+            f"drift anchor {anchor}: {oq[anchor]:.3f} -> "
+            f"{nq[anchor]:.3f} (x{drift:.3f} VM speed change; "
+            f"per-query deltas normalized by it)",
+            file=out,
+        )
+    elif anchor:
+        print(
+            f"drift anchor {anchor} missing from one side — "
+            f"raw deltas only",
+            file=out,
+        )
+
+    shared = sorted(set(oq) & set(nq))
+    regressions: list[str] = []
+    print(
+        f"{'query':<36} {'old':>8} {'new':>8} {'raw':>8} {'adj':>8}",
+        file=out,
+    )
+    for name in shared:
+        o, n = oq[name], nq[name]
+        raw = (n - o) / o if o else 0.0
+        adj = (n / drift - o) / o if o else 0.0
+        # `_spread_pct` keys are DISPERSION metadata (r6 noise-floor
+        # protocol), `_`-prefixed keys are corpus-size metadata, and
+        # the anchor/calibration keys time DUCKDB (the VM-speed
+        # measure itself) — none is an engine job time, so none can
+        # "regress".
+        is_timing = not (
+            name.endswith("_spread_pct")
+            or name.startswith("_")
+            or name == ANCHOR_DEFAULT
+            or name == "calibration_ratio_vs_duckdb"
+        )
+        spread = max(
+            oq.get(f"{name}_spread_pct", 0.0),
+            nq.get(f"{name}_spread_pct", 0.0),
+        ) / 100.0
+        flag = ""
+        if is_timing and adj > tol and adj > spread:
+            flag = "  << REGRESSION"
+            regressions.append(name)
+        elif is_timing and adj > tol:
+            flag = f"  (within {spread:.0%} spread — noise)"
+        print(
+            f"{name:<36} {o:>8.3f} {n:>8.3f} {raw:>+7.1%} "
+            f"{adj:>+7.1%}{flag}",
+            file=out,
+        )
+    for name in sorted(set(nq) - set(oq)):
+        print(f"{name:<36} {'-':>8} {nq[name]:>8.3f}     new", file=out)
+    for name in sorted(set(oq) - set(nq)):
+        print(f"{name:<36} {oq[name]:>8.3f} {'-':>8}     removed", file=out)
+
+    hv_o, hv_n = old.get("value"), new.get("value")
+    if hv_o and hv_n:
+        print(
+            f"\nheadline: {hv_o:.3f} -> {hv_n:.3f} "
+            f"({(hv_n - hv_o) / hv_o:+.1%} raw)",
+            file=out,
+        )
+    return regressions
 
 
 def main() -> int:
@@ -31,37 +192,34 @@ def main() -> int:
     ap.add_argument("old")
     ap.add_argument("new")
     ap.add_argument("--tol", type=float, default=0.25)
+    ap.add_argument("--anchor", default=ANCHOR_DEFAULT)
+    ap.add_argument(
+        "--no-anchor", action="store_true",
+        help="raw deltas only (pre-r8 behavior)",
+    )
+    ap.add_argument(
+        "--anchor-values", default=None,
+        help="OLD,NEW anchor seconds for records whose anchor key "
+        "was truncated away (pre-r8 driver tails)",
+    )
     args = ap.parse_args()
 
-    old, new = load(args.old), load(args.new)
-    oq, nq = old.get("queries", {}), new.get("queries", {})
-    shared = sorted(set(oq) & set(nq))
-    regressions = []
-    print(f"{'query':<32} {'old':>8} {'new':>8} {'delta':>8}")
-    for name in shared:
-        o, n = oq[name], nq[name]
-        delta = (n - o) / o if o else 0.0
-        flag = ""
-        # `_spread_pct` keys are DISPERSION metadata (r6 noise-floor
-        # protocol), `_`-prefixed keys are corpus-size metadata —
-        # neither is a job time, so neither can "regress".
-        is_timing = not (
-            name.endswith("_spread_pct") or name.startswith("_")
-        )
-        if is_timing and delta > args.tol:
-            flag = "  << REGRESSION"
-            regressions.append(name)
-        print(f"{name:<32} {o:>8.3f} {n:>8.3f} {delta:>+7.1%}{flag}")
-    for name in sorted(set(nq) - set(oq)):
-        print(f"{name:<32} {'-':>8} {nq[name]:>8.3f}     new")
-    for name in sorted(set(oq) - set(nq)):
-        print(f"{name:<32} {oq[name]:>8.3f} {'-':>8}     removed")
-
-    hv_o, hv_n = old.get("value"), new.get("value")
-    if hv_o and hv_n:
-        print(f"\nheadline: {hv_o:.3f} -> {hv_n:.3f} ({(hv_n - hv_o) / hv_o:+.1%})")
+    anchor_values = None
+    if args.anchor_values:
+        a, b = args.anchor_values.split(",")
+        anchor_values = (float(a), float(b))
+    regressions = compare(
+        load(args.old),
+        load(args.new),
+        tol=args.tol,
+        anchor=None if args.no_anchor else args.anchor,
+        anchor_values=anchor_values,
+    )
     if regressions:
-        print(f"\n{len(regressions)} regression(s): {', '.join(regressions)}")
+        print(
+            f"\n{len(regressions)} regression(s): "
+            f"{', '.join(regressions)}"
+        )
         return 1
     print("\nno regressions")
     return 0
