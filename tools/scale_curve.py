@@ -137,6 +137,16 @@ def main() -> None:
             "gopher_repetition": lambda d=docs: (
                 gopher_repetition_signals(d)
             ),
+            # r8 (VERDICT r7 item 7): the max_tokens_per_doc knob —
+            # the paper-aligned truncating cap that bounds each doc's
+            # contribution to the (doc, n, hash) aggregate, offered
+            # as the practical mitigation for the measured single-JVM
+            # sort-agg tail at 2M fixture docs. Cap chosen at the
+            # fixture's ~median doc length so roughly half the corpus
+            # truncates.
+            "gopher_repetition_cap50": lambda d=docs: (
+                gopher_repetition_signals(d, max_tokens_per_doc=50)
+            ),
             "dsir_weights": lambda d=docs, b=bench_side: (
                 dsir_importance_weights(d, b, hash_fn="xxhash64")
             ),
