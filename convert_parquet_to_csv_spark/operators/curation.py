@@ -1406,28 +1406,51 @@ def source_mixture_plan(
       value to a BIGINT, and the share sum/divide is then exact
       integer + one closing divide (no order-dependent double Σ).
     - the decay series is exact rational: Σ_{j<k}(4/5)^j =
-      5(5^k−4^k)/5^k, so ``effective = (N·5·(5^k−4^k) + r·4^k·5^0
-      ... ) / 5^k`` is one BIGINT numerator over one BIGINT
-      denominator with a single closing divide. ``5^k``/``4^k`` come
-      from double ``pow`` — exact for k ≤ 20 (5²⁰ < 2⁵³).
-    - range bound (documented, not checked): BIGINT-exact while
-      ``N·5^(k+1) < 2⁶³`` and ``budget·sqrt_micro < 2⁶³`` — true for
-      any per-source corpus to ~10¹² tokens with the epoch cap; a
-      100 TB deployment raising the cap switches the closing math to
-      double and accepts ~15-digit agreement.
-    - value_retention's denominator multiplies ``5^k · target`` in
-      DOUBLE, not BIGINT (ADVICE r7): at the k = 20 cap the BIGINT
-      product wraps silently in Spark once ``target`` exceeds
-      ~9.6e4 (5²⁰·target > 2⁶³ — reachable at a 200k budget when one
-      small source dominates the sqrt share) while DuckDB raises on
-      the same overflow. Both factors are exactly representable
-      doubles (each < 2⁵³), the IEEE product is identical in both
-      engines, and the result feeds the closing divide anyway.
+      5(5^k−4^k)/5^k, so ``effective = (N·5·(5^k−4^k) + r·4^k) /
+      5^k``. ``5^k``/``4^k`` come from double ``pow`` — exact for
+      k ≤ 20 (5²⁰ < 2⁵³) — and are pinned to BIGINT.
+    - the CLOSING math (numerator, both divides, the retention
+      denominator) runs entirely in DOUBLE, identically associated
+      in the oracle (see ``_mix_effective_numerator``): each input
+      is an exactly-representable double and each op is one
+      correctly-rounded IEEE step, so the engines agree bit-for-bit
+      at ANY magnitude. The r7 BIGINT closing tree wrapped silently
+      in Spark (DuckDB raises) once ``N·5^(k+1)`` crossed 2⁶³ —
+      i.e. N > ~1.96e4 tokens for a source whose target engages the
+      k = 20 cap, or target > ~9.6e4 in the retention denominator;
+      both regimes are unit-pinned against pure-Python float math
+      (tests/test_curation.py overflow tests). Values below 2⁵³
+      remain EXACT; above it the engines share the same ≤1-ulp-
+      per-op rounding.
+    - integer exactness bound that remains: ``budget·sqrt_micro <
+      2⁶³`` for the target computation — true to ~8.4e12-token
+      budgets at micro quantization.
 
     Plan shape: one partial-agg shuffle to (source, N), a broadcast
     1-row total, pure Column algebra after — dimension-scale
     everywhere past the first aggregate.
     """
+
+    def _mix_effective_numerator() -> "F.Column":
+        """N·5·(5^k−4^k) + r·4^k as an all-DOUBLE tree, identically
+        associated in the DuckDB oracle: ((N·5)·(5^k−4^k)) + (r·4^k).
+        Every input is an exactly-representable double (each < 2⁵³
+        with the k ≤ 20 cap), every op is one correctly-rounded IEEE
+        step, so both engines produce the same bits at ANY magnitude
+        — unlike the r7 BIGINT tree, which wrapped silently in Spark
+        (and raised in DuckDB) once N·5^(k+1) crossed 2⁶³ (review
+        r8: N > ~1.96e4 with the cap engaged — reachable, the first
+        overflow fix had only moved the DENOMINATOR to double)."""
+        return (
+            F.col("_nt").cast("double")
+            * F.lit(5).cast("double")
+            * (
+                F.col("_p5").cast("double")
+                - F.col("_p4").cast("double")
+            )
+            + F.col("_r").cast("double") * F.col("_p4").cast("double")
+        )
+
     per_src = docs.groupBy(source_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(token_count_bpe(text_col)).cast("bigint").alias("_nt"),
@@ -1473,21 +1496,14 @@ def source_mixture_plan(
         F.col("_target").alias("target_tokens"),
         F.col("_k").alias("epochs_full"),
         (
-            (
-                F.col("_nt") * 5 * (F.col("_p5") - F.col("_p4"))
-                + F.col("_r") * F.col("_p4")
-            ).cast("double")
+            _mix_effective_numerator()
             / F.col("_p5").cast("double")
         ).alias("effective_tokens"),
         F.when(
             F.col("_target") > 0,
-            (
-                F.col("_nt") * 5 * (F.col("_p5") - F.col("_p4"))
-                + F.col("_r") * F.col("_p4")
-            ).cast("double")
-            # DOUBLE multiply, not BIGINT (see the docstring's
-            # value_retention overflow note): 5^20 · target wraps
-            # int64 at target > ~9.6e4.
+            _mix_effective_numerator()
+            # DOUBLE denominator too (see the docstring's overflow
+            # note): 5^20 · target wraps int64 at target > ~9.6e4.
             / (
                 F.col("_p5").cast("double")
                 * F.col("_target").cast("double")

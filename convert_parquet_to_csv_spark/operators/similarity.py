@@ -923,10 +923,6 @@ def topk_pq_adc(
 
     Queries are L2-normalized inside (fixture vectors are unit-norm;
     the reconstruction is not, hence the ‖recon‖ denominator)."""
-    from convert_parquet_to_csv_spark.functions.vectors import (
-        l2_normalize,
-    )
-
     books = pq_train(
         vectors,
         dim,

@@ -997,14 +997,19 @@ SELECT source, n_docs, nt AS natural_tokens,
        CAST(sqm AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
        target AS target_tokens,
        CAST(k AS BIGINT) AS epochs_full,
-       CAST(nt * 5 * (p5 - p4) + r * p4 AS DOUBLE)
+       -- all-DOUBLE closing tree, associated EXACTLY like the Spark
+       -- plan's _mix_effective_numerator: ((nt*5)*(p5-p4)) + (r*p4).
+       -- The r7 BIGINT tree raised here (and wrapped in Spark) once
+       -- nt*5^(k+1) crossed 2^63 — review r8: the first overflow fix
+       -- had only moved the retention DENOMINATOR to double.
+       (CAST(nt AS DOUBLE) * CAST(5 AS DOUBLE)
+          * (CAST(p5 AS DOUBLE) - CAST(p4 AS DOUBLE))
+        + CAST(r AS DOUBLE) * CAST(p4 AS DOUBLE))
          / CAST(p5 AS DOUBLE) AS effective_tokens,
        CASE WHEN target > 0
-            THEN CAST(nt * 5 * (p5 - p4) + r * p4 AS DOUBLE)
-                 -- DOUBLE multiply (mirrors the Spark plan's ADVICE
-                 -- r7 overflow fix): p5 * target wraps BIGINT at the
-                 -- k = 20 cap; each factor is < 2^53 so the IEEE
-                 -- product is engine-identical.
+            THEN (CAST(nt AS DOUBLE) * CAST(5 AS DOUBLE)
+                    * (CAST(p5 AS DOUBLE) - CAST(p4 AS DOUBLE))
+                  + CAST(r AS DOUBLE) * CAST(p4 AS DOUBLE))
                  / (CAST(p5 AS DOUBLE) * CAST(target AS DOUBLE))
             ELSE 0.0 END AS value_retention
 FROM pw

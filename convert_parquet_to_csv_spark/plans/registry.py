@@ -150,12 +150,17 @@ FIRST_TIER: list[str] = [
     "decontaminate_ngram_overlap",
     "source_mix_temperature",
     # --- just past the ~50 cut: queries whose KERNELS or ORACLES were touched by the r8 advice fixes — replica-verified tri-SF this round (ledger), first in line for the r9 gate ---
-    "gopher_repetition_signals",
-    "gopher_quality_filter",
+    # oracle-TEXT-edited queries lead (review r8: an edited oracle
+    # has no driver row this round; the suite's inline oracle gate —
+    # tests/test_scratch_and_audit.py::
+    # test_oracle_edited_queries_hash_match_duckdb — covers them
+    # meanwhile, and they take the first r9 slots)
     "source_mixture_epochs",
     "dedup_exact_substring_removal",
     "dedup_url_canonical",
     "url_domain_census",
+    "gopher_repetition_signals",
+    "gopher_quality_filter",
     "dedup_span_extents",
     "pack_concat_chunks",
     # --- below the gate cut; kept for ordering ---

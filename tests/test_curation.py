@@ -926,19 +926,26 @@ def test_gopher_cap_equals_pretruncated_corpus(spark):
 
 
 def test_mixture_value_retention_overflow_regime(spark):
-    """ADVICE r7: at the k = 20 epoch cap, 5^20 * target exceeds
-    int64 once target > ~9.6e4 — the old BIGINT denominator wrapped
-    silently. Pin the DOUBLE path against pure-Python float math in
-    exactly that regime (tiny source + dominant budget → huge
-    target, k capped)."""
-    rows = [(f"d{i}", 10, "src_tiny") for i in range(3)] + [
-        (f"e{i}", 10, "src_other") for i in range(3)
-    ]
+    """ADVICE r7 + review r8: the CLOSING mixture math must survive
+    BOTH int64-overflow regimes at the k = 20 cap —
+
+    - denominator: 5^20 · target > 2^63 once target > ~9.6e4 (the
+      original ADVICE finding; src_tiny reaches it), and
+    - numerator: nt · 5 · (5^20 − 4^20) > 2^63 once nt > ~1.96e4
+      (the review r8 finding — the first fix had only moved the
+      denominator to double; src_big reaches it).
+
+    Pin the all-DOUBLE tree against pure-Python float math with the
+    SAME association ((nt·5)·(p5−p4)) + (r·p4) — bit-equality, both
+    regimes, k capped in each."""
     docs = spark.createDataFrame(
-        [(i, "w " * nt, src) for i, (_, nt, src) in enumerate(rows)],
+        [
+            (0, "w " * 30_000, "src_big"),   # numerator regime
+            (1, "w " * 10, "src_tiny"),      # denominator regime
+        ],
         "doc_id LONG, text STRING, source STRING",
     )
-    budget = 10_000_000  # target per source ~5e6 >> 9.6e4
+    budget = 20_000_000
     got = {
         r["source"]: r.asDict()
         for r in C.source_mixture_plan(
@@ -947,24 +954,29 @@ def test_mixture_value_retention_overflow_regime(spark):
     }
     import math
 
-    for src, row in got.items():
-        nt = row["natural_tokens"]
-        sqm = math.floor(math.sqrt(float(nt)) * 1_000_000)
-        tot = sum(
-            math.floor(math.sqrt(float(r["natural_tokens"])) * 1_000_000)
-            for r in got.values()
-        )
-        target = (budget * sqm) // tot
-        assert target > 96_400, "fixture must reach the overflow regime"
-        k = min(target // nt, 20)
-        assert k == 20, "epoch cap must engage"
+    nts = {"src_big": 30_000, "src_tiny": 10}
+    sqm = {s: math.floor(math.sqrt(float(n)) * 1_000_000) for s, n in nts.items()}
+    tot = sum(sqm.values())
+    p5, p4 = 5**20, 4**20
+    overflow_seen = {"num": False, "den": False}
+    for src, nt in nts.items():
+        row = got[src]
+        target = (budget * sqm[src]) // tot
+        assert row["target_tokens"] == target, src
+        assert min(target // nt, 20) == 20, "epoch cap must engage"
         r_ = target % nt if target // nt <= 20 else 0
-        p5, p4 = 5**20, 4**20
-        eff = float(nt * 5 * (p5 - p4) + r_ * p4) / float(p5)
-        want = float(nt * 5 * (p5 - p4) + r_ * p4) / (
+        if nt * 5 * (p5 - p4) + r_ * p4 > 2**63:
+            overflow_seen["num"] = True
+        if p5 * target > 2**63:
+            overflow_seen["den"] = True
+        # pure-Python replay of the double tree, same association
+        num = (float(nt) * 5.0) * (float(p5) - float(p4)) + float(
+            r_
+        ) * float(p4)
+        assert row["effective_tokens"] == num / float(p5), src
+        assert row["value_retention"] == num / (
             float(p5) * float(target)
-        )
-        assert 5**20 * target > 2**63, "denominator would wrap in int64"
-        assert row["effective_tokens"] == eff, src
-        assert row["value_retention"] == want, src
-        assert row["value_retention"] > 0
+        ), src
+        assert row["value_retention"] > 0, src
+    assert overflow_seen["num"], "src_big must reach numerator overflow"
+    assert overflow_seen["den"], "src_tiny must reach denominator overflow"

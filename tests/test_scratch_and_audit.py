@@ -109,3 +109,47 @@ def test_loop_join_nodes_detected_and_clean_plan_empty():
    +- Exchange hashpartitioning(k#1, 32)
       +- FileScan parquet [k]"""
     assert loop_join_nodes(clean) == []
+
+
+def test_oracle_edited_queries_hash_match_duckdb(spark):
+    """Review r8: the advice fixes edited the DUCKDB ORACLE TEXT of
+    four queries (mixture double-tree, _XS_REMOVAL tokenizer, URL
+    host port clause x2) in the same round whose gate rotation moved
+    them past the 50-slot cut — so no driver row would exercise the
+    edited SQL until r9. Replay the driver's compare (same canon /
+    frame_signature code path as tools/oracle_check) inline at
+    sf0.001, making the suite itself gate edited oracle text every
+    round."""
+    import duckdb
+
+    from oracle_check import (  # tools/ is on sys.path above
+        TABLES,
+        canon,
+        frame_signature,
+    )
+
+    from convert_parquet_to_csv_spark.plans import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    for name in (
+        "source_mixture_epochs",
+        "dedup_exact_substring_removal",
+        "dedup_url_canonical",
+        "url_domain_census",
+    ):
+        spdf = registry.QUERIES[name](spark, sf).toPandas()
+        spark.catalog.clearCache()
+        dpdf = con.sql(registry.ORACLES[name]).df()
+        assert len(spdf) == len(dpdf), name
+        assert sorted(spdf.columns) == sorted(dpdf.columns), name
+        assert frame_signature(canon(spdf)) == frame_signature(
+            canon(dpdf)
+        ), name

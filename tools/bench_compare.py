@@ -69,15 +69,36 @@ def _queries_from_tail(tail: str) -> dict[str, float]:
 
 def load(path: str) -> dict:
     """Return a ``{"queries": {...}, "value": float|None}`` view of
-    either a bench stdout capture or a driver BENCH record."""
+    either a bench stdout capture or a driver BENCH record.
+
+    MERGES every parseable record in the file instead of returning
+    the first hit: an r8 bench capture holds TWO JSON lines — the big
+    per-query line and the final compact summary whose `queries`
+    field is only the ~8-key headline subset — and preferring one
+    line would silently drop every secondary query from the
+    comparison (the review-caught r8 bug: a doubled
+    dedup_minhash_500k_docs would pass as "no regressions"). Driver
+    records likewise merge `parsed` with a regex recovery over the
+    stored tail, so keys the compact line lacks still surface."""
     with open(path) as f:
         text = f.read().strip()
     # candidates: the whole file (driver records are pretty-printed
-    # multi-line JSON), then each line last-to-first (bench stdout
-    # ends with the compact r8 summary line).
+    # multi-line JSON), then each line in FILE ORDER (the big
+    # per-query line precedes the compact summary; first-seen wins on
+    # key collisions, and colliding values are identical by
+    # construction anyway).
     candidates = [text] + [
-        ln.strip() for ln in reversed(text.splitlines()) if ln.strip()
+        ln.strip() for ln in text.splitlines() if ln.strip()
     ]
+    queries: dict[str, float] = {}
+    value = None
+    found = False
+
+    def _merge(*maps: dict) -> None:
+        for m in maps:
+            for k, v in m.items():
+                queries.setdefault(k, v)
+
     for cand in candidates:
         try:
             rec = json.loads(cand)
@@ -86,20 +107,24 @@ def load(path: str) -> dict:
         if not isinstance(rec, dict):
             continue
         if "queries" in rec or "headline" in rec:
-            q = dict(rec.get("queries", {}))
-            q.update(rec.get("headline", {}))
-            return {"queries": q, "value": rec.get("value")}
-        if "tail" in rec:  # driver record
+            found = True
+            _merge(rec.get("queries", {}), rec.get("headline", {}))
+            if value is None:
+                value = rec.get("value")
+        elif "tail" in rec:  # driver record
+            found = True
             parsed = rec.get("parsed")
-            if isinstance(parsed, dict) and parsed.get("queries"):
-                q = dict(parsed["queries"])
-                q.update(parsed.get("headline", {}))
-                return {"queries": q, "value": parsed.get("value")}
-            return {
-                "queries": _queries_from_tail(rec.get("tail", "")),
-                "value": None,
-            }
-    raise ValueError(f"no parseable bench record in {path}")
+            if isinstance(parsed, dict):
+                _merge(
+                    parsed.get("queries", {}),
+                    parsed.get("headline", {}),
+                )
+                if value is None:
+                    value = parsed.get("value")
+            _merge(_queries_from_tail(rec.get("tail", "")))
+    if not found:
+        raise ValueError(f"no parseable bench record in {path}")
+    return {"queries": queries, "value": value}
 
 
 def compare(
