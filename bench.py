@@ -132,6 +132,14 @@ NOISE_FLOOR_NAMES = [
     # carry `_spread_pct` so any future delta self-adjudicates.
     "distinctive_terms_tfidf",
     "span_dedup_c4",
+    # r8: the three names whose anchor-adjusted r7→r8 deltas sat just
+    # over tolerance after the min-of-2 re-measure (decontaminate
+    # +39/45%, asof +26%) — untouched code, two-run-consistent, no
+    # spread key to adjudicate against. They get the noise-floor
+    # protocol from here so the r9 comparison self-adjudicates.
+    "decontaminate_ngram_overlap",
+    "decontaminate_ngram_overlap_hashed",
+    "asof_click_attribution",
 ]
 
 # Pruned in r6 (the span_dedup `_warm` lesson generalized): a `_warm`

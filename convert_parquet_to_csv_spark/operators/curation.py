@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from convert_parquet_to_csv_spark.functions.text import (
+    doc_fingerprint,
     ngrams,
     normalize_text,
     token_count,
@@ -1847,4 +1848,94 @@ def lexical_diversity(
         )
         .otherwise(F.lit(0.0))
         .alias("hapax_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# r8: corpus data card (the per-source release report every training
+# dataset ships — composes the engine's own primitives into one row
+# per source)
+# --------------------------------------------------------------------------
+
+def corpus_datacard(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One row per source: ``(source, n_docs, n_tokens,
+    mean_doc_tokens, exact_dup_frac, n_langs, top_lang,
+    top_lang_frac)`` — the data-card summary a dataset release ships
+    (docs/token volumes, global exact-duplicate exposure, language
+    makeup). Duplicate exposure is GLOBAL: a doc counts as duplicated
+    when its normalized fingerprint appears more than once anywhere
+    in the corpus (cross-source recrawls are precisely the
+    interesting case), attributed to each source that holds a copy.
+
+    Exactness: integer counts with one closing divide per ratio.
+    Top-lang election: the usual integer-encode argmax needs a
+    numeric tiebreaker and lang is a string, so the election is two
+    order-independent aggregates instead — max(count) per source,
+    then min(lang) among the languages that attain it (ties → the
+    alphabetically-first language, replayed verbatim in the
+    oracle).
+
+    Plan: one (doc)-scale projection → one fingerprint groupBy
+    (global, 16-byte keys), one (source, lang) partial agg, one
+    per-source agg — three map-side-combinable exchanges, no window
+    over data scale, no collect."""
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        token_count(text_col).cast("bigint").alias("_nt"),
+        doc_fingerprint(text_col).alias("_fp"),
+    )
+    fp_counts = base.groupBy("_fp").agg(
+        F.count(F.lit(1)).alias("_fpc")
+    )
+    per_doc = base.join(fp_counts, "_fp")
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("_fpc") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_ndup"),
+    )
+    lang_counts = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_lc")
+    )
+    top = lang_counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.max("_lc").alias("_top_c"),
+    )
+    top_lang = (
+        lang_counts.join(top, "source")
+        .filter(F.col("_lc") == F.col("_top_c"))
+        .groupBy("source")
+        .agg(F.min("lang").alias("top_lang"))
+    )
+    return (
+        per_source.join(top, "source")
+        .join(top_lang, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (
+                F.col("n_tokens").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("mean_doc_tokens"),
+            (
+                F.col("_ndup").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("exact_dup_frac"),
+            "n_langs",
+            "top_lang",
+            (
+                F.col("_top_c").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("top_lang_frac"),
+        )
     )

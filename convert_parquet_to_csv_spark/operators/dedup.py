@@ -936,3 +936,137 @@ def keep_best_per_cluster(
         F.col("_b._bq").alias("quality"),
         "n_members",
     )
+
+
+def remove_within_doc_repeats(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document repeated-span removal, keep-first policy — the
+    in-document sibling of the cross-document C4 rule
+    (``curation.remove_duplicated_spans``) and of
+    :func:`duplicated_span_extents`' corpus-total hotness: a word
+    position is removed when it is covered by a ``k``-gram occurrence
+    that is a NON-FIRST occurrence of that gram inside the same
+    document (the RefinedWeb/MassiveText "remove repeated
+    lines/paragraphs" device at word-shingle granularity — looping
+    generations, chat echoes, SEO keyword stuffing). The FIRST
+    occurrence of every gram survives, so unique content is never
+    touched and an all-unique doc passes through byte-identical.
+
+    Output: ``(id, clean_text, n_kept, n_removed)`` for every input
+    doc (sub-k docs pass through whole).
+
+    Plan shape (all built-ins): one tokenize; gram keys =
+    ``xxhash64(slice)``; first occurrence per (doc, gram) = one
+    map-side-combinable ``min(pos)`` groupBy; repeats join back on
+    (doc, gram) with ``pos > first_pos``; covered positions explode
+    k-wide and DISTINCT per (doc, pos); reassembly is the span-dedup
+    order-preserving word join. Every exchange is keyed by doc (and
+    doc-local), so the operator partitions perfectly at any corpus
+    size — there is no corpus-global state at all, unlike the
+    cross-doc rule's heavy-hitter table."""
+    base = df.select(id_col, tokens(text_col).alias("_tk"))
+    grams = base.filter(F.size("_tk") >= k).select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.size("_tk") - k)).alias("_p"),
+        "_tk",
+    ).select(
+        id_col,
+        "_p",
+        F.xxhash64(F.expr(f"slice(_tk, _p + 1, {k})")).alias("_h"),
+    )
+    first = grams.groupBy(id_col, "_h").agg(F.min("_p").alias("_fp"))
+    repeats = grams.join(first, [id_col, "_h"]).filter(
+        F.col("_p") > F.col("_fp")
+    )
+    covered = repeats.select(
+        id_col,
+        F.explode(F.sequence(F.col("_p"), F.col("_p") + k - 1)).alias(
+            "_cp"
+        ),
+    ).distinct()
+    words = base.select(
+        id_col,
+        F.posexplode("_tk").alias("_pos", "_w"),
+    )
+    kept = (
+        words.join(
+            covered,
+            (words[id_col] == covered[id_col])
+            & (F.col("_pos") == F.col("_cp")),
+            "left_anti",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_w"))
+                    ),
+                    lambda s: s["_w"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        )
+    )
+    spine = df.select(
+        id_col, F.size(tokens(text_col)).cast("bigint").alias("_n")
+    )
+    return spine.join(kept, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias(
+            "n_kept"
+        ),
+        (
+            F.col("_n") - F.coalesce(F.col("n_kept"), F.lit(0))
+        ).cast("bigint").alias("n_removed"),
+    )
+
+
+def minhash_s_curve(
+    spark: "SparkSession",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    grid: int = 20,
+) -> DataFrame:
+    """The banded-LSH S-curve as a table: for Jaccard similarity s on
+    a 1/``grid`` lattice, the probability a pair becomes an LSH
+    candidate under (``bands`` b, ``rows_per_band`` r) —
+    ``1 − (1 − s^r)^b`` — plus the per-band match probability. The
+    design tool for choosing minhash parameters: read off the
+    threshold where the curve crosses 0.5 and the false-positive mass
+    below your target similarity (Leskovec/Rajaraman/Ullman, MMDS
+    §3.4; the repo's minhash_dedup defaults b=8, r=4 put the exact
+    0.5-crossing at s = (1 − 0.5^(1/b))^(1/r) ≈ 0.537 — note the
+    common (1/b)^(1/r) ≈ 0.59 rule of thumb overshoots it).
+
+    Cross-engine exactness: NO ``pow`` (library pow is not correctly
+    rounded and drifts a ulp between libms) — s^r and (1−s^r)^b are
+    unrolled MULTIPLY CHAINS, left-associated identically in the
+    DuckDB oracle; each step is one correctly-rounded IEEE op on the
+    exact lattice points i/grid, so both engines agree bit-for-bit.
+    Dimension-scale (grid−1 rows) — a pure design table, no data."""
+    if bands < 1 or rows_per_band < 1 or grid < 2:
+        raise ValueError("bands, rows_per_band >= 1 and grid >= 2")
+    s = (
+        F.col("id").cast("double") / F.lit(grid).cast("double")
+    ).alias("s")
+    df = spark.range(1, grid).select(s)
+    p_band = F.col("s")
+    for _ in range(rows_per_band - 1):
+        p_band = p_band * F.col("s")
+    df = df.withColumn("p_band", p_band)
+    miss = F.lit(1.0) - F.col("p_band")
+    p_all_miss = miss
+    for _ in range(bands - 1):
+        p_all_miss = p_all_miss * miss
+    return df.select(
+        "s",
+        "p_band",
+        (F.lit(1.0) - p_all_miss).alias("p_candidate"),
+    )

@@ -1358,3 +1358,64 @@ def license_filter_deck(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return C.license_signals(aug)
+
+
+# --------------------------------------------------------------------------
+# r8 wave 2: the corpus data card (per-source release report).
+# Day-one gated.
+# --------------------------------------------------------------------------
+
+_DATACARD_ORACLE = r"""
+WITH base AS (
+  SELECT source, doc_id, lang,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              t -> t != '')) AS BIGINT) AS nt,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+fpc AS (SELECT fp, count(*) AS c FROM base GROUP BY fp),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ndup
+  FROM base JOIN fpc USING (fp) GROUP BY source
+),
+lc AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS lcnt
+  FROM base GROUP BY source, lang
+),
+tp AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+         max(lcnt) AS topc
+  FROM lc GROUP BY source
+),
+tl AS (
+  SELECT lc.source, min(lang) AS top_lang
+  FROM lc JOIN tp ON tp.source = lc.source AND lc.lcnt = tp.topc
+  GROUP BY lc.source
+)
+SELECT per.source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         AS mean_doc_tokens,
+       CAST(ndup AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         AS exact_dup_frac,
+       n_langs, top_lang,
+       CAST(topc AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         AS top_lang_frac
+FROM per
+JOIN tp ON tp.source = per.source
+JOIN tl ON tl.source = per.source
+"""
+
+
+@query("corpus_datacard", oracle=_DATACARD_ORACLE)
+def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-card row (operators/curation.corpus_datacard):
+    doc/token volumes, GLOBAL exact-duplicate exposure (a doc counts
+    when its normalized fingerprint recurs anywhere in the corpus —
+    cross-source recrawls being the interesting case), language
+    makeup with an order-independent top-lang election (max count,
+    ties → alphabetically-first). Three map-side-combinable
+    exchanges; integer counts, one closing divide per ratio."""
+    return C.corpus_datacard(_docs(spark, sf_dir))

@@ -1880,3 +1880,114 @@ def robots_noai_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return robots_policy_filter(docs, policies)
+
+
+# --------------------------------------------------------------------------
+# r8 wave 2: WITHIN-document repeated-span removal (keep-first) and
+# the banded-LSH S-curve design table. Day-one gated.
+# --------------------------------------------------------------------------
+
+_WDR_K = 2
+
+_WITHIN_DOC_ORACLE = f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS a
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(p AS INT) AS pos,
+         array_to_string(a[CAST(p AS INT)+1:CAST(p AS INT)+{_WDR_K}],
+                         ' ') AS gram
+  FROM arr, UNNEST(range(0, greatest(len(a) - {_WDR_K} + 1, 0)))
+    AS t(p)
+),
+fst AS (
+  SELECT doc_id, gram, min(pos) AS fp
+  FROM grams GROUP BY doc_id, gram
+),
+covered AS (
+  SELECT DISTINCT g.doc_id, g.pos + CAST(c AS INT) AS cpos
+  FROM grams g
+  JOIN fst f ON f.doc_id = g.doc_id AND f.gram = g.gram
+            AND g.pos > f.fp,
+       UNNEST(range(0, {_WDR_K})) AS u(c)
+),
+words AS (
+  SELECT doc_id, CAST(p AS INT) AS pos, a[CAST(p AS INT)+1] AS word
+  FROM arr, UNNEST(range(0, len(a))) AS t(p)
+)
+SELECT w.doc_id,
+       COALESCE(array_to_string(
+         list(w.word ORDER BY w.pos) FILTER (c.cpos IS NULL), ' '),
+         '') AS clean_text,
+       CAST(COUNT(*) FILTER (c.cpos IS NULL) AS BIGINT) AS n_kept,
+       CAST(COUNT(c.cpos) AS BIGINT) AS n_removed
+FROM words w LEFT JOIN covered c
+  ON w.doc_id = c.doc_id AND w.pos = c.cpos
+GROUP BY w.doc_id
+"""
+
+
+@query("dedup_within_doc_repeats", oracle=_WITHIN_DOC_ORACLE)
+def dedup_within_doc_repeats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WITHIN-document repeated-span removal, keep-first
+    (operators/dedup.remove_within_doc_repeats — the in-document
+    sibling of span_dedup_c4's cross-document rule; looping
+    generations, chat echoes, keyword stuffing): every word covered
+    by a NON-FIRST occurrence of a {k}-gram inside the same document
+    is deleted, first occurrences and unique text survive verbatim.
+    k=2 is the fixture calibration (the synthetic word salad repeats
+    bigrams within docs, rarely 4-grams). Every exchange is keyed by
+    doc — no corpus-global state, the operator partitions perfectly
+    at any scale."""
+    from convert_parquet_to_csv_spark.operators.dedup import (
+        remove_within_doc_repeats,
+    )
+
+    return remove_within_doc_repeats(
+        _docs(spark, sf_dir).select("doc_id", "text"), k=_WDR_K
+    )
+
+
+_SCURVE_B, _SCURVE_R, _SCURVE_GRID = 8, 4, 20
+
+_SCURVE_ORACLE = f"""
+WITH g AS (
+  SELECT CAST(i AS DOUBLE) / {_SCURVE_GRID}.0 AS s
+  FROM range(1, {_SCURVE_GRID}) t(i)
+), pb AS (
+  SELECT s, {' * '.join(['s'] * _SCURVE_R)} AS p_band FROM g
+)
+SELECT s, p_band,
+       1.0 - ({' * '.join(['(1.0 - p_band)'] * _SCURVE_B)})
+         AS p_candidate
+FROM pb
+"""
+
+
+@query("minhash_s_curve", oracle=_SCURVE_ORACLE)
+def minhash_s_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded-LSH S-curve for the engine's own minhash defaults
+    (b=8, r=4): candidate probability 1−(1−s^r)^b on the s = i/20
+    lattice (operators/dedup.minhash_s_curve) — the design table for
+    choosing dedup parameters (exact 0.5-crossing ≈ 0.537 here; read the
+    false-positive mass below your target similarity straight off
+    it). No library pow anywhere: both engines evaluate identical
+    left-associated MULTIPLY CHAINS (library pow is not correctly
+    rounded and drifts between libms), so the doubles match
+    bit-for-bit. Dimension-scale: 19 rows, no data input — the one
+    registry query whose cost is zero at any corpus size."""
+    from convert_parquet_to_csv_spark.operators.dedup import (
+        minhash_s_curve,
+    )
+
+    return minhash_s_curve(
+        spark,
+        bands=_SCURVE_B,
+        rows_per_band=_SCURVE_R,
+        grid=_SCURVE_GRID,
+    )

@@ -90,11 +90,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # whole refresh budget goes to the OLDEST-signal class — all 39
 # queries whose latest driver row is r2 (5 rounds old; the r7 judge
 # replica-sampled 16 of them green, this is rotation bookkeeping).
-# Layout is exactly the 50-slot gate budget: 3 canaries + 8 r8
-# day-one + 39 r2-latest; after the driver run the oldest signal
-# anywhere is >= r3. Queries whose kernels/oracles the r8 advice
-# fixes touched sit just past the cut (replica-verified tri-SF this
-# round, see the ledger) and lead the r9 refresh.
+# Layout is exactly the 50-slot gate budget: 3 canaries + 12 r8
+# day-one (8 + 4 wave-2) + 35 of the 39 r2-latest; the four wave-2
+# registrations displace the four most-stable TPC-H refresh slots
+# (q16/q17/q21/q22 — r7 precedent: day-one registrations take
+# refresh slots), which move just past the cut together with the
+# advice-touched queries and are covered meanwhile by the per-run
+# inline DuckDB oracle test (tests/test_scratch_and_audit.py).
 FIRST_TIER: list[str] = [
     # --- canaries (every round): flagship roundtrip, conf-pinning sentinel, mapInPandas seam ---
     "convert_roundtrip",
@@ -109,6 +111,13 @@ FIRST_TIER: list[str] = [
     "license_filter_deck",
     "url_recrawl_keep_newest",
     "robots_noai_filter",
+    # r8 wave 2 (same day-one invariant; each displaces one trailing
+    # r2 refresh slot past the cut — the r7 precedent: day-one
+    # registrations take refresh slots, never the other way)
+    "dedup_within_doc_repeats",
+    "minhash_s_curve",
+    "corpus_datacard",
+    "bpe_fertility_by_lang",
     # --- refresh: the 39 queries whose latest driver row is r2 (VERDICT r7 item 2 — the oldest-signal class; after this round the oldest signal everywhere is >= r3). Registration order. ---
     "left_join_enrichment",
     "right_join_enrichment",
@@ -143,13 +152,18 @@ FIRST_TIER: list[str] = [
     "q12_late_line_priority",
     "q13_customer_distribution",
     "q15_top_supplier",
+    "decontaminate_ngram_overlap",
+    "source_mix_temperature",
+    # --- just past the ~50 cut: queries whose KERNELS or ORACLES were touched by the r8 advice fixes — replica-verified tri-SF this round (ledger), first in line for the r9 gate ---
+    # displaced from the r2-refresh block by the four wave-2 day-one
+    # registrations (35/39 of the r2 class rotates this round; these
+    # four stable TPC-H queries — property-suite-covered and also in
+    # the per-run inline DuckDB oracle test — take the first r9
+    # refresh slots together with the oracle-edited set below)
     "q17_small_quantity_revenue",
     "q21_suppliers_waiting",
     "q22_sales_opportunity",
     "q16_parts_supplier_relationship",
-    "decontaminate_ngram_overlap",
-    "source_mix_temperature",
-    # --- just past the ~50 cut: queries whose KERNELS or ORACLES were touched by the r8 advice fixes — replica-verified tri-SF this round (ledger), first in line for the r9 gate ---
     # oracle-TEXT-edited queries lead (review r8: an edited oracle
     # has no driver row this round; the suite's inline oracle gate —
     # tests/test_scratch_and_audit.py::

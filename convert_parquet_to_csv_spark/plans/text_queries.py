@@ -1562,3 +1562,80 @@ def lexical_diversity_quality(
     return lexical_diversity(
         _docs(spark, sf_dir).select("doc_id", "text")
     )
+
+
+# --------------------------------------------------------------------------
+# r8 wave 2: tokenizer fertility under the LEARNED BPE (completing the
+# loop: tokenizer_fertility_by_lang measures the regex proxy; this
+# measures the tokenizer the engine actually trained). Day-one gated.
+# --------------------------------------------------------------------------
+
+_BPE_FERTILITY_ORACLE = (
+    _bpe_chain(_BPE_ROUNDS)
+    + _BPE_OCC_CTE
+    + f""",
+enc AS (
+  SELECT d.doc_id,
+         CAST(coalesce(sum(len(e.sy)), 0) AS BIGINT) AS nb
+  FROM documents d
+  LEFT JOIN occ ON occ.doc_id = d.doc_id
+  LEFT JOIN w{_BPE_ROUNDS} e ON e.w = occ.w
+  GROUP BY d.doc_id
+),
+nw AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              t -> t != '')) AS BIGINT) AS nwords,
+         lang
+  FROM documents
+)
+SELECT lang,
+       CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(nwords) AS BIGINT) AS n_words,
+       CAST(sum(nb) AS DOUBLE) / CAST(sum(nwords) AS DOUBLE)
+         AS fertility
+FROM enc JOIN nw USING (doc_id)
+GROUP BY lang
+"""
+)
+
+
+@query("bpe_fertility_by_lang", oracle=_BPE_FERTILITY_ORACLE)
+def bpe_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language fertility of the LEARNED 3-merge BPE tokenizer:
+    Σ encoded symbols / Σ whitespace words — the
+    tokens-per-word number tokenizer evaluations report, here for
+    the tokenizer the engine itself trained (bpe_learn_merges →
+    bpe_apply_merges), next to tokenizer_fertility_by_lang's regex
+    proxy. Exact integer sums, one closing divide. The oracle
+    replays the full merge chain, the per-doc encoded lengths, and
+    the per-lang rollup."""
+    from convert_parquet_to_csv_spark.functions.text import (
+        token_count,
+    )
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        bpe_apply_merges,
+        bpe_learn_merges,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    merges = bpe_learn_merges(docs, rounds=_BPE_ROUNDS)
+    counts = bpe_apply_merges(docs, merges, rounds=_BPE_ROUNDS)
+    joined = counts.join(
+        docs.select(
+            "doc_id",
+            "lang",
+            token_count("text").cast("bigint").alias("_nw"),
+        ),
+        "doc_id",
+    )
+    return joined.groupBy("lang").agg(
+        F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.sum("_nw").cast("bigint").alias("n_words"),
+        (
+            F.sum("n_bpe_tokens").cast("double")
+            / F.sum("_nw").cast("double")
+        ).alias("fertility"),
+    )

@@ -980,3 +980,48 @@ def test_mixture_value_retention_overflow_regime(spark):
         assert row["value_retention"] > 0, src
     assert overflow_seen["num"], "src_big must reach numerator overflow"
     assert overflow_seen["den"], "src_tiny must reach denominator overflow"
+
+
+def test_corpus_datacard_rollup(spark):
+    rows = [
+        # src A: 3 docs, one global dup pair with src B; langs en/en/de
+        (1, "alpha beta gamma", "A", 0),
+        (2, "alpha beta gamma", "A", 0),
+        (3, "unique one here", "A", 0),
+        # src B: 2 docs; one copies doc 1's content (cross-source dup)
+        (4, "Alpha  beta   GAMMA", "B", 0),   # same normalized fp
+        (5, "totally different", "B", 0),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, s) for i, t, s, _ in rows],
+        "doc_id LONG, text STRING, source STRING",
+    ).withColumn(
+        "lang",
+        F.when(F.col("doc_id") == 3, F.lit("de")).otherwise(F.lit("en")),
+    )
+    got = {
+        r["source"]: r.asDict()
+        for r in C.corpus_datacard(docs).collect()
+    }
+    a, b = got["A"], got["B"]
+    assert (a["n_docs"], a["n_tokens"]) == (3, 9)
+    assert a["exact_dup_frac"] == 2 / 3          # docs 1 and 2
+    assert (a["n_langs"], a["top_lang"]) == (2, "en")
+    assert a["top_lang_frac"] == 2 / 3
+    assert a["mean_doc_tokens"] == 3.0
+    assert (b["n_docs"], b["exact_dup_frac"]) == (2, 1 / 2)  # doc 4
+    assert (b["n_langs"], b["top_lang"], b["top_lang_frac"]) == (
+        1,
+        "en",
+        1.0,
+    )
+
+
+def test_corpus_datacard_top_lang_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y", "S", "zh"), (2, "x y", "S", "de")],
+        "doc_id LONG, text STRING, source STRING, lang STRING",
+    )
+    row = C.corpus_datacard(docs).collect()[0]
+    # 1-1 tie → alphabetically first language
+    assert row["top_lang"] == "de" and row["top_lang_frac"] == 0.5

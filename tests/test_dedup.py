@@ -401,3 +401,90 @@ def test_keep_best_per_cluster_float_quality(spark):
     assert len(got) == 1
     assert got[0]["survivor_id"] == 2
     assert abs(got[0]["quality"] - 0.97) < 1e-12
+
+
+# --------------------------------------------------------------------------
+# r8 wave 2: within-doc repeated-span removal + the LSH S-curve table
+# --------------------------------------------------------------------------
+
+
+def test_remove_within_doc_repeats_keep_first(spark):
+    """Keep-first semantics: the first occurrence of every k-gram
+    survives, later occurrences' covered positions are removed;
+    unique docs pass through byte-identical; sub-k and empty docs
+    emit (whole text, n, 0)."""
+    from convert_parquet_to_csv_spark.operators.dedup import (
+        remove_within_doc_repeats,
+    )
+
+    rows = [
+        # 'a b' repeats at positions 0, 2 and 5 → positions 2,3,5,6
+        # are covered by non-first occurrences
+        (1, "a b a b x a b"),
+        (2, "all words unique in here"),
+        (3, "x"),            # sub-k
+        (4, ""),             # empty
+        # overlapping repeat of 'a a': positions 0..3; first occ at
+        # 0 keeps (0,1); occs at 1,2 are non-first → covered 1,2,3
+        (5, "a a a a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in remove_within_doc_repeats(df, k=2).collect()
+    }
+
+    def ref(text, k=2):
+        toks = text.split()
+        first: dict[tuple, int] = {}
+        covered = set()
+        for p in range(max(len(toks) - k + 1, 0)):
+            g = tuple(toks[p : p + k])
+            if g in first:
+                covered.update(range(p, p + k))
+            else:
+                first[g] = p
+        kept = [w for i, w in enumerate(toks) if i not in covered]
+        return (" ".join(kept), len(kept), len(toks) - len(kept))
+
+    for i, text in rows:
+        assert got[i] == ref(text), (i, got[i], ref(text))
+    # the unique doc is untouched, the loop doc is gutted
+    assert got[2][2] == 0
+    assert got[5] == ("a", 1, 3)
+
+
+def test_minhash_s_curve_values(spark):
+    """1−(1−s^r)^b on the lattice, bit-equal to python float math
+    with the same association; monotone; 0.5-crossing near the
+    (1/b)^(1/r) rule of thumb for the repo defaults."""
+    from convert_parquet_to_csv_spark.operators.dedup import (
+        minhash_s_curve,
+    )
+
+    b, r, grid = 8, 4, 20
+    got = {
+        row["s"]: (row["p_band"], row["p_candidate"])
+        for row in minhash_s_curve(
+            spark, bands=b, rows_per_band=r, grid=grid
+        ).collect()
+    }
+    assert len(got) == grid - 1
+    prev = -1.0
+    for i in range(1, grid):
+        s = i / float(grid)
+        p_band = s
+        for _ in range(r - 1):
+            p_band = p_band * s
+        miss = 1.0 - p_band
+        p_all = miss
+        for _ in range(b - 1):
+            p_all = p_all * miss
+        want = (p_band, 1.0 - p_all)
+        assert got[s] == want, (s, got[s], want)
+        assert want[1] >= prev
+        prev = want[1]
+    # exact 0.5-crossing: s^4 = 1 − 0.5^(1/8) → s ≈ 0.537 (the
+    # (1/b)^(1/r) ≈ 0.595 rule of thumb overshoots — it solves
+    # b·s^r = 1, not the exact curve)
+    assert got[0.50][1] < 0.5 < got[0.55][1]

@@ -140,10 +140,18 @@ def test_oracle_edited_queries_hash_match_duckdb(spark):
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
     for name in (
+        # oracle-text-edited this round (no driver row until r9)
         "source_mixture_epochs",
         "dedup_exact_substring_removal",
         "dedup_url_canonical",
         "url_domain_census",
+        # displaced from the r8 gate prefix by the wave-2 day-one
+        # registrations — their r2 driver rows stay the newest until
+        # r9, so the suite carries the oracle compare meanwhile
+        "q17_small_quantity_revenue",
+        "q21_suppliers_waiting",
+        "q22_sales_opportunity",
+        "q16_parts_supplier_relationship",
     ):
         spdf = registry.QUERIES[name](spark, sf).toPandas()
         spark.catalog.clearCache()
