@@ -1939,3 +1939,41 @@ def corpus_datacard(
             ).alias("top_lang_frac"),
         )
     )
+
+
+def quality_funnel(
+    flags: DataFrame,
+    stages: list[str],
+) -> DataFrame:
+    """Survival funnel over a boolean flag table: row i = rows
+    passing ALL of the first i ``stages`` (stage 0 = input size) —
+    the marginal kill-rate readout threshold tuning reads (a rule
+    with zero marginal kills is dead weight; one that kills half the
+    corpus needs a second look). One scan, one global aggregate row
+    (1 row — not a data-scale funnel), exploded to (stage, rule,
+    n_surviving)."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n0")]
+    acc = F.lit(True)
+    for i, nm in enumerate(stages, 1):
+        acc = acc & F.col(nm)
+        aggs.append(
+            F.sum(acc.cast("int")).cast("bigint").alias(f"_n{i}")
+        )
+    row = flags.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(0).cast("bigint").alias("stage"),
+            F.lit("all").alias("rule"),
+            F.col("_n0").alias("n_surviving"),
+        )
+    ] + [
+        F.struct(
+            F.lit(i).cast("bigint").alias("stage"),
+            F.lit(nm).alias("rule"),
+            F.col(f"_n{i}").alias("n_surviving"),
+        )
+        for i, nm in enumerate(stages, 1)
+    ]
+    return row.select(
+        F.explode(F.array(*structs)).alias("_s")
+    ).select("_s.stage", "_s.rule", "_s.n_surviving")

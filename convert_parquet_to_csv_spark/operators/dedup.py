@@ -1070,3 +1070,34 @@ def minhash_s_curve(
         "p_band",
         (F.lit(1.0) - p_all_miss).alias("p_candidate"),
     )
+
+
+def dedup_remap(
+    df: DataFrame,
+    key: Column,
+    id_col: str = "doc_id",
+    method: str = "exact",
+) -> DataFrame:
+    """Provenance remap for ONE dedup stage: every dropped document
+    mapped to the survivor that replaced it — ``(dropped_id,
+    kept_id, method)``, survivor = min id per ``key`` group. This is
+    the audit artifact a production dedup MUST emit alongside the
+    cleaned corpus (GDPR erasure has to chase replaced copies;
+    training-data provenance has to answer "where did doc X go");
+    dropping rows without it loses the lineage forever.
+
+    One groupBy(key) min + one equi-join back — two exchanges on the
+    dedup key, no window. Compose stages by running later stages on
+    the survivors of earlier ones and unioning the remaps (the gated
+    query chains exact-content → canonical-URL)."""
+    keyed = df.select(key.alias("_k"), F.col(id_col))
+    mins = keyed.groupBy("_k").agg(F.min(id_col).alias("kept_id"))
+    return (
+        keyed.join(mins, "_k")
+        .filter(F.col(id_col) != F.col("kept_id"))
+        .select(
+            F.col(id_col).cast("bigint").alias("dropped_id"),
+            F.col("kept_id").cast("bigint").alias("kept_id"),
+            F.lit(method).alias("method"),
+        )
+    )

@@ -1191,3 +1191,85 @@ def topk_ivfadc(
         .filter(F.col("_rn") <= k)
         .select(query_id_col, "neighbor_id", "similarity")
     )
+
+
+def jl_project(
+    vectors: DataFrame,
+    dim: int,
+    out_dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a DETERMINISTIC
+    ±1 sign matrix (Achlioptas 2003: Rademacher entries preserve
+    pairwise distances within (1±ε) at d' = O(log n / ε²), no
+    Gaussian needed) — the standard dimensionality-reduction front
+    for brute-force/ANN similarity when 64 floats per doc is still
+    too wide at 100 TB. Output: one row per vector with ``out_dims``
+    BIGINT columns ``c0..c{d'-1}``, where
+    ``c_i = Σ_j sign(i, j) · floor(v_j · quant)``.
+
+    Cross-engine exactness: components are EXACT INTEGERS — each
+    float32 coordinate converts exactly to double, one
+    correctly-rounded multiply by ``quant``, floor pins it to
+    BIGINT, and the signed sum is order-free integer arithmetic
+    (md5(i_j) bit = the sign, the repo's cross-engine RNG). No
+    float sum anywhere, so the oracle matches bit-for-bit and the
+    projection is reproducible across engines/runs by construction
+    — an audit property real Gaussian projections cannot offer.
+
+    Plan shape: the sign matrix is a ``dim``-row broadcast (built
+    from a range, never collected); one posexplode + broadcast join
+    + per-id groupBy with map-side partial aggregation — a single
+    narrow shuffle keyed by vector id. Scale: rows shuffled =
+    |corpus|·dim, each 8 bytes + out_dims partials; at a 64→8
+    reduction the downstream similarity scan reads 8 ints instead
+    of 64 floats."""
+    if out_dims < 1 or dim < 1:
+        raise ValueError("dim and out_dims must be >= 1")
+    spark = vectors.sparkSession
+    signs = spark.range(1, dim + 1).select(
+        F.col("id").cast("int").alias("_j"),
+        *[
+            (
+                F.lit(1)
+                - F.lit(2)
+                * (
+                    F.ascii(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{i}_"),
+                                    F.col("id").cast("string"),
+                                )
+                            ),
+                            1,
+                            1,
+                        )
+                    )
+                    % 2
+                )
+            ).cast("bigint").alias(f"_s{i}")
+            for i in range(out_dims)
+        ],
+    )
+    exploded = vectors.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("_p", "_v"),
+    ).select(
+        F.col(id_col),
+        (F.col("_p") + 1).cast("int").alias("_j"),
+        F.floor(
+            F.col("_v").cast("double") * F.lit(quant).cast("double")
+        ).cast("bigint").alias("_vi"),
+    )
+    joined = exploded.join(F.broadcast(signs), "_j")
+    return joined.groupBy(id_col).agg(
+        *[
+            F.sum(F.col(f"_s{i}") * F.col("_vi"))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i in range(out_dims)
+        ]
+    )

@@ -1419,3 +1419,75 @@ def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties → alphabetically-first). Three map-side-combinable
     exchanges; integer counts, one closing divide per ratio."""
     return C.corpus_datacard(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# r8 wave 3: the Gopher filter FUNNEL (per-stage survival counts —
+# the pipeline-observability artifact every filter deployment reads
+# before committing thresholds). Day-one gated.
+# --------------------------------------------------------------------------
+
+_FUNNEL_STAGES = [
+    "word_count_ok",
+    "mean_word_len_ok",
+    "alpha_word_frac_ok",
+    "stopword_ok",
+    "top_2gram_ok",
+    "top_3gram_ok",
+    "top_4gram_ok",
+    "dup_5gram_ok",
+    "dup_6gram_ok",
+    "dup_7gram_ok",
+    "dup_8gram_ok",
+    "dup_9gram_ok",
+    "dup_10gram_ok",
+]
+
+# survival after each cumulative prefix of the deck, replayed over
+# the full filter oracle as a subquery
+_GOPHER_FUNNEL_ORACLE = (
+    "WITH f AS (" + _GOPHER_FILTER_ORACLE + ")\n" + """SELECT CAST(0 AS BIGINT) AS stage, 'all' AS rule, CAST(count(*) AS BIGINT) AS n_surviving FROM f
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'word_count_ok', CAST(count(*) FILTER (word_count_ok) AS BIGINT) FROM f
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'mean_word_len_ok', CAST(count(*) FILTER (word_count_ok AND mean_word_len_ok) AS BIGINT) FROM f
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'alpha_word_frac_ok', CAST(count(*) FILTER (word_count_ok AND mean_word_len_ok AND alpha_word_frac_ok) AS BIGINT) FROM f
+UNION ALL
+SELECT CAST(4 AS BIGINT), 'stopword_ok', CAST(count(*) FILTER (word_count_ok AND mean_word_len_ok AND alpha_word_frac_ok AND stopword_ok) AS BIGINT) FROM f
+UNION ALL
+SELECT CAST(5 AS BIGINT), 'top_2gram_ok', CAST(count(*) FILTER (word_count_ok AND mean_word_len_ok AND alpha_word_frac_ok AND stopword_ok AND top_2gram_ok) AS BIGINT) FROM f
+UNION ALL
+SELECT CAST(6 AS BIGINT), 'top_3gram_ok', CAST(count(*) FILTER (word_count_ok AND mean_word_len_ok AND alpha_word_frac_ok AND stopword_ok AND top_2gram_ok AND top_3gram_ok) AS BIGINT) FROM f
+UNION ALL
+SELECT CAST(7 AS BIGINT), 'top_4gram_ok', CAST(count(*) FILTER (word_count_ok AND mean_word_len_ok AND alpha_word_frac_ok AND stopword_ok AND top_2gram_ok AND top_3gram_ok AND top_4gram_ok) AS BIGINT) FROM f
+UNION ALL
+SELECT CAST(8 AS BIGINT), 'dup_5gram_ok', CAST(count(*) FILTER (word_count_ok AND mean_word_len_ok AND alpha_word_frac_ok AND stopword_ok AND top_2gram_ok AND top_3gram_ok AND top_4gram_ok AND dup_5gram_ok) AS BIGINT) FROM f
+UNION ALL
+SELECT CAST(9 AS BIGINT), 'dup_6gram_ok', CAST(count(*) FILTER (word_count_ok AND mean_word_len_ok AND alpha_word_frac_ok AND stopword_ok AND top_2gram_ok AND top_3gram_ok AND top_4gram_ok AND dup_5gram_ok AND dup_6gram_ok) AS BIGINT) FROM f
+UNION ALL
+SELECT CAST(10 AS BIGINT), 'dup_7gram_ok', CAST(count(*) FILTER (word_count_ok AND mean_word_len_ok AND alpha_word_frac_ok AND stopword_ok AND top_2gram_ok AND top_3gram_ok AND top_4gram_ok AND dup_5gram_ok AND dup_6gram_ok AND dup_7gram_ok) AS BIGINT) FROM f
+UNION ALL
+SELECT CAST(11 AS BIGINT), 'dup_8gram_ok', CAST(count(*) FILTER (word_count_ok AND mean_word_len_ok AND alpha_word_frac_ok AND stopword_ok AND top_2gram_ok AND top_3gram_ok AND top_4gram_ok AND dup_5gram_ok AND dup_6gram_ok AND dup_7gram_ok AND dup_8gram_ok) AS BIGINT) FROM f
+UNION ALL
+SELECT CAST(12 AS BIGINT), 'dup_9gram_ok', CAST(count(*) FILTER (word_count_ok AND mean_word_len_ok AND alpha_word_frac_ok AND stopword_ok AND top_2gram_ok AND top_3gram_ok AND top_4gram_ok AND dup_5gram_ok AND dup_6gram_ok AND dup_7gram_ok AND dup_8gram_ok AND dup_9gram_ok) AS BIGINT) FROM f
+UNION ALL
+SELECT CAST(13 AS BIGINT), 'dup_10gram_ok', CAST(count(*) FILTER (word_count_ok AND mean_word_len_ok AND alpha_word_frac_ok AND stopword_ok AND top_2gram_ok AND top_3gram_ok AND top_4gram_ok AND dup_5gram_ok AND dup_6gram_ok AND dup_7gram_ok AND dup_8gram_ok AND dup_9gram_ok AND dup_10gram_ok) AS BIGINT) FROM f"""
+)
+
+
+@query("gopher_funnel", oracle=_GOPHER_FUNNEL_ORACLE)
+def gopher_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival funnel through the Gopher deck in documented order:
+    row i = docs passing ALL of the first i rules (stage 0 = corpus
+    size), i.e. the marginal kill-rate of each rule GIVEN the rules
+    before it — the number threshold-tuning actually reads (a rule
+    with zero marginal kills is dead weight; one that kills half the
+    corpus needs a second look). One scan through
+    gopher_quality_filter's flags, one aggregate row, exploded to
+    (stage, rule, n_surviving) — the funnel itself is free at any
+    corpus size."""
+    flags = C.gopher_quality_filter(
+        _docs(spark, sf_dir), min_stopword_hits=1
+    )
+    return C.quality_funnel(flags, _FUNNEL_STAGES)

@@ -1991,3 +1991,77 @@ def minhash_s_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_per_band=_SCURVE_R,
         grid=_SCURVE_GRID,
     )
+
+
+# --------------------------------------------------------------------------
+# r8 wave 3: dedup provenance remap (the dropped→kept lineage table a
+# production dedup must emit). Day-one gated.
+# --------------------------------------------------------------------------
+
+_REMAP_ORACLE = (
+    _URL_BUILD_CTE
+    + """
+, fpt AS (
+  SELECT doc_id,
+         md5(array_to_string((list_filter(
+             string_split_regex(trim(text), '\\s+'),
+             t -> t != ''))[1:2], ' ')) AS f
+  FROM documents
+), ek AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS kept FROM fpt
+), surv AS (
+  SELECT doc_id FROM ek WHERE doc_id = kept
+), uk AS (
+  SELECT c2.doc_id,
+         min(c2.doc_id) OVER (PARTITION BY canonical_url) AS kept
+  FROM c2 JOIN surv USING (doc_id)
+)
+SELECT CAST(doc_id AS BIGINT) AS dropped_id,
+       CAST(kept AS BIGINT) AS kept_id, 'title_prefix' AS method
+FROM ek WHERE doc_id != kept
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), CAST(kept AS BIGINT), 'url'
+FROM uk WHERE doc_id != kept
+"""
+)
+
+
+@query("dedup_provenance_remap", oracle=_REMAP_ORACLE)
+def dedup_provenance_remap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-stage dedup LINEAGE table (operators/dedup.dedup_remap):
+    every dropped document mapped to its survivor — title-prefix
+    groups first (method='title_prefix': fingerprint of the first
+    two tokens, the title-key dedup flavor — chosen over the full
+    content fingerprint because the fixture holds ZERO exact-content
+    duplicates below sf0.1, which would leave stage 1 an empty,
+    ungated no-op at the gating SF; min-id survivor), then
+    canonical-URL groups over the stage-1 survivors (method='url').
+    This is the audit artifact the cleaned corpus ships with: GDPR
+    erasure must chase replaced copies, provenance must answer
+    "where did doc X go". Two exchanges per stage, no window in the
+    Spark plan (groupBy-min + join back; the oracle uses the window
+    formulation — equal by construction). Same synthetic URL column
+    as dedup_url_canonical."""
+    from convert_parquet_to_csv_spark.functions.text import tokens
+    from convert_parquet_to_csv_spark.functions.web import (
+        url_canonicalize,
+    )
+    from convert_parquet_to_csv_spark.operators.dedup import dedup_remap
+
+    # keep `source`: _synth_url() derives the host from it
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "source"
+    ).withColumn("url", _synth_url())
+    title_key = F.md5(F.array_join(F.slice(tokens("text"), 1, 2), " "))
+    ex_remap = dedup_remap(docs, title_key, method="title_prefix")
+    survivors = docs.join(
+        ex_remap.select(F.col("dropped_id").alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+    url_remap = dedup_remap(
+        survivors, url_canonicalize("url"), method="url"
+    )
+    return ex_remap.unionByName(url_remap)

@@ -90,13 +90,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # whole refresh budget goes to the OLDEST-signal class — all 39
 # queries whose latest driver row is r2 (5 rounds old; the r7 judge
 # replica-sampled 16 of them green, this is rotation bookkeeping).
-# Layout is exactly the 50-slot gate budget: 3 canaries + 12 r8
-# day-one (8 + 4 wave-2) + 35 of the 39 r2-latest; the four wave-2
-# registrations displace the four most-stable TPC-H refresh slots
-# (q16/q17/q21/q22 — r7 precedent: day-one registrations take
-# refresh slots), which move just past the cut together with the
-# advice-touched queries and are covered meanwhile by the per-run
-# inline DuckDB oracle test (tests/test_scratch_and_audit.py).
+# Layout is exactly the 50-slot gate budget: 3 canaries + 15 r8
+# day-one (8 + 4 wave-2 + 3 wave-3) + 32 of the 39 r2-latest; the
+# seven day-one overflow registrations displace the seven most
+# stable TPC-H refresh slots (q4/q7/q8/q16/q17/q21/q22 — r7
+# precedent: day-one registrations take refresh slots), which move
+# just past the cut together with the advice-touched queries and
+# run the driver's EXACT compare in-suite every pytest meanwhile
+# (tests/test_scratch_and_audit.py).
 FIRST_TIER: list[str] = [
     # --- canaries (every round): flagship roundtrip, conf-pinning sentinel, mapInPandas seam ---
     "convert_roundtrip",
@@ -118,6 +119,10 @@ FIRST_TIER: list[str] = [
     "minhash_s_curve",
     "corpus_datacard",
     "bpe_fertility_by_lang",
+    # r8 wave 3 (same rule — three more TPC-H refresh slots displaced)
+    "embedding_jl_projection",
+    "dedup_provenance_remap",
+    "gopher_funnel",
     # --- refresh: the 39 queries whose latest driver row is r2 (VERDICT r7 item 2 — the oldest-signal class; after this round the oldest signal everywhere is >= r3). Registration order. ---
     "left_join_enrichment",
     "right_join_enrichment",
@@ -144,9 +149,6 @@ FIRST_TIER: list[str] = [
     "pii_redaction",
     "doc_repetition_stats",
     "corpus_vocab_stats",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
     "q12_late_line_priority",
@@ -164,6 +166,9 @@ FIRST_TIER: list[str] = [
     "q21_suppliers_waiting",
     "q22_sales_opportunity",
     "q16_parts_supplier_relationship",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
     # oracle-TEXT-edited queries lead (review r8: an edited oracle
     # has no driver row this round; the suite's inline oracle gate —
     # tests/test_scratch_and_audit.py::

@@ -953,3 +953,55 @@ def similarity_topk_ivfadc(
     )
     exact = S.topk_bruteforce(vecs, queries, k=_K)
     return _topk_property_gate(approx, exact, k=_K, min_hits=1)
+
+
+# --------------------------------------------------------------------------
+# r8 wave 3: Johnson-Lindenstrauss random projection (deterministic
+# Rademacher signs, exact-integer components). Day-one gated.
+# --------------------------------------------------------------------------
+
+_JL_ORACLE = """
+WITH sg AS (
+  SELECT CAST(j AS INT) AS j,
+         CAST(1 - 2 * (ascii(substr(md5('0_' || CAST(j AS VARCHAR)), 1, 1)) % 2) AS BIGINT) AS s0,
+         CAST(1 - 2 * (ascii(substr(md5('1_' || CAST(j AS VARCHAR)), 1, 1)) % 2) AS BIGINT) AS s1,
+         CAST(1 - 2 * (ascii(substr(md5('2_' || CAST(j AS VARCHAR)), 1, 1)) % 2) AS BIGINT) AS s2,
+         CAST(1 - 2 * (ascii(substr(md5('3_' || CAST(j AS VARCHAR)), 1, 1)) % 2) AS BIGINT) AS s3,
+         CAST(1 - 2 * (ascii(substr(md5('4_' || CAST(j AS VARCHAR)), 1, 1)) % 2) AS BIGINT) AS s4,
+         CAST(1 - 2 * (ascii(substr(md5('5_' || CAST(j AS VARCHAR)), 1, 1)) % 2) AS BIGINT) AS s5,
+         CAST(1 - 2 * (ascii(substr(md5('6_' || CAST(j AS VARCHAR)), 1, 1)) % 2) AS BIGINT) AS s6,
+         CAST(1 - 2 * (ascii(substr(md5('7_' || CAST(j AS VARCHAR)), 1, 1)) % 2) AS BIGINT) AS s7
+  FROM range(1, 65) t(j)
+), ex AS (
+  SELECT vec_id, CAST(j AS INT) AS j,
+         CAST(floor(CAST(embedding[CAST(j AS INT)] AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS vi
+  FROM embeddings, unnest(range(1, 65)) AS t(j)
+)
+SELECT vec_id,
+       CAST(sum(s0 * vi) AS BIGINT) AS c0,
+       CAST(sum(s1 * vi) AS BIGINT) AS c1,
+       CAST(sum(s2 * vi) AS BIGINT) AS c2,
+       CAST(sum(s3 * vi) AS BIGINT) AS c3,
+       CAST(sum(s4 * vi) AS BIGINT) AS c4,
+       CAST(sum(s5 * vi) AS BIGINT) AS c5,
+       CAST(sum(s6 * vi) AS BIGINT) AS c6,
+       CAST(sum(s7 * vi) AS BIGINT) AS c7
+FROM ex JOIN sg USING (j)
+GROUP BY vec_id
+"""
+
+
+@query("embedding_jl_projection", oracle=_JL_ORACLE)
+def embedding_jl_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """64-d float embeddings projected to 8 exact-integer components
+    (operators/similarity.jl_project; Achlioptas 2003 Rademacher
+    JL): c_i = sum_j sign(i,j) * floor(v_j * 1e6) with md5-bit signs —
+    distance-preserving dimensionality reduction whose output is
+    bit-reproducible across engines and runs, the audit property a
+    Gaussian projection cannot offer. Sign matrix = a 64-row
+    broadcast built from a range; one posexplode + broadcast join +
+    per-id map-side-combinable groupBy — a single narrow shuffle."""
+    return S.jl_project(_vecs(spark, sf_dir), dim=64, out_dims=8)

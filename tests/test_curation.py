@@ -1025,3 +1025,41 @@ def test_corpus_datacard_top_lang_tiebreak(spark):
     row = C.corpus_datacard(docs).collect()[0]
     # 1-1 tie → alphabetically first language
     assert row["top_lang"] == "de" and row["top_lang_frac"] == 0.5
+
+
+def test_gopher_funnel_monotone_and_marginal(spark):
+    """Funnel invariants on a designed corpus: stage 0 = input size,
+    survival monotone non-increasing, every stage equals a direct
+    recomputation from the flags, and generic quality_funnel handles
+    an arbitrary flag table."""
+    good = "the " + " ".join(f"w{i:03d}" for i in range(60))
+    loop = "the " + "spam ham " * 40
+    short = "the tiny doc"
+    df = spark.createDataFrame(
+        [(1, good), (2, loop), (3, short), (4, good + " extra")],
+        "doc_id LONG, text STRING",
+    )
+    from convert_parquet_to_csv_spark.plans.curation_queries import (
+        _FUNNEL_STAGES,
+    )
+
+    flags_df = C.gopher_quality_filter(df, min_stopword_hits=1)
+    flags = {r["doc_id"]: r.asDict() for r in flags_df.collect()}
+    got = {
+        r["stage"]: (r["rule"], r["n_surviving"])
+        for r in C.quality_funnel(flags_df, _FUNNEL_STAGES).collect()
+    }
+    assert got[0] == ("all", 4)
+    for i, nm in enumerate(_FUNNEL_STAGES, 1):
+        want = sum(
+            1
+            for d in flags.values()
+            if all(d[s] for s in _FUNNEL_STAGES[:i])
+        )
+        assert got[i] == (nm, want), (i, got[i], (nm, want))
+        assert got[i][1] <= got[i - 1][1]
+    # designed: three docs clear word_count (the 81-token loop doc
+    # included), the loop doc dies at the repetition rules, so the
+    # funnel ends at exactly the two clean docs
+    assert got[1][1] == 3
+    assert got[len(_FUNNEL_STAGES)][1] == 2

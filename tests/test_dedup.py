@@ -488,3 +488,34 @@ def test_minhash_s_curve_values(spark):
     # (1/b)^(1/r) ≈ 0.595 rule of thumb overshoots — it solves
     # b·s^r = 1, not the exact curve)
     assert got[0.50][1] < 0.5 < got[0.55][1]
+
+
+def test_dedup_remap_stage_and_chain(spark):
+    """Remap rows = (dropped -> min-id survivor) per key group;
+    chaining a second stage over the survivors never remaps a doc
+    twice and unions cleanly."""
+    from convert_parquet_to_csv_spark.operators.dedup import dedup_remap
+
+    rows = [
+        (1, "k1", "u1"),
+        (2, "k1", "u2"),   # exact-dropped -> 1
+        (3, "k2", "u3"),
+        (4, "k3", "u3"),   # url-dup of 3 (survives stage 1)
+        (5, "k4", "u4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, k STRING, u STRING")
+    s1 = dedup_remap(df, F.col("k"), method="m1")
+    got1 = {(r["dropped_id"], r["kept_id"], r["method"])
+            for r in s1.collect()}
+    assert got1 == {(2, 1, "m1")}
+    survivors = df.join(
+        s1.select(F.col("dropped_id").alias("doc_id")), "doc_id",
+        "left_anti",
+    )
+    s2 = dedup_remap(survivors, F.col("u"), method="m2")
+    got2 = {(r["dropped_id"], r["kept_id"], r["method"])
+            for r in s2.collect()}
+    assert got2 == {(4, 3, "m2")}
+    both = s1.unionByName(s2)
+    dropped = [r["dropped_id"] for r in both.collect()]
+    assert sorted(dropped) == [2, 4]  # no doc remapped twice

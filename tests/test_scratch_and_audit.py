@@ -152,6 +152,9 @@ def test_oracle_edited_queries_hash_match_duckdb(spark):
         "q21_suppliers_waiting",
         "q22_sales_opportunity",
         "q16_parts_supplier_relationship",
+        "q4_order_priority",
+        "q7_volume_shipping",
+        "q8_market_share",
     ):
         spdf = registry.QUERIES[name](spark, sf).toPandas()
         spark.catalog.clearCache()

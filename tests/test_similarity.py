@@ -369,3 +369,79 @@ def test_pq_rejects_indivisible_dim(spark):
         S.pq_train(vecs, dim=5, m=2)
     with _pytest.raises(ValueError, match="divisible"):
         S.topk_pq_adc(vecs, vecs, dim=5, m=2)
+
+
+def test_jl_project_matches_python_reference(spark):
+    """Exact-integer JL components vs pure-Python replay (same md5
+    signs, same floor quantization); distance preservation is the
+    JL theorem's job — EXACTNESS of the deterministic projection is
+    ours to pin."""
+    import hashlib
+    import math
+
+    from convert_parquet_to_csv_spark.operators.similarity import (
+        jl_project,
+    )
+
+    dim, out_dims, quant = 6, 4, 1_000_000
+    vecs = [
+        (1, [0.5, -0.25, 1.0, 0.0, -1.0, 0.125]),
+        (2, [0.0] * 6),
+        (3, [1e-7, -1e-7, 0.3333333, -0.6666666, 2.5, -2.5]),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    got = {
+        r["vec_id"]: [r[f"c{i}"] for i in range(out_dims)]
+        for r in jl_project(
+            df, dim=dim, out_dims=out_dims, quant=quant
+        ).collect()
+    }
+
+    def sign(i, j):
+        h = hashlib.md5(f"{i}_{j}".encode()).hexdigest()
+        return 1 - 2 * (ord(h[0]) % 2)
+
+    import numpy as np
+
+    for vid, v in vecs:
+        vi = [
+            math.floor(float(np.float32(x)) * float(quant)) for x in v
+        ]
+        want = [
+            sum(sign(i, j + 1) * vi[j] for j in range(dim))
+            for i in range(out_dims)
+        ]
+        assert got[vid] == want, (vid, got[vid], want)
+
+
+def test_jl_project_preserves_relative_distance_order(spark):
+    """Sanity: with d' = 8 over 64 dims, near pairs stay nearer than
+    far pairs for a designed triple (not a theorem test — a smoke
+    check that the signs aren't degenerate)."""
+    import numpy as np
+
+    from convert_parquet_to_csv_spark.operators.similarity import (
+        jl_project,
+    )
+
+    rng = [((i * 2654435761) % 997) / 997.0 - 0.5 for i in range(64)]
+    base = np.array(rng, dtype=np.float32)
+    near = base + np.float32(0.01)
+    far = -base
+    df = spark.createDataFrame(
+        [
+            (1, [float(x) for x in base]),
+            (2, [float(x) for x in near]),
+            (3, [float(x) for x in far]),
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    got = {
+        r["vec_id"]: np.array([r[f"c{i}"] for i in range(8)], dtype=float)
+        for r in jl_project(df, dim=64, out_dims=8).collect()
+    }
+    d_near = np.linalg.norm(got[1] - got[2])
+    d_far = np.linalg.norm(got[1] - got[3])
+    assert d_near < d_far
