@@ -956,18 +956,29 @@ def remove_within_doc_repeats(
     occurrence of every gram survives, so unique content is never
     touched and an all-unique doc passes through byte-identical.
 
-    Output: ``(id, clean_text, n_kept, n_removed)`` for every input
-    doc (sub-k docs pass through whole).
+    Output: ``(id, clean_text, n_kept, n_removed)`` for EVERY input
+    doc — sub-k docs pass through whole, and the NULL contract is
+    the span-dedup one (r8 review): NULL text → clean_text NULL with
+    n_kept = n_removed = 0, never '' with NULL counts.
 
     Plan shape (all built-ins): one tokenize; gram keys =
     ``xxhash64(slice)``; first occurrence per (doc, gram) = one
     map-side-combinable ``min(pos)`` groupBy; repeats join back on
     (doc, gram) with ``pos > first_pos``; covered positions explode
-    k-wide and DISTINCT per (doc, pos); reassembly is the span-dedup
-    order-preserving word join. Every exchange is keyed by doc (and
-    doc-local), so the operator partitions perfectly at any corpus
-    size — there is no corpus-global state at all, unlike the
-    cross-doc rule's heavy-hitter table."""
+    k-wide, DISTINCT per (doc, pos), then collapse to ONE
+    coverage-set row per doc and reassemble ARRAY-NATIVELY — a
+    filter-with-index lambda over the token array, the form
+    remove_duplicated_spans' r5 A/B measured 2.2–2.6× faster than
+    shuffling every word as a (pos, word) struct (this operator's
+    first cut used the word-stream form; review r8 pointed back at
+    the repo's own measurement). The coverage side's id column is
+    renamed (``_cid``) before the doc-level join — same-lineage
+    same-name equi-joins trip Spark's ambiguous-self-join
+    auto-disambiguation (observed as the "trivially true equals
+    predicate" warning) and must not rely on it. Every exchange is
+    keyed by doc (and doc-local), so the operator partitions
+    perfectly at any corpus size — no corpus-global state at all,
+    unlike the cross-doc rule's heavy-hitter table."""
     base = df.select(id_col, tokens(text_col).alias("_tk"))
     grams = base.filter(F.size("_tk") >= k).select(
         id_col,
@@ -983,48 +994,34 @@ def remove_within_doc_repeats(
         F.col("_p") > F.col("_fp")
     )
     covered = repeats.select(
-        id_col,
+        F.col(id_col).alias("_cid"),
         F.explode(F.sequence(F.col("_p"), F.col("_p") + k - 1)).alias(
             "_cp"
         ),
     ).distinct()
-    words = base.select(
-        id_col,
-        F.posexplode("_tk").alias("_pos", "_w"),
+    cov_per_doc = covered.groupBy("_cid").agg(
+        F.collect_set("_cp").alias("_cov")
     )
-    kept = (
-        words.join(
-            covered,
-            (words[id_col] == covered[id_col])
-            & (F.col("_pos") == F.col("_cp")),
-            "left_anti",
-        )
-        .groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("_pos", "_w"))
-                    ),
-                    lambda s: s["_w"],
-                ),
-                " ",
-            ).alias("clean_text"),
-            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-        )
+    joined = base.join(
+        cov_per_doc, F.col(id_col) == F.col("_cid"), "left"
     )
-    spine = df.select(
-        id_col, F.size(tokens(text_col)).cast("bigint").alias("_n")
+    # 0-based transform index matches the 0-based gram positions;
+    # NULL `_cov` = doc has no repeated span.
+    kept = F.expr(
+        "filter(transform(_tk, (w, i) -> CASE WHEN _cov IS NULL OR "
+        "NOT array_contains(_cov, i) THEN w END), x -> x IS NOT NULL)"
     )
-    return spine.join(kept, id_col, "left").select(
-        id_col,
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias(
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("_tk").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias("clean_text"),
+        F.coalesce(F.size(kept), F.lit(0)).cast("bigint").alias(
             "n_kept"
         ),
-        (
-            F.col("_n") - F.coalesce(F.col("n_kept"), F.lit(0))
-        ).cast("bigint").alias("n_removed"),
+        F.coalesce(F.size("_tk") - F.size(kept), F.lit(0))
+        .cast("bigint")
+        .alias("n_removed"),
     )
 
 
@@ -1087,13 +1084,23 @@ def dedup_remap(
     dropping rows without it loses the lineage forever.
 
     One groupBy(key) min + one equi-join back — two exchanges on the
-    dedup key, no window. Compose stages by running later stages on
-    the survivors of earlier ones and unioning the remaps (the gated
-    query chains exact-content → canonical-URL)."""
+    dedup key, no window. The join-back is ``eqNullSafe`` on a
+    RENAMED key (r8 review): a null-unsafe join silently drops every
+    NULL-key document from the lineage (they'd all pose as
+    survivors), while groupBy — like the oracle's ``PARTITION BY`` —
+    treats NULL as one group; and a same-name same-lineage equi-join
+    would lean on Spark's ambiguous-self-join auto-disambiguation.
+    Compose stages by running later stages on the survivors of
+    earlier ones and unioning the remaps (the gated query chains
+    title-prefix → canonical-URL)."""
     keyed = df.select(key.alias("_k"), F.col(id_col))
-    mins = keyed.groupBy("_k").agg(F.min(id_col).alias("kept_id"))
+    mins = (
+        keyed.groupBy("_k")
+        .agg(F.min(id_col).alias("kept_id"))
+        .withColumnRenamed("_k", "_mk")
+    )
     return (
-        keyed.join(mins, "_k")
+        keyed.join(mins, F.col("_k").eqNullSafe(F.col("_mk")))
         .filter(F.col(id_col) != F.col("kept_id"))
         .select(
             F.col(id_col).cast("bigint").alias("dropped_id"),

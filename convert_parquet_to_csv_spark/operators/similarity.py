@@ -1222,10 +1222,16 @@ def jl_project(
     Plan shape: the sign matrix is a ``dim``-row broadcast (built
     from a range, never collected); one posexplode + broadcast join
     + per-id groupBy with map-side partial aggregation — a single
-    narrow shuffle keyed by vector id. Scale: rows shuffled =
-    |corpus|·dim, each 8 bytes + out_dims partials; at a 64→8
-    reduction the downstream similarity scan reads 8 ints instead
-    of 64 floats."""
+    narrow shuffle keyed by vector id — then a left join back onto
+    the id spine (r8 review): posexplode yields ZERO rows for a
+    NULL/empty embedding, which silently dropped those vectors from
+    the output; the contract (and the DuckDB oracle's cross-join
+    form) is one row per input vector, degenerate vectors with NULL
+    components. Both sides of the spine join are keyed by id, and
+    AQE broadcasts the aggregated side when small. Scale: rows
+    shuffled = |corpus|·dim, each 8 bytes + out_dims partials; at a
+    64→8 reduction the downstream similarity scan reads 8 ints
+    instead of 64 floats."""
     if out_dims < 1 or dim < 1:
         raise ValueError("dim and out_dims must be >= 1")
     spark = vectors.sparkSession
@@ -1265,7 +1271,7 @@ def jl_project(
         ).cast("bigint").alias("_vi"),
     )
     joined = exploded.join(F.broadcast(signs), "_j")
-    return joined.groupBy(id_col).agg(
+    agg = joined.groupBy(id_col).agg(
         *[
             F.sum(F.col(f"_s{i}") * F.col("_vi"))
             .cast("bigint")
@@ -1273,3 +1279,4 @@ def jl_project(
             for i in range(out_dims)
         ]
     )
+    return vectors.select(id_col).join(agg, id_col, "left")

@@ -1917,16 +1917,27 @@ covered AS (
 words AS (
   SELECT doc_id, CAST(p AS INT) AS pos, a[CAST(p AS INT)+1] AS word
   FROM arr, UNNEST(range(0, len(a))) AS t(p)
+),
+kept AS (
+  SELECT w.doc_id,
+         COALESCE(array_to_string(
+           list(w.word ORDER BY w.pos) FILTER (c.cpos IS NULL), ' '),
+           '') AS clean_text,
+         CAST(COUNT(*) FILTER (c.cpos IS NULL) AS BIGINT) AS n_kept,
+         CAST(COUNT(c.cpos) AS BIGINT) AS n_removed
+  FROM words w LEFT JOIN covered c
+    ON w.doc_id = c.doc_id AND w.pos = c.cpos
+  GROUP BY w.doc_id
 )
-SELECT w.doc_id,
-       COALESCE(array_to_string(
-         list(w.word ORDER BY w.pos) FILTER (c.cpos IS NULL), ' '),
-         '') AS clean_text,
-       CAST(COUNT(*) FILTER (c.cpos IS NULL) AS BIGINT) AS n_kept,
-       CAST(COUNT(c.cpos) AS BIGINT) AS n_removed
-FROM words w LEFT JOIN covered c
-  ON w.doc_id = c.doc_id AND w.pos = c.cpos
-GROUP BY w.doc_id
+-- every input doc gets a row (r8 review): token-less docs never reach
+-- the words CTE, so close over arr — NULL text -> (NULL, 0, 0) per the
+-- span-dedup NULL contract, whitespace-only -> ('', 0, 0).
+SELECT arr.doc_id,
+       CASE WHEN arr.a IS NULL THEN NULL
+            ELSE COALESCE(k.clean_text, '') END AS clean_text,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(k.n_removed, 0) AS BIGINT) AS n_removed
+FROM arr LEFT JOIN kept k ON arr.doc_id = k.doc_id
 """
 
 

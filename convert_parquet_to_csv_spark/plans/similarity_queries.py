@@ -1003,5 +1003,7 @@ def embedding_jl_projection(
     bit-reproducible across engines and runs, the audit property a
     Gaussian projection cannot offer. Sign matrix = a 64-row
     broadcast built from a range; one posexplode + broadcast join +
-    per-id map-side-combinable groupBy — a single narrow shuffle."""
+    per-id map-side-combinable groupBy — a single narrow shuffle —
+    then an id-spine left join so degenerate (NULL/empty) vectors
+    keep their row with NULL components (r8 review)."""
     return S.jl_project(_vecs(spark, sf_dir), dim=64, out_dims=8)

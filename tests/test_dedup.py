@@ -519,3 +519,44 @@ def test_dedup_remap_stage_and_chain(spark):
     both = s1.unionByName(s2)
     dropped = [r["dropped_id"] for r in both.collect()]
     assert sorted(dropped) == [2, 4]  # no doc remapped twice
+
+
+def test_remove_within_doc_repeats_null_and_blank(spark):
+    """NULL contract (r8 review): every input doc gets a row — NULL
+    text -> (NULL, 0, 0) per the span-dedup contract, whitespace-only
+    -> ('', 0, 0), never a missing row or NULL counts."""
+    from convert_parquet_to_csv_spark.operators.dedup import (
+        remove_within_doc_repeats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "a b a b")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in remove_within_doc_repeats(df, k=2).collect()
+    }
+    assert got == {
+        1: (None, 0, 0),
+        2: ("", 0, 0),
+        3: ("a b", 2, 2),
+    }
+
+
+def test_dedup_remap_null_keys_group_together(spark):
+    """NULL dedup keys form ONE group (r8 review): the join-back is
+    null-safe, so NULL-key duplicates keep their lineage rows instead
+    of silently posing as survivors — parity with the oracle's
+    PARTITION BY, which groups NULLs."""
+    from convert_parquet_to_csv_spark.operators.dedup import dedup_remap
+
+    df = spark.createDataFrame(
+        [(10, None), (11, None), (12, "t"), (13, "t")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        (r["dropped_id"], r["kept_id"])
+        for r in dedup_remap(df, F.md5("text"), method="x").collect()
+    }
+    assert got == {(11, 10), (13, 12)}

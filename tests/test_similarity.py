@@ -416,6 +416,27 @@ def test_jl_project_matches_python_reference(spark):
         assert got[vid] == want, (vid, got[vid], want)
 
 
+def test_jl_project_keeps_degenerate_vectors(spark):
+    """One row per INPUT vector (r8 review): NULL/empty embeddings —
+    which posexplode yields zero rows for — still appear in the
+    output, with NULL components, matching the oracle's cross-join
+    formulation instead of silently vanishing."""
+    from convert_parquet_to_csv_spark.operators.similarity import (
+        jl_project,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, []), (3, [0.5] * 4)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    out = jl_project(df, dim=4, out_dims=2)
+    got = {r["vec_id"]: (r["c0"], r["c1"]) for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (None, None)
+    assert got[2] == (None, None)
+    assert got[3][0] is not None
+
+
 def test_jl_project_preserves_relative_distance_order(spark):
     """Sanity: with d' = 8 over 64 dims, near pairs stay nearer than
     far pairs for a designed triple (not a theorem test — a smoke

@@ -42,6 +42,7 @@ from convert_parquet_to_csv_spark.operators.dedup import (
     containment_pairs,
     duplicated_span_extents,
     minhash_dedup,
+    remove_within_doc_repeats,
     winnow_fingerprints,
 )
 from convert_parquet_to_csv_spark.operators.chunking import (
@@ -185,6 +186,14 @@ def main() -> None:
                 d.withColumn("lang", F.lit("xx"))
                 if "lang" not in d.columns
                 else d
+            ),
+            # r8 review fix: within-doc repeat removal, re-measured
+            # after the array-native reassembly rewrite (covered
+            # positions collapse to ONE array per doc; no corpus-
+            # volume word shuffle). Every exchange is doc-keyed, so
+            # the expected curve is the flattest in this table.
+            "within_doc_repeats": lambda d=docs: (
+                remove_within_doc_repeats(d, k=2)
             ),
         }
         only = os.environ.get("SPARK_GRAFT_CURVE_KERNELS")
