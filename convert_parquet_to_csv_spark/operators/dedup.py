@@ -971,7 +971,14 @@ def remove_within_doc_repeats(
     remove_duplicated_spans' r5 A/B measured 2.2–2.6× faster than
     shuffling every word as a (pos, word) struct (this operator's
     first cut used the word-stream form; review r8 pointed back at
-    the repo's own measurement). The coverage side's id column is
+    the repo's own measurement). Measured on THIS operator
+    (mangled sf0.1 replicas, min-of-2, local[32]): word-stream
+    17.9 / 46.4 s at 500k / 1M docs vs array-native 8.2 / 14.1 /
+    37.0 s at 500k / 1M / 2M — 2.2× at 500k, 3.3× at 1M, and the
+    curve drops from 2.6×-per-doubling to 1.12×-linear overall
+    (the residual 1M→2M rise is the single-JVM agg regime on the
+    ~corpus-volume (doc, gram) groups, the gopher-signals
+    diagnosis — splits back to hash aggregation multi-executor). The coverage side's id column is
     renamed (``_cid``) before the doc-level join — same-lineage
     same-name equi-joins trip Spark's ambiguous-self-join
     auto-disambiguation (observed as the "trivially true equals
