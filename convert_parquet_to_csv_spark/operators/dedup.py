@@ -1032,6 +1032,85 @@ def remove_within_doc_repeats(
     )
 
 
+def remove_duplicated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_regex: str = "\n",
+) -> DataFrame:
+    """CROSS-document line-level boilerplate removal, keep-global-first
+    (CCNet §3.1 / Dolma "paragraph dedup": navigation menus, cookie
+    banners, footers — the highest-volume junk in web crawl text is a
+    LINE duplicated across many documents, which word-shingle dedup
+    (Jaccard over whole docs) structurally misses because the
+    surrounding content differs). Every occurrence of a duplicated
+    line is removed EXCEPT the globally first one by ``(id, line_pos)``
+    — deterministic, so reruns and the SQL oracle agree; lines that
+    occur once and blank/whitespace-only lines (document structure,
+    not boilerplate) are never touched.
+
+    Output: ``(id, clean_text, n_lines_kept, n_lines_removed)`` for
+    EVERY input doc; kept lines re-join with ``"\\n"`` in original
+    order; NULL text → ``(NULL, 0, 0)`` (the span-dedup NULL
+    contract). ``sep_regex`` is a split REGEX; reassembly always uses
+    the literal newline, so a multi-separator split is normalized.
+
+    Plan shape (all built-ins): split + posexplode to (id, pos,
+    line); winners = one ``min(struct(id, pos))`` per line — map-side
+    combinable, the keep-best argmax device, NO window — filtered to
+    count > 1; removals = one join back keyed by the line string
+    (the single data-scale exchange; a mega-hot boilerplate line is
+    the AQE skew-join case — the winners side is one row per line,
+    so splitting the hot partition replicates one row); removed
+    positions collapse to ONE array per doc and the token array
+    filters with an index lambda (the array-native reassembly this
+    operator family measured 2.2–3.3× faster than word-stream
+    shuffles). Three keyed exchanges total, no corpus-global state,
+    no window anywhere — partitions at any corpus size."""
+    base = df.select(
+        id_col, F.split(F.col(text_col), sep_regex).alias("_ln")
+    )
+    occ = base.select(
+        F.col(id_col), F.posexplode("_ln").alias("_lp", "_line")
+    ).filter(F.regexp_replace(F.col("_line"), r"\s+", "") != "")
+    winners = (
+        occ.groupBy("_line")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("_lp"))).alias("_w"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") > 1)
+        .select(F.col("_line").alias("_wline"), "_w")
+    )
+    removals = (
+        occ.join(winners, F.col("_line") == F.col("_wline"))
+        .filter(
+            F.struct(F.col(id_col), F.col("_lp")) != F.col("_w")
+        )
+        .select(F.col(id_col).alias("_rid"), "_lp")
+    )
+    cov = removals.groupBy("_rid").agg(
+        F.collect_set("_lp").alias("_cov")
+    )
+    joined = base.join(cov, F.col(id_col) == F.col("_rid"), "left")
+    kept = F.expr(
+        "filter(transform(_ln, (l, i) -> CASE WHEN _cov IS NULL OR "
+        "NOT array_contains(_cov, i) THEN l END), x -> x IS NOT NULL)"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("_ln").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws("\n", kept))
+        .alias("clean_text"),
+        F.coalesce(F.size(kept), F.lit(0)).cast("bigint").alias(
+            "n_lines_kept"
+        ),
+        F.coalesce(F.size("_ln") - F.size(kept), F.lit(0))
+        .cast("bigint")
+        .alias("n_lines_removed"),
+    )
+
+
 def minhash_s_curve(
     spark: "SparkSession",
     bands: int = 8,

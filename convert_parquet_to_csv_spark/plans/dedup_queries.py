@@ -2076,3 +2076,115 @@ def dedup_provenance_remap(
         survivors, url_canonicalize("url"), method="url"
     )
     return ex_remap.unionByName(url_remap)
+
+
+# --------------------------------------------------------------------------
+# r8 wave 4: CCNet line-level boilerplate removal (cross-document
+# duplicated-line dedup — the curation stage whole-doc and span dedup
+# both structurally miss). Day-one gated.
+# --------------------------------------------------------------------------
+
+_LINE_W = 4
+
+_LINE_DEDUP_ORACLE = f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS a
+  FROM documents
+),
+lined AS (
+  SELECT doc_id,
+         CASE
+           WHEN a IS NULL THEN NULL
+           WHEN len(a) = 0 THEN ''
+           ELSE array_to_string(
+             list_transform(
+               range(1, CAST(ceil(len(a) / {_LINE_W}.0) AS BIGINT) + 1),
+               p -> array_to_string(
+                 a[CAST((p-1)*{_LINE_W} AS INT)+1
+                   :CAST((p-1)*{_LINE_W} AS INT)+{_LINE_W}], ' ')),
+             chr(10))
+         END AS text2
+  FROM arr
+),
+ln2 AS (
+  SELECT doc_id, string_split(text2, chr(10)) AS lns FROM lined
+),
+occ AS (
+  SELECT doc_id, CAST(p AS INT) AS lp, lns[CAST(p AS INT)+1] AS line
+  FROM ln2, UNNEST(range(0, len(lns))) t(p)
+),
+nb AS (
+  SELECT * FROM occ WHERE regexp_replace(line, '\\s+', '', 'g') <> ''
+),
+rnk AS (
+  SELECT doc_id, lp,
+         row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id, lp) AS rn,
+         count(*) OVER (PARTITION BY line) AS cnt
+  FROM nb
+),
+rem AS (SELECT doc_id, lp FROM rnk WHERE cnt > 1 AND rn > 1),
+kept AS (
+  SELECT o.doc_id,
+         COALESCE(string_agg(o.line, chr(10) ORDER BY o.lp)
+           FILTER (r.lp IS NULL), '') AS clean_text,
+         CAST(count(*) FILTER (r.lp IS NULL) AS BIGINT)
+           AS n_lines_kept,
+         CAST(count(r.lp) AS BIGINT) AS n_lines_removed
+  FROM occ o LEFT JOIN rem r
+    ON o.doc_id = r.doc_id AND o.lp = r.lp
+  GROUP BY o.doc_id
+)
+SELECT ln2.doc_id,
+       CASE WHEN ln2.lns IS NULL THEN NULL
+            ELSE COALESCE(k.clean_text, '') END AS clean_text,
+       CAST(COALESCE(k.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(COALESCE(k.n_lines_removed, 0) AS BIGINT)
+         AS n_lines_removed
+FROM ln2 LEFT JOIN kept k ON ln2.doc_id = k.doc_id
+"""
+
+
+@query("line_dedup_boilerplate", oracle=_LINE_DEDUP_ORACLE)
+def line_dedup_boilerplate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-document line-level boilerplate removal, keep-global-first
+    (operators/dedup.remove_duplicated_lines; CCNet §3.1 / Dolma
+    paragraph dedup): every occurrence of a line duplicated ANYWHERE
+    in the corpus is removed except the globally first by (doc_id,
+    line_pos) — the navigation-menu/cookie-banner/footer stage that
+    whole-document near-dup (surrounding content differs) and
+    contiguous-span dedup (spans don't align to lines) both
+    structurally miss. The fixture has no newlines, so the query
+    synthesizes lines by wrapping each doc's tokens into 4-token
+    windows (the _synth_url precedent: deterministic structure built
+    in-query; 4 chosen because the fixture's cross-doc repetition
+    lives at the 4-gram scale — 341 duplicated lines at sf0.01 by
+    DuckDB census). min(struct) winner election —
+    no window in the Spark plan; the oracle uses the window
+    formulation, equal by construction."""
+    from convert_parquet_to_csv_spark.functions.text import tokens
+    from convert_parquet_to_csv_spark.operators.dedup import (
+        remove_duplicated_lines,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tk = tokens("text")
+    n_chunks = F.ceil(F.size(tk) / F.lit(float(_LINE_W))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda p: F.array_join(
+            F.slice(tk, (p - 1) * _LINE_W + 1, _LINE_W), " "
+        ),
+    )
+    lined = docs.select(
+        "doc_id",
+        F.when(tk.isNull(), F.lit(None).cast("string"))
+        .when(F.size(tk) == 0, F.lit(""))
+        .otherwise(F.array_join(chunks, "\n"))
+        .alias("text"),
+    )
+    return remove_duplicated_lines(lined)

@@ -544,6 +544,72 @@ def test_remove_within_doc_repeats_null_and_blank(spark):
     }
 
 
+def test_remove_duplicated_lines_keep_global_first(spark):
+    """Line-level boilerplate removal: every occurrence of a
+    duplicated line is removed except the globally first by
+    (doc_id, line_pos); unique and blank lines survive; NULL text
+    follows the (NULL, 0, 0) contract. Pinned against a pure-Python
+    replay of the same rule."""
+    from convert_parquet_to_csv_spark.operators.dedup import (
+        remove_duplicated_lines,
+    )
+
+    rows = [
+        (1, "footer text\nunique alpha\nfooter text"),  # in-doc dup too
+        (2, "unique beta\nfooter text\ncookie banner"),
+        (3, "cookie banner\n\nunique gamma"),            # blank kept
+        (4, "   \nunique delta"),                        # ws-only kept
+        (5, None),
+        (6, ""),                                         # one blank line
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (
+            r["clean_text"], r["n_lines_kept"], r["n_lines_removed"]
+        )
+        for r in remove_duplicated_lines(df).collect()
+    }
+
+    # pure-Python replay
+    occ = []
+    for i, text in rows:
+        if text is None:
+            continue
+        for p, line in enumerate(text.split("\n")):
+            occ.append((i, p, line))
+    first: dict[str, tuple] = {}
+    for i, p, line in occ:  # rows already in (doc, pos) order
+        if line.strip() and line not in first:
+            first[line] = (i, p)
+    counts: dict[str, int] = {}
+    for _, _, line in occ:
+        if line.strip():
+            counts[line] = counts.get(line, 0) + 1
+    want = {}
+    for i, text in rows:
+        if text is None:
+            want[i] = (None, 0, 0)
+            continue
+        lines = text.split("\n")
+        kept = [
+            ln
+            for p, ln in enumerate(lines)
+            if not ln.strip()
+            or counts[ln] == 1
+            or first[ln] == (i, p)
+        ]
+        want[i] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+    assert got == want, (got, want)
+    # spot-pin the semantics: doc1 keeps the first global 'footer
+    # text' only; doc2 loses it but keeps the first global 'cookie
+    # banner' (doc2 pos 2 < doc3 pos 0 by doc order); doc3's blank
+    # line survives
+    assert got[1] == ("footer text\nunique alpha", 2, 1)
+    assert got[2] == ("unique beta\ncookie banner", 2, 1)
+    assert got[3] == ("\nunique gamma", 2, 1)
+    assert got[6] == ("", 1, 0)
+
+
 def test_dedup_remap_null_keys_group_together(spark):
     """NULL dedup keys form ONE group (r8 review): the join-back is
     null-safe, so NULL-key duplicates keep their lineage rows instead
