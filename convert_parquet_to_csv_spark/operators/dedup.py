@@ -1066,7 +1066,11 @@ def remove_duplicated_lines(
     filters with an index lambda (the array-native reassembly this
     operator family measured 2.2–3.3× faster than word-stream
     shuffles). Three keyed exchanges total, no corpus-global state,
-    no window anywhere — partitions at any corpus size."""
+    no window anywhere — partitions at any corpus size. Measured
+    (mangled sf0.1 replicas incl. 4-token line synthesis, min-of-2,
+    local[32]): 27.0 / 52.7 / 101.5 s at 500k / 1M / 2M docs —
+    0.94×-LINEAR, the flattest curve in the scale_curve table, as
+    the all-keyed-exchange shape predicts."""
     base = df.select(
         id_col, F.split(F.col(text_col), sep_regex).alias("_ln")
     )

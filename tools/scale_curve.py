@@ -42,6 +42,7 @@ from convert_parquet_to_csv_spark.operators.dedup import (
     containment_pairs,
     duplicated_span_extents,
     minhash_dedup,
+    remove_duplicated_lines,
     remove_within_doc_repeats,
     winnow_fingerprints,
 )
@@ -194,6 +195,28 @@ def main() -> None:
             # the expected curve is the flattest in this table.
             "within_doc_repeats": lambda d=docs: (
                 remove_within_doc_repeats(d, k=2)
+            ),
+            # r8 wave 4: cross-document line-level boilerplate
+            # removal over synthetic 4-token lines (the gated
+            # query's construction; the mangled replica keeps
+            # duplicate-line volume LINEAR in the corpus — copies
+            # never share lines with each other, each copy carries
+            # the base corpus's own duplicated lines).
+            "line_dedup": lambda d=docs: remove_duplicated_lines(
+                d.select(
+                    "doc_id",
+                    F.concat_ws(
+                        "\n",
+                        F.expr(
+                            "transform(sequence(1, cast(ceil(size("
+                            "filter(split(trim(text), '\\\\s+'), "
+                            "t -> t != '')) / 4.0) as int)), p -> "
+                            "array_join(slice(filter(split(trim("
+                            "text), '\\\\s+'), t -> t != ''), "
+                            "(p-1)*4 + 1, 4), ' '))"
+                        ),
+                    ).alias("text"),
+                )
             ),
         }
         only = os.environ.get("SPARK_GRAFT_CURVE_KERNELS")
