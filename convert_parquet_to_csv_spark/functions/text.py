@@ -44,6 +44,41 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
+def synth_token_lines(col: Column | str, w: int = 4) -> Column:
+    """Wrap a doc's whitespace tokens into ``w``-token lines joined
+    by ``"\\n"`` — the deterministic line structure the line-dedup
+    gate and its bench kernel share (r8 review: the bench copy had
+    drifted — ``sequence(1, 0)`` is DESCENDING ``[1, 0]`` in Spark,
+    so an unguarded empty doc produced two phantom blank lines).
+    NULL text → NULL; token-less text → ``''`` (re-splitting gives
+    one blank line, which the dedup exempts as structure).
+
+    The token array is bound ONCE via the single-element
+    ``transform(array(tokens), tk -> ...)``` trick: referencing
+    ``tokens(col)`` in all four places re-runs the regex
+    split+filter per reference (conditional branches block Spark's
+    common-subexpression elimination) — measured +20% on the
+    500k-doc line-dedup kernel before the bind."""
+
+    def _lines(tk: Column) -> Column:
+        chunks = F.transform(
+            F.sequence(
+                F.lit(1),
+                F.ceil(F.size(tk) / F.lit(float(w))).cast("int"),
+            ),
+            lambda p: F.array_join(
+                F.slice(tk, (p - 1) * w + 1, w), " "
+            ),
+        )
+        return (
+            F.when(tk.isNull(), F.lit(None).cast("string"))
+            .when(F.size(tk) == 0, F.lit(""))
+            .otherwise(F.array_join(chunks, "\n"))
+        )
+
+    return F.transform(F.array(tokens(col)), _lines)[0]
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 

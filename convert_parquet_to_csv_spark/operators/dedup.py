@@ -938,6 +938,52 @@ def keep_best_per_cluster(
     )
 
 
+def _reassemble_minus_positions(
+    base: DataFrame,
+    removals: DataFrame,
+    id_col: str,
+    arr_col: str,
+    sep: str,
+    kept_alias: str,
+    removed_alias: str,
+) -> DataFrame:
+    """Order-preserving ARRAY-NATIVE reassembly shared by the
+    repeated-span/line removal family (r8 review: the pattern was
+    copy-pasted between the within-doc and line operators — one
+    helper now pins the family contract in one place). ``removals``
+    is ``(id_col, _rp)`` — removed 0-based element positions,
+    duplicates allowed (``collect_set`` dedups in its one exchange).
+    Collapse to ONE position array per doc, left-join back at doc
+    granularity on a RENAMED key (same-lineage same-name equi-joins
+    must not rely on Spark's ambiguous-self-join
+    auto-disambiguation), filter the element array with an index
+    lambda, and close with the family NULL contract: NULL array →
+    (NULL, 0, 0). This form measured 2.2–3.3× faster than shipping
+    every element as a (pos, value) struct (r5 span A/B, re-measured
+    r8 on the within-doc operator)."""
+    cov = removals.groupBy(F.col(id_col).alias("_rid")).agg(
+        F.collect_set("_rp").alias("_cov")
+    )
+    joined = base.join(cov, F.col(id_col) == F.col("_rid"), "left")
+    kept = F.expr(
+        f"filter(transform({arr_col}, (e, i) -> CASE WHEN _cov IS "
+        f"NULL OR NOT array_contains(_cov, i) THEN e END), "
+        f"x -> x IS NOT NULL)"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col(arr_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(sep, kept))
+        .alias("clean_text"),
+        F.coalesce(F.size(kept), F.lit(0)).cast("bigint").alias(
+            kept_alias
+        ),
+        F.coalesce(F.size(arr_col) - F.size(kept), F.lit(0))
+        .cast("bigint")
+        .alias(removed_alias),
+    )
+
+
 def remove_within_doc_repeats(
     df: DataFrame,
     k: int = 4,
@@ -965,9 +1011,10 @@ def remove_within_doc_repeats(
     ``xxhash64(slice)``; first occurrence per (doc, gram) = one
     map-side-combinable ``min(pos)`` groupBy; repeats join back on
     (doc, gram) with ``pos > first_pos``; covered positions explode
-    k-wide, DISTINCT per (doc, pos), then collapse to ONE
-    coverage-set row per doc and reassemble ARRAY-NATIVELY — a
-    filter-with-index lambda over the token array, the form
+    k-wide and feed :func:`_reassemble_minus_positions` — the
+    family-shared array-native reassembly (one ``collect_set``
+    exchange dedups overlapping coverage, renamed-key doc-level
+    join, filter-with-index lambda over the token array), the form
     remove_duplicated_spans' r5 A/B measured 2.2–2.6× faster than
     shuffling every word as a (pos, word) struct (this operator's
     first cut used the word-stream form; review r8 pointed back at
@@ -978,14 +1025,11 @@ def remove_within_doc_repeats(
     curve drops from 2.6×-per-doubling to 1.12×-linear overall
     (the residual 1M→2M rise is the single-JVM agg regime on the
     ~corpus-volume (doc, gram) groups, the gopher-signals
-    diagnosis — splits back to hash aggregation multi-executor). The coverage side's id column is
-    renamed (``_cid``) before the doc-level join — same-lineage
-    same-name equi-joins trip Spark's ambiguous-self-join
-    auto-disambiguation (observed as the "trivially true equals
-    predicate" warning) and must not rely on it. Every exchange is
-    keyed by doc (and doc-local), so the operator partitions
-    perfectly at any corpus size — no corpus-global state at all,
-    unlike the cross-doc rule's heavy-hitter table."""
+    diagnosis — splits back to hash aggregation multi-executor).
+    Every exchange is keyed by doc (and doc-local), so the operator
+    partitions perfectly at any corpus size — no corpus-global
+    state at all, unlike the cross-doc rule's heavy-hitter
+    table."""
     base = df.select(id_col, tokens(text_col).alias("_tk"))
     grams = base.filter(F.size("_tk") >= k).select(
         id_col,
@@ -1001,34 +1045,15 @@ def remove_within_doc_repeats(
         F.col("_p") > F.col("_fp")
     )
     covered = repeats.select(
-        F.col(id_col).alias("_cid"),
-        F.explode(F.sequence(F.col("_p"), F.col("_p") + k - 1)).alias(
-            "_cp"
-        ),
-    ).distinct()
-    cov_per_doc = covered.groupBy("_cid").agg(
-        F.collect_set("_cp").alias("_cov")
-    )
-    joined = base.join(
-        cov_per_doc, F.col(id_col) == F.col("_cid"), "left"
-    )
-    # 0-based transform index matches the 0-based gram positions;
-    # NULL `_cov` = doc has no repeated span.
-    kept = F.expr(
-        "filter(transform(_tk, (w, i) -> CASE WHEN _cov IS NULL OR "
-        "NOT array_contains(_cov, i) THEN w END), x -> x IS NOT NULL)"
-    )
-    return joined.select(
         F.col(id_col),
-        F.when(F.col("_tk").isNull(), F.lit(None).cast("string"))
-        .otherwise(F.concat_ws(" ", kept))
-        .alias("clean_text"),
-        F.coalesce(F.size(kept), F.lit(0)).cast("bigint").alias(
-            "n_kept"
+        F.explode(F.sequence(F.col("_p"), F.col("_p") + k - 1)).alias(
+            "_rp"
         ),
-        F.coalesce(F.size("_tk") - F.size(kept), F.lit(0))
-        .cast("bigint")
-        .alias("n_removed"),
+    )
+    # 0-based positions match the transform index in the shared
+    # reassembly; NULL coverage = doc has no repeated span.
+    return _reassemble_minus_positions(
+        base, covered, id_col, "_tk", " ", "n_kept", "n_removed"
     )
 
 
@@ -1062,15 +1087,18 @@ def remove_duplicated_lines(
     (the single data-scale exchange; a mega-hot boilerplate line is
     the AQE skew-join case — the winners side is one row per line,
     so splitting the hot partition replicates one row); removed
-    positions collapse to ONE array per doc and the token array
-    filters with an index lambda (the array-native reassembly this
-    operator family measured 2.2–3.3× faster than word-stream
-    shuffles). Three keyed exchanges total, no corpus-global state,
+    positions feed :func:`_reassemble_minus_positions`, the
+    family-shared array-native reassembly (measured 2.2–3.3× faster
+    than word-stream shuffles). Three keyed exchanges total, no corpus-global state,
     no window anywhere — partitions at any corpus size. Measured
     (mangled sf0.1 replicas incl. 4-token line synthesis, min-of-2,
-    local[32]): 27.0 / 52.7 / 101.5 s at 500k / 1M / 2M docs —
-    0.94×-LINEAR, the flattest curve in the scale_curve table, as
-    the all-keyed-exchange shape predicts."""
+    local[32]): 12.4 / 21.6 / 38.1 s at 500k / 1M / 2M docs —
+    0.77×-LINEAR (sub-linear), the flattest curve in the
+    scale_curve table, as the all-keyed-exchange shape predicts.
+    (An earlier cut measured 27.0 s at 500k: the line-synthesis
+    builder re-ran the tokenize regex per reference until
+    functions/text.synth_token_lines bound the token array once —
+    a 2.2× kernel win found by measuring, see that docstring.)"""
     base = df.select(
         id_col, F.split(F.col(text_col), sep_regex).alias("_ln")
     )
@@ -1091,27 +1119,16 @@ def remove_duplicated_lines(
         .filter(
             F.struct(F.col(id_col), F.col("_lp")) != F.col("_w")
         )
-        .select(F.col(id_col).alias("_rid"), "_lp")
+        .select(F.col(id_col), F.col("_lp").alias("_rp"))
     )
-    cov = removals.groupBy("_rid").agg(
-        F.collect_set("_lp").alias("_cov")
-    )
-    joined = base.join(cov, F.col(id_col) == F.col("_rid"), "left")
-    kept = F.expr(
-        "filter(transform(_ln, (l, i) -> CASE WHEN _cov IS NULL OR "
-        "NOT array_contains(_cov, i) THEN l END), x -> x IS NOT NULL)"
-    )
-    return joined.select(
-        F.col(id_col),
-        F.when(F.col("_ln").isNull(), F.lit(None).cast("string"))
-        .otherwise(F.concat_ws("\n", kept))
-        .alias("clean_text"),
-        F.coalesce(F.size(kept), F.lit(0)).cast("bigint").alias(
-            "n_lines_kept"
-        ),
-        F.coalesce(F.size("_ln") - F.size(kept), F.lit(0))
-        .cast("bigint")
-        .alias("n_lines_removed"),
+    return _reassemble_minus_positions(
+        base,
+        removals,
+        id_col,
+        "_ln",
+        "\n",
+        "n_lines_kept",
+        "n_lines_removed",
     )
 
 

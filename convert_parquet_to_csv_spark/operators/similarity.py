@@ -1279,4 +1279,13 @@ def jl_project(
             for i in range(out_dims)
         ]
     )
-    return vectors.select(id_col).join(agg, id_col, "left")
+    # eqNullSafe on a renamed key (r8 review, the dedup_remap rule):
+    # ids are expected unique and non-null, but a NULL id must not
+    # silently discard its computed projection — groupBy treats NULL
+    # as one key, so the spine join must too.
+    spine = vectors.select(id_col)
+    return spine.join(
+        agg.withColumnRenamed(id_col, "_aid"),
+        F.col(id_col).eqNullSafe(F.col("_aid")),
+        "left",
+    ).drop("_aid")

@@ -2166,25 +2166,14 @@ def line_dedup_boilerplate(
     DuckDB census). min(struct) winner election —
     no window in the Spark plan; the oracle uses the window
     formulation, equal by construction."""
-    from convert_parquet_to_csv_spark.functions.text import tokens
+    from convert_parquet_to_csv_spark.functions.text import (
+        synth_token_lines,
+    )
     from convert_parquet_to_csv_spark.operators.dedup import (
         remove_duplicated_lines,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    tk = tokens("text")
-    n_chunks = F.ceil(F.size(tk) / F.lit(float(_LINE_W))).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda p: F.array_join(
-            F.slice(tk, (p - 1) * _LINE_W + 1, _LINE_W), " "
-        ),
-    )
-    lined = docs.select(
-        "doc_id",
-        F.when(tk.isNull(), F.lit(None).cast("string"))
-        .when(F.size(tk) == 0, F.lit(""))
-        .otherwise(F.array_join(chunks, "\n"))
-        .alias("text"),
+    lined = _docs(spark, sf_dir).select(
+        "doc_id", synth_token_lines("text", w=_LINE_W).alias("text")
     )
     return remove_duplicated_lines(lined)

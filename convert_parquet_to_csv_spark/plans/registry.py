@@ -159,11 +159,12 @@ FIRST_TIER: list[str] = [
     "decontaminate_ngram_overlap",
     "source_mix_temperature",
     # --- just past the ~50 cut: queries whose KERNELS or ORACLES were touched by the r8 advice fixes — replica-verified tri-SF this round (ledger), first in line for the r9 gate ---
-    # displaced from the r2-refresh block by the four wave-2 day-one
-    # registrations (35/39 of the r2 class rotates this round; these
-    # four stable TPC-H queries — property-suite-covered and also in
-    # the per-run inline DuckDB oracle test — take the first r9
-    # refresh slots together with the oracle-edited set below)
+    # displaced from the r2-refresh block by the eight wave-2/3/4
+    # day-one registrations (31/39 of the r2 class rotates this
+    # round; these eight stable TPC-H queries — property-suite-
+    # covered and also in the per-run inline DuckDB oracle test —
+    # take the first r9 refresh slots together with the
+    # oracle-edited set below)
     "q17_small_quantity_revenue",
     "q21_suppliers_waiting",
     "q22_sales_opportunity",

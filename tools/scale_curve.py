@@ -46,6 +46,9 @@ from convert_parquet_to_csv_spark.operators.dedup import (
     remove_within_doc_repeats,
     winnow_fingerprints,
 )
+from convert_parquet_to_csv_spark.functions.text import (
+    synth_token_lines,
+)
 from convert_parquet_to_csv_spark.operators.chunking import (
     bpe_learn_merges,
 )
@@ -197,25 +200,17 @@ def main() -> None:
                 remove_within_doc_repeats(d, k=2)
             ),
             # r8 wave 4: cross-document line-level boilerplate
-            # removal over synthetic 4-token lines (the gated
-            # query's construction; the mangled replica keeps
+            # removal over synthetic 4-token lines — the SAME
+            # synth_token_lines builder the gated query uses (r8
+            # review: a hand-copied SQL version had drifted on
+            # degenerate docs). The mangled replica keeps
             # duplicate-line volume LINEAR in the corpus — copies
             # never share lines with each other, each copy carries
-            # the base corpus's own duplicated lines).
+            # the base corpus's own duplicated lines.
             "line_dedup": lambda d=docs: remove_duplicated_lines(
                 d.select(
                     "doc_id",
-                    F.concat_ws(
-                        "\n",
-                        F.expr(
-                            "transform(sequence(1, cast(ceil(size("
-                            "filter(split(trim(text), '\\\\s+'), "
-                            "t -> t != '')) / 4.0) as int)), p -> "
-                            "array_join(slice(filter(split(trim("
-                            "text), '\\\\s+'), t -> t != ''), "
-                            "(p-1)*4 + 1, 4), ' '))"
-                        ),
-                    ).alias("text"),
+                    synth_token_lines("text", w=4).alias("text"),
                 )
             ),
         }
