@@ -874,7 +874,13 @@ def gopher_quality_filter(
     widen the heaviest corpus shuffle — the exact regression the r7
     first cut measured (see _gopher_gram_masses).
     """
-    toks = tokens(text_col)
+    # Alias the token array ONCE before fanning out into the four
+    # scalar features: instantiating tokens() per feature re-runs
+    # the regex split per reference — Spark's subexpression
+    # elimination does not reach across these higher-order-function
+    # arguments (r8 review follow-up; measured 2.41 → 1.45 s on the
+    # exact four-feature shape at 500k docs, min-of-2).
+    toks = F.col("_tkq")
     n_tokens = F.size(toks)
     tok_chars = F.coalesce(
         F.aggregate(
@@ -890,6 +896,8 @@ def gopher_quality_filter(
         )
     )
     scalars = df.select(
+        id_col, tokens(text_col).alias("_tkq")
+    ).select(
         id_col,
         n_tokens.alias("_nt"),
         tok_chars.alias("_tc"),

@@ -1121,18 +1121,20 @@ def tokenizer_fertility_by_lang(
     with fertility ≫ the corpus mean pays more sequence length for
     the same text, and the number drives vocab-allocation decisions.
     One map-side aggregate over two JVM token counters; integer
-    sums, one closing divide per group."""
-    d = _docs(spark, sf_dir)
+    sums, one closing divide per group. Each counter is projected
+    ONCE before the aggregate (r8 review follow-up: repeating the
+    tokenize/regex expression inside multiple agg children re-runs
+    it per row per reference — CSE does not dedupe across them)."""
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        F.size(T.tokens("text")).alias("_ws"),
+        T.token_count_bpe("text").cast("long").alias("_bpe"),
+    )
     return d.groupBy("lang").agg(
-        F.sum(F.size(T.tokens("text"))).cast("bigint").alias(
-            "total_ws_tokens"
-        ),
-        F.sum(T.token_count_bpe("text").cast("long"))
-        .cast("bigint")
-        .alias("total_bpe_tokens"),
+        F.sum("_ws").cast("bigint").alias("total_ws_tokens"),
+        F.sum("_bpe").cast("bigint").alias("total_bpe_tokens"),
         (
-            F.sum(T.token_count_bpe("text").cast("long")).cast("double")
-            / F.sum(F.size(T.tokens("text")))
+            F.sum("_bpe").cast("double") / F.sum("_ws")
         ).alias("fertility"),
     )
 
