@@ -1,0 +1,122 @@
+"""Property-based cross-check of the r8 removal family against
+independent pure-Python references: for random corpora (tiny line /
+token vocabularies so real duplicates occur, plus NULL and blank
+degenerates), Spark's ``remove_duplicated_lines`` must equal the
+keep-global-first line rule exactly, and ``remove_within_doc_repeats``
+the keep-first in-document gram rule — clean text, kept and removed
+counts, and the NULL contract, row for row."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from convert_parquet_to_csv_spark.operators import dedup as D
+
+# tiny vocabularies → real cross-doc collisions in a handful of docs
+_LINES = ["footer x", "menu a b", "alpha", "beta c", "", "  "]
+_WORDS = [f"w{i}" for i in range(5)]
+
+_line_docs = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(st.sampled_from(_LINES), min_size=0, max_size=6),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+_word_docs = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=16),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _ref_line_dedup(rows: list[tuple[int, str | None]]) -> dict:
+    """Keep-global-first by (doc_id, line_pos); blank/whitespace-only
+    lines and singletons never removed; NULL text -> (NULL, 0, 0)."""
+    first: dict[str, tuple] = {}
+    counts: dict[str, int] = {}
+    for i, text in rows:
+        if text is None:
+            continue
+        for p, line in enumerate(text.split("\n")):
+            if "".join(line.split()):  # non-blank (any whitespace)
+                first.setdefault(line, (i, p))
+                counts[line] = counts.get(line, 0) + 1
+    out = {}
+    for i, text in rows:
+        if text is None:
+            out[i] = (None, 0, 0)
+            continue
+        lines = text.split("\n")
+        kept = [
+            ln
+            for p, ln in enumerate(lines)
+            if not "".join(ln.split())
+            or counts[ln] == 1
+            or first[ln] == (i, p)
+        ]
+        out[i] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+    return out
+
+
+def _ref_within_doc(text: str | None, k: int) -> tuple:
+    if text is None:
+        return (None, 0, 0)
+    toks = text.split()
+    firsts: dict[tuple, int] = {}
+    covered: set[int] = set()
+    for p in range(max(len(toks) - k + 1, 0)):
+        g = tuple(toks[p : p + k])
+        if g in firsts:
+            covered.update(range(p, p + k))
+        else:
+            firsts[g] = p
+    kept = [w for i, w in enumerate(toks) if i not in covered]
+    return (" ".join(kept), len(kept), len(toks) - len(kept))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_line_docs)
+def test_line_dedup_matches_python_reference(spark, docs):
+    rows = [
+        (i, None if lines is None else "\n".join(lines))
+        for i, lines in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (
+            r["clean_text"], r["n_lines_kept"], r["n_lines_removed"]
+        )
+        for r in D.remove_duplicated_lines(df).collect()
+    }
+    assert got == _ref_line_dedup(rows)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_word_docs, k=st.integers(2, 3))
+def test_within_doc_repeats_matches_python_reference(spark, docs, k):
+    rows = [
+        (i, None if toks is None else " ".join(toks))
+        for i, toks in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in D.remove_within_doc_repeats(df, k=k).collect()
+    }
+    want = {i: _ref_within_doc(text, k) for i, text in rows}
+    assert got == want
