@@ -957,6 +957,155 @@ def gopher_quality_filter(
 
 
 # --------------------------------------------------------------------------
+# Hashed bag-of-ngrams featurization (shared by DSIR and the linear
+# classifier) + apply-an-exported-linear-model scoring
+# --------------------------------------------------------------------------
+
+def hashed_ngram_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    ngram_ns: tuple[int, ...] = (1, 2),
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """One ``(id, _b)`` row per word n-gram occurrence, ``_b`` a hash
+    bucket in ``[0, num_buckets)`` — the hashed bag-of-ngrams
+    featurization DSIR and :func:`linear_text_classifier` share
+    (extracted r8 so the two cannot drift).
+
+    ``hash_fn='xxhash64'`` is the production flavor: hash the raw
+    TOKEN SLICE from an exploded start-position table — no gram
+    string is ever built. The string path (ngrams()'s transform +
+    array_join HOF lambdas, evaluated outside whole-stage codegen)
+    measured 7.2 s vs 0.6 s for this featurization at sf0.1 — the
+    same 10×+ HOF-vs-codegen gap _hashed_shingle_table documents.
+    ``hash_fn='md5'`` is the DuckDB-replayable flavor: gram strings,
+    hex-parsed md5 — the house cross-engine RNG."""
+    if hash_fn == "xxhash64":
+        base = df.select(
+            F.col(id_col),
+            tokens(F.lower(F.col(text_col))).alias("_tk"),
+        )
+        pos = base.select(
+            id_col,
+            "_tk",
+            F.explode(
+                F.sequence(F.lit(0), F.size("_tk") - 1)
+            ).alias("_i"),
+        ).filter(F.size("_tk") > 0)
+        g = pos.select(
+            id_col,
+            "_tk",
+            "_i",
+            F.explode(
+                F.array(*[F.lit(n) for n in ngram_ns])
+            ).alias("_n"),
+        ).filter(F.col("_i") + F.col("_n") <= F.size("_tk"))
+        return g.select(
+            id_col,
+            F.pmod(
+                F.xxhash64(F.expr("slice(_tk, _i + 1, _n)")),
+                F.lit(num_buckets),
+            ).alias("_b"),
+        )
+    if hash_fn == "md5":
+        grams = F.flatten(
+            F.array(*[ngrams(text_col, n=n) for n in ngram_ns])
+        )
+        return df.select(
+            F.col(id_col), F.explode(grams).alias("_g")
+        ).select(
+            id_col,
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("_g")), 1, 15), 16, 10
+                ).cast("long"),
+                F.lit(num_buckets),
+            ).alias("_b"),
+        )
+    raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
+
+def linear_text_classifier(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    ngram_ns: tuple[int, ...] = (1, 2),
+    hash_fn: str = "xxhash64",
+    bias_micro: int = 0,
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """Apply an EXPORTED linear text classifier at corpus scale — the
+    model-based quality-filter stage of the modern curation stack
+    (fastText-style scorers in CCNet/DCLM, the FineWeb-Edu educational
+    scorer): documents featurize as hashed bag-of-ngram counts and
+    score ``logit = bias + Σ_b c_b · w_b`` against a ``(_b,
+    weight_micro)`` table trained OFFLINE (training needs labels and
+    an optimizer; applying the exported weights is the corpus-scale
+    job, and this operator is that seam — the gated query feeds it a
+    deterministic md5-derived stub table, the multimodal-codec
+    precedent for environment-bounded models).
+
+    Output: ``(id, n_grams, logit_micro, passes)`` for EVERY input
+    doc — weights are integer MICRO-units so the dot product is an
+    exact integer (order-free, engine-exact; the DSIR device); a doc
+    with no features (NULL/empty text) scores the bias alone.
+
+    Plan shape: one explode → (doc, bucket) partial-agg shuffle (the
+    only full-volume exchange, shared with DSIR via
+    :func:`hashed_ngram_buckets`); the weight table is ≤ num_buckets
+    rows and BROADCAST into the scoring join; one doc-keyed groupBy;
+    an eqNullSafe id-spine left join (family rule) restores
+    feature-less docs. Corpus rows move exactly once regardless of
+    model size knobs."""
+    b = hashed_ngram_buckets(
+        docs, id_col, text_col, num_buckets, ngram_ns, hash_fn
+    )
+    counts = b.groupBy(id_col, "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = weights.select(
+        F.col("_b").alias("_wb"),
+        F.col("weight_micro").cast("long").alias("_wm"),
+    )
+    scored = (
+        counts.join(
+            F.broadcast(w), F.col("_b") == F.col("_wb"), "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_grams"),
+            (
+                F.sum(
+                    F.col("_c") * F.coalesce(F.col("_wm"), F.lit(0))
+                )
+                + F.lit(int(bias_micro))
+            ).cast("bigint").alias("logit_micro"),
+        )
+        .withColumnRenamed(id_col, "_sid")
+    )
+    spine = docs.select(id_col)
+    return spine.join(
+        scored, F.col(id_col).eqNullSafe(F.col("_sid")), "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias(
+            "n_grams"
+        ),
+        F.coalesce(F.col("logit_micro"), F.lit(int(bias_micro)))
+        .cast("bigint")
+        .alias("logit_micro"),
+        (
+            F.coalesce(F.col("logit_micro"), F.lit(int(bias_micro)))
+            >= F.lit(int(threshold_micro))
+        ).alias("passes"),
+    )
+
+
+# --------------------------------------------------------------------------
 # DSIR: data selection via importance resampling (Xie et al. 2023,
 # arXiv:2302.03169) — hashed n-gram importance weights
 # --------------------------------------------------------------------------
@@ -1006,61 +1155,10 @@ def dsir_importance_weights(
     interleaved protocol (heap/GC residue) — the isolated A/B above
     is the operator's own curve.
     """
-    if hash_fn == "xxhash64":
-        # Production flavor: hash the raw TOKEN SLICE from an exploded
-        # start-position table — no gram string is ever built. The
-        # string path (ngrams()'s transform + array_join HOF lambdas,
-        # evaluated outside whole-stage codegen) measured 7.2 s vs
-        # 0.6 s for this featurization at sf0.1 — the same 10×+
-        # HOF-vs-codegen gap _hashed_shingle_table documents.
-        def buckets(df: DataFrame) -> DataFrame:
-            base = df.select(
-                F.col(id_col),
-                tokens(F.lower(F.col(text_col))).alias("_tk"),
-            )
-            pos = base.select(
-                id_col,
-                "_tk",
-                F.explode(
-                    F.sequence(F.lit(0), F.size("_tk") - 1)
-                ).alias("_i"),
-            ).filter(F.size("_tk") > 0)
-            g = pos.select(
-                id_col,
-                "_tk",
-                "_i",
-                F.explode(
-                    F.array(*[F.lit(n) for n in ngram_ns])
-                ).alias("_n"),
-            ).filter(F.col("_i") + F.col("_n") <= F.size("_tk"))
-            return g.select(
-                id_col,
-                F.pmod(
-                    F.xxhash64(F.expr("slice(_tk, _i + 1, _n)")),
-                    F.lit(num_buckets),
-                ).alias("_b"),
-            )
-
-    elif hash_fn == "md5":
-        # DuckDB-replayable flavor: gram strings, hex-parsed md5.
-        def buckets(df: DataFrame) -> DataFrame:
-            grams = F.flatten(
-                F.array(*[ngrams(text_col, n=n) for n in ngram_ns])
-            )
-            return df.select(
-                F.col(id_col), F.explode(grams).alias("_g")
-            ).select(
-                id_col,
-                F.pmod(
-                    F.conv(
-                        F.substring(F.md5(F.col("_g")), 1, 15), 16, 10
-                    ).cast("long"),
-                    F.lit(num_buckets),
-                ).alias("_b"),
-            )
-
-    else:
-        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    def buckets(df: DataFrame) -> DataFrame:
+        return hashed_ngram_buckets(
+            df, id_col, text_col, num_buckets, ngram_ns, hash_fn
+        )
 
     raw_b = buckets(raw)
     doc_counts = raw_b.groupBy(id_col, "_b").agg(

@@ -1491,3 +1491,92 @@ def gopher_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), min_stopword_hits=1
     )
     return C.quality_funnel(flags, _FUNNEL_STAGES)
+
+
+# --------------------------------------------------------------------------
+# r8 wave 4 (cont.): apply-an-exported-linear-model quality scoring —
+# the fastText-style model-based filter stage (CCNet/DCLM/FineWeb-Edu).
+# Day-one gated.
+# --------------------------------------------------------------------------
+
+_QCLS_B = 4096
+
+_QCLS_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % {_QCLS_B} AS b
+  FROM (
+    SELECT doc_id, unnest(toks) AS g FROM tok
+    UNION ALL
+    SELECT doc_id, array_to_string(toks[i + 1 : i + 2], ' ') AS g
+    FROM tok, unnest(range(0, len(toks) - 1)) AS t(i)
+    WHERE len(toks) >= 2
+  )
+), w AS (
+  SELECT CAST(i AS BIGINT) AS b,
+         ('0x' || substr(md5('qw_' || CAST(i AS VARCHAR)), 1, 15))
+           ::BIGINT % 1000001 - 500000 AS wm
+  FROM range(0, {_QCLS_B}) t(i)
+), dc AS (
+  SELECT doc_id, b, count(*) AS c FROM g GROUP BY 1, 2
+), s AS (
+  SELECT dc.doc_id,
+         CAST(sum(dc.c) AS BIGINT) AS n_grams,
+         CAST(sum(dc.c * w.wm) AS BIGINT) AS logit_micro
+  FROM dc JOIN w ON w.b = dc.b
+  GROUP BY dc.doc_id
+)
+SELECT tok.doc_id,
+       CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(s.logit_micro, 0) AS BIGINT) AS logit_micro,
+       COALESCE(s.logit_micro, 0) >= 0 AS passes
+FROM tok LEFT JOIN s ON tok.doc_id = s.doc_id
+"""
+
+
+@query("quality_classifier_linear", oracle=_QCLS_ORACLE)
+def quality_classifier_linear(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Model-based quality filtering, apply side
+    (operators/curation.linear_text_classifier): every doc scored
+    ``logit = Σ_b c_b · w_b`` over hashed unigram+bigram bucket
+    counts against an exported (bucket, weight_micro) table — the
+    fastText-style classifier stage of CCNet/DCLM/FineWeb-Edu, the
+    one curation stage that needs a TRAINED model. Training needs
+    labels and an optimizer (environment-bounded, the
+    multimodal-codec precedent); the weight table here is a
+    deterministic md5-derived stub with the exact shape, dtype, and
+    broadcast-join plumbing an exported model would use, replayed
+    coefficient-for-coefficient by the oracle. md5 bucket flavor
+    (the house cross-engine RNG); integer micro-unit weights so the
+    dot product is exact. One corpus exchange + a 4096-row broadcast
+    + an eqNullSafe id-spine join — corpus rows move once at any
+    model size."""
+    weights = spark.range(_QCLS_B).select(
+        F.col("id").cast("long").alias("_b"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("qw_"), F.col("id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000001
+            - 500000
+        ).alias("weight_micro"),
+    )
+    return C.linear_text_classifier(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        weights,
+        num_buckets=_QCLS_B,
+        hash_fn="md5",
+    )

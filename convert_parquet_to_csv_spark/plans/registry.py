@@ -90,11 +90,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # whole refresh budget goes to the OLDEST-signal class — all 39
 # queries whose latest driver row is r2 (5 rounds old; the r7 judge
 # replica-sampled 16 of them green, this is rotation bookkeeping).
-# Layout is exactly the 50-slot gate budget: 3 canaries + 16 r8
-# day-one (8 + 4 wave-2 + 3 wave-3 + 1 wave-4) + 31 of the 39
-# r2-latest; the eight day-one overflow registrations displace the
-# eight most stable TPC-H refresh slots (q4/q7/q8/q15/q16/q17/q21/
-# q22 — r7 precedent: day-one registrations take refresh slots),
+# Layout is exactly the 50-slot gate budget: 3 canaries + 17 r8
+# day-one (8 + 4 wave-2 + 3 wave-3 + 2 wave-4) + 30 of the 39
+# r2-latest; the nine day-one overflow registrations displace the
+# nine most stable TPC-H refresh slots (q4/q7/q8/q13/q15/q16/q17/
+# q21/q22 — r7 precedent: day-one registrations take refresh slots),
 # which move just past the cut together with the advice-touched
 # queries and run the driver's EXACT compare in-suite every pytest
 # meanwhile (tests/test_scratch_and_audit.py).
@@ -123,9 +123,10 @@ FIRST_TIER: list[str] = [
     "embedding_jl_projection",
     "dedup_provenance_remap",
     "gopher_funnel",
-    # r8 wave 4 (same rule — q15 displaced, carried by the inline
-    # oracle test meanwhile)
+    # r8 wave 4 (same rule — q15, then q13, displaced; both carried
+    # by the inline oracle test meanwhile)
     "line_dedup_boilerplate",
+    "quality_classifier_linear",
     # --- refresh: the 39 queries whose latest driver row is r2 (VERDICT r7 item 2 — the oldest-signal class; after this round the oldest signal everywhere is >= r3). Registration order. ---
     "left_join_enrichment",
     "right_join_enrichment",
@@ -155,13 +156,12 @@ FIRST_TIER: list[str] = [
     "q9_product_profit",
     "q10_returned_items",
     "q12_late_line_priority",
-    "q13_customer_distribution",
     "decontaminate_ngram_overlap",
     "source_mix_temperature",
     # --- just past the ~50 cut: queries whose KERNELS or ORACLES were touched by the r8 advice fixes — replica-verified tri-SF this round (ledger), first in line for the r9 gate ---
-    # displaced from the r2-refresh block by the eight wave-2/3/4
-    # day-one registrations (31/39 of the r2 class rotates this
-    # round; these eight stable TPC-H queries — property-suite-
+    # displaced from the r2-refresh block by the nine wave-2/3/4
+    # day-one registrations (30/39 of the r2 class rotates this
+    # round; these nine stable TPC-H queries — property-suite-
     # covered and also in the per-run inline DuckDB oracle test —
     # take the first r9 refresh slots together with the
     # oracle-edited set below)
@@ -173,6 +173,7 @@ FIRST_TIER: list[str] = [
     "q7_volume_shipping",
     "q8_market_share",
     "q15_top_supplier",
+    "q13_customer_distribution",
     # oracle-TEXT-edited queries lead (review r8: an edited oracle
     # has no driver row this round; the suite's inline oracle gate —
     # tests/test_scratch_and_audit.py::

@@ -1063,3 +1063,61 @@ def test_gopher_funnel_monotone_and_marginal(spark):
     # funnel ends at exactly the two clean docs
     assert got[1][1] == 3
     assert got[len(_FUNNEL_STAGES)][1] == 2
+
+
+def test_linear_classifier_matches_python_reference(spark):
+    """Exact-integer logits vs a pure-Python replay (same md5
+    buckets, same md5-derived weights); every input doc gets a row —
+    feature-less docs score the bias alone."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    B, BIAS, THR = 64, 7, 100
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick quick"),
+        (3, ""),          # no features -> bias row
+        (4, None),        # NULL text -> bias row
+        (5, "Mixed CASE tokens here"),  # lowercasing pinned
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    weights = spark.range(B).select(
+        F.col("id").cast("long").alias("_b"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("qw_"), F.col("id").cast("string"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long") % 1000001 - 500000
+        ).alias("weight_micro"),
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["logit_micro"], r["passes"])
+        for r in C.linear_text_classifier(
+            df, weights, num_buckets=B, hash_fn="md5",
+            bias_micro=BIAS, threshold_micro=THR,
+        ).collect()
+    }
+
+    def h15(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def wm(b: int) -> int:
+        return h15(f"qw_{b}") % 1000001 - 500000
+
+    for i, text in rows:
+        if text is None:
+            toks = None
+        else:
+            toks = text.lower().split()
+        if not toks:
+            want = (0, BIAS, BIAS >= THR)
+        else:
+            grams = toks + [
+                " ".join(toks[j : j + 2]) for j in range(len(toks) - 1)
+            ]
+            logit = BIAS + sum(wm(h15(g) % B) for g in grams)
+            want = (len(grams), logit, logit >= THR)
+        assert got[i] == want, (i, got[i], want)

@@ -155,8 +155,9 @@ def test_oracle_edited_queries_hash_match_duckdb(spark):
         "q4_order_priority",
         "q7_volume_shipping",
         "q8_market_share",
-        # displaced by the wave-4 day-one registration
+        # displaced by the wave-4 day-one registrations
         "q15_top_supplier",
+        "q13_customer_distribution",
     ):
         spdf = registry.QUERIES[name](spark, sf).toPandas()
         spark.catalog.clearCache()
