@@ -1049,18 +1049,23 @@ def linear_text_classifier(
     deterministic md5-derived stub table, the multimodal-codec
     precedent for environment-bounded models).
 
-    Output: ``(id, n_grams, logit_micro, passes)`` for EVERY input
-    doc — weights are integer MICRO-units so the dot product is an
-    exact integer (order-free, engine-exact; the DSIR device); a doc
-    with no features (NULL/empty text) scores the bias alone.
+    Output: ``(id, n_grams, logit_micro, passes)`` — GROUP BY
+    semantics, one row per DISTINCT id (ids are expected unique;
+    NULL ids form one group and duplicate ids pool their features,
+    exactly like the oracle's GROUP BY — the r8 review's 2nd pass
+    caught the earlier per-input-row spine fanning a POOLED
+    aggregate onto each colliding row). Weights are integer
+    MICRO-units so the dot product is an exact integer (order-free,
+    engine-exact; the DSIR device); a doc with no features
+    (NULL/empty text) scores the bias alone.
 
     Plan shape: one explode → (doc, bucket) partial-agg shuffle (the
     only full-volume exchange, shared with DSIR via
     :func:`hashed_ngram_buckets`); the weight table is ≤ num_buckets
     rows and BROADCAST into the scoring join; one doc-keyed groupBy;
-    an eqNullSafe id-spine left join (family rule) restores
-    feature-less docs. Corpus rows move exactly once regardless of
-    model size knobs."""
+    an eqNullSafe DISTINCT-id spine left join restores feature-less
+    ids. Corpus rows move exactly once regardless of model size
+    knobs."""
     b = hashed_ngram_buckets(
         docs, id_col, text_col, num_buckets, ngram_ns, hash_fn
     )
@@ -1087,7 +1092,7 @@ def linear_text_classifier(
         )
         .withColumnRenamed(id_col, "_sid")
     )
-    spine = docs.select(id_col)
+    spine = docs.select(id_col).distinct()
     return spine.join(
         scored, F.col(id_col).eqNullSafe(F.col("_sid")), "left"
     ).select(

@@ -1222,16 +1222,15 @@ def jl_project(
     Plan shape: the sign matrix is a ``dim``-row broadcast (built
     from a range, never collected); one posexplode + broadcast join
     + per-id groupBy with map-side partial aggregation — a single
-    narrow shuffle keyed by vector id — then a left join back onto
-    the id spine (r8 review): posexplode yields ZERO rows for a
-    NULL/empty embedding, which silently dropped those vectors from
-    the output; the contract (and the DuckDB oracle's cross-join
-    form) is one row per input vector, degenerate vectors with NULL
-    components. Both sides of the spine join are keyed by id, and
-    AQE broadcasts the aggregated side when small. Scale: rows
-    shuffled = |corpus|·dim, each 8 bytes + out_dims partials; at a
-    64→8 reduction the downstream similarity scan reads 8 ints
-    instead of 64 floats."""
+    narrow shuffle keyed by vector id, and nothing else. Output is
+    GROUP BY semantics: one row per DISTINCT id (ids are expected
+    unique; NULL ids form one group, duplicate ids pool — exactly
+    like the oracle), and degenerate (NULL/empty) embeddings emit
+    their row with NULL components via a phantom NULL element
+    rather than vanishing from the posexplode (r8 review; see the
+    inline comment). Scale: rows shuffled = |corpus|·dim, each
+    8 bytes + out_dims partials; at a 64→8 reduction the downstream
+    similarity scan reads 8 ints instead of 64 floats."""
     if out_dims < 1 or dim < 1:
         raise ValueError("dim and out_dims must be >= 1")
     spark = vectors.sparkSession
@@ -1260,9 +1259,23 @@ def jl_project(
             for i in range(out_dims)
         ],
     )
+    # Degenerate (NULL/empty) vectors explode to a single PHANTOM
+    # NULL element instead of zero rows (r8 review, 2nd pass): this
+    # keeps them inside the one aggregate — sum over NULL
+    # contributions is NULL, so they emit a row with NULL components
+    # — and makes the output EXACTLY the oracle's GROUP BY: one row
+    # per distinct id, NULL ids one group, duplicate-id pooling
+    # identical in both engines. No spine join at all (the first
+    # spine-join fix fanned a pooled aggregate back onto each input
+    # row, cross-contaminating multi-NULL-id inputs).
+    vec = F.col(vec_col)
+    safe = F.when(
+        vec.isNull() | (F.size(vec) == 0),
+        F.array(F.lit(None).cast("float")),
+    ).otherwise(vec)
     exploded = vectors.select(
         F.col(id_col),
-        F.posexplode(vec_col).alias("_p", "_v"),
+        F.posexplode(safe).alias("_p", "_v"),
     ).select(
         F.col(id_col),
         (F.col("_p") + 1).cast("int").alias("_j"),
@@ -1271,7 +1284,7 @@ def jl_project(
         ).cast("bigint").alias("_vi"),
     )
     joined = exploded.join(F.broadcast(signs), "_j")
-    agg = joined.groupBy(id_col).agg(
+    return joined.groupBy(id_col).agg(
         *[
             F.sum(F.col(f"_s{i}") * F.col("_vi"))
             .cast("bigint")
@@ -1279,13 +1292,3 @@ def jl_project(
             for i in range(out_dims)
         ]
     )
-    # eqNullSafe on a renamed key (r8 review, the dedup_remap rule):
-    # ids are expected unique and non-null, but a NULL id must not
-    # silently discard its computed projection — groupBy treats NULL
-    # as one key, so the spine join must too.
-    spine = vectors.select(id_col)
-    return spine.join(
-        agg.withColumnRenamed(id_col, "_aid"),
-        F.col(id_col).eqNullSafe(F.col("_aid")),
-        "left",
-    ).drop("_aid")

@@ -1531,11 +1531,12 @@ WITH tok AS (
   FROM dc JOIN w ON w.b = dc.b
   GROUP BY dc.doc_id
 )
-SELECT tok.doc_id,
+SELECT d.doc_id,
        CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
        CAST(COALESCE(s.logit_micro, 0) AS BIGINT) AS logit_micro,
        COALESCE(s.logit_micro, 0) >= 0 AS passes
-FROM tok LEFT JOIN s ON tok.doc_id = s.doc_id
+FROM (SELECT DISTINCT doc_id FROM tok) d
+LEFT JOIN s ON d.doc_id IS NOT DISTINCT FROM s.doc_id
 """
 
 

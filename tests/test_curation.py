@@ -1121,3 +1121,47 @@ def test_linear_classifier_matches_python_reference(spark):
             logit = BIAS + sum(wm(h15(g) % B) for g in grams)
             want = (len(grams), logit, logit >= THR)
         assert got[i] == want, (i, got[i], want)
+
+
+def test_linear_classifier_group_by_semantics(spark):
+    """Output is one row per DISTINCT id with pooled features
+    (SQL GROUP BY semantics, r8 review 2nd pass): duplicate ids and
+    the NULL-id group each yield ONE row whose logit covers all
+    colliding docs — never a pooled score fanned onto every input
+    row."""
+    from pyspark.sql import functions as F
+
+    B = 64
+    weights = spark.range(B).select(
+        F.col("id").cast("long").alias("_b"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("qw_"), F.col("id").cast("string"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long") % 1000001 - 500000
+        ).alias("weight_micro"),
+    )
+
+    def score(rows):
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        return {
+            r["doc_id"]: (r["n_grams"], r["logit_micro"])
+            for r in C.linear_text_classifier(
+                df, weights, num_buckets=B, hash_fn="md5"
+            ).collect()
+        }
+
+    a, b = "alpha beta", "gamma delta epsilon"
+    pooled = score([(9, a), (9, b), (None, a), (None, b), (1, a)])
+    assert len(pooled) == 3  # distinct ids: 9, NULL, 1
+    solo_a = score([(1, a)])[1]
+    solo_b = score([(2, b)])[2]
+    both = (
+        solo_a[0] + solo_b[0],
+        solo_a[1] + solo_b[1],  # bias 0, so logits add
+    )
+    assert pooled[9] == both
+    assert pooled[None] == both
+    assert pooled[1] == solo_a

@@ -417,10 +417,12 @@ def test_jl_project_matches_python_reference(spark):
 
 
 def test_jl_project_keeps_degenerate_vectors(spark):
-    """One row per INPUT vector (r8 review): NULL/empty embeddings —
-    which posexplode yields zero rows for — still appear in the
-    output, with NULL components, matching the oracle's cross-join
-    formulation instead of silently vanishing."""
+    """GROUP BY output contract (r8 review, 2nd pass): one row per
+    DISTINCT id; NULL/empty embeddings emit their row with NULL
+    components via the phantom element instead of vanishing from
+    posexplode; NULL ids form ONE group whose sums pool — exactly
+    the oracle's GROUP BY, never a pooled row fanned onto every
+    input row."""
     from convert_parquet_to_csv_spark.operators.similarity import (
         jl_project,
     )
@@ -435,6 +437,31 @@ def test_jl_project_keeps_degenerate_vectors(spark):
     assert got[1] == (None, None)
     assert got[2] == (None, None)
     assert got[3][0] is not None
+
+    # two NULL-id vectors -> ONE output row (the NULL group), sums
+    # pooled across both, matching SQL GROUP BY
+    df2 = spark.createDataFrame(
+        [(None, [0.5] * 4), (None, [0.25] * 4), (7, [0.5] * 4)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    rows = jl_project(df2, dim=4, out_dims=2).collect()
+    assert len(rows) == 2
+    pooled = {r["vec_id"]: r["c0"] for r in rows}
+    single = jl_project(
+        spark.createDataFrame(
+            [(None, [0.5] * 4)], "vec_id LONG, embedding ARRAY<FLOAT>"
+        ),
+        dim=4,
+        out_dims=2,
+    ).collect()[0]["c0"]
+    other = jl_project(
+        spark.createDataFrame(
+            [(None, [0.25] * 4)], "vec_id LONG, embedding ARRAY<FLOAT>"
+        ),
+        dim=4,
+        out_dims=2,
+    ).collect()[0]["c0"]
+    assert pooled[None] == single + other
 
 
 def test_jl_project_preserves_relative_distance_order(spark):
