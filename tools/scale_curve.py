@@ -58,6 +58,7 @@ from convert_parquet_to_csv_spark.operators.curation import (
     flag_contaminated,
     flag_contaminated_bloom,
     gopher_repetition_signals,
+    linear_text_classifier,
     remove_duplicated_spans,
 )
 
@@ -211,6 +212,38 @@ def main() -> None:
                 d.select(
                     "doc_id",
                     synth_token_lines("text", w=4).alias("text"),
+                )
+            ),
+            # r8 wave 4 (cont.): apply-an-exported-linear-model
+            # scoring, PRODUCTION flavor (xxhash64 token-slice
+            # features, no gram strings); the md5-stub weight table
+            # is built in-kernel exactly as the gated query builds
+            # it — an exported real model would be the same 4096-row
+            # broadcast.
+            "quality_classifier": lambda d=docs, s=spark: (
+                linear_text_classifier(
+                    d,
+                    s.range(4096).select(
+                        F.col("id").cast("long").alias("_b"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit("qw_"),
+                                            F.col("id").cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % 1000001
+                            - 500000
+                        ).alias("weight_micro"),
+                    ),
                 )
             ),
         }
