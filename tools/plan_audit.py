@@ -38,6 +38,13 @@ CASES = {
     "disjunctive_filter_parts": "q19 shape: OR-of-ANDs factored into PushedFilters on BOTH scans",
     "promo_revenue_ratio": "q14 shape: broadcast dim join, single (year,month) shuffle",
     "curation_pipeline": "curation: per-doc features map-side, one fingerprint shuffle",
+    # r8 wave-2/3/4 flagships: prove the docstring shapes from the
+    # executed plans (doc-keyed exchanges only; broadcast model
+    # table; no window anywhere in the removal family)
+    "dedup_within_doc_repeats": "within-doc repeats: doc-keyed exchanges only, min(pos) groupBy, array-native reassembly, no window",
+    "line_dedup_boilerplate": "line dedup: min-struct winner groupBy (no window), one line-keyed join, doc-keyed reassembly",
+    "quality_classifier_linear": "linear classifier: weight table BROADCAST; only the (doc,bucket) exchange is corpus-volume — the rest are doc/id-scale aggregates and the distinct-id spine",
+    "embedding_jl_projection": "JL projection: sign matrix broadcast, ONE id-keyed exchange, no spine join",
     "events_daily_gapfill": "gap fill: spine explode bounded by keys x days, one daily-agg shuffle",
     "salted_join_revenue": "salted join: (key,salt) hash join, dim replicated map-side, result invariant",
     "funnel_view_click_purchase": "funnel: per-stage cohorts shrink; AQE broadcasts the cohort joins",
