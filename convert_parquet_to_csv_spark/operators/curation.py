@@ -1985,6 +1985,10 @@ def corpus_datacard(
     when its normalized fingerprint appears more than once anywhere
     in the corpus (cross-source recrawls are precisely the
     interesting case), attributed to each source that holds a copy.
+    NULL-text docs form one fingerprint group (groupBy semantics via
+    an eqNullSafe join-back — ADVICE r8; they are counted in every
+    denominator, and two NULL-text rows count as duplicates of each
+    other).
 
     Exactness: integer counts with one closing divide per ratio.
     Top-lang election: the usual integer-encode argmax needs a
@@ -2007,8 +2011,17 @@ def corpus_datacard(
     )
     fp_counts = base.groupBy("_fp").agg(
         F.count(F.lit(1)).alias("_fpc")
+    ).withColumnRenamed("_fp", "_fpk")
+    # eqNullSafe on a RENAMED key (ADVICE r8, the dedup_remap
+    # precedent): a null-unsafe equi-join silently dropped NULL-text
+    # docs (NULL fingerprint) from n_docs/n_tokens/exact_dup_frac
+    # while lang_counts still counted them — mismatched denominators
+    # let top_lang_frac exceed 1.0. groupBy already treats NULL as
+    # one group, so NULL-text recrawls count as duplicates of each
+    # other, consistently in both aggregates.
+    per_doc = base.join(
+        fp_counts, F.col("_fp").eqNullSafe(F.col("_fpk"))
     )
-    per_doc = base.join(fp_counts, "_fp")
     per_source = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("_nt").cast("bigint").alias("n_tokens"),

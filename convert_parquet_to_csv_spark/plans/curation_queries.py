@@ -1379,7 +1379,8 @@ per AS (
          CAST(sum(nt) AS BIGINT) AS n_tokens,
          CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
            AS ndup
-  FROM base JOIN fpc USING (fp) GROUP BY source
+  FROM base JOIN fpc ON base.fp IS NOT DISTINCT FROM fpc.fp
+  GROUP BY source
 ),
 lc AS (
   SELECT source, lang, CAST(count(*) AS BIGINT) AS lcnt

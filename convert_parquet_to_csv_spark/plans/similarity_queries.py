@@ -1004,6 +1004,9 @@ def embedding_jl_projection(
     Gaussian projection cannot offer. Sign matrix = a 64-row
     broadcast built from a range; one posexplode + broadcast join +
     per-id map-side-combinable groupBy — a single narrow shuffle —
-    then an id-spine left join so degenerate (NULL/empty) vectors
-    keep their row with NULL components (r8 review)."""
+    with degenerate (NULL/empty) vectors kept via the phantom NULL
+    element device (a NULL-valued entry keeps the id in the explode
+    and aggregates to NULL components; no spine join at all — the
+    plan-audit case for this query pins exactly that; ADVICE r8
+    docstring fix)."""
     return S.jl_project(_vecs(spark, sf_dir), dim=64, out_dims=8)

@@ -79,6 +79,14 @@ RUNTIME_PINNED_CONF: dict[str, str] = {
     "spark.sql.python.filterPushdown.enabled": "true",
     # Arrow-batched pandas interchange everywhere Python appears.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI SQL semantics (the Spark 4 default, pinned per the
+    # repo's own doctrine that every SEMANTICALLY load-bearing
+    # runtime conf must be set per query, not inherited — the
+    # CORRECTNESS_r03 pushdown lesson). Load-bearing example
+    # (ADVICE r8): _reassemble_minus_positions' NULL contract
+    # relies on size(NULL) = NULL; with ANSI off, legacy
+    # size(NULL) = -1 silently corrupts n_kept/n_removed to -1/0.
+    "spark.sql.ansi.enabled": "true",
     # AQE: several plans (skew-join splitting, bucketed-join
     # exchange elision checks) assume adaptive execution semantics.
     "spark.sql.adaptive.enabled": "true",

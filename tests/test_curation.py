@@ -1017,6 +1017,27 @@ def test_corpus_datacard_rollup(spark):
     )
 
 
+def test_corpus_datacard_null_text_counts(spark):
+    """ADVICE r8: NULL-text docs (NULL fingerprint) must stay in
+    every denominator — the null-unsafe fingerprint join dropped
+    them from n_docs/n_tokens while lang_counts kept them, letting
+    top_lang_frac exceed 1.0. Two NULL-text rows are one fingerprint
+    group (groupBy semantics), so they count as mutual duplicates."""
+    docs = spark.createDataFrame(
+        [
+            (1, "real content here", "S", "en"),
+            (2, None, "S", "en"),
+            (3, None, "S", "en"),
+        ],
+        "doc_id LONG, text STRING, source STRING, lang STRING",
+    )
+    row = C.corpus_datacard(docs).collect()[0]
+    assert row["n_docs"] == 3 and row["n_tokens"] == 3
+    assert row["exact_dup_frac"] == 2 / 3  # the two NULL-text rows
+    assert row["top_lang_frac"] == 1.0  # never > 1 again
+    assert row["mean_doc_tokens"] == 1.0
+
+
 def test_corpus_datacard_top_lang_tiebreak(spark):
     docs = spark.createDataFrame(
         [(1, "x y", "S", "zh"), (2, "x y", "S", "de")],
