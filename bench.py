@@ -31,6 +31,42 @@ from convert_parquet_to_csv_spark.sources import (  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _current_round() -> int:
+    """The round this bench run belongs to: $SPARK_GRAFT_ROUND if
+    set, else 1 + the highest driver-recorded ``BENCH_r{N}.json``
+    (the driver writes round N's record AFTER running bench, so at
+    bench time the newest record on disk is round N−1)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json"))
+        if (m := re.match(r"BENCH_r0*(\d+)\.json$", os.path.basename(p)))
+    ]
+    return (max(rounds) + 1) if rounds else 0
+
+
+def _write_local_record(payload: dict) -> str:
+    """VERDICT r8 items 1b/What's-missing-2: the driver keeps only a
+    ~2000-char stdout TAIL, so the full per-query map has never
+    survived into a durable artifact (~30 of ~80 r7 keys read as
+    "removed" in cross-round compares — truncation, not code). The
+    COMPLETE record now lands in a committed file per round
+    (``BENCH_LOCAL_r{N}.json``); tools/bench_compare prefers it over
+    the truncated driver tail. Stdout stays exactly as before for
+    the driver."""
+    path = os.path.join(REPO_DIR, f"BENCH_LOCAL_r{_current_round()}.json")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    return path
 TARGET_ROWS = 10_000_000
 # Keyed by SF_DIR (same stale-cache class as the 500k corpus): a 10M
 # replication built from a different scale factor must not silently
@@ -369,7 +405,19 @@ def main() -> None:
             max_records_per_file=500_000,
         )
 
-    rr = time_kernel(_run_10m_rr, warmup=3, repeat=3)
+    # VERDICT r8 item 1a: the headline is the judge's own gate signal
+    # (the 2×-published-Polars bar) and rode a single protocol-less
+    # number in r8 (landed at exactly 2.00×). Both strategies now
+    # keep their SAMPLES so the artifact carries min + `_spread_pct`
+    # — the noise-floor doctrine applied to the headline itself.
+    for _ in range(3):  # JIT/C2 warmup (see note above)
+        _run_10m_rr()
+    rr_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _run_10m_rr()
+        rr_samples.append(time.perf_counter() - t0)
+    rr = min(rr_samples)
 
     # Same-machine calibration: BASELINE.md's numbers were measured on
     # different hardware (and bench VMs vary round to round — measured
@@ -396,12 +444,12 @@ def main() -> None:
         _run_duck = None
 
     _run_10m_natural()  # warm
-    natural = float("inf")
+    natural_samples: list[float] = []
     duck_sec = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         _run_10m_natural()
-        natural = min(natural, time.perf_counter() - t0)
+        natural_samples.append(time.perf_counter() - t0)
         if _run_duck is not None:
             # ADVICE r4: the timed calls keep the warm-up's
             # best-effort guarantee — a mid-loop DuckDB failure
@@ -419,11 +467,24 @@ def main() -> None:
             else:
                 duck_sec = min(duck_sec, time.perf_counter() - t0)
 
+    natural = min(natural_samples)
     headline = min(rr, natural)
     shutil.rmtree(out, ignore_errors=True)
+
+    def _spread(samples: list[float]) -> float:
+        return round((max(samples) - min(samples)) / min(samples) * 100, 1)
+
     queries["convert_10m_rows_rr"] = round(rr, 4)
+    queries["convert_10m_rows_rr_spread_pct"] = _spread(rr_samples)
     queries["convert_10m_rows_natural"] = round(natural, 4)
+    queries["convert_10m_rows_natural_spread_pct"] = _spread(
+        natural_samples
+    )
     queries["convert_10m_rows"] = round(headline, 4)
+    # the winning strategy's dispersion IS the headline's dispersion
+    queries["convert_10m_rows_spread_pct"] = _spread(
+        rr_samples if rr <= natural else natural_samples
+    )
     if duck_sec != float("inf"):
         queries["baseline_duckdb_convert_10m"] = round(duck_sec, 4)
         # One hardware-independent number for cross-round comparison
@@ -657,6 +718,9 @@ def main() -> None:
     # than per-query numbers from the captured window.
     headline_summary = {
         "convert_10m_rows": round(headline, 4),
+        "convert_10m_rows_spread_pct": queries[
+            "convert_10m_rows_spread_pct"
+        ],
         "convert_10m_rows_rr": round(rr, 4),
         "convert_10m_rows_natural": round(natural, 4),
     }
@@ -669,9 +733,7 @@ def main() -> None:
               "q5_region_revenue", "q6_revenue_filter"):
         if k in queries:
             headline_summary[k] = queries[k]
-    print(
-        json.dumps(
-            {
+    full_payload = {
                 "metric": "parquet_to_csv_10m_rows_job_sec",
                 "value": round(headline, 4),
                 "unit": "sec",
@@ -700,9 +762,13 @@ def main() -> None:
                 ),
                 "queries": queries,
                 "headline": headline_summary,
-            }
-        )
-    )
+    }
+    print(json.dumps(full_payload))
+    try:
+        local_path = _write_local_record(full_payload)
+        print(f"full per-query record: {local_path}", file=sys.stderr)
+    except OSError as ex:  # never let the durable write kill stdout
+        print(f"BENCH_LOCAL write failed: {ex}", file=sys.stderr)
     # VERDICT r7 item 3: the driver keeps only a ~2000-char TAIL of
     # stdout, and the big line above is far larger — so the tail is
     # the truncated MIDDLE of one JSON line and the driver's `parsed`

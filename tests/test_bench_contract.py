@@ -169,3 +169,54 @@ def test_final_summary_line_parses_alone(bench_compare, tmp_path):
     got = bench_compare.load(str(p))
     assert got["queries"]["baseline_duckdb_convert_10m"] == 4.0
     assert got["value"] == 2.0
+
+
+def test_local_sibling_preferred_over_driver_tail(bench_compare, tmp_path):
+    """r9 bench contract (VERDICT r8 item 1b): loading a driver
+    BENCH_r{N}.json must prefer-merge the committed complete
+    BENCH_LOCAL_r{N}.json sibling — its keys win, the truncated
+    driver tail only fills gaps — so cross-round comparison stops
+    leaning on regex recovery of a 2000-char window."""
+    import json
+
+    # driver record: tail-mangled key (the r8 `opk_bruteforce`
+    # artifact) + one key the local file lacks
+    driver = {
+        "n": 7,
+        "rc": 0,
+        "tail": '"opk_bruteforce": 1.0, "q_only_in_tail": 3.0, '
+        '"q_shared": 9.99}}',
+        "parsed": None,
+    }
+    local = {
+        "value": 2.0,
+        "queries": {
+            "similarity_topk_bruteforce": 1.0,
+            "q_shared": 1.23,
+        },
+        "headline": {"convert_10m_rows": 2.0},
+    }
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(driver, indent=1))
+    (tmp_path / "BENCH_LOCAL_r9.json").write_text(json.dumps(local))
+    got = bench_compare.load(str(tmp_path / "BENCH_r09.json"))
+    # complete local map leads; tail fills only what local lacks
+    assert got["queries"]["q_shared"] == 1.23
+    assert got["queries"]["similarity_topk_bruteforce"] == 1.0
+    assert got["queries"]["q_only_in_tail"] == 3.0
+    assert got["value"] == 2.0
+    # no sibling -> plain driver-record behavior, unchanged
+    got2 = bench_compare.load_one(str(tmp_path / "BENCH_r09.json"))
+    assert got2["queries"]["q_shared"] == 9.99
+
+
+def test_headline_carries_spread_protocol(bench):
+    """VERDICT r8 item 1a: the headline convert_10m_rows key must
+    ship with a `_spread_pct` dispersion key (source-pinned — the
+    artifact is only produced by a full bench run)."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert '"convert_10m_rows_spread_pct"' in src
+    assert "rr_samples" in src and "natural_samples" in src
+    # and the full payload goes to the committed local record
+    assert "_write_local_record(full_payload)" in src

@@ -67,9 +67,37 @@ def _queries_from_tail(tail: str) -> dict[str, float]:
     return out
 
 
+def _local_sibling(path: str) -> str | None:
+    """For a driver ``BENCH_r{N}.json`` record, the committed
+    complete per-query file ``BENCH_LOCAL_r{N}.json`` bench.py wrote
+    during the same round's run (VERDICT r8 item 1b), if present."""
+    import os
+
+    m = re.match(r"BENCH_r0*(\d+)\.json$", os.path.basename(path))
+    if not m:
+        return None
+    n = int(m.group(1))
+    for cand in (
+        f"BENCH_LOCAL_r{n}.json",
+        f"BENCH_LOCAL_r{n:02d}.json",
+    ):
+        p = os.path.join(os.path.dirname(path), cand)
+        if os.path.exists(p):
+            return p
+    return None
+
+
 def load(path: str) -> dict:
     """Return a ``{"queries": {...}, "value": float|None}`` view of
     either a bench stdout capture or a driver BENCH record.
+
+    A driver ``BENCH_r{N}.json`` is PREFERRED-MERGED with its
+    committed ``BENCH_LOCAL_r{N}.json`` sibling when one exists
+    (VERDICT r8 item 1b): the local file is the COMPLETE per-query
+    map bench.py wrote to git during the same run, so its keys win
+    (first-merged) and the truncated driver tail only fills gaps —
+    cross-round comparison no longer leans on regex recovery of a
+    2000-char window.
 
     MERGES every parseable record in the file instead of returning
     the first hit: an r8 bench capture holds TWO JSON lines — the big
@@ -80,6 +108,20 @@ def load(path: str) -> dict:
     dedup_minhash_500k_docs would pass as "no regressions"). Driver
     records likewise merge `parsed` with a regex recovery over the
     stored tail, so keys the compact line lacks still surface."""
+    local = _local_sibling(path)
+    if local:
+        base = load(local)  # the complete committed record leads
+        fallback = load_one(path)
+        for k, v in fallback["queries"].items():
+            base["queries"].setdefault(k, v)
+        if base["value"] is None:
+            base["value"] = fallback["value"]
+        return base
+    return load_one(path)
+
+
+def load_one(path: str) -> dict:
+    """``load`` for a single file, no sibling preference."""
     with open(path) as f:
         text = f.read().strip()
     # candidates: the whole file (driver records are pretty-printed
