@@ -79,6 +79,50 @@ def synth_token_lines(col: Column | str, w: int = 4) -> Column:
     return F.transform(F.array(tokens(col)), _lines)[0]
 
 
+def synth_token_paragraphs(
+    col: Column | str, w: int = 4, lines: int = 2
+) -> Column:
+    """Wrap a doc's whitespace tokens into ``w``-token lines and the
+    lines into ``lines``-line PARAGRAPHS — lines joined by ``"\\n"``
+    inside a paragraph, paragraphs joined by ``"\\n\\n"`` (Dolma's
+    actual dedup unit). The two-level sibling of
+    :func:`synth_token_lines`, sharing its contracts: NULL text →
+    NULL, token-less text → ``''``, the token array bound ONCE via
+    the single-element transform trick, and every ``sequence`` upper
+    bound ≥ its lower bound by construction (the descending
+    ``sequence(1, 0)`` trap)."""
+
+    def _paras(tk: Column) -> Column:
+        n_lines = F.ceil(F.size(tk) / F.lit(float(w))).cast("int")
+
+        def _line(p: Column) -> Column:
+            return F.array_join(F.slice(tk, (p - 1) * w + 1, w), " ")
+
+        paras = F.transform(
+            F.sequence(
+                F.lit(1),
+                F.ceil(n_lines / F.lit(float(lines))).cast("int"),
+            ),
+            lambda q: F.array_join(
+                F.transform(
+                    F.sequence(
+                        (q - 1) * lines + 1,
+                        F.least(q * lines, n_lines),
+                    ),
+                    _line,
+                ),
+                "\n",
+            ),
+        )
+        return (
+            F.when(tk.isNull(), F.lit(None).cast("string"))
+            .when(F.size(tk) == 0, F.lit(""))
+            .otherwise(F.array_join(paras, "\n\n"))
+        )
+
+    return F.transform(F.array(tokens(col)), _paras)[0]
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 

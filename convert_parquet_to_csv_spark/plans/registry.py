@@ -92,18 +92,106 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # replica-sampled 16 of them green, this is rotation bookkeeping).
 # Layout is exactly the 50-slot gate budget: 3 canaries + 17 r8
 # day-one (8 + 4 wave-2 + 3 wave-3 + 2 wave-4) + 30 of the 39
-# r2-latest; the nine day-one overflow registrations displace the
-# nine most stable TPC-H refresh slots (q4/q7/q8/q13/q15/q16/q17/
-# q21/q22 — r7 precedent: day-one registrations take refresh slots),
-# which move just past the cut together with the advice-touched
-# queries and run the driver's EXACT compare in-suite every pytest
-# meanwhile (tests/test_scratch_and_audit.py).
+# r9 gate plan (executes VERDICT r8 item 2): canaries, then the r9
+# day-one registrations (added the commit they are born — the
+# standing invariant), then the queries whose KERNELS or ORACLES the
+# r9/ADVICE-r8 fixes touched, then the nine TPC-H queries whose
+# newest driver row is still r2 (displaced twice by day-one waves —
+# first in line by explicit verdict queue FIRST_TIER[50:59] → r9
+# slots), then the eight r8 oracle-TEXT-edited names, then r3-latest
+# refresh slots in registration order. After this round the oldest
+# driver signal everywhere is >= r3 and the displaced-TPC-H debt is
+# cleared. Later r9 day-one registrations displace TRAILING
+# r3-refresh slots only (their signal stays r3 — the age floor
+# holds), never the TPC-H/oracle-edited blocks.
 FIRST_TIER: list[str] = [
     # --- canaries (every round): flagship roundtrip, conf-pinning sentinel, mapInPandas seam ---
     "convert_roundtrip",
     "python_datasource_scan",
     "multimodal_resize_geometry",
-    # --- r8 day-one registrations (gate the round they are born) ---
+    # --- r9 day-one registrations (gate the round they are born;
+    # names append here in the same commit that registers them) ---
+    "paragraph_dedup_boilerplate",
+    # --- r9 kernel/oracle-touched re-gates ---
+    # corpus_datacard: eqNullSafe fingerprint join + oracle edit
+    # (ADVICE r8 #1); quality_classifier_linear: re-oracled to
+    # consume the in-engine-trained weight table (VERDICT item 3);
+    # dedup_within_doc_repeats: NULL contract now pinned by
+    # spark.sql.ansi.enabled in RUNTIME_PINNED_CONF (ADVICE r8 #2).
+    "corpus_datacard",
+    "quality_classifier_linear",
+    "dedup_within_doc_repeats",
+    # --- the nine TPC-H queries still r2-latest (VERDICT r8 queue) ---
+    "q17_small_quantity_revenue",
+    "q21_suppliers_waiting",
+    "q22_sales_opportunity",
+    "q16_parts_supplier_relationship",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q13_customer_distribution",
+    # --- the eight r8 oracle-TEXT-edited names (inline-oracle-
+    # covered meanwhile; driver row restored this round) ---
+    "source_mixture_epochs",
+    "dedup_exact_substring_removal",
+    "dedup_url_canonical",
+    "url_domain_census",
+    "gopher_repetition_signals",
+    "gopher_quality_filter",
+    "dedup_span_extents",
+    "pack_concat_chunks",
+    # --- refresh: r3-latest class (47 names; the 23 below rotate
+    # this round in registration order, the rest queue for r10) ---
+    "python_datasource_write_roundtrip",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    "span_dedup_c4",
+    "similarity_topk_bruteforce",
+    "dedup_embedding_cosine",
+    "embedding_centroids",
+    "similarity_ivf_recall",
+    "arrow_vector_checksum",
+    "hll_distinct_customers",
+    "approx_quantile_sketch",
+    "cms_heavy_hitters",
+    "robust_stats_orders",
+    "regex_zoo_docs",
+    "windowed_agg",
+    "streaming_stream_join_live",
+    "streaming_windowed_agg_live",
+    "streaming_session_windows_live",
+    "streaming_running_counts_live",
+    "streaming_foreachbatch_upsert_live",
+    "streaming_dedup_live",
+    "graph_triangle_copurchase",
+    # --- r10 refresh queue head: the remaining r3-latest names ---
+    "multimodal_stats",
+    "multimodal_frame_sample",
+    "partition_pruned_scan",
+    "range_layout_scan",
+    "binaryfile_ingest",
+    "salted_join_revenue",
+    "json_roundtrip",
+    "kafka_roundtrip_events",
+    "compaction_roundtrip",
+    "upsert_orders_roundtrip",
+    "zorder_layout_scan",
+    "table_checksum_orders",
+    "skew_diagnostic_events",
+    "incremental_agg_refresh",
+    "snapshot_diff_orders",
+    "dq_constraint_checks",
+    "scd2_user_state_history",
+    "negative_sampling_pairs",
+    "multi_touch_attribution",
+    "price_decile_binning",
+    "nested_struct_zoo",
+    "null_semantics_zoo",
+    "recursive_cte_hierarchy",
+    "variant_json_path",
+    # --- r8 day-one registrations (r8-green, below the cut) ---
     "bpe_encode_corpus",
     "pack_chunks_bpe",
     "bpe_compression_curve",
@@ -112,22 +200,13 @@ FIRST_TIER: list[str] = [
     "license_filter_deck",
     "url_recrawl_keep_newest",
     "robots_noai_filter",
-    # r8 wave 2 (same day-one invariant; each displaces one trailing
-    # r2 refresh slot past the cut — the r7 precedent: day-one
-    # registrations take refresh slots, never the other way)
-    "dedup_within_doc_repeats",
     "minhash_s_curve",
-    "corpus_datacard",
     "bpe_fertility_by_lang",
-    # r8 wave 3 (same rule — three more TPC-H refresh slots displaced)
     "embedding_jl_projection",
     "dedup_provenance_remap",
     "gopher_funnel",
-    # r8 wave 4 (same rule — q15, then q13, displaced; both carried
-    # by the inline oracle test meanwhile)
     "line_dedup_boilerplate",
-    "quality_classifier_linear",
-    # --- refresh: the 39 queries whose latest driver row is r2 (VERDICT r7 item 2 — the oldest-signal class; after this round the oldest signal everywhere is >= r3). Registration order. ---
+    # --- r4..r8-green names, kept for ordering ---
     "left_join_enrichment",
     "right_join_enrichment",
     "sample_exact_n_hash",
@@ -158,35 +237,6 @@ FIRST_TIER: list[str] = [
     "q12_late_line_priority",
     "decontaminate_ngram_overlap",
     "source_mix_temperature",
-    # --- just past the ~50 cut: queries whose KERNELS or ORACLES were touched by the r8 advice fixes — replica-verified tri-SF this round (ledger), first in line for the r9 gate ---
-    # displaced from the r2-refresh block by the nine wave-2/3/4
-    # day-one registrations (30/39 of the r2 class rotates this
-    # round; these nine stable TPC-H queries — property-suite-
-    # covered and also in the per-run inline DuckDB oracle test —
-    # take the first r9 refresh slots together with the
-    # oracle-edited set below)
-    "q17_small_quantity_revenue",
-    "q21_suppliers_waiting",
-    "q22_sales_opportunity",
-    "q16_parts_supplier_relationship",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q13_customer_distribution",
-    # oracle-TEXT-edited queries lead (review r8: an edited oracle
-    # has no driver row this round; the suite's inline oracle gate —
-    # tests/test_scratch_and_audit.py::
-    # test_oracle_edited_queries_hash_match_duckdb — covers them
-    # meanwhile, and they take the first r9 slots)
-    "source_mixture_epochs",
-    "dedup_exact_substring_removal",
-    "dedup_url_canonical",
-    "url_domain_census",
-    "gopher_repetition_signals",
-    "gopher_quality_filter",
-    "dedup_span_extents",
-    "pack_concat_chunks",
     # --- below the gate cut; kept for ordering ---
     "dedup_containment",
     "dedup_winnow_fingerprints",

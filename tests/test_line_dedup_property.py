@@ -120,3 +120,102 @@ def test_within_doc_repeats_matches_python_reference(spark, docs, k):
     }
     want = {i: _ref_within_doc(text, k) for i, text in rows}
     assert got == want
+
+
+# paragraphs: tiny paragraph vocabulary, docs join them with "\n\n"
+_PARAS = ["footer x\nmenu a", "alpha b", "beta\nc d", "solo"]
+
+_para_docs = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(st.sampled_from(_PARAS), min_size=0, max_size=5),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _ref_para_dedup(rows: list[tuple[int, str | None]]) -> dict:
+    """Keep-global-first at \\n\\n+ granularity; reassembly uses the
+    kernel's normalized single newline between kept paragraphs."""
+    import re
+
+    first: dict[str, tuple] = {}
+    counts: dict[str, int] = {}
+    split = lambda t: re.split(r"\n{2,}", t)  # noqa: E731
+    for i, text in rows:
+        if text is None:
+            continue
+        for p, para in enumerate(split(text)):
+            if "".join(para.split()):
+                first.setdefault(para, (i, p))
+                counts[para] = counts.get(para, 0) + 1
+    out = {}
+    for i, text in rows:
+        if text is None:
+            out[i] = (None, 0, 0)
+            continue
+        paras = split(text)
+        kept = [
+            pa
+            for p, pa in enumerate(paras)
+            if not "".join(pa.split())
+            or counts[pa] == 1
+            or first[pa] == (i, p)
+        ]
+        out[i] = ("\n".join(kept), len(kept), len(paras) - len(kept))
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_para_docs)
+def test_paragraph_dedup_matches_python_reference(spark, docs):
+    """The r9 paragraph knob (VERDICT r8 item 7): the same kernel at
+    sep_regex='\\n{2,}' must equal the keep-global-first paragraph
+    rule — paragraphs keep their INTERNAL single newlines, and kept
+    paragraphs re-join with the normalized single newline."""
+    rows = [
+        (i, None if paras is None else "\n\n".join(paras))
+        for i, paras in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (
+            r["clean_text"], r["n_lines_kept"], r["n_lines_removed"]
+        )
+        for r in D.remove_duplicated_lines(
+            df, sep_regex=r"\n{2,}"
+        ).collect()
+    }
+    assert got == _ref_para_dedup(rows)
+
+
+def test_synth_token_paragraphs_shape(spark):
+    """4-token lines, 2-line paragraphs, '\\n\\n' between paragraphs;
+    NULL -> NULL, token-less -> ''; ragged tails stay ragged."""
+    from pyspark.sql import functions as F
+
+    from convert_parquet_to_csv_spark.functions.text import (
+        synth_token_paragraphs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 3 lines
+            (2, "a b"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id LONG, text STRING",
+    ).select(
+        "doc_id", synth_token_paragraphs("text").alias("p")
+    )
+    got = {r["doc_id"]: r["p"] for r in df.collect()}
+    assert got[1] == "t0 t1 t2 t3\nt4 t5 t6 t7\n\nt8 t9"
+    assert got[2] == "a b"
+    assert got[3] == ""
+    assert got[4] is None
