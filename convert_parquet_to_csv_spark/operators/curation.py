@@ -1112,6 +1112,111 @@ def linear_text_classifier(
     )
 
 
+def train_linear_classifier(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 512,
+    epochs: int = 2,
+    lr_num: int = 1,
+    lr_den: int = 20,
+    ngram_ns: tuple[int, ...] = (1, 2),
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Train the linear quality classifier IN-ENGINE (VERDICT r8
+    item 3 — the BPE train→apply precedent applied to the last
+    curation loop that fed on a stub): ``epochs`` rounds of
+    deterministic fixed-point BATCH gradient descent on squared loss
+    over :func:`hashed_ngram_buckets` features, exported as the same
+    ``(_b, weight_micro)`` table :func:`linear_text_classifier`
+    consumes — so a corpus can train its own fastText-style scorer
+    (DCLM/FineWeb-Edu recipe shape) end-to-end inside the engine.
+
+    ``labels`` is ``(id, y_micro)`` with targets in MICRO units
+    (0 / 1_000_000 for a binary quality label). Update rule, all
+    exact integers (bit-replayable in any engine with trunc-toward-
+    zero integer division — Spark ``div`` and DuckDB ``//`` agree,
+    pinned by test)::
+
+        logit_d = Σ_b c_db · w_b                  (BIGINT micro)
+        resid_d = logit_d − y_d
+        grad_b  = Σ_d c_db · resid_d
+        w_b    ←  w_b − (grad_b · lr_num) div (N · lr_den)
+
+    with N = |labels|. Squared loss (not logistic) keeps the epoch
+    exactly integer — no sigmoid quantization grid — and its GD is
+    the classic linear-probe recipe; the truncating div is the ONE
+    rounding per bucket per epoch. NULL ids are excluded from
+    training (featurization pools by id; a NULL id has no stable
+    gradient identity) — documented divergence from the apply path,
+    which scores NULL-id rows as one pooled group.
+
+    Plan shape per epoch: counts (the ONE corpus-volume table, built
+    once and persisted — caller releases via clearCache, the
+    lsh_candidate_pairs contract) joins a ≤ ``num_buckets``-row
+    BROADCAST weight table, one id-keyed groupBy for logits, one
+    id-keyed join + bucket groupBy for the gradient — two doc-keyed
+    exchanges and one bucket-sized aggregate per epoch; corpus rows
+    never move on anything but the id key. The weight table is
+    ``localCheckpoint``ed between epochs (bounded ``num_buckets``
+    rows — the pq_train device), so plan depth stays O(1) in
+    ``epochs``. Integer bound: |grad_b| ≤ Σ_d c_db·|resid_d| must
+    stay under 2⁶³ — at micro residuals ≤ ~10⁹ and corpus-total
+    bucket counts ≤ ~10⁹ the product is ~10¹⁸, inside BIGINT with
+    one order of margin; push ``lr_den`` up before raising scale."""
+    feat_docs = docs.filter(F.col(id_col).isNotNull())
+    b = hashed_ngram_buckets(
+        feat_docs, id_col, text_col, num_buckets, ngram_ns, hash_fn
+    )
+    counts = b.groupBy(id_col, "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    ).persist()
+    lab = labels.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col), F.col("y_micro").cast("long").alias("_y")
+    )
+    n = lab.agg(F.count(F.lit(1)).alias("_n"))
+    spark = docs.sparkSession
+    w = spark.range(num_buckets).select(
+        F.col("id").cast("long").alias("_b"),
+        F.lit(0).cast("long").alias("_w"),
+    )
+    for _ in range(epochs):
+        # eager, bounded (num_buckets rows): runs this epoch's two
+        # corpus joins exactly once and pins the result, keeping the
+        # next epoch's lineage O(1) — the pq_train localCheckpoint
+        # device.
+        w = w.localCheckpoint()
+        logits = (
+            counts.join(F.broadcast(w), "_b")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("_c") * F.col("_w")).alias("_lg"))
+        )
+        resid = logits.join(lab, id_col).select(
+            F.col(id_col), (F.col("_lg") - F.col("_y")).alias("_r")
+        )
+        grad = (
+            counts.join(resid, id_col)
+            .groupBy("_b")
+            .agg(F.sum(F.col("_c") * F.col("_r")).alias("_g"))
+        )
+        w = (
+            w.join(grad, "_b", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "_b",
+                (
+                    F.col("_w")
+                    - F.expr(
+                        f"(coalesce(_g, 0L) * {int(lr_num)}L) div "
+                        f"(_n * {int(lr_den)}L)"
+                    )
+                ).cast("long").alias("_w"),
+            )
+        )
+    return w.select("_b", F.col("_w").alias("weight_micro"))
+
+
 # --------------------------------------------------------------------------
 # DSIR: data selection via importance resampling (Xie et al. 2023,
 # arXiv:2302.03169) — hashed n-gram importance weights

@@ -1495,22 +1495,39 @@ def gopher_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# r8 wave 4 (cont.): apply-an-exported-linear-model quality scoring —
-# the fastText-style model-based filter stage (CCNet/DCLM/FineWeb-Edu).
-# Day-one gated.
+# r8 wave 4 (cont.), r9 closure: the model-based quality classifier —
+# TRAINED in-engine (VERDICT r8 item 3, the BPE train→apply
+# precedent) and applied at corpus scale. The r8 gate fed the apply
+# path a deterministic md5 stub table; the stub is now only the
+# LABELS (training labels stay environment-bounded — a human/LLM
+# rater — so the gate derives deterministic md5-parity pseudo-labels
+# from doc_id), while featurization, the GD optimizer, and the
+# exported (bucket, weight_micro) table are all in-engine and
+# bit-replayed by the oracle.
 # --------------------------------------------------------------------------
 
-_QCLS_B = 4096
+_QTRAIN_B = 512
+_QTRAIN_EPOCHS = 2
+_QTRAIN_LRN = 1
+_QTRAIN_LRD = 20
+_QTRAIN_THRESHOLD = 500_000
 
-_QCLS_ORACLE = rf"""
-WITH tok AS (
+
+def _qtrain_cte_chain() -> tuple[str, str]:
+    """The WITH-body CTE chain replaying train_linear_classifier in
+    DuckDB SQL — features, md5-parity labels, and one unrolled CTE
+    quartet (logits → residuals → gradient → weight update) per
+    epoch; integer arithmetic throughout, `//` = Spark `div`
+    (trunc-toward-zero both engines, pinned by unit test). Returns
+    (chain, final_weight_cte_name)."""
+    chain = rf"""tok AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(lower(text)), '\s+'),
                      t -> t != '') AS toks
   FROM documents
 ), g AS (
   SELECT doc_id,
-         ('0x' || substr(md5(g), 1, 15))::BIGINT % {_QCLS_B} AS b
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % {_QTRAIN_B} AS b
   FROM (
     SELECT doc_id, unnest(toks) AS g FROM tok
     UNION ALL
@@ -1518,27 +1535,122 @@ WITH tok AS (
     FROM tok, unnest(range(0, len(toks) - 1)) AS t(i)
     WHERE len(toks) >= 2
   )
-), w AS (
-  SELECT CAST(i AS BIGINT) AS b,
-         ('0x' || substr(md5('qw_' || CAST(i AS VARCHAR)), 1, 15))
-           ::BIGINT % 1000001 - 500000 AS wm
-  FROM range(0, {_QCLS_B}) t(i)
 ), dc AS (
   SELECT doc_id, b, count(*) AS c FROM g GROUP BY 1, 2
-), s AS (
+), lab AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 2) * 1000000 AS y
+  FROM (SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id IS NOT NULL)
+), nn AS (SELECT count(*) AS n FROM lab),
+w0 AS (
+  SELECT CAST(i AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+  FROM range(0, {_QTRAIN_B}) t(i)
+)"""
+    for e in range(1, _QTRAIN_EPOCHS + 1):
+        chain += f""", lg{e} AS (
+  SELECT dc.doc_id, sum(dc.c * w{e - 1}.w) AS lg
+  FROM dc JOIN w{e - 1} ON w{e - 1}.b = dc.b
+  GROUP BY dc.doc_id
+), rs{e} AS (
+  SELECT l.doc_id, l.lg - lab.y AS r
+  FROM lg{e} l JOIN lab USING (doc_id)
+), gr{e} AS (
+  SELECT dc.b, sum(dc.c * rs{e}.r) AS gs
+  FROM dc JOIN rs{e} USING (doc_id)
+  GROUP BY dc.b
+), w{e} AS (
+  SELECT w.b,
+         w.w - (COALESCE(g.gs, 0) * {_QTRAIN_LRN})
+               // ((SELECT n FROM nn) * {_QTRAIN_LRD}) AS w
+  FROM w{e - 1} w LEFT JOIN gr{e} g ON g.b = w.b
+)"""
+    return chain, f"w{_QTRAIN_EPOCHS}"
+
+
+_QTRAIN_CHAIN, _QTRAIN_WF = _qtrain_cte_chain()
+
+_QTRAIN_ORACLE = (
+    "WITH "
+    + _QTRAIN_CHAIN
+    + f"""
+SELECT b AS _b, CAST(w AS BIGINT) AS weight_micro FROM {_QTRAIN_WF}
+"""
+)
+
+_QCLS_ORACLE = (
+    "WITH "
+    + _QTRAIN_CHAIN
+    + f""", s AS (
   SELECT dc.doc_id,
          CAST(sum(dc.c) AS BIGINT) AS n_grams,
-         CAST(sum(dc.c * w.wm) AS BIGINT) AS logit_micro
-  FROM dc JOIN w ON w.b = dc.b
+         CAST(sum(dc.c * w.w) AS BIGINT) AS logit_micro
+  FROM dc JOIN {_QTRAIN_WF} w ON w.b = dc.b
   GROUP BY dc.doc_id
 )
 SELECT d.doc_id,
        CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
        CAST(COALESCE(s.logit_micro, 0) AS BIGINT) AS logit_micro,
-       COALESCE(s.logit_micro, 0) >= 0 AS passes
+       COALESCE(s.logit_micro, 0) >= {_QTRAIN_THRESHOLD} AS passes
 FROM (SELECT DISTINCT doc_id FROM tok) d
 LEFT JOIN s ON d.doc_id IS NOT DISTINCT FROM s.doc_id
 """
+)
+
+
+def _trained_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by the train and apply gates: md5-parity pseudo-labels
+    (the house cross-engine RNG; real deployments join a rated
+    sample here) → two epochs of exact-integer batch GD."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    labels = (
+        docs.select("doc_id")
+        .distinct()
+        .select(
+            "doc_id",
+            (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.col("doc_id").cast("string")), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2
+                )
+                * 1_000_000
+            ).alias("y_micro"),
+        )
+    )
+    return C.train_linear_classifier(
+        docs,
+        labels,
+        num_buckets=_QTRAIN_B,
+        epochs=_QTRAIN_EPOCHS,
+        lr_num=_QTRAIN_LRN,
+        lr_den=_QTRAIN_LRD,
+        hash_fn="md5",
+    )
+
+
+@query("quality_classifier_train", oracle=_QTRAIN_ORACLE)
+def quality_classifier_train(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """In-engine training of the linear quality classifier
+    (operators/curation.train_linear_classifier; VERDICT r8 item 3):
+    two epochs of deterministic exact-integer batch gradient descent
+    on squared loss over md5-hashed unigram+bigram bucket counts
+    against md5-parity pseudo-labels, exporting the (bucket,
+    weight_micro) table the apply path consumes. Every epoch is one
+    broadcast weight join + two doc-keyed exchanges + one
+    bucket-sized aggregate; the oracle unrolls the identical epochs
+    as CTE quartets (integer `//` = Spark `div`, trunc-toward-zero
+    both engines). Output: the learned 512-row weight table —
+    dimension-scale, bit-replayable."""
+    return _trained_weights(spark, sf_dir)
 
 
 @query("quality_classifier_linear", oracle=_QCLS_ORACLE)
@@ -1546,39 +1658,23 @@ def quality_classifier_linear(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Model-based quality filtering, apply side
-    (operators/curation.linear_text_classifier): every doc scored
-    ``logit = Σ_b c_b · w_b`` over hashed unigram+bigram bucket
-    counts against an exported (bucket, weight_micro) table — the
-    fastText-style classifier stage of CCNet/DCLM/FineWeb-Edu, the
-    one curation stage that needs a TRAINED model. Training needs
-    labels and an optimizer (environment-bounded, the
-    multimodal-codec precedent); the weight table here is a
-    deterministic md5-derived stub with the exact shape, dtype, and
-    broadcast-join plumbing an exported model would use, replayed
-    coefficient-for-coefficient by the oracle. md5 bucket flavor
-    (the house cross-engine RNG); integer micro-unit weights so the
-    dot product is exact. One corpus exchange + a 4096-row broadcast
-    + an eqNullSafe id-spine join — corpus rows move once at any
-    model size."""
-    weights = spark.range(_QCLS_B).select(
-        F.col("id").cast("long").alias("_b"),
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("qw_"), F.col("id").cast("string"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 1000001
-            - 500000
-        ).alias("weight_micro"),
-    )
+    (operators/curation.linear_text_classifier) — re-gated r9 to
+    consume the IN-ENGINE-TRAINED weight table (VERDICT r8 item 3)
+    instead of the r8 md5 stub: train_linear_classifier's two GD
+    epochs run first (same session, the BPE train→apply precedent),
+    then every doc scores ``logit = Σ_b c_b · w_b`` against the
+    learned 512-row broadcast table with the 500k-micro decision
+    threshold (the midpoint of the {0, 1M} label range). md5 bucket
+    flavor; integer micro-units; one corpus exchange + broadcast +
+    eqNullSafe id-spine join in the apply plan — corpus rows move
+    once at any model size. (The gate re-featurizes in the apply
+    stage rather than reusing the training counts cache — at
+    production scale apply consumes the EXPORTED table, usually in a
+    different job.)"""
     return C.linear_text_classifier(
         _docs(spark, sf_dir).select("doc_id", "text"),
-        weights,
-        num_buckets=_QCLS_B,
+        _trained_weights(spark, sf_dir),
+        num_buckets=_QTRAIN_B,
         hash_fn="md5",
+        threshold_micro=_QTRAIN_THRESHOLD,
     )

@@ -1186,3 +1186,117 @@ def test_linear_classifier_group_by_semantics(spark):
     assert pooled[9] == both
     assert pooled[None] == both
     assert pooled[1] == solo_a
+
+
+def _ref_train_linear(docs, labels, B, epochs, lr_num, lr_den):
+    """Pure-Python replica of train_linear_classifier (md5 flavor):
+    exact integers, trunc-toward-zero division."""
+    import hashlib
+    from collections import defaultdict
+
+    def buck(g):
+        return int(
+            hashlib.md5(g.encode()).hexdigest()[:15], 16
+        ) % B
+
+    counts: dict = defaultdict(int)
+    for i, text in docs:
+        if i is None or text is None:
+            continue
+        toks = [t for t in text.strip().lower().split() if t]
+        grams = toks + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        for g in grams:
+            counts[(i, buck(g))] += 1
+    lab = {i: y for i, y in labels if i is not None}
+    n = len(lab)
+    w = [0] * B
+    for _ in range(epochs):
+        logit: dict = defaultdict(int)
+        for (i, b), c in counts.items():
+            logit[i] += c * w[b]
+        resid = {
+            i: lg - lab[i] for i, lg in logit.items() if i in lab
+        }
+        grad: dict = defaultdict(int)
+        for (i, b), c in counts.items():
+            if i in resid:
+                grad[b] += c * resid[i]
+        for b in range(B):
+            num = grad[b] * lr_num
+            den = n * lr_den
+            step = (abs(num) // den) * (1 if num >= 0 else -1)
+            w[b] -= step
+    return w
+
+
+def test_train_linear_classifier_matches_python_reference(spark):
+    """Bit-exact GD replica: Spark's trained (bucket, weight_micro)
+    table must equal the pure-Python integer reference — including
+    trunc-toward-zero division on NEGATIVE gradients (epoch 2 has
+    residuals of both signs) — and training must actually learn:
+    squared loss after two epochs < loss at w=0, and the learned
+    weights must separate the planted good/bad vocabulary."""
+    B, EPOCHS, LRN, LRD = 16, 2, 1, 4
+    docs = [
+        (1, "good solid prose with care"),
+        (2, "good writing shines through"),
+        (3, "bad spam junk click here"),
+        (4, "bad noise junk spam"),
+        (5, "good careful long form text"),
+        (6, "bad bad spam spam"),
+        (7, None),       # NULL text: no features, label still counts
+        (None, "good"),  # NULL id: excluded from training entirely
+    ]
+    labels = [
+        (1, 1_000_000), (2, 1_000_000), (3, 0), (4, 0),
+        (5, 1_000_000), (6, 0), (7, 0), (None, 1_000_000),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    ldf = spark.createDataFrame(labels, "doc_id LONG, y_micro LONG")
+    got = {
+        r["_b"]: r["weight_micro"]
+        for r in C.train_linear_classifier(
+            ddf, ldf, num_buckets=B, epochs=EPOCHS,
+            lr_num=LRN, lr_den=LRD, hash_fn="md5",
+        ).collect()
+    }
+    spark.catalog.clearCache()  # counts persist: caller releases
+    want = _ref_train_linear(
+        docs, [(i, y) for i, y in labels], B, EPOCHS, LRN, LRD
+    )
+    assert got == {b: want[b] for b in range(B)}
+
+    # it learns: loss decreases and logits separate by label
+    def loss(w):
+        import hashlib
+        from collections import defaultdict
+
+        def buck(g):
+            return int(
+                hashlib.md5(g.encode()).hexdigest()[:15], 16
+            ) % B
+
+        tot = 0
+        logits = {}
+        for i, text in docs:
+            if i is None or text is None:
+                continue
+            toks = [t for t in text.strip().lower().split() if t]
+            grams = toks + [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ]
+            lg = sum(w[buck(g)] for g in grams)
+            logits[i] = lg
+        for i, y in labels:
+            if i is not None and i in logits:
+                tot += (logits[i] - y) ** 2
+        return tot, logits
+
+    l0, _ = loss([0] * B)
+    l2, logits = loss(want)
+    assert l2 < l0
+    assert min(logits[i] for i in (1, 2, 5)) > max(
+        logits[i] for i in (3, 4, 6)
+    )
