@@ -454,3 +454,175 @@ def bpe_compression_curve(
     for s in snaps[1:]:
         out = out.unionByName(s)
     return out
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018, SentencePiece's unigram model) —
+# the second tokenizer family beside BPE (VERDICT r8 item 6)
+# --------------------------------------------------------------------------
+
+def unigram_lm_encode(
+    docs: DataFrame,
+    vocab_multi: int = 256,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) encoding: seed a piece
+    vocabulary from corpus substring counts, quantize piece
+    log-probabilities to integer micro-nats, and Viterbi-segment
+    every word — per doc ``(id, n_words, n_pieces,
+    total_cost_micro, pieces_per_word)``. Beside
+    :func:`bpe_learn_merges`/:func:`bpe_apply_merges` this gives the
+    engine both major subword families; the packing/budget/fertility
+    consumers already take pluggable counts (Kudo 2018 §3; the
+    "one EM round" framing: these seed probabilities are exactly
+    EM's initializer, and a re-estimation round would recount pieces
+    from these segmentations through the same plan shape).
+
+    Model (deterministic, cross-engine):
+
+    - words = whitespace tokens CLIPPED to ``max_word_len`` chars
+      (the DP is O(len·max_piece_len) per distinct word; the clip
+      bounds it — the BPE family's long-word pathology knob,
+      documented divergence from unclipped SentencePiece);
+    - candidate pieces = every substring of length ≤
+      ``max_piece_len`` of every distinct clipped word, mass =
+      Σ word-occurrence counts; vocabulary = ALL single chars seen
+      (coverage guarantee: every word stays segmentable) ∪ the top
+      ``vocab_multi`` longer pieces by (mass DESC, piece ASC);
+    - piece cost = round(1e6 · ln(M / mass)) micro-nats, M = total
+      vocabulary mass — the DSIR quantization device: ONE ln per
+      piece on a dimension-scale table, then every corpus-scale
+      number is an exact integer;
+    - Viterbi: per distinct word, a left fold over character
+      positions minimizing the COMBINED integer ``cost·1024 +
+      n_pieces`` (1024 > max_word_len, so min is lexicographic:
+      cheapest segmentation, ties → fewest pieces — deterministic
+      with no struct comparison); unseen pieces cost a 1e8 penalty
+      (unreachable for in-corpus text: single chars are always in
+      vocab).
+
+    Plan shape: ONE corpus exchange (word-frequency groupBy — the
+    BPE-training property: everything after is bounded by the
+    VOCABULARY, not the corpus), a substring explode + groupBy at
+    vocab scale, a 1-row cost MAP built engine-side
+    (map_from_entries over collect_list — no driver collect) and
+    broadcast into a map-side DP PROJECTION over distinct words
+    (aggregate fold, all built-ins, no UDF), one word-keyed join
+    back to occurrences, one doc-keyed rollup, and an id-spine left
+    join so token-less docs keep a zero row. Heaviest skew risk is
+    the hot-word join back (Zipf head) — one row per distinct word
+    on the build side, the AQE skew-join case."""
+    from convert_parquet_to_csv_spark.functions.text import tokens
+
+    occ = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_w0")
+    ).select(
+        id_col, F.substring("_w0", 1, max_word_len).alias("_w")
+    )
+    wfreq = occ.groupBy("_w").agg(F.count(F.lit(1)).alias("_wc"))
+    # vocab-scale: candidate substrings with corpus mass
+    pc = (
+        wfreq.select(
+            "_w",
+            "_wc",
+            F.explode(F.sequence(F.lit(1), F.length("_w"))).alias("_i"),
+        )
+        .select(
+            "_wc",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(max_piece_len),
+                        F.length("_w") - F.col("_i") + 1,
+                    ),
+                )
+            ).alias("_p"),
+            F.expr("substring(_w, _i, _p)").alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("_wc").cast("bigint").alias("_mass"))
+    )
+    singles = pc.filter(F.length("piece") == 1)
+    multis = (
+        pc.filter(F.length("piece") > 1)
+        .orderBy(F.desc("_mass"), F.asc("piece"))
+        .limit(vocab_multi)
+    )
+    # eager + bounded (charset + vocab_multi rows): referenced by the
+    # total-mass aggregate AND the cost map — the pq_train device.
+    vocab = singles.unionByName(multis).localCheckpoint()
+    m_tot = vocab.agg(F.sum("_mass").alias("_m"))
+    costed = vocab.crossJoin(F.broadcast(m_tot)).select(
+        "piece",
+        F.round(
+            F.log(
+                F.col("_m").cast("double") / F.col("_mass").cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("_cost"),
+    )
+    cmap = costed.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "_cost"))
+        ).alias("_cm")
+    )
+    dp = (
+        wfreq.select("_w")
+        .crossJoin(F.broadcast(cmap))
+        .select(
+            "_w",
+            F.expr(
+                f"""element_at(
+  aggregate(
+    sequence(1, length(_w)),
+    array(0L),
+    (acc, i) -> array_append(acc, array_min(transform(
+      sequence(1, least({int(max_piece_len)}, i)),
+      p -> element_at(acc, i - p + 1)
+           + coalesce(
+               try_element_at(_cm, substring(_w, i - p + 1, p)),
+               100000000L
+             ) * 1024L + 1L
+    )))
+  ), -1)"""
+            ).alias("_comb"),
+        )
+    )
+    enc = (
+        occ.join(dp, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.expr("_comb % 1024")).cast("bigint").alias(
+                "n_pieces"
+            ),
+            F.sum(F.expr("_comb div 1024")).cast("bigint").alias(
+                "total_cost_micro"
+            ),
+        )
+        .withColumnRenamed(id_col, "_eid")
+    )
+    spine = docs.select(id_col).distinct()
+    return spine.join(
+        enc, F.col(id_col).eqNullSafe(F.col("_eid")), "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce("n_pieces", F.lit(0)).cast("bigint").alias(
+            "n_pieces"
+        ),
+        F.coalesce("total_cost_micro", F.lit(0)).cast("bigint").alias(
+            "total_cost_micro"
+        ),
+        F.when(
+            F.coalesce("n_words", F.lit(0)) > 0,
+            F.col("n_pieces").cast("double")
+            / F.col("n_words").cast("double"),
+        ).alias("pieces_per_word"),
+    )

@@ -113,6 +113,7 @@ FIRST_TIER: list[str] = [
     # names append here in the same commit that registers them) ---
     "paragraph_dedup_boilerplate",
     "quality_classifier_train",
+    "unigram_lm_encode",
     # --- r9 kernel/oracle-touched re-gates ---
     # corpus_datacard: eqNullSafe fingerprint join + oracle edit
     # (ADVICE r8 #1); quality_classifier_linear: re-oracled to

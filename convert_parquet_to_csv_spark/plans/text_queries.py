@@ -1641,3 +1641,139 @@ def bpe_fertility_by_lang(
             / F.sum("_nw").cast("double")
         ).alias("fertility"),
     )
+
+
+# --------------------------------------------------------------------------
+# r9: unigram-LM tokenizer (the second subword family beside BPE —
+# VERDICT r8 item 6). Day-one gated.
+# --------------------------------------------------------------------------
+
+_ULM_V = 64       # top multi-char pieces kept
+_ULM_P = 4        # max piece length (chars)
+_ULM_W = 16       # word clip (chars)
+_ULM_PEN = 100_000_000
+
+
+def _ulm_oracle() -> str:
+    """DuckDB replay of operators/chunking.unigram_lm_encode: the
+    Viterbi fold unrolls to ``_ULM_W`` lateral column aliases (b1..
+    b16), each the least() over ≤ ``_ULM_P`` predecessor steps. Step
+    costs come from ONE hash join of the enumerated (word, start,
+    len) substrings against the cost table, pivoted to st_{s}_{p}
+    columns per word (a MAP-typed lookup was measured 30× slower
+    here — DuckDB 1.0 map_extract scans the map linearly, 64 probes
+    × vocab-size compares per word). Out-of-range (s, p) cells are
+    NULL and only ever feed b_i with i > len(w), which bs[len(w)]
+    discards; `//`/`%` on the non-negative combined encoding match
+    Spark's div/%."""
+    bs = []
+    for i in range(1, _ULM_W + 1):
+        cands = [
+            f"b{i - p} + st_{i - p + 1}_{p}"
+            for p in range(1, min(_ULM_P, i) + 1)
+        ]
+        body = cands[0] if len(cands) == 1 else (
+            "least(" + ", ".join(cands) + ")"
+        )
+        bs.append(f"{body} AS b{i}")
+    b_aliases = ",\n           ".join(bs)
+    blist = ", ".join(f"b{i}" for i in range(1, _ULM_W + 1))
+    st_cols = ",\n         ".join(
+        f"MAX(CASE WHEN s = {s} AND p = {p} THEN st END) AS st_{s}_{p}"
+        for s in range(1, _ULM_W + 1)
+        for p in range(1, min(_ULM_P, _ULM_W - s + 1) + 1)
+    )
+    return f"""
+WITH occ AS (
+  SELECT doc_id, substr(t, 1, {_ULM_W}) AS w
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text),
+                                                     '\\s+'),
+                                  x -> x != '')) AS t
+        FROM documents)
+),
+wf AS (SELECT w, count(*) AS wc FROM occ GROUP BY w),
+ep AS (
+  SELECT w, wc, CAST(i AS INT) AS s, CAST(p AS INT) AS p,
+         substr(w, CAST(i AS INT), CAST(p AS INT)) AS piece
+  FROM wf,
+       unnest(range(1, len(w) + 1)) ti(i),
+       unnest(range(1, least({_ULM_P}, len(w) - i + 1) + 1)) tp(p)
+),
+pc AS (
+  SELECT piece, CAST(sum(wc) AS BIGINT) AS mass FROM ep GROUP BY 1
+),
+vocab AS (
+  SELECT piece, mass FROM pc WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, mass FROM (
+    SELECT piece, mass FROM pc WHERE len(piece) > 1
+    ORDER BY mass DESC, piece ASC LIMIT {_ULM_V})
+),
+mm AS (SELECT CAST(sum(mass) AS BIGINT) AS mt FROM vocab),
+costed AS (
+  SELECT piece,
+         CAST(round(ln(CAST((SELECT mt FROM mm) AS DOUBLE)
+                       / CAST(mass AS DOUBLE)) * 1e6) AS BIGINT)
+           AS cost
+  FROM vocab
+),
+sp AS (
+  SELECT ep.w, ep.s, ep.p,
+         COALESCE(c.cost, {_ULM_PEN}) * 1024 + 1 AS st
+  FROM ep LEFT JOIN costed c USING (piece)
+),
+wp AS (
+  SELECT w,
+         {st_cols}
+  FROM sp GROUP BY w
+),
+dp0 AS (
+  SELECT w, CAST(0 AS BIGINT) AS b0,
+           {b_aliases}
+  FROM wp
+),
+dp AS (SELECT w, [{blist}][len(w)] AS comb FROM dp0),
+enc AS (
+  SELECT occ.doc_id,
+         CAST(count(*) AS BIGINT) AS nw,
+         CAST(sum(dp.comb % 1024) AS BIGINT) AS np,
+         CAST(sum(dp.comb // 1024) AS BIGINT) AS tc
+  FROM occ JOIN dp USING (w)
+  GROUP BY occ.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(nw, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(np, 0) AS BIGINT) AS n_pieces,
+       CAST(COALESCE(tc, 0) AS BIGINT) AS total_cost_micro,
+       CASE WHEN COALESCE(nw, 0) > 0
+            THEN CAST(np AS DOUBLE) / CAST(nw AS DOUBLE)
+       END AS pieces_per_word
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN enc ON d.doc_id IS NOT DISTINCT FROM enc.doc_id
+"""
+
+
+@query("unigram_lm_encode", oracle=_ulm_oracle())
+def unigram_lm_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) corpus encoding
+    (operators/chunking.unigram_lm_encode; Kudo 2018): seed-vocab
+    substring masses → integer micro-nat piece costs (the DSIR
+    quantization device — one ln per piece at vocab scale, exact
+    integers everywhere the corpus is touched) → per-word Viterbi
+    via an aggregate fold minimizing cost·1024+pieces (lexicographic
+    min: cheapest, then fewest pieces) → per-doc rollup with an
+    id-spine for token-less docs. ONE corpus exchange (word
+    frequencies); everything else is vocab-scale or a map-side
+    projection over distinct words. The oracle unrolls the identical
+    fold to 16 lateral column aliases."""
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        unigram_lm_encode,
+    )
+
+    return unigram_lm_encode(
+        _docs(spark, sf_dir),
+        vocab_multi=_ULM_V,
+        max_piece_len=_ULM_P,
+        max_word_len=_ULM_W,
+    )
