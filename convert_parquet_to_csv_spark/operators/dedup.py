@@ -894,6 +894,125 @@ def duplicated_span_extents(
     ).select(id_col, "span_start", "span_end", "span_toks")
 
 
+def maximal_duplicated_extents(
+    df: DataFrame,
+    k: int = 6,
+    w_cap: int = 18,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TRUE-maximal duplicated substrings (VERDICT r8 item 4 — the
+    suffix-extension refinement of :func:`duplicated_span_extents`):
+    one row per maximal substring of ≥ ``k`` tokens that occurs ≥ 2
+    times corpus-wide (within-doc repeats count, the ExactSubstr
+    rule), where *maximal* means Lee et al. 2022's actual suffix-
+    array guarantee — the match cannot be extended left or right —
+    rather than the k-gram-union islands the coverage operator
+    reports. The two outputs are complementary: islands are the
+    REMOVAL artifact (union of covered positions, exact for the
+    paper's remove-covered-bytes semantics), these extents are the
+    AUDIT artifact (the actual repeated strings, possibly
+    overlapping each other, as a suffix array would list them).
+
+    Algorithm — the suffix-array identity, Spark-shaped: the longest
+    duplicated prefix of the suffix at position p equals the longest
+    common prefix (LCP) of that suffix with its LEXICOGRAPHIC
+    NEIGHBORS among all corpus suffixes, so
+
+    1. every position carries its suffix TRUNCATED to ``k + w_cap``
+       tokens (the cap bounds shuffle volume at (k+w_cap)× corpus —
+       the DataFrame trade for the suffix array's 8 bytes/token;
+       extents longer than the cap are reported cap-clipped,
+       documented below);
+    2. suffix order localizes: a neighbor sharing ≥ k tokens shares
+       the leading k-gram, so the global suffix sort decomposes into
+       per-k-gram groups — the window partitions by
+       ``xxhash64(gram)`` and orders by the space-joined suffix
+       slice (token arrays contain no whitespace, so the joined
+       string orders exactly like the token array; hash collisions
+       only concatenate groups whose cross-boundary LCP < k, which
+       the ≥ k filter and the ≥ k+1 suppression rule both ignore —
+       the oracle partitions by the gram STRING and agrees by this
+       argument);
+    3. ``L(p) = max(lcp(s, lag(s)), lcp(s, lead(s)))`` with the LCP
+       as one ``zip_with``/``array_position`` expression (NULL
+       neighbor → 0);
+    4. maximal starts: report ``[p, p + L(p))`` iff ``L(p) ≥ k`` and
+       ``L(p−1) ≤ L(p)`` (a left-extension would need the previous
+       suffix to match one token further, i.e. ``L(p−1) ≥ L(p)+1``);
+       right-maximality is the definition of L. ``L(p−1)`` is one
+       doc-partitioned lag.
+
+    min_count is fixed at 2 (the paper's "appears elsewhere");
+    ≥ c occurrences generalizes to the (c−1)-th-removed neighbor
+    (``lag(s, c−1)``/``lead(s, c−1)``), not built here.
+
+    Scale shape: ONE exchange of (k+w_cap)-token slices keyed by the
+    leading gram (map-side narrow build, no corpus-global state),
+    one per-gram window sort whose partition bound is the gram's
+    occurrence count — the hot-boilerplate gram is the skew case,
+    and it is IRREDUCIBLE here (splitting a gram's occurrence list
+    breaks neighbor adjacency; a real suffix array has the same
+    hot-suffix locality), so production caps boilerplate upstream
+    (remove_duplicated_lines) — then one doc-keyed window for the
+    suppression lag. No single-partition window, no collect, no UDF.
+    """
+    slice_len = k + w_cap
+    base = df.select(id_col, tokens(text_col).alias("_tk")).filter(
+        F.size("_tk") >= k
+    )
+    occ = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.size("_tk") - k)).alias("_p"),
+        "_tk",
+    ).select(
+        id_col,
+        "_p",
+        F.expr(f"slice(_tk, _p + 1, {slice_len})").alias("_s"),
+        F.xxhash64(F.expr(f"slice(_tk, _p + 1, {k})")).alias("_gh"),
+    )
+    wg = Window.partitionBy("_gh").orderBy(F.concat_ws(" ", "_s"))
+    lag_s = F.lag("_s").over(wg)
+    lead_s = F.lead("_s").over(wg)
+
+    def lcp_with(nb: Column) -> Column:
+        # array_position returns 0 — not NULL — when `false` is
+        # absent (identical slices), so nullif is load-bearing: the
+        # first cut lost every full-cap match to lcp = -1 (caught by
+        # the sf0.01 gate; test_lcp_identical_slices pins it).
+        zipped = F.zip_with("_s", nb, lambda x, y: x.eqNullSafe(y))
+        return F.when(nb.isNull(), F.lit(0)).otherwise(
+            F.coalesce(
+                F.nullif(
+                    F.array_position(zipped, F.lit(False)), F.lit(0)
+                )
+                - 1,
+                F.least(F.size("_s"), F.size(nb)),
+            )
+        )
+
+    scored = occ.select(
+        id_col,
+        "_p",
+        F.greatest(lcp_with(lag_s), lcp_with(lead_s))
+        .cast("bigint")
+        .alias("_l"),
+    )
+    wd = Window.partitionBy(id_col).orderBy("_p")
+    return (
+        scored.withColumn(
+            "_lprev", F.coalesce(F.lag("_l").over(wd), F.lit(0))
+        )
+        .filter((F.col("_l") >= k) & (F.col("_lprev") <= F.col("_l")))
+        .select(
+            F.col(id_col),
+            F.col("_p").cast("bigint").alias("span_start"),
+            (F.col("_p") + F.col("_l")).cast("bigint").alias("span_end"),
+            F.col("_l").alias("span_toks"),
+        )
+    )
+
+
 def keep_best_per_cluster(
     docs: DataFrame,
     components: DataFrame,

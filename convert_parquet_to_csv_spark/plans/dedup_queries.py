@@ -2296,3 +2296,84 @@ def paragraph_dedup_boilerplate(
         F.col("n_lines_kept").alias("n_paras_kept"),
         F.col("n_lines_removed").alias("n_paras_removed"),
     )
+
+
+# --------------------------------------------------------------------------
+# r9: TRUE-maximal duplicated substrings — the suffix-extension
+# refinement of dedup_span_extents (VERDICT r8 item 4, Lee et al.
+# 2022's actual suffix-array guarantee). Day-one gated.
+# --------------------------------------------------------------------------
+
+_MX_K, _MX_WCAP = 6, 18
+_MX_S = _MX_K + _MX_WCAP
+
+_MAXIMAL_EXTENTS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), occ AS (
+  SELECT doc_id, CAST(i AS INT) AS p,
+         toks[CAST(i AS INT) + 1 : CAST(i AS INT) + {_MX_S}] AS s,
+         array_to_string(toks[CAST(i AS INT) + 1 :
+                              CAST(i AS INT) + {_MX_K}], ' ') AS g
+  FROM tok, unnest(range(0, len(toks) - {_MX_K} + 1)) AS t(i)
+  WHERE len(toks) >= {_MX_K}
+), nb AS (
+  SELECT doc_id, p, s,
+         lag(s) OVER w AS ls,
+         lead(s) OVER w AS rs
+  FROM occ
+  WINDOW w AS (PARTITION BY g ORDER BY array_to_string(s, ' '))
+), sc AS (
+  SELECT doc_id, p,
+    greatest(
+      CASE WHEN ls IS NULL THEN 0 ELSE
+        coalesce(nullif(list_position(list_transform(
+          range(1, least(len(s), len(ls)) + 1),
+          ii -> s[CAST(ii AS INT)] IS NOT DISTINCT FROM
+                ls[CAST(ii AS INT)]), false), 0) - 1,
+          least(len(s), len(ls))) END,
+      CASE WHEN rs IS NULL THEN 0 ELSE
+        coalesce(nullif(list_position(list_transform(
+          range(1, least(len(s), len(rs)) + 1),
+          ii -> s[CAST(ii AS INT)] IS NOT DISTINCT FROM
+                rs[CAST(ii AS INT)]), false), 0) - 1,
+          least(len(s), len(rs))) END
+    ) AS l
+  FROM nb
+), stp AS (
+  SELECT doc_id, p, l,
+         coalesce(lag(l) OVER (PARTITION BY doc_id ORDER BY p), 0)
+           AS lp
+  FROM sc
+)
+SELECT doc_id,
+       CAST(p AS BIGINT) AS span_start,
+       CAST(p + l AS BIGINT) AS span_end,
+       CAST(l AS BIGINT) AS span_toks
+FROM stp WHERE l >= {_MX_K} AND lp <= l
+"""
+
+
+@query("dedup_maximal_extents", oracle=_MAXIMAL_EXTENTS_ORACLE)
+def dedup_maximal_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-maximal duplicated substrings (operators/dedup.
+    maximal_duplicated_extents): the suffix-array identity — longest
+    duplicated prefix at p = max LCP with the suffix's lexicographic
+    neighbors — evaluated with per-k-gram windows (suffix order
+    localizes to the leading gram for any LCP ≥ k) over suffixes
+    truncated at k + w_cap = 24 tokens. Report [p, p+L(p)) where
+    L(p) ≥ 6 and L(p−1) ≤ L(p) (left-maximality). Complements
+    dedup_span_extents' islands: islands = union-of-coverage removal
+    artifact, these rows = the actual repeated strings, as a suffix
+    array would list them (Lee et al. 2022). Spark partitions the
+    suffix window by xxhash64(gram) — the oracle by the gram string;
+    a hash collision only concatenates groups whose cross-boundary
+    LCP < k, invisible to the ≥ k filter and the ≥ k+1 suppression
+    (the operator docstring's argument). Brute-force suffix
+    reference pinned in tests/test_maximal_extents.py."""
+    return D.maximal_duplicated_extents(
+        _docs(spark, sf_dir), k=_MX_K, w_cap=_MX_WCAP
+    )

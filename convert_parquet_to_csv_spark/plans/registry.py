@@ -114,6 +114,7 @@ FIRST_TIER: list[str] = [
     "paragraph_dedup_boilerplate",
     "quality_classifier_train",
     "unigram_lm_encode",
+    "dedup_maximal_extents",
     # --- r9 kernel/oracle-touched re-gates ---
     # corpus_datacard: eqNullSafe fingerprint join + oracle edit
     # (ADVICE r8 #1); quality_classifier_linear: re-oracled to
