@@ -137,6 +137,15 @@ BENCH_QUERY_NAMES = [
     # baseline).
     "dedup_span_extents",
     "similarity_topk_pq",
+    # r9: the suffix-window maximal-extents refinement (the heaviest
+    # new shape — (k+w_cap)x slice volume through one gram-keyed
+    # exchange), the unigram-LM encode (one corpus exchange + the
+    # distinct-word Viterbi projection), and the 2-epoch classifier
+    # train (two doc-keyed exchanges per epoch).
+    "dedup_maximal_extents",
+    "unigram_lm_encode",
+    "quality_classifier_train",
+    "paragraph_dedup_boilerplate",
 ]
 
 # VERDICT r4 items 2+7: queries whose plans persist() shared subtrees

@@ -45,6 +45,11 @@ CASES = {
     "line_dedup_boilerplate": "line dedup: min-struct winner groupBy (no window), one line-keyed join, doc-keyed reassembly",
     "quality_classifier_linear": "linear classifier: weight table BROADCAST; only the (doc,bucket) exchange is corpus-volume — the rest are doc/id-scale aggregates and the distinct-id spine",
     "embedding_jl_projection": "JL projection: sign matrix broadcast, ONE id-keyed exchange, no spine join",
+    # r9 flagships: prove the docstring shapes from the executed plans
+    "dedup_maximal_extents": "maximal extents: suffix window PARTITIONED by the leading-gram hash (never single-partition), LCP as codegen'd zip_with (no UDF), doc-keyed suppression lag",
+    "unigram_lm_encode": "unigram LM: ONE corpus exchange (word freq); vocab-scale piece agg; cost MAP built engine-side and broadcast (1-row close); Viterbi fold is a map-side projection over distinct words",
+    "quality_classifier_train": "classifier train: per-epoch corpus joins are doc-keyed; weight table broadcast into the logit join; epochs separated by bounded localCheckpoints (audited plan is the final update stage)",
+    "paragraph_dedup_boilerplate": "paragraph dedup: same kernel as line dedup at the \\n{2,} knob — min-struct winner groupBy, paragraph-keyed join, doc-keyed reassembly, no window",
     "events_daily_gapfill": "gap fill: spine explode bounded by keys x days, one daily-agg shuffle",
     "salted_join_revenue": "salted join: (key,salt) hash join, dim replicated map-side, result invariant",
     "funnel_view_click_purchase": "funnel: per-stage cohorts shrink; AQE broadcasts the cohort joins",

@@ -41,6 +41,7 @@ from convert_parquet_to_csv_spark.sources.io_ops import read_parquet
 from convert_parquet_to_csv_spark.operators.dedup import (
     containment_pairs,
     duplicated_span_extents,
+    maximal_duplicated_extents,
     minhash_dedup,
     remove_duplicated_lines,
     remove_within_doc_repeats,
@@ -48,9 +49,11 @@ from convert_parquet_to_csv_spark.operators.dedup import (
 )
 from convert_parquet_to_csv_spark.functions.text import (
     synth_token_lines,
+    synth_token_paragraphs,
 )
 from convert_parquet_to_csv_spark.operators.chunking import (
     bpe_learn_merges,
+    unigram_lm_encode,
 )
 from convert_parquet_to_csv_spark.operators.curation import (
     ccnet_lm_buckets,
@@ -60,6 +63,7 @@ from convert_parquet_to_csv_spark.operators.curation import (
     gopher_repetition_signals,
     linear_text_classifier,
     remove_duplicated_spans,
+    train_linear_classifier,
 )
 
 from pyspark.sql import functions as F
@@ -245,6 +249,67 @@ def main() -> None:
                         ).alias("weight_micro"),
                     ),
                 )
+            ),
+            # r9: the suffix-window maximal-extents refinement — the
+            # heaviest new shape: (k + w_cap)-token slices through
+            # ONE gram-keyed exchange + per-gram window sort. Volume
+            # is (k+w_cap)x corpus by construction; the question the
+            # curve answers is whether the per-gram partition bound
+            # keeps it linear in docs (it should: the mangled
+            # replicas keep gram-occurrence lists linear).
+            "maximal_extents": lambda d=docs: (
+                maximal_duplicated_extents(d, k=6, w_cap=18)
+            ),
+            # r9: unigram-LM encode — ONE corpus exchange (word
+            # freq) + vocab-scale piece agg + distinct-word Viterbi
+            # projection; expected close to bpe_merges' sub-linear
+            # curve (same corpus-touches-once property).
+            "unigram_lm": lambda d=docs: unigram_lm_encode(
+                d, vocab_multi=64
+            ),
+            # r9: classifier TRAINING (2 epochs of exact-integer GD;
+            # md5-parity pseudo-labels derived in-kernel exactly as
+            # the gated query derives them). Expected ~2x the apply
+            # curve per epoch: two doc-keyed exchanges per epoch vs
+            # apply's one.
+            "classifier_train": lambda d=docs: train_linear_classifier(
+                d,
+                d.select(
+                    "doc_id",
+                    (
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.col("doc_id").cast("string")
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % 2
+                        )
+                        * 1_000_000
+                    ).alias("y_micro"),
+                ),
+                num_buckets=512,
+                epochs=2,
+                hash_fn="xxhash64",
+            ),
+            # r9: paragraph-granularity boilerplate dedup — the same
+            # kernel as line_dedup at the \n\n+ knob over synthetic
+            # 2-line paragraphs; curve should track line_dedup with
+            # ~half the occurrence rows.
+            "paragraph_dedup": lambda d=docs: remove_duplicated_lines(
+                d.select(
+                    "doc_id",
+                    synth_token_paragraphs(
+                        "text", w=4, lines=2
+                    ).alias("text"),
+                ),
+                sep_regex=r"\n{2,}",
             ),
         }
         only = os.environ.get("SPARK_GRAFT_CURVE_KERNELS")
