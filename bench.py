@@ -50,7 +50,13 @@ def _current_round() -> int:
         for p in glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json"))
         if (m := re.match(r"BENCH_r0*(\d+)\.json$", os.path.basename(p)))
     ]
-    return (max(rounds) + 1) if rounds else 0
+    # empty history = round 1 (the driver's first record is
+    # BENCH_r01.json, written AFTER that round's bench run). Known
+    # residual (review r9, documented trade): a manual bench run
+    # AFTER round N's record lands writes BENCH_LOCAL_r{N+1}.json
+    # early; round N+1's own run overwrites it, so staleness only
+    # survives if that run never completes.
+    return (max(rounds) + 1) if rounds else 1
 
 
 def _write_local_record(payload: dict) -> str:

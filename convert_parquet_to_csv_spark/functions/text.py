@@ -66,9 +66,7 @@ def synth_token_lines(col: Column | str, w: int = 4) -> Column:
                 F.lit(1),
                 F.ceil(F.size(tk) / F.lit(float(w))).cast("int"),
             ),
-            lambda p: F.array_join(
-                F.slice(tk, (p - 1) * w + 1, w), " "
-            ),
+            lambda p: _token_line(tk, w, p),
         )
         return (
             F.when(tk.isNull(), F.lit(None).cast("string"))
@@ -77,6 +75,13 @@ def synth_token_lines(col: Column | str, w: int = 4) -> Column:
         )
 
     return F.transform(F.array(tokens(col)), _lines)[0]
+
+
+def _token_line(tk: Column, w: int, p: Column) -> Column:
+    """Line ``p`` (1-based) of a token array wrapped at ``w`` tokens —
+    THE line builder both synthesizers share (review r9: the lambda
+    had been duplicated; a fix to the wrap rule must live once)."""
+    return F.array_join(F.slice(tk, (p - 1) * w + 1, w), " ")
 
 
 def synth_token_paragraphs(
@@ -96,7 +101,7 @@ def synth_token_paragraphs(
         n_lines = F.ceil(F.size(tk) / F.lit(float(w))).cast("int")
 
         def _line(p: Column) -> Column:
-            return F.array_join(F.slice(tk, (p - 1) * w + 1, w), " ")
+            return _token_line(tk, w, p)
 
         paras = F.transform(
             F.sequence(

@@ -512,7 +512,11 @@ def unigram_lm_encode(
     broadcast into a map-side DP PROJECTION over distinct words
     (aggregate fold, all built-ins, no UDF), one word-keyed join
     back to occurrences, one doc-keyed rollup, and an id-spine left
-    join so token-less docs keep a zero row. Heaviest skew risk is
+    join so token-less docs keep a zero row. Measured scale curve
+    (tools/scale_curve.py, mangled sf0.1 replicas, min-of-2,
+    local[32]): 6.19 / 11.90 / 19.03 s at 500k/1M/2M docs —
+    0.77×-linear (sub-linear); the occ persist below bought 1.8× at
+    500k (11.2 → 6.2 s). Heaviest skew risk is
     the hot-word join back (Zipf head) — one row per distinct word
     on the build side, the AQE skew-join case."""
     from convert_parquet_to_csv_spark.functions.text import tokens
@@ -522,6 +526,13 @@ def unigram_lm_encode(
     ).select(
         id_col, F.substring("_w0", 1, max_word_len).alias("_w")
     )
+    # triple-referenced: wfreq aggregates it (feeding the vocab
+    # localCheckpoint AND the dp projection) and the enc join
+    # re-reads it — without the cache the corpus tokenize+explode
+    # runs three times (review r9; the synth_token_lines 2.2×
+    # retokenize lesson). Caller releases via clearCache() — the
+    # lsh_candidate_pairs contract.
+    occ = occ.persist()
     wfreq = occ.groupBy("_w").agg(F.count(F.lit(1)).alias("_wc"))
     # vocab-scale: candidate substrings with corpus mass
     pc = (

@@ -1112,6 +1112,22 @@ def linear_text_classifier(
     )
 
 
+def md5_parity_micro(col: Column | str, micro: int = 1_000_000) -> Column:
+    """Deterministic md5-parity pseudo-label in MICRO units (0 or
+    ``micro``) — the house cross-engine RNG applied to a label seam.
+    Extracted (review r9, the hashed_ngram_buckets precedent) so the
+    gated train/apply queries and the scale-curve kernel share ONE
+    label rule that cannot drift; the DuckDB twin is
+    ``(('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15))::BIGINT % 2)
+    * micro``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 2
+    ) * micro
+
+
 def train_linear_classifier(
     docs: DataFrame,
     labels: DataFrame,
@@ -1208,8 +1224,16 @@ def train_linear_classifier(
                 (
                     F.col("_w")
                     - F.expr(
+                        # greatest(_n, 1): an EMPTY label set yields
+                        # no residual rows, so every gradient is 0
+                        # and the update is 0 regardless of divisor —
+                        # but under pinned ANSI mode _n = 0 raised
+                        # DIVIDE_BY_ZERO deep in the epoch plan
+                        # (review r9); the clamp makes empty-labels a
+                        # clean no-op (weights stay 0) and changes
+                        # nothing whenever labels exist.
                         f"(coalesce(_g, 0L) * {int(lr_num)}L) div "
-                        f"(_n * {int(lr_den)}L)"
+                        f"(greatest(_n, 1L) * {int(lr_den)}L)"
                     )
                 ).cast("long").alias("_w"),
             )

@@ -927,13 +927,15 @@ def maximal_duplicated_extents(
     2. suffix order localizes: a neighbor sharing ≥ k tokens shares
        the leading k-gram, so the global suffix sort decomposes into
        per-k-gram groups — the window partitions by
-       ``xxhash64(gram)`` and orders by the space-joined suffix
-       slice (token arrays contain no whitespace, so the joined
-       string orders exactly like the token array; hash collisions
-       only concatenate groups whose cross-boundary LCP < k, which
-       the ≥ k filter and the ≥ k+1 suppression rule both ignore —
-       the oracle partitions by the gram STRING and agrees by this
-       argument);
+       ``xxhash64(gram)``, admits only HOT grams (corpus count ≥ 2;
+       exact — a singleton-gram position has L < k, see the inline
+       note), and orders by the token ARRAY itself (element-wise
+       lexicographic in both engines; a space-joined string would
+       misorder tokens containing sub-0x20 non-whitespace chars).
+       Hash collisions only concatenate groups whose cross-boundary
+       LCP < k, which the ≥ k filter and the ≥ k+1 suppression rule
+       both ignore — the oracle partitions by the gram STRING and
+       agrees by this argument;
     3. ``L(p) = max(lcp(s, lag(s)), lcp(s, lead(s)))`` with the LCP
        as one ``zip_with``/``array_position`` expression (NULL
        neighbor → 0);
@@ -947,15 +949,28 @@ def maximal_duplicated_extents(
     ≥ c occurrences generalizes to the (c−1)-th-removed neighbor
     (``lag(s, c−1)``/``lead(s, c−1)``), not built here.
 
-    Scale shape: ONE exchange of (k+w_cap)-token slices keyed by the
-    leading gram (map-side narrow build, no corpus-global state),
-    one per-gram window sort whose partition bound is the gram's
+    Scale shape: one map-side-combinable 8-byte-key gram count (the
+    hot filter), then ONE exchange of (k+w_cap)-token slices keyed
+    by the leading gram — DUPLICATED positions only, never the whole
+    corpus (map-side narrow build, no corpus-global state), one
+    per-gram window sort whose partition bound is the gram's
     occurrence count — the hot-boilerplate gram is the skew case,
     and it is IRREDUCIBLE here (splitting a gram's occurrence list
     breaks neighbor adjacency; a real suffix array has the same
     hot-suffix locality), so production caps boilerplate upstream
     (remove_duplicated_lines) — then one doc-keyed window for the
-    suppression lag. No single-partition window, no collect, no UDF.
+    suppression lag (over hot rows only; the lag(_p) == p−1 check
+    keeps that exact). No single-partition window, no collect, no
+    UDF. Measured scale curve (tools/scale_curve.py, mangled sf0.1
+    replicas, min-of-2, local[32]): unfiltered 21.2 / 61.8 / 138.8 s
+    at 500k/1M/2M (1.64×-superlinear); with the hot filter 11.3 /
+    25.9 / 106.2 s — 1.9–2.4× faster and ~1.15×-linear through 1M.
+    The residual 1M→2M step is the single-JVM MEMORY regime, not the
+    plan: GC-locker stalls appear in the log, the step is
+    insensitive to slice volume (w_cap 6 vs 18 at 2M: 58.9 vs
+    72.0 s same-session), and per-gram partitions stay bounded — on
+    a multi-executor cluster the slice exchange spreads across
+    heaps (the gopher-signals 2M diagnosis, same class).
     """
     slice_len = k + w_cap
     base = df.select(id_col, tokens(text_col).alias("_tk")).filter(
@@ -971,7 +986,28 @@ def maximal_duplicated_extents(
         F.expr(f"slice(_tk, _p + 1, {slice_len})").alias("_s"),
         F.xxhash64(F.expr(f"slice(_tk, _p + 1, {k})")).alias("_gh"),
     )
-    wg = Window.partitionBy("_gh").orderBy(F.concat_ws(" ", "_s"))
+    # Hot-gram pre-filter — EXACT, not an approximation: a position
+    # whose leading k-gram occurs once corpus-wide has no partner
+    # sharing a ≥ k prefix, so L(p) < k — it can neither report an
+    # extent nor suppress one (suppression needs L ≥ k+1). Only hot
+    # positions carry their (k+w_cap)-token slices into the window
+    # sort; the 8-byte-key count groupBy is map-side combinable.
+    # Measured (mangled sf0.1 replicas, min-of-2): the unfiltered
+    # window sort curved 1.64×-superlinear (21.2/61.8/138.8 s at
+    # 500k/1M/2M — the single-JVM sort regime on 24× corpus volume);
+    # the filter cuts the sorted volume to the duplicated fraction.
+    hot = (
+        occ.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_gh")
+    )
+    occ = occ.join(hot, "_gh")
+    # Order by the token ARRAY itself — element-wise lexicographic in
+    # both engines. (A space-joined string is NOT order-equivalent
+    # when tokens contain non-whitespace chars below 0x20 — legal in
+    # raw crawl text since \s+ splitting keeps \x01 etc.; review r9.)
+    wg = Window.partitionBy("_gh").orderBy("_s")
     lag_s = F.lag("_s").over(wg)
     lead_s = F.lead("_s").over(wg)
 
@@ -998,10 +1034,20 @@ def maximal_duplicated_extents(
         .cast("bigint")
         .alias("_l"),
     )
+    # Suppression over the FILTERED rows: the doc-window lag yields
+    # the previous HOT position, which is p−1 only sometimes — but a
+    # filtered-out p−1 had a singleton gram, hence L(p−1) < k ≤ L(p),
+    # and could never suppress; requiring lag(_p) == p−1 alongside
+    # the L comparison is therefore exact.
     wd = Window.partitionBy(id_col).orderBy("_p")
     return (
-        scored.withColumn(
-            "_lprev", F.coalesce(F.lag("_l").over(wd), F.lit(0))
+        scored.withColumn("_pprev", F.lag("_p").over(wd))
+        .withColumn("_lprevraw", F.lag("_l").over(wd))
+        .withColumn(
+            "_lprev",
+            F.when(
+                F.col("_pprev") == F.col("_p") - 1, F.col("_lprevraw")
+            ).otherwise(F.lit(0)),
         )
         .filter((F.col("_l") >= k) & (F.col("_lprev") <= F.col("_l")))
         .select(
@@ -1150,7 +1196,15 @@ def remove_within_doc_repeats(
     state at all, unlike the cross-doc rule's heavy-hitter
     table."""
     base = df.select(id_col, tokens(text_col).alias("_tk"))
-    grams = base.filter(F.size("_tk") >= k).select(
+    # NULL-id rows pass through untouched (review r9): the
+    # first-occurrence election keys on (id, gram), and groupBy pools
+    # every NULL id into ONE pseudo-document — two NULL-id docs would
+    # cross-contaminate each other's "first occurrence" while their
+    # removals lose the join back. Same exclusion contract as
+    # remove_duplicated_lines / train_linear_classifier.
+    grams = base.filter(
+        (F.size("_tk") >= k) & F.col(id_col).isNotNull()
+    ).select(
         id_col,
         F.explode(F.sequence(F.lit(0), F.size("_tk") - k)).alias("_p"),
         "_tk",
@@ -1221,9 +1275,18 @@ def remove_duplicated_lines(
     base = df.select(
         id_col, F.split(F.col(text_col), sep_regex).alias("_ln")
     )
+    # NULL-id rows are excluded from the global election entirely
+    # (review r9): a row without identity can neither win (its
+    # removals have no join-back key, so "remove all but one" breaks
+    # between two NULL-id copies) nor lose; they pass through intact
+    # with n_removed = 0 — the train_linear_classifier NULL-exclusion
+    # contract, replayed row-locally by the oracle.
     occ = base.select(
         F.col(id_col), F.posexplode("_ln").alias("_lp", "_line")
-    ).filter(F.regexp_replace(F.col("_line"), r"\s+", "") != "")
+    ).filter(
+        (F.regexp_replace(F.col("_line"), r"\s+", "") != "")
+        & F.col(id_col).isNotNull()
+    )
     winners = (
         occ.groupBy("_line")
         .agg(

@@ -1563,7 +1563,8 @@ w0 AS (
 ), w{e} AS (
   SELECT w.b,
          w.w - (COALESCE(g.gs, 0) * {_QTRAIN_LRN})
-               // ((SELECT n FROM nn) * {_QTRAIN_LRD}) AS w
+               // (greatest((SELECT n FROM nn), 1) * {_QTRAIN_LRD})
+           AS w
   FROM w{e - 1} w LEFT JOIN gr{e} g ON g.b = w.b
 )"""
     return chain, f"w{_QTRAIN_EPOCHS}"
@@ -1609,19 +1610,7 @@ def _trained_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(
             "doc_id",
-            (
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(F.col("doc_id").cast("string")), 1, 15
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % 2
-                )
-                * 1_000_000
-            ).alias("y_micro"),
+            C.md5_parity_micro("doc_id").alias("y_micro"),
         )
     )
     return C.train_linear_classifier(

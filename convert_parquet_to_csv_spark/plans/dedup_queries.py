@@ -1897,11 +1897,16 @@ WITH arr AS (
   FROM documents
 ),
 grams AS (
+  -- NULL-id rows: excluded from the (id, gram) election, replayed
+  -- row-locally in the final SELECT (the kernel's r9 pass-through
+  -- contract — groupBy would pool every NULL id into one
+  -- pseudo-document)
   SELECT doc_id, CAST(p AS INT) AS pos,
          array_to_string(a[CAST(p AS INT)+1:CAST(p AS INT)+{_WDR_K}],
                          ' ') AS gram
   FROM arr, UNNEST(range(0, greatest(len(a) - {_WDR_K} + 1, 0)))
     AS t(p)
+  WHERE doc_id IS NOT NULL
 ),
 fst AS (
   SELECT doc_id, gram, min(pos) AS fp
@@ -1917,6 +1922,7 @@ covered AS (
 words AS (
   SELECT doc_id, CAST(p AS INT) AS pos, a[CAST(p AS INT)+1] AS word
   FROM arr, UNNEST(range(0, len(a))) AS t(p)
+  WHERE doc_id IS NOT NULL
 ),
 kept AS (
   SELECT w.doc_id,
@@ -1934,9 +1940,14 @@ kept AS (
 -- span-dedup NULL contract, whitespace-only -> ('', 0, 0).
 SELECT arr.doc_id,
        CASE WHEN arr.a IS NULL THEN NULL
+            WHEN arr.doc_id IS NULL THEN array_to_string(arr.a, ' ')
             ELSE COALESCE(k.clean_text, '') END AS clean_text,
-       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
-       CAST(COALESCE(k.n_removed, 0) AS BIGINT) AS n_removed
+       CAST(CASE WHEN arr.a IS NULL THEN 0
+                 WHEN arr.doc_id IS NULL THEN len(arr.a)
+                 ELSE COALESCE(k.n_kept, 0) END AS BIGINT) AS n_kept,
+       CAST(CASE WHEN arr.doc_id IS NULL THEN 0
+                 ELSE COALESCE(k.n_removed, 0) END AS BIGINT)
+         AS n_removed
 FROM arr LEFT JOIN kept k ON arr.doc_id = k.doc_id
 """
 
@@ -2112,8 +2123,12 @@ ln2 AS (
   SELECT doc_id, string_split(text2, chr(10)) AS lns FROM lined
 ),
 occ AS (
+  -- NULL-id rows are excluded from the election and replayed
+  -- row-locally in the final SELECT (the kernel's r9 pass-through
+  -- contract)
   SELECT doc_id, CAST(p AS INT) AS lp, lns[CAST(p AS INT)+1] AS line
   FROM ln2, UNNEST(range(0, len(lns))) t(p)
+  WHERE doc_id IS NOT NULL
 ),
 nb AS (
   SELECT * FROM occ WHERE regexp_replace(line, '\\s+', '', 'g') <> ''
@@ -2139,9 +2154,15 @@ kept AS (
 )
 SELECT ln2.doc_id,
        CASE WHEN ln2.lns IS NULL THEN NULL
+            WHEN ln2.doc_id IS NULL
+              THEN array_to_string(ln2.lns, chr(10))
             ELSE COALESCE(k.clean_text, '') END AS clean_text,
-       CAST(COALESCE(k.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
-       CAST(COALESCE(k.n_lines_removed, 0) AS BIGINT)
+       CAST(CASE WHEN ln2.lns IS NULL THEN 0
+                 WHEN ln2.doc_id IS NULL THEN len(ln2.lns)
+                 ELSE COALESCE(k.n_lines_kept, 0) END AS BIGINT)
+         AS n_lines_kept,
+       CAST(CASE WHEN ln2.doc_id IS NULL THEN 0
+                 ELSE COALESCE(k.n_lines_removed, 0) END AS BIGINT)
          AS n_lines_removed
 FROM ln2 LEFT JOIN kept k ON ln2.doc_id = k.doc_id
 """
@@ -2225,8 +2246,11 @@ ln2 AS (
   FROM para
 ),
 occ AS (
+  -- NULL-id rows: excluded from the election, replayed row-locally
+  -- below (the kernel's r9 pass-through contract)
   SELECT doc_id, CAST(p AS INT) AS lp, lns[CAST(p AS INT)+1] AS line
   FROM ln2, UNNEST(range(0, len(lns))) t(p)
+  WHERE doc_id IS NOT NULL
 ),
 nb AS (
   SELECT * FROM occ WHERE regexp_replace(line, '\\s+', '', 'g') <> ''
@@ -2252,9 +2276,15 @@ kept AS (
 )
 SELECT ln2.doc_id,
        CASE WHEN ln2.lns IS NULL THEN NULL
+            WHEN ln2.doc_id IS NULL
+              THEN array_to_string(ln2.lns, chr(10))
             ELSE COALESCE(k.clean_text, '') END AS clean_text,
-       CAST(COALESCE(k.n_paras_kept, 0) AS BIGINT) AS n_paras_kept,
-       CAST(COALESCE(k.n_paras_removed, 0) AS BIGINT)
+       CAST(CASE WHEN ln2.lns IS NULL THEN 0
+                 WHEN ln2.doc_id IS NULL THEN len(ln2.lns)
+                 ELSE COALESCE(k.n_paras_kept, 0) END AS BIGINT)
+         AS n_paras_kept,
+       CAST(CASE WHEN ln2.doc_id IS NULL THEN 0
+                 ELSE COALESCE(k.n_paras_removed, 0) END AS BIGINT)
          AS n_paras_removed
 FROM ln2 LEFT JOIN kept k ON ln2.doc_id = k.doc_id
 """
@@ -2320,12 +2350,16 @@ WITH tok AS (
                               CAST(i AS INT) + {_MX_K}], ' ') AS g
   FROM tok, unnest(range(0, len(toks) - {_MX_K} + 1)) AS t(i)
   WHERE len(toks) >= {_MX_K}
+), hot AS (
+  SELECT g FROM occ GROUP BY g HAVING count(*) >= 2
+), occ2 AS (
+  SELECT occ.* FROM occ JOIN hot USING (g)
 ), nb AS (
   SELECT doc_id, p, s,
          lag(s) OVER w AS ls,
          lead(s) OVER w AS rs
-  FROM occ
-  WINDOW w AS (PARTITION BY g ORDER BY array_to_string(s, ' '))
+  FROM occ2
+  WINDOW w AS (PARTITION BY g ORDER BY s)
 ), sc AS (
   SELECT doc_id, p,
     greatest(
@@ -2345,9 +2379,10 @@ WITH tok AS (
   FROM nb
 ), stp AS (
   SELECT doc_id, p, l,
-         coalesce(lag(l) OVER (PARTITION BY doc_id ORDER BY p), 0)
-           AS lp
+         CASE WHEN lag(p) OVER wd = p - 1
+              THEN lag(l) OVER wd ELSE 0 END AS lp
   FROM sc
+  WINDOW wd AS (PARTITION BY doc_id ORDER BY p)
 )
 SELECT doc_id,
        CAST(p AS BIGINT) AS span_start,

@@ -124,6 +124,12 @@ FIRST_TIER: list[str] = [
     "corpus_datacard",
     "quality_classifier_linear",
     "dedup_within_doc_repeats",
+    # line_dedup_boilerplate joins the re-gate block late-r9: its
+    # ORACLE TEXT gained the NULL-id pass-through replay (review r9)
+    # — an edited oracle takes a gate slot; the displaced trailing
+    # r3-refresh name (graph_triangle_copurchase) heads the r10
+    # queue instead.
+    "line_dedup_boilerplate",
     # --- the nine TPC-H queries still r2-latest (VERDICT r8 queue) ---
     "q17_small_quantity_revenue",
     "q21_suppliers_waiting",
@@ -208,7 +214,6 @@ FIRST_TIER: list[str] = [
     "embedding_jl_projection",
     "dedup_provenance_remap",
     "gopher_funnel",
-    "line_dedup_boilerplate",
     # --- r4..r8-green names, kept for ordering ---
     "left_join_enrichment",
     "right_join_enrichment",

@@ -173,10 +173,11 @@ def test_final_summary_line_parses_alone(bench_compare, tmp_path):
 
 def test_local_sibling_preferred_over_driver_tail(bench_compare, tmp_path):
     """r9 bench contract (VERDICT r8 item 1b): loading a driver
-    BENCH_r{N}.json must prefer-merge the committed complete
-    BENCH_LOCAL_r{N}.json sibling — its keys win, the truncated
-    driver tail only fills gaps — so cross-round comparison stops
-    leaning on regex recovery of a 2000-char window."""
+    BENCH_r{N}.json must use the committed complete
+    BENCH_LOCAL_r{N}.json sibling ALONE (headline value falls back)
+    — tail fragments must NOT merge in, or truncation-mangled
+    fragment keys (the r8 'opk_bruteforce' artifact) become phantom
+    queries in cross-round compares (review r9)."""
     import json
 
     # driver record: tail-mangled key (the r8 `opk_bruteforce`
@@ -199,10 +200,11 @@ def test_local_sibling_preferred_over_driver_tail(bench_compare, tmp_path):
     (tmp_path / "BENCH_r09.json").write_text(json.dumps(driver, indent=1))
     (tmp_path / "BENCH_LOCAL_r9.json").write_text(json.dumps(local))
     got = bench_compare.load(str(tmp_path / "BENCH_r09.json"))
-    # complete local map leads; tail fills only what local lacks
+    # complete local map ONLY; no tail fragments, no phantom keys
     assert got["queries"]["q_shared"] == 1.23
     assert got["queries"]["similarity_topk_bruteforce"] == 1.0
-    assert got["queries"]["q_only_in_tail"] == 3.0
+    assert "opk_bruteforce" not in got["queries"]
+    assert "q_only_in_tail" not in got["queries"]
     assert got["value"] == 2.0
     # no sibling -> plain driver-record behavior, unchanged
     got2 = bench_compare.load_one(str(tmp_path / "BENCH_r09.json"))

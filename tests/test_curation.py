@@ -1300,3 +1300,22 @@ def test_train_linear_classifier_matches_python_reference(spark):
     assert min(logits[i] for i in (1, 2, 5)) > max(
         logits[i] for i in (3, 4, 6)
     )
+
+
+def test_train_linear_classifier_empty_labels_is_noop(spark):
+    """Empty (or all-NULL-id) labels: every gradient is vacuously 0,
+    so training must be a clean no-op (weights stay 0) — not an ANSI
+    DIVIDE_BY_ZERO from N = 0 deep inside the epoch plan (review r9;
+    the greatest(N, 1) clamp changes nothing when labels exist)."""
+    docs = spark.createDataFrame(
+        [(1, "some text here")], "doc_id LONG, text STRING"
+    )
+    labels = spark.createDataFrame(
+        [(None, 1_000_000)], "doc_id LONG, y_micro LONG"
+    )
+    got = C.train_linear_classifier(
+        docs, labels, num_buckets=8, epochs=2, hash_fn="md5"
+    ).collect()
+    spark.catalog.clearCache()
+    assert len(got) == 8
+    assert all(r["weight_micro"] == 0 for r in got)

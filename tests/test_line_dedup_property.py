@@ -219,3 +219,60 @@ def test_synth_token_paragraphs_shape(spark):
     assert got[2] == "a b"
     assert got[3] == ""
     assert got[4] is None
+
+
+def test_null_id_contract_matches_oracle_all_three_gates(
+    spark, tmp_path
+):
+    """NULL-id rows are EXCLUDED from every cross-row election and
+    pass through intact (review r9): the three removal-family gated
+    queries and their DuckDB oracles must agree on a fixture that
+    actually CONTAINS NULL ids — two NULL-id copies of boilerplate a
+    real doc also holds (the case where the old null-unsafe joins
+    silently diverged: oracle said ('', 0, 0), kernel kept text)."""
+    import duckdb
+
+    from convert_parquet_to_csv_spark.plans import registry
+
+    registry.load_all()
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (1, f"{boiler} unique one tail"),
+        (2, f"lead in {boiler}"),
+        (None, boiler),
+        (None, boiler + " again again"),
+        (3, None),
+        (None, None),
+    ]
+    fixture = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING"
+    ).coalesce(1).write.parquet(fixture)
+    sf_dir = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{fixture}/*.parquet')"
+    )
+    for name in (
+        "line_dedup_boilerplate",
+        "paragraph_dedup_boilerplate",
+        "dedup_within_doc_repeats",
+    ):
+        got = sorted(
+            map(tuple, registry.QUERIES[name](spark, sf_dir).collect()),
+            key=repr,
+        )
+        want = sorted(
+            map(tuple, con.execute(registry.ORACLES[name]).fetchall()),
+            key=repr,
+        )
+        assert got == want, name
+        spark.catalog.clearCache()
+        # and the NULL-id rows really passed through un-deduped
+        nulls = [r for r in got if r[0] is None]
+        assert len(nulls) == 3, name
+        assert all(
+            (r[1] is None and r[2] == 0) or r[2] > 0 or r[1] == ""
+            for r in nulls
+        ), name

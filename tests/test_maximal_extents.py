@@ -50,7 +50,11 @@ def _ref_maximal(docs, k, w_cap):
     return out
 
 
-_WORDS = ["a", "b", "c"]
+# "b\x01z" pins the array-vs-joined-string ordering divergence
+# (review r9): \x01 is non-whitespace (survives \s+ tokenization)
+# but sorts BELOW space, so a space-joined sort key would misorder
+# suffixes and under-compute LCPs for neighbors like [b] vs [b\x01z].
+_WORDS = ["a", "b", "c", "b\x01z"]
 _docs_strategy = st.lists(
     st.one_of(
         st.none(),

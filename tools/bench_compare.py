@@ -110,12 +110,15 @@ def load(path: str) -> dict:
     stored tail, so keys the compact line lacks still surface."""
     local = _local_sibling(path)
     if local:
-        base = load(local)  # the complete committed record leads
-        fallback = load_one(path)
-        for k, v in fallback["queries"].items():
-            base["queries"].setdefault(k, v)
+        # The committed record is COMPLETE by construction (bench.py
+        # writes the whole per-query map), so the driver tail adds
+        # nothing — and merging it would re-import truncation-mangled
+        # fragment keys (the r8 tail starts mid-key: "opk_bruteforce")
+        # as phantom queries (review r9). Only the headline `value`
+        # falls back.
+        base = load_one(local)
         if base["value"] is None:
-            base["value"] = fallback["value"]
+            base["value"] = load_one(path)["value"]
         return base
     return load_one(path)
 

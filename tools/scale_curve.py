@@ -62,6 +62,7 @@ from convert_parquet_to_csv_spark.operators.curation import (
     flag_contaminated_bloom,
     gopher_repetition_signals,
     linear_text_classifier,
+    md5_parity_micro,
     remove_duplicated_spans,
     train_linear_classifier,
 )
@@ -276,23 +277,7 @@ def main() -> None:
                 d,
                 d.select(
                     "doc_id",
-                    (
-                        (
-                            F.conv(
-                                F.substring(
-                                    F.md5(
-                                        F.col("doc_id").cast("string")
-                                    ),
-                                    1,
-                                    15,
-                                ),
-                                16,
-                                10,
-                            ).cast("long")
-                            % 2
-                        )
-                        * 1_000_000
-                    ).alias("y_micro"),
+                    md5_parity_micro("doc_id").alias("y_micro"),
                 ),
                 num_buckets=512,
                 epochs=2,
