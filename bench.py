@@ -152,6 +152,15 @@ BENCH_QUERY_NAMES = [
     "unigram_lm_encode",
     "quality_classifier_train",
     "paragraph_dedup_boilerplate",
+    # r9 wave 2: the in-engine bigram LM (one corpus exchange + one
+    # model-keyed scoring join), WordPiece (unigram's plan shape with
+    # a greedy fold), and the JS-divergence mixture diagnostic (one
+    # (source, token) exchange; pair join corpus-independent).
+    # decontaminate_semantic is left out: the embeddings fixture is
+    # 2k rows at sf0.1 — its number would be all session overhead.
+    "ngram_lm_perplexity",
+    "wordpiece_encode",
+    "source_js_divergence",
 ]
 
 # VERDICT r4 items 2+7: queries whose plans persist() shared subtrees

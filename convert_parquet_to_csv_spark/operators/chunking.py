@@ -637,3 +637,154 @@ def unigram_lm_encode(
             / F.col("n_words").cast("double"),
         ).alias("pieces_per_word"),
     )
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    vocab_multi: int = 256,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WordPiece (BERT-style) corpus encoding — greedy
+    longest-match-first segmentation with POSITION-AWARE pieces
+    (word-initial vs '##'-continuation are distinct vocabulary
+    entries; Wu et al. 2016 §4.1, Devlin et al. 2019) — per doc
+    ``(id, n_words, n_pieces, pieces_per_word)``. The third subword
+    family beside :func:`bpe_learn_merges` (merge-rank greedy) and
+    :func:`unigram_lm_encode` (global-cost Viterbi): same corpus,
+    same clip knobs, directly comparable fertility — and a
+    measurably DIFFERENT segmentation (greedy-longest is not
+    cost-optimal, the unit test pins a case where they disagree).
+
+    Model (deterministic, cross-engine):
+
+    - words = whitespace tokens of the LOWERCASED text, clipped to
+      ``max_word_len`` chars (the ULM clip knob);
+    - candidate pieces = every (substring ≤ ``max_piece_len``,
+      is-continuation) PAIR enumerated from distinct clipped words,
+      mass = Σ word-occurrence counts — keyed as ``'^'+piece`` /
+      ``'#'+piece`` (flavor folded into the string key so ONE map
+      serves the matcher);
+    - vocabulary = ALL single-char pairs seen (coverage: encode
+      corpus == train corpus, so every position always has a
+      length-1 match — no UNK branch) ∪ the top ``vocab_multi``
+      longer pairs by (mass DESC, key ASC);
+    - encode: at position i take the LONGEST p with key(i, p) in
+      vocabulary, emit one piece, jump p — a left fold over at most
+      ``len(word)`` steps on a combined integer ``pos·1024 +
+      n_pieces`` (1024 > max_word_len: lexicographic packing, the
+      ULM device).
+
+    Plan shape: identical to unigram_lm_encode by construction — ONE
+    corpus exchange (word frequencies), substring enumeration +
+    ranking at VOCAB scale, a 1-row broadcast piece map
+    (map_from_entries over collect_list, no driver collect), the
+    greedy fold as a map-side projection over DISTINCT words, one
+    word-keyed join back (Zipf-head skew → AQE skew-join), one
+    doc-keyed rollup, id-spine left join for token-less docs.
+    """
+    occ = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_w0"),
+    ).select(id_col, F.substring("_w0", 1, max_word_len).alias("_w"))
+    # double-referenced (wfreq build + enc join back): same persist
+    # contract as unigram_lm_encode — caller releases via clearCache.
+    occ = occ.persist()
+    wfreq = occ.groupBy("_w").agg(F.count(F.lit(1)).alias("_wc"))
+    pc = (
+        wfreq.select(
+            "_w",
+            "_wc",
+            F.explode(F.sequence(F.lit(1), F.length("_w"))).alias(
+                "_i"
+            ),
+        )
+        .select(
+            "_wc",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(max_piece_len),
+                        F.length("_w") - F.col("_i") + 1,
+                    ),
+                )
+            ).alias("_p"),
+            F.expr(
+                "concat(if(_i = 1, '^', '#'), substring(_w, _i, _p))"
+            ).alias("vkey"),
+        )
+        .groupBy("vkey")
+        .agg(F.sum("_wc").cast("bigint").alias("_mass"))
+    )
+    singles = pc.filter(F.length("vkey") == 2)
+    multis = (
+        pc.filter(F.length("vkey") > 2)
+        .orderBy(F.desc("_mass"), F.asc("vkey"))
+        .limit(vocab_multi)
+    )
+    vocab = singles.unionByName(multis)
+    vmap = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("vkey", F.lit(True).alias("_x")))
+        ).alias("_vm")
+    )
+    # best (longest) matching piece length per start position, then
+    # the greedy jump fold — both pure map-side projections.
+    dp = (
+        wfreq.select("_w")
+        .crossJoin(F.broadcast(vmap))
+        .select(
+            "_w",
+            F.expr(
+                f"""transform(sequence(1, length(_w)), i ->
+  array_max(transform(
+    sequence(1, least({int(max_piece_len)}, length(_w) - i + 1)),
+    p -> if(map_contains_key(
+            _vm, concat(if(i = 1, '^', '#'), substring(_w, i, p))),
+          p, -1)
+  )))"""
+            ).alias("_bp"),
+        )
+        .select(
+            "_w",
+            F.expr(
+                """aggregate(
+  sequence(1, length(_w)),
+  1024L,
+  (acc, x) -> if(acc div 1024L <= length(_w),
+    (acc div 1024L
+     + element_at(_bp, cast(acc div 1024L as int))) * 1024L
+      + acc % 1024L + 1L,
+    acc)) % 1024L"""
+            ).alias("_np"),
+        )
+    )
+    enc = (
+        occ.join(dp, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("_np").cast("bigint").alias("n_pieces"),
+        )
+        .withColumnRenamed(id_col, "_eid")
+    )
+    spine = docs.select(id_col).distinct()
+    return spine.join(
+        enc, F.col(id_col).eqNullSafe(F.col("_eid")), "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias(
+            "n_words"
+        ),
+        F.coalesce("n_pieces", F.lit(0)).cast("bigint").alias(
+            "n_pieces"
+        ),
+        F.when(
+            F.coalesce("n_words", F.lit(0)) > 0,
+            F.col("n_pieces").cast("double")
+            / F.col("n_words").cast("double"),
+        ).alias("pieces_per_word"),
+    )

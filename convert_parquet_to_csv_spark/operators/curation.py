@@ -2232,3 +2232,345 @@ def quality_funnel(
     return row.select(
         F.explode(F.array(*structs)).alias("_s")
     ).select("_s.stage", "_s.rule", "_s.n_surviving")
+
+
+# --------------------------------------------------------------------------
+# In-engine n-gram LM perplexity scoring (the CCNet "real LM" seam)
+# --------------------------------------------------------------------------
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Train an add-one-smoothed token BIGRAM language model on the
+    corpus and score every document against it — per doc ``(id,
+    n_transitions, total_cost_micro, avg_cost_micro)`` where cost is
+    the negative log-probability in integer micro-nats. This closes
+    the seam :func:`ccnet_lm_buckets` documents ("a real KenLM
+    scorer slots in by replacing the score subquery"): the trigram
+    FAMILIARITY stand-in becomes a real conditional LM, trained
+    in-engine like :func:`train_linear_classifier` (no offline model
+    artifact), so perplexity bucketing/filtering runs end-to-end
+    inside the engine.
+
+    Model (deterministic, cross-engine — the DSIR/ULM quantization
+    device, one ``ln`` per DISTINCT bigram at model scale, exact
+    integers everywhere the corpus is touched):
+
+    - transitions = consecutive lowercased whitespace-token pairs
+      (docs with < 2 tokens contribute and score nothing — an
+      interior-transition LM; no BOS/EOS padding, so the model never
+      needs an out-of-vocabulary branch: score corpus == train
+      corpus and every scored bigram is in the model);
+    - vocabulary V = distinct tokens OBSERVED IN TRANSITIONS
+      (union of left/right positions — model-scale, no second
+      corpus-wide distinct);
+    - cost(a,b) = round(micro · ln((C(a)+V) / (C(a,b)+1))) — the
+      add-one (Laplace) conditional, exact integers after the one
+      rounded ln per distinct bigram;
+    - per doc: total = Σ cost over transition occurrences,
+      avg = total div n (integer floor-div; NULL when n = 0).
+
+    Plan shape: ONE corpus exchange — the (id, prev, cur) transition
+    groupBy (transitions are built map-side via ``zip_with`` of two
+    array slices, no positional self-join); the global bigram/context
+    count tables and the V scalar all roll up from that collapsed
+    table (map-side combinable, model-scale); scoring joins the cost
+    table back onto the per-doc bigram counts on (a, b) — the one
+    model-sized shuffle join, Zipf-head skew handled by AQE
+    (hot bigrams are exactly the skew-join case) — then one doc-keyed
+    rollup and an id-spine left join for sub-2-token docs.
+    """
+    tk = docs.select(
+        F.col(id_col),
+        tokens(F.lower(F.col(text_col))).alias("_tk"),
+    )
+    tr = tk.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(
+                    "_tk",
+                    F.lit(1),
+                    F.greatest(F.size("_tk") - 1, F.lit(0)),
+                ),
+                F.slice(
+                    "_tk",
+                    F.lit(2),
+                    F.greatest(F.size("_tk") - 1, F.lit(0)),
+                ),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("_p"),
+    ).select(id_col, "_p.a", "_p.b")
+    # the ONE corpus-scale exchange: per-doc bigram counts
+    dbc = tr.groupBy(id_col, "a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    bc = dbc.groupBy("a", "b").agg(
+        F.sum("_c").cast("bigint").alias("_cab")
+    )
+    # eager + model-scale: referenced by ctx, V and the cost table
+    # (the pq_train device — without it the corpus exchange replays
+    # once per consumer).
+    bc = bc.localCheckpoint()
+    ctx = bc.groupBy("a").agg(F.sum("_cab").cast("bigint").alias("_ca"))
+    v = (
+        bc.select(F.col("a").alias("_t"))
+        .union(bc.select(F.col("b").alias("_t")))
+        .agg(F.count_distinct("_t").cast("bigint").alias("_v"))
+    )
+    cost = (
+        bc.join(ctx, "a")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.log(
+                    (F.col("_ca") + F.col("_v")).cast("double")
+                    / (F.col("_cab") + F.lit(1)).cast("double")
+                )
+                * F.lit(float(micro))
+            )
+            .cast("long")
+            .alias("_cost"),
+        )
+    )
+    sc = (
+        dbc.join(cost, ["a", "b"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_transitions"),
+            F.sum(F.col("_c") * F.col("_cost"))
+            .cast("bigint")
+            .alias("total_cost_micro"),
+        )
+        .withColumnRenamed(id_col, "_sid")
+    )
+    spine = docs.select(id_col).distinct()
+    return spine.join(
+        sc, F.col(id_col).eqNullSafe(F.col("_sid")), "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("n_transitions", F.lit(0))
+        .cast("bigint")
+        .alias("n_transitions"),
+        F.coalesce("total_cost_micro", F.lit(0))
+        .cast("bigint")
+        .alias("total_cost_micro"),
+        F.when(
+            F.coalesce("n_transitions", F.lit(0)) > 0,
+            F.expr("total_cost_micro div n_transitions"),
+        )
+        .cast("bigint")
+        .alias("avg_cost_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Source-distribution divergence (mixture observability)
+# --------------------------------------------------------------------------
+
+#: round(ln(2) · 1e9) — the JS upper bound in integer nano-nats; the
+#: same literal closes the oracle so the constant cannot drift.
+LN2_NANO = 693_147_181
+
+
+def source_js_divergence(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    nano: int = 1_000_000_000,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    token distributions — ``(source_a, source_b, n_common_tokens,
+    js_nano, js)``, source_a < source_b, js ∈ [0, ln 2]. The mixture
+    diagnostic that complements :func:`source_ngram_overlap_matrix`:
+    overlap counts SHARED VOCABULARY, JS measures how differently
+    the sources USE it (two crawls can share every token yet have
+    wildly different topical distributions, and vice versa).
+    Mixture design reads this before setting temperatures: sources
+    at js ≈ 0 are interchangeable (merge their budgets), sources
+    near ln 2 are distributionally disjoint (balance them
+    explicitly).
+
+    Determinism: with p = c_a/N_a, q = c_b/N_b, every per-token term
+
+        0.5·(p·ln(p/(p+q)) + q·ln(q/(p+q)))
+
+    is rounded to integer NANO-nats and summed as BIGINT — the
+    per-term-rounding device that makes the float sum
+    order-independent across engines. Tokens present in only one
+    source contribute exactly 0 to the sum (p·ln(p/p)), so the
+    identity JS = ln 2 + Σ_common terms holds with an INNER join on
+    the token key; ln 2 enters once as the shared
+    :data:`LN2_NANO` literal. js = js_nano / 1e9 (one exact BIGINT→
+    DOUBLE divide).
+
+    Plan shape: ONE corpus exchange — the (source, token) count
+    groupBy; per-source totals roll up from it (model-scale) and
+    BROADCAST back; the pair term table is a self-join on the token
+    key, bounded by vocab × K² for K sources (the corpus never
+    re-shuffles); a K²-row source-pair spine (dimension-scale cross
+    join) restores zero-common-token pairs at exactly ln 2. For
+    hundreds of sources the stop-token fan-out dominates this join —
+    cap it with a hot-token guard like source_ngram_overlap_matrix's
+    ``max_gram_sources``; the 20-source fixtures don't need one.
+    """
+    stc = (
+        docs.select(
+            F.col(source_col).alias("_s"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"),
+        )
+        .groupBy("_s", "_t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    stc = stc.localCheckpoint()  # vocab×K rows; triple-referenced
+    totals = stc.groupBy("_s").agg(
+        F.sum("_c").cast("bigint").alias("_n")
+    )
+    a = (
+        stc.join(F.broadcast(totals), "_s")
+        .select(
+            F.col("_s").alias("source_a"),
+            "_t",
+            F.col("_c").alias("_ca"),
+            F.col("_n").alias("_na"),
+        )
+    )
+    b = (
+        stc.join(F.broadcast(totals), "_s")
+        .select(
+            F.col("_s").alias("source_b"),
+            "_t",
+            F.col("_c").alias("_cb"),
+            F.col("_n").alias("_nb"),
+        )
+    )
+    pa = F.col("_ca").cast("double") / F.col("_na").cast("double")
+    pb = F.col("_cb").cast("double") / F.col("_nb").cast("double")
+    # floor(x + 0.5): the quantize_int8 cross-engine rounding device
+    # — terms are NEGATIVE (p·ln(p/s) < 0) and native round()
+    # half-tie behavior is the one engine disagreement this family
+    # cannot afford (the positive-domain ULM costs keep round()).
+    term = (
+        F.floor(
+            (
+                pa * F.log(pa / (pa + pb))
+                + pb * F.log(pb / (pa + pb))
+            )
+            * F.lit(float(nano) / 2.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+    )
+    sums = (
+        a.join(b, "_t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common_tokens"),
+            F.sum(term).cast("bigint").alias("_tsum"),
+        )
+    )
+    srcs = docs.select(
+        F.col(source_col).alias("_sp")
+    ).distinct()
+    pairs = (
+        srcs.select(F.col("_sp").alias("source_a"))
+        .crossJoin(
+            F.broadcast(srcs.select(F.col("_sp").alias("source_b")))
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    return (
+        pairs.join(sums, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_common_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("n_common_tokens"),
+            (
+                F.lit(LN2_NANO)
+                + F.coalesce("_tsum", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("js_nano"),
+            (
+                (
+                    F.lit(LN2_NANO) + F.coalesce("_tsum", F.lit(0))
+                ).cast("double")
+                / F.lit(1e9)
+            ).alias("js"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Semantic (embedding-space) decontamination
+# --------------------------------------------------------------------------
+
+def flag_contaminated_semantic(
+    vectors: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose
+    maximum cosine similarity against a held-out BENCHMARK embedding
+    set reaches ``threshold`` — the semantic complement of the
+    n-gram decontaminators (:func:`flag_contaminated` catches
+    verbatim 13-gram copies; this catches paraphrased/reformatted
+    benchmark leakage that shares no surface n-gram, the regime
+    reported by Phi/FineWeb-style contamination audits). Output:
+    ``(id, max_benchmark_sim, contaminated)`` — one row per corpus
+    vector, max_sim NULL only when the benchmark is empty.
+
+    Plan shape: the benchmark is DISTINCT'd, folded to a SINGLE
+    1-row array via collect_list (engine-side — the ULM cost-map
+    device, no driver collect) and broadcast; the corpus side
+    STREAMS through one map-side ``array_max(transform(...))``
+    projection — ZERO corpus shuffles, one row out per corpus row
+    (benchmark empty → empty array → max_sim NULL, contaminated
+    false). Dot products stay in the JVM (``aggregate`` fold over
+    ``zip_with``, sequential per-dim order — bit-identical to the
+    oracle's ``list_dot_product``). For benchmark sets too large to
+    broadcast, pre-reduce them with :func:`~convert_parquet_to_csv_
+    spark.operators.similarity.semdedup`-style centroids or an IVF
+    route (operators/similarity.topk_ivf) — the threshold flag only
+    needs ONE witness above τ, so any recall-preserving candidate
+    cut composes here.
+    """
+    from convert_parquet_to_csv_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    ball = benchmark.select(
+        F.col(vec_col).alias("_bv")
+    ).distinct().agg(
+        F.collect_list("_bv").alias("_ball")
+    )
+    sims = F.transform(
+        F.col("_ball"), lambda bv: cosine_similarity("_v", bv)
+    )
+    return (
+        vectors.select(F.col(id_col), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(ball))
+        .select(
+            id_col,
+            F.array_max(sims).alias("max_benchmark_sim"),
+        )
+        .select(
+            id_col,
+            "max_benchmark_sim",
+            F.coalesce(
+                F.col("max_benchmark_sim") >= F.lit(float(threshold)),
+                F.lit(False),
+            ).alias("contaminated"),
+        )
+    )

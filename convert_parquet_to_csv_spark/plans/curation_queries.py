@@ -1667,3 +1667,143 @@ def quality_classifier_linear(
         hash_fn="md5",
         threshold_micro=_QTRAIN_THRESHOLD,
     )
+
+
+# --- in-engine bigram-LM perplexity scoring (r9) ---------------------------
+
+# Mirrors operators/curation.bigram_lm_scores step for step. The one
+# float step is the per-DISTINCT-BIGRAM round(ln(...)·1e6) — the
+# ULM/DSIR micro-nat quantization device (an exception to the
+# "no ln anywhere" note in the module docstring: rounded to integer
+# at MODEL scale, so every corpus-scale number stays exact).
+_BIGRAM_LM_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t != '') AS tk
+  FROM documents
+),
+tr AS (
+  SELECT doc_id, tk[CAST(i AS INT)] AS a,
+         tk[CAST(i AS INT) + 1] AS b
+  FROM tok, unnest(range(1, len(tk))) t(i)
+),
+dbc AS (
+  SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS c
+  FROM tr GROUP BY ALL
+),
+bc AS (
+  SELECT a, b, CAST(sum(c) AS BIGINT) AS cab FROM dbc GROUP BY ALL
+),
+ctx AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM bc GROUP BY 1),
+v AS (
+  SELECT CAST(count(*) AS BIGINT) AS v
+  FROM (SELECT a AS t FROM bc UNION SELECT b FROM bc)
+),
+cost AS (
+  SELECT a, b,
+         CAST(round(ln(CAST(ca + v AS DOUBLE)
+                       / CAST(cab + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+           AS cost
+  FROM bc JOIN ctx USING (a), v
+),
+sc AS (
+  SELECT dbc.doc_id,
+         CAST(sum(c) AS BIGINT) AS nt,
+         CAST(sum(c * cost) AS BIGINT) AS tc
+  FROM dbc JOIN cost USING (a, b)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(nt, 0) AS BIGINT) AS n_transitions,
+       CAST(COALESCE(tc, 0) AS BIGINT) AS total_cost_micro,
+       CASE WHEN COALESCE(nt, 0) > 0
+            THEN CAST(tc // nt AS BIGINT) END AS avg_cost_micro
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN sc ON d.doc_id IS NOT DISTINCT FROM sc.doc_id
+"""
+
+
+@query("ngram_lm_perplexity", oracle=_BIGRAM_LM_ORACLE)
+def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine bigram-LM perplexity scoring
+    (operators/curation.bigram_lm_scores): train an add-one-smoothed
+    token bigram LM on the corpus and score every document in
+    integer micro-nats — the in-engine closure of ccnet_lm_buckets'
+    "a real KenLM scorer slots in" seam (the classifier-train
+    precedent applied to the LM). ONE corpus exchange (per-doc
+    bigram counts built map-side via zip_with of two slices);
+    bigram/context/V model tables roll up from it; one model-keyed
+    scoring join back; id-spine for sub-2-token docs."""
+    return C.bigram_lm_scores(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+
+
+# --- source-distribution JS divergence (r9) --------------------------------
+
+_JSD_ORACLE = rf"""
+WITH stc AS (
+  SELECT source AS s, t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source,
+               unnest(list_filter(
+                 string_split_regex(trim(lower(text)), '\s+'),
+                 x -> x != '')) AS t
+        FROM documents)
+  GROUP BY ALL
+),
+totals AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM stc GROUP BY 1),
+sides AS (
+  SELECT stc.s, stc.t, stc.c, totals.n
+  FROM stc JOIN totals USING (s)
+),
+terms AS (
+  SELECT a.s AS source_a, b.s AS source_b,
+         CAST(floor((
+             (CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE))
+             * ln((CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE))
+                  / (CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE)
+                     + CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE)))
+           + (CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE))
+             * ln((CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE))
+                  / (CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE)
+                     + CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE)))
+         ) * 5e8 + 0.5) AS BIGINT) AS term
+  FROM sides a JOIN sides b ON a.t = b.t AND a.s < b.s
+),
+sums AS (
+  SELECT source_a, source_b,
+         CAST(count(*) AS BIGINT) AS n_common_tokens,
+         CAST(sum(term) AS BIGINT) AS tsum
+  FROM terms GROUP BY ALL
+),
+pairs AS (
+  SELECT a.s AS source_a, b.s AS source_b
+  FROM (SELECT DISTINCT source AS s FROM documents) a,
+       (SELECT DISTINCT source AS s FROM documents) b
+  WHERE a.s < b.s
+)
+SELECT p.source_a, p.source_b,
+       CAST(COALESCE(n_common_tokens, 0) AS BIGINT)
+         AS n_common_tokens,
+       CAST({C.LN2_NANO} + COALESCE(tsum, 0) AS BIGINT) AS js_nano,
+       CAST({C.LN2_NANO} + COALESCE(tsum, 0) AS DOUBLE) / 1e9 AS js
+FROM pairs p LEFT JOIN sums USING (source_a, source_b)
+"""
+
+
+@query("source_js_divergence", oracle=_JSD_ORACLE)
+def source_js_divergence_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (operators/curation.source_js_divergence) — the
+    mixture-design diagnostic beside source_ngram_overlap. ONE
+    corpus exchange (source, token counts); the pair table is an
+    inner self-join on the token key (tokens in only one source
+    contribute exactly 0 — JS = ln2 + Σ_common identity, per-term
+    nano-nat rounding makes the sum order-independent); a K²-row
+    dimension-scale pair spine restores disjoint pairs at ln 2."""
+    return C.source_js_divergence(
+        _docs(spark, sf_dir).select("source", "text")
+    )

@@ -115,6 +115,13 @@ FIRST_TIER: list[str] = [
     "quality_classifier_train",
     "unigram_lm_encode",
     "dedup_maximal_extents",
+    # r9 wave 2 (displace trailing r3-refresh slots per the rule
+    # above): in-engine bigram-LM scoring, source JS divergence,
+    # embedding-space decontamination, WordPiece encoding.
+    "ngram_lm_perplexity",
+    "source_js_divergence",
+    "decontaminate_semantic",
+    "wordpiece_encode",
     # --- r9 kernel/oracle-touched re-gates ---
     # corpus_datacard: eqNullSafe fingerprint join + oracle edit
     # (ADVICE r8 #1); quality_classifier_linear: re-oracled to

@@ -1010,3 +1010,73 @@ def embedding_jl_projection(
     plan-audit case for this query pins exactly that; ADVICE r8
     docstring fix)."""
     return S.jl_project(_vecs(spark, sf_dir), dim=64, out_dims=8)
+
+
+# --- semantic (embedding-space) decontamination (r9) -----------------------
+
+_SDECON_MOD = 50     # benchmark = vec_id % 50 == 1 (2% of the table)
+_SDECON_TAU = 0.30   # fixture-tuned: mixes true/false flags at sf0.01
+
+
+def _sdecon_cos(a: str, b: str) -> str:
+    """Cosine with the operator's zero-denominator guard (0.0, not
+    NaN — functions/vectors.cosine_similarity contract)."""
+    denom = (
+        f"(sqrt({_DDOT.format(a=a, b=a)})"
+        f" * sqrt({_DDOT.format(a=b, b=b)}))"
+    )
+    return (
+        f"CASE WHEN {denom} > 0"
+        f" THEN {_DDOT.format(a=a, b=b)} / {denom}"
+        f" ELSE 0.0 END"
+    )
+
+
+_SDECON_ORACLE = f"""
+WITH vd AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+bench AS (
+  SELECT DISTINCT v AS bv FROM vd WHERE vec_id % {_SDECON_MOD} = 1
+),
+scored AS (
+  SELECT vd.vec_id,
+         max({_sdecon_cos('vd.v', 'bench.bv')}) AS max_benchmark_sim
+  FROM vd LEFT JOIN bench ON TRUE
+  GROUP BY vd.vec_id
+)
+SELECT vec_id, max_benchmark_sim,
+       COALESCE(max_benchmark_sim >= {_SDECON_TAU}, FALSE)
+         AS contaminated
+FROM scored
+"""
+
+
+@query("decontaminate_semantic", oracle=_SDECON_ORACLE)
+def decontaminate_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space decontamination
+    (operators/curation.flag_contaminated_semantic): flag corpus
+    vectors whose max cosine against a held-out benchmark embedding
+    set reaches τ — the semantic complement of the n-gram
+    decontaminators (catches paraphrased benchmark leakage that
+    shares no surface 13-gram). Benchmark = vec_id % 50 == 1 carved
+    from the table (the _DECON device — benchmark members self-match
+    at cos 1.0, exercising the flagged branch at every SF); the
+    benchmark folds to a 1-row broadcast array and the corpus
+    STREAMS through one map-side array_max(transform(...)) scoring
+    projection — zero corpus shuffles."""
+    from convert_parquet_to_csv_spark.operators.curation import (
+        flag_contaminated_semantic,
+    )
+
+    vecs = _vecs(spark, sf_dir)
+    bench = vecs.filter(
+        F.col("vec_id") % _SDECON_MOD == F.lit(1)
+    )
+    return flag_contaminated_semantic(
+        vecs, bench, threshold=_SDECON_TAU
+    )

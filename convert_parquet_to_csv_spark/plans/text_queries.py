@@ -1777,3 +1777,117 @@ def unigram_lm_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_piece_len=_ULM_P,
         max_word_len=_ULM_W,
     )
+
+
+# --- WordPiece greedy encoding (r9) ----------------------------------------
+
+_WP_V = 64   # top multi-char (piece, flavor) pairs kept
+_WP_P = 4    # max piece length (chars)
+_WP_W = 16   # word clip (chars)
+
+
+def _wp_oracle() -> str:
+    """DuckDB replay of operators/chunking.wordpiece_encode. Best
+    (longest) matching piece length per start position comes from a
+    MAX-CASE pivot of the (start, len) candidate enumeration against
+    the flavor-keyed vocabulary ('^'+piece word-initial, '#'+piece
+    continuation — the flavor folded into one string key exactly as
+    the Spark map). The greedy jump fold runs as a RECURSIVE CTE
+    (pos → pos + bps[pos]) rather than _ulm_oracle's lateral-alias
+    unroll: each jump step references the previous state THREE times
+    (guard, jump base, list index), so textual alias substitution
+    grows 3^16 ≈ 43M nodes and DuckDB's binder never returns —
+    measured as a hang at sf0.001; the recursive form is linear
+    (0.3 s). The list-subscript device and the bp pivot are shared
+    with _ulm_oracle."""
+    bp_cols = ",\n         ".join(
+        f"MAX(CASE WHEN s = {s} AND matched THEN p END) AS bp_{s}"
+        for s in range(1, _WP_W + 1)
+    )
+    bp_list = ", ".join(f"bp_{s}" for s in range(1, _WP_W + 1))
+    return rf"""
+WITH RECURSIVE occ AS (
+  SELECT doc_id, substr(t, 1, {_WP_W}) AS w
+  FROM (SELECT doc_id,
+               unnest(list_filter(
+                 string_split_regex(trim(lower(text)), '\s+'),
+                 x -> x != '')) AS t
+        FROM documents)
+),
+wf AS (SELECT w, count(*) AS wc FROM occ GROUP BY w),
+ep AS (
+  SELECT w, wc, CAST(i AS INT) AS s, CAST(p AS INT) AS p,
+         (CASE WHEN CAST(i AS INT) = 1 THEN '^' ELSE '#' END
+          || substr(w, CAST(i AS INT), CAST(p AS INT))) AS vkey
+  FROM wf,
+       unnest(range(1, len(w) + 1)) ti(i),
+       unnest(range(1, least({_WP_P}, len(w) - i + 1) + 1)) tp(p)
+),
+pc AS (
+  SELECT vkey, CAST(sum(wc) AS BIGINT) AS mass FROM ep GROUP BY 1
+),
+vocab AS (
+  SELECT vkey FROM pc WHERE len(vkey) = 2
+  UNION ALL
+  SELECT vkey FROM (
+    SELECT vkey FROM pc WHERE len(vkey) > 2
+    ORDER BY mass DESC, vkey ASC LIMIT {_WP_V})
+),
+mt AS (
+  SELECT ep.w, ep.s, ep.p, (v.vkey IS NOT NULL) AS matched
+  FROM ep LEFT JOIN vocab v USING (vkey)
+),
+wp AS (
+  SELECT w,
+         {bp_cols}
+  FROM mt GROUP BY w
+),
+steps AS (
+  SELECT w, len(w) AS lw, [{bp_list}] AS bps,
+         1 AS pos, 0 AS n
+  FROM wp
+  UNION ALL
+  SELECT w, lw, bps, pos + bps[pos], n + 1
+  FROM steps WHERE pos <= lw
+),
+wn AS (SELECT w, CAST(max(n) AS BIGINT) AS np FROM steps GROUP BY w),
+enc AS (
+  SELECT occ.doc_id,
+         CAST(count(*) AS BIGINT) AS nw,
+         CAST(sum(wn.np) AS BIGINT) AS np
+  FROM occ JOIN wn USING (w)
+  GROUP BY occ.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(nw, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(np, 0) AS BIGINT) AS n_pieces,
+       CASE WHEN COALESCE(nw, 0) > 0
+            THEN CAST(np AS DOUBLE) / CAST(nw AS DOUBLE)
+       END AS pieces_per_word
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN enc ON d.doc_id IS NOT DISTINCT FROM enc.doc_id
+"""
+
+
+@query("wordpiece_encode", oracle=_wp_oracle())
+def wordpiece_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece (BERT-style) greedy longest-match-first corpus
+    encoding (operators/chunking.wordpiece_encode; Wu et al. 2016,
+    Devlin et al. 2019): flavor-keyed vocabulary ('^' word-initial /
+    '#' continuation pieces ranked by corpus mass, all single chars
+    kept for coverage) → greedy jump fold over each distinct word →
+    per-doc piece counts with an id-spine. The third subword family
+    beside BPE (merge-rank greedy) and unigram-LM (Viterbi) — same
+    clip knobs, directly comparable fertility. ONE corpus exchange
+    (word frequencies); vocabulary ranking, the 1-row broadcast
+    piece map, and the greedy fold are all vocab-scale or map-side."""
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        wordpiece_encode,
+    )
+
+    return wordpiece_encode(
+        _docs(spark, sf_dir),
+        vocab_multi=_WP_V,
+        max_piece_len=_WP_P,
+        max_word_len=_WP_W,
+    )

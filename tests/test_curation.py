@@ -1319,3 +1319,235 @@ def test_train_linear_classifier_empty_labels_is_noop(spark):
     spark.catalog.clearCache()
     assert len(got) == 8
     assert all(r["weight_micro"] == 0 for r in got)
+
+
+# --- bigram-LM perplexity scoring (r9) -------------------------------------
+
+def _ref_bigram_lm(docs):
+    import math
+    from collections import Counter
+
+    per_doc = {}
+    for i, text in docs:
+        toks = [
+            t
+            for t in (text or "").strip().lower().split()
+            if t != ""
+        ]
+        per_doc[i] = list(zip(toks, toks[1:]))
+    bc = Counter(t for trs in per_doc.values() for t in trs)
+    ctx = Counter()
+    vocab = set()
+    for (a, b), c in bc.items():
+        ctx[a] += c
+        vocab.add(a)
+        vocab.add(b)
+    V = len(vocab)
+    cost = {
+        ab: int(math.floor(1e6 * math.log((ctx[ab[0]] + V) / (c + 1)) + 0.5))
+        for ab, c in bc.items()
+    }
+    out = {}
+    for i, trs in per_doc.items():
+        n = len(trs)
+        tot = sum(cost[t] for t in trs)
+        out[i] = (n, tot, tot // n if n else None)
+    return out
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    from convert_parquet_to_csv_spark.operators.curation import (
+        bigram_lm_scores,
+    )
+
+    docs = [
+        (1, "the cat sat on the cat mat"),
+        (2, "the cat"),          # one transition
+        (3, "solo"),             # 1 token -> zero transitions
+        (4, ""),                 # token-less
+        (5, None),               # NULL text
+        (6, "THE CAT sat"),      # lowercase fold shares mass with 1
+        (7, "cat the cat the cat"),  # repeated bigrams
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (
+            r["n_transitions"],
+            r["total_cost_micro"],
+            r["avg_cost_micro"],
+        )
+        for r in bigram_lm_scores(df).collect()
+    }
+    want = _ref_bigram_lm(docs)
+    # token-less docs: operator coalesces counts to 0
+    want = {
+        i: (n, t, a) if n else (0, 0, None)
+        for i, (n, t, a) in want.items()
+    }
+    assert got == want
+
+
+def test_bigram_lm_rare_transition_costs_more(spark):
+    """Sanity on the model direction: a one-off transition must cost
+    strictly more micro-nats per step than a dominant one."""
+    from convert_parquet_to_csv_spark.operators.curation import (
+        bigram_lm_scores,
+    )
+
+    docs = [(1, "a b " * 20), (2, "a q")]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in docs], "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: r["avg_cost_micro"]
+        for r in bigram_lm_scores(df).collect()
+    }
+    assert got[2] > got[1]
+
+
+# --- source JS divergence (r9) ---------------------------------------------
+
+def _ref_js(docs):
+    import math
+    from collections import Counter
+
+    from convert_parquet_to_csv_spark.operators.curation import (
+        LN2_NANO,
+    )
+
+    stc = Counter()
+    for src, text in docs:
+        for t in (text or "").strip().lower().split():
+            if t:
+                stc[(src, t)] += 1
+    totals = Counter()
+    for (s, _), c in stc.items():
+        totals[s] += c
+    srcs = sorted({s for s, _ in docs})
+    out = {}
+    for ai in range(len(srcs)):
+        for bi in range(ai + 1, len(srcs)):
+            sa, sb = srcs[ai], srcs[bi]
+            common = [
+                t
+                for (s, t) in stc
+                if s == sa and (sb, t) in stc
+            ]
+            tsum = 0
+            for t in common:
+                pa = stc[(sa, t)] / totals[sa]
+                pb = stc[(sb, t)] / totals[sb]
+                term = (
+                    pa * math.log(pa / (pa + pb))
+                    + pb * math.log(pb / (pa + pb))
+                )
+                tsum += int(math.floor(term * 5e8 + 0.5))
+            out[(sa, sb)] = (
+                len(common),
+                LN2_NANO + tsum,
+                (LN2_NANO + tsum) / 1e9,
+            )
+    return out
+
+
+def test_source_js_divergence_matches_python(spark):
+    from convert_parquet_to_csv_spark.operators.curation import (
+        source_js_divergence,
+    )
+
+    docs = [
+        ("s1", "a a a b c"),
+        ("s1", "a b"),
+        ("s2", "a b b b z"),
+        ("s3", "q q q"),       # disjoint from s1 -> js exactly ln 2
+        ("s3", None),          # NULL text contributes nothing
+    ]
+    df = spark.createDataFrame(docs, "source STRING, text STRING")
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_common_tokens"],
+            r["js_nano"],
+            r["js"],
+        )
+        for r in source_js_divergence(df).collect()
+    }
+    want = _ref_js(docs)
+    assert got == want
+    # identical distributions -> js 0; disjoint -> exactly LN2_NANO
+    from convert_parquet_to_csv_spark.operators.curation import (
+        LN2_NANO,
+    )
+
+    assert got[("s1", "s3")][0] == 0
+    assert got[("s1", "s3")][1] == LN2_NANO
+
+
+def test_source_js_zero_for_identical_distributions(spark):
+    from convert_parquet_to_csv_spark.operators.curation import (
+        source_js_divergence,
+    )
+
+    docs = [("x", "a b c"), ("y", "a b c")]
+    df = spark.createDataFrame(docs, "source STRING, text STRING")
+    [r] = source_js_divergence(df).collect()
+    # every term is p·ln(1/2)·2·0.5 = -p·ln2 summed to -ln2 exactly
+    # up to per-term nano rounding
+    assert abs(r["js_nano"]) <= 3  # |rounding| ≤ 1 per common token
+    assert r["n_common_tokens"] == 3
+
+
+# --- semantic decontamination (r9) ------------------------------------------
+
+def test_flag_contaminated_semantic_matches_python(spark):
+    from convert_parquet_to_csv_spark.operators.curation import (
+        flag_contaminated_semantic,
+    )
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.7, 0.7, 0.0]),
+        (4, [0.0, 0.0, 0.0]),   # zero vector -> cos defined as 0.0
+        (5, [-1.0, 0.0, 0.0]),
+    ]
+    bench = [(10, [1.0, 0.0, 0.0]), (11, [0.0, 0.0, 1.0])]
+    vdf = spark.createDataFrame(
+        vecs, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    bdf = spark.createDataFrame(
+        bench, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    got = {
+        r["vec_id"]: (r["max_benchmark_sim"], r["contaminated"])
+        for r in flag_contaminated_semantic(
+            vdf, bdf, threshold=0.9
+        ).collect()
+    }
+
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na * nb > 0 else 0.0
+
+    for vid, v in vecs:
+        ms = max(cos(v, b) for _, b in bench)
+        assert got[vid] == (ms, ms >= 0.9), (vid, got[vid], ms)
+
+
+def test_flag_contaminated_semantic_empty_benchmark(spark):
+    from convert_parquet_to_csv_spark.operators.curation import (
+        flag_contaminated_semantic,
+    )
+
+    vdf = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    bdf = spark.createDataFrame(
+        [], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    [r] = flag_contaminated_semantic(vdf, bdf, threshold=0.5).collect()
+    assert r["max_benchmark_sim"] is None
+    assert r["contaminated"] is False

@@ -50,6 +50,11 @@ CASES = {
     "unigram_lm_encode": "unigram LM: ONE corpus exchange (word freq); vocab-scale piece agg; cost MAP built engine-side and broadcast (1-row close); Viterbi fold is a map-side projection over distinct words",
     "quality_classifier_train": "classifier train: per-epoch corpus joins are doc-keyed; weight table broadcast into the logit join; epochs separated by bounded localCheckpoints (audited plan is the final update stage)",
     "paragraph_dedup_boilerplate": "paragraph dedup: same kernel as line dedup at the \\n{2,} knob — min-struct winner groupBy, paragraph-keyed join, doc-keyed reassembly, no window",
+    # r9 wave-2 flagships
+    "ngram_lm_perplexity": "bigram LM: ONE corpus exchange (map-side zip_with transitions -> per-doc bigram groupBy); bigram/context/V model tables roll up from it; one model-keyed scoring join; id-spine close",
+    "wordpiece_encode": "WordPiece: ONE corpus exchange (word freq); vocab-scale piece ranking; 1-row broadcast piece map; greedy fold is a map-side projection over distinct words (the unigram plan shape)",
+    "source_js_divergence": "JS divergence: ONE corpus exchange (source,token counts); token-keyed pair self-join bounded by vocab x K^2; per-source totals broadcast; K^2 pair spine restores disjoint pairs",
+    "decontaminate_semantic": "semantic decontamination: benchmark folded to a 1-row broadcast array; corpus STREAMS through a map-side array_max(transform) scoring projection — zero corpus shuffles",
     "events_daily_gapfill": "gap fill: spine explode bounded by keys x days, one daily-agg shuffle",
     "salted_join_revenue": "salted join: (key,salt) hash join, dim replicated map-side, result invariant",
     "funnel_view_click_purchase": "funnel: per-stage cohorts shrink; AQE broadcasts the cohort joins",

@@ -54,8 +54,10 @@ from convert_parquet_to_csv_spark.functions.text import (
 from convert_parquet_to_csv_spark.operators.chunking import (
     bpe_learn_merges,
     unigram_lm_encode,
+    wordpiece_encode,
 )
 from convert_parquet_to_csv_spark.operators.curation import (
+    bigram_lm_scores,
     ccnet_lm_buckets,
     dsir_importance_weights,
     flag_contaminated,
@@ -64,6 +66,7 @@ from convert_parquet_to_csv_spark.operators.curation import (
     linear_text_classifier,
     md5_parity_micro,
     remove_duplicated_spans,
+    source_js_divergence,
     train_linear_classifier,
 )
 
@@ -295,6 +298,29 @@ def main() -> None:
                     ).alias("text"),
                 ),
                 sep_regex=r"\n{2,}",
+            ),
+            # r9 wave 2: the bigram LM trains AND scores in one plan
+            # — one corpus exchange (per-doc bigram counts) + one
+            # model-keyed scoring join; expected near-linear like the
+            # classifier pair. WordPiece shares unigram_lm's plan
+            # shape (one word-freq exchange, map-side greedy fold).
+            # JS divergence's corpus cost is ONE (source, token)
+            # count exchange; the pair join is vocab x K^2 —
+            # corpus-size-INDEPENDENT past the counts, so the curve
+            # should be the flattest here (source column synthesized
+            # doc_id % 20, matching the fixture's 20 sources).
+            "bigram_lm": lambda d=docs: bigram_lm_scores(d),
+            "wordpiece": lambda d=docs: wordpiece_encode(
+                d, vocab_multi=64
+            ),
+            "js_divergence": lambda d=docs: source_js_divergence(
+                d.select(
+                    F.concat(
+                        F.lit("s"),
+                        (F.col("doc_id") % 20).cast("string"),
+                    ).alias("source"),
+                    "text",
+                )
             ),
         }
         only = os.environ.get("SPARK_GRAFT_CURVE_KERNELS")
