@@ -161,6 +161,13 @@ BENCH_QUERY_NAMES = [
     "ngram_lm_perplexity",
     "wordpiece_encode",
     "source_js_divergence",
+    # r9 wave 3: BM25 (one (doc,term) exchange + broadcast query
+    # terms) and the incremental MinHash admission (all x NEW bucket
+    # join — the steady-state batch shape). classifier_calibration_
+    # bins is left out: its cost IS quality_classifier_train's chain
+    # plus an 8-row aggregate, already trended by that key.
+    "bm25_topk_docs",
+    "dedup_minhash_incremental",
 ]
 
 # VERDICT r4 items 2+7: queries whose plans persist() shared subtrees

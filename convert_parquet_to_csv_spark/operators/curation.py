@@ -2574,3 +2574,86 @@ def flag_contaminated_semantic(
             ).alias("contaminated"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Classifier calibration (reliability table)
+# --------------------------------------------------------------------------
+
+def calibration_bins(
+    scores: DataFrame,
+    labels: DataFrame,
+    num_bins: int = 8,
+    id_col: str = "doc_id",
+    logit_col: str = "logit_micro",
+    label_col: str = "y_micro",
+    positive_micro: int = 1_000_000,
+) -> DataFrame:
+    """Reliability table for a trained scorer: join per-doc logits
+    to labels, split the logit RANGE into ``num_bins`` equal-width
+    integer bins, and report per bin ``(bin, n_docs,
+    mean_logit_micro, n_pos, frac_pos)`` — the calibration readout
+    every deployed quality filter gets checked against before its
+    threshold ships (a well-calibrated scorer shows frac_pos rising
+    monotonically with the bin; a flat table means the logits carry
+    no signal at that granularity). Closes the observability loop on
+    :func:`train_linear_classifier` the way :func:`quality_funnel`
+    closes it for rule decks.
+
+    Exact-integer discipline: bin = (logit − mn)·B div (mx − mn + 1)
+    — BIGINT arithmetic on the micro-unit logits (trunc division,
+    non-negative numerator, so floor == trunc in both engines);
+    mean_logit_micro = Σ div n (same device). The only float is the
+    closing frac_pos ratio of two exact BIGINTs. Rows whose id is
+    NULL are EXCLUDED (the label join is null-unsafe BY DESIGN — a
+    row with no joinable label cannot be calibrated against).
+
+    Plan shape: one doc-keyed score↔label join (AQE-broadcast when
+    the label sample is small — the usual case: labels are rated
+    samples); a 1-row min/max broadcast close; one ≤``num_bins``-row
+    aggregate. The corpus-scale input is touched once.
+    """
+    j = scores.select(
+        F.col(id_col),
+        F.col(logit_col).cast("long").alias("_lg"),
+    ).join(
+        labels.select(
+            F.col(id_col),
+            F.col(label_col).cast("long").alias("_y"),
+        ),
+        id_col,
+    )
+    stats = j.agg(
+        F.min("_lg").alias("_mn"), F.max("_lg").alias("_mx")
+    )
+    binned = j.crossJoin(F.broadcast(stats)).select(
+        F.expr(
+            f"((_lg - _mn) * {int(num_bins)}) div (_mx - _mn + 1)"
+        ).alias("bin"),
+        "_lg",
+        "_y",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("sum(_lg) div count(1)")
+            .cast("bigint")
+            .alias("mean_logit_micro"),
+            F.sum(
+                (F.col("_y") == F.lit(int(positive_micro))).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_pos"),
+        )
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            "n_docs",
+            "mean_logit_micro",
+            "n_pos",
+            (
+                F.col("n_pos").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("frac_pos"),
+        )
+    )

@@ -1397,3 +1397,144 @@ def dedup_remap(
             F.lit(method).alias("method"),
         )
     )
+
+
+def minhash_dedup_incremental(
+    df: DataFrame,
+    is_new: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Incremental near-dup admission — the steady-state production
+    shape of :func:`minhash_dedup` (the MinHash twin of the exact
+    ``dedup_incremental_batch`` gate): today's batch (rows where
+    ``is_new``) is checked against the HISTORY (everything else) and
+    against the batch's own earlier ids; history rows are already
+    ingested and never re-adjudicated. Output: one row per NEW doc —
+    ``(id, kept, matched_id)`` — kept=false iff some verified match
+    exists (history at any id, or a new doc with a smaller id);
+    matched_id = the smallest such partner (the provenance pointer
+    dedup_remap chains on), NULL when kept.
+
+    Scale shape vs the batch pipeline: signatures are computed for
+    all rows (at steady state the history SIGNATURE table is a
+    stored artifact keyed by band hash — recompute here only because
+    the gate is self-contained), but the LSH bucket join is
+    all × NEW instead of all × all: candidate fan-out is bounded by
+    the BATCH's bucket occupancy, so a small daily batch probes a
+    100 TB history for the cost of its own buckets. Verification is
+    the same candidate-pruned exact-Jaccard second pass as
+    minhash_dedup (sets built only for docs appearing in a
+    candidate pair; never a full-corpus set shuffle).
+
+    Replayability contract (the dedup_minhash precedent): survivors
+    are defined by EXACT verified Jaccard, so the oracle replays the
+    brute-force rule and the row set matches whenever band recall
+    holds at the gating fixture — which dedup_minhash_recall gates
+    pairwise on the same (k, num_perm, bands) configuration.
+    """
+    flagged = df.withColumn("_new", is_new)
+    sigs = minhash_signatures(
+        flagged, id_col, text_col, k, num_perm
+    ).join(
+        flagged.select(id_col, "_new"), id_col
+    ).persist()
+    r = num_perm // bands
+    band_cols = F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{j * r + i}") for i in range(r)]
+            ).alias("bh"),
+        )
+        for j in range(bands)
+    ])
+    banded = (
+        sigs.select(id_col, "_new", F.explode(band_cols).alias("_b"))
+        .select(
+            id_col,
+            "_new",
+            F.col("_b.band").alias("_band"),
+            F.col("_b.bh").alias("_bh"),
+        )
+    )
+    if max_bucket is not None:
+        banded = banded.persist()
+        hot = (
+            banded.groupBy("_band", "_bh")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("_band", "_bh")
+        )
+        banded = banded.join(hot, ["_band", "_bh"], "left_anti")
+    banded = banded.persist()
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_new").alias("_new_a"),
+        "_band",
+        "_bh",
+    )
+    b = banded.filter(F.col("_new")).select(
+        F.col(id_col).alias("id_b"), "_band", "_bh"
+    )
+    cand = (
+        a.join(b, ["_band", "_bh"])
+        .filter(
+            (~F.col("_new_a")) | (F.col("id_a") < F.col("id_b"))
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .persist()
+    )
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(F.broadcast(ids), id_col, "left_semi")
+    need = (
+        _hashed_shingle_table(cand_docs, id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_set(F.col("_sh")).alias("_set"))
+        .persist()
+    )
+    sa = need.select(
+        F.col(id_col).alias("id_a"), F.col("_set").alias("_sa")
+    )
+    sb = need.select(
+        F.col(id_col).alias("id_b"), F.col("_set").alias("_sb")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_i", inter)
+        .withColumn(
+            "jaccard",
+            F.col("_i").cast("double")
+            / (
+                F.size("_sa") + F.size("_sb") - F.col("_i")
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+    matches = verified.groupBy("id_b").agg(
+        F.min("id_a").cast("bigint").alias("matched_id")
+    )
+    new_rows = flagged.filter(F.col("_new")).select(id_col)
+    return new_rows.join(
+        matches,
+        F.col(id_col).eqNullSafe(F.col("id_b")),
+        "left",
+    ).select(
+        F.col(id_col),
+        F.col("matched_id").isNull().alias("kept"),
+        "matched_id",
+    )

@@ -1807,3 +1807,70 @@ def source_js_divergence_q(
     return C.source_js_divergence(
         _docs(spark, sf_dir).select("source", "text")
     )
+
+
+# --- classifier calibration readout (r9) -----------------------------------
+
+_CALIB_BINS = 8
+
+_CALIB_ORACLE = (
+    "WITH "
+    + _QTRAIN_CHAIN
+    + f""", s AS (
+  SELECT dc.doc_id,
+         CAST(sum(dc.c * w.w) AS BIGINT) AS logit_micro
+  FROM dc JOIN {_QTRAIN_WF} w ON w.b = dc.b
+  GROUP BY dc.doc_id
+), sp AS (
+  SELECT d.doc_id, COALESCE(s.logit_micro, 0) AS lg
+  FROM (SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id IS NOT NULL) d
+  LEFT JOIN s ON d.doc_id = s.doc_id
+), jl AS (
+  SELECT sp.doc_id, sp.lg, lab.y FROM sp JOIN lab USING (doc_id)
+), st AS (SELECT min(lg) AS mn, max(lg) AS mx FROM jl),
+bn AS (
+  SELECT ((lg - mn) * {_CALIB_BINS}) // (mx - mn + 1) AS bin, lg, y
+  FROM jl, st
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(lg) // count(*) AS BIGINT) AS mean_logit_micro,
+       CAST(sum(CASE WHEN y = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pos,
+       CAST(sum(CASE WHEN y = 1000000 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS frac_pos
+FROM bn GROUP BY 1
+"""
+)
+
+
+@query("classifier_calibration_bins", oracle=_CALIB_ORACLE)
+def classifier_calibration_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability table of the in-engine-trained quality classifier
+    (operators/curation.calibration_bins over train_linear_classifier
+    scores vs the md5-parity pseudo-labels it was trained on): 8
+    equal-width integer logit bins, per-bin doc count / mean logit /
+    observed positive fraction — the calibration readout a deployed
+    scorer's threshold gets checked against (training-set
+    calibration here; production swaps the labels side for a
+    held-out rated sample, same plan). One doc-keyed score↔label
+    join, a 1-row min/max broadcast close, one 8-row aggregate; the
+    corpus moves only inside the scoring chain."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    scores = C.linear_text_classifier(
+        docs,
+        _trained_weights(spark, sf_dir),
+        num_buckets=_QTRAIN_B,
+        hash_fn="md5",
+    ).select("doc_id", "logit_micro")
+    labels = (
+        docs.select("doc_id")
+        .distinct()
+        .select(
+            "doc_id", C.md5_parity_micro("doc_id").alias("y_micro")
+        )
+    )
+    return C.calibration_bins(scores, labels, num_bins=_CALIB_BINS)

@@ -2412,3 +2412,67 @@ def dedup_maximal_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.maximal_duplicated_extents(
         _docs(spark, sf_dir), k=_MX_K, w_cap=_MX_WCAP
     )
+
+
+# --- incremental MinHash admission (r9) ------------------------------------
+
+# Brute-force replay of the minhash_dedup_incremental admission rule
+# (the _MINHASH_SURVIVOR_ORACLE device, restricted to the
+# batch-vs-history pair universe): a new doc (doc_id % 7 == 3, the
+# dedup_incremental_batch convention) is dropped iff some exact
+# n-gram Jaccard >= 0.5 partner exists in the history (any id) or
+# earlier in the batch (smaller id); matched_id = min such partner.
+# Row sets match whenever band recall holds at the gating fixture —
+# gated pairwise by dedup_minhash_recall on the same configuration.
+_MINHASH_INCR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(0, greatest(len(toks) - {_K}, 0) + 1),
+             i -> array_to_string(toks[i + 1 : i + {_K}], ' ')))) AS s
+  FROM tok WHERE len(toks) > 0
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b
+    ON a.s = b.s
+   AND b.doc_id % 7 = 3
+   AND a.doc_id != b.doc_id
+   AND ((a.doc_id % 7 != 3) OR a.doc_id < b.doc_id)
+  GROUP BY 1, 2
+), m AS (
+  SELECT id_b, CAST(min(id_a) AS BIGINT) AS matched_id
+  FROM inter
+  JOIN cnt na ON na.doc_id = id_a
+  JOIN cnt nb ON nb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.5
+  GROUP BY 1
+)
+SELECT d.doc_id, m.matched_id IS NULL AS kept, m.matched_id
+FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 3) d
+LEFT JOIN m ON d.doc_id = m.id_b
+"""
+
+
+@query("dedup_minhash_incremental", oracle=_MINHASH_INCR_ORACLE)
+def dedup_minhash_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental near-dup admission
+    (operators/dedup.minhash_dedup_incremental): today's batch
+    (doc_id % 7 == 3) probes the history via the banded LSH index
+    with an all × NEW bucket join — candidate fan-out bounded by the
+    batch's buckets, the steady-state shape where a small daily
+    batch checks a 100 TB history for the cost of its own buckets —
+    then exact-Jaccard verification over the candidate-pruned set
+    pass. One row per new doc: (doc_id, kept, matched_id), the
+    provenance pointer dedup_remap chains on."""
+    return D.minhash_dedup_incremental(
+        _docs(spark, sf_dir), F.col("doc_id") % 7 == F.lit(3)
+    )

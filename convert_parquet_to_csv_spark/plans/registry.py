@@ -122,6 +122,11 @@ FIRST_TIER: list[str] = [
     "source_js_divergence",
     "decontaminate_semantic",
     "wordpiece_encode",
+    # r9 wave 3: BM25 retrieval, classifier calibration readout,
+    # incremental MinHash admission.
+    "bm25_topk_docs",
+    "classifier_calibration_bins",
+    "dedup_minhash_incremental",
     # --- r9 kernel/oracle-touched re-gates ---
     # corpus_datacard: eqNullSafe fingerprint join + oracle edit
     # (ADVICE r8 #1); quality_classifier_linear: re-oracled to

@@ -1891,3 +1891,107 @@ def wordpiece_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_piece_len=_WP_P,
         max_word_len=_WP_W,
     )
+
+
+# --- BM25 lexical retrieval (r9) -------------------------------------------
+
+_BM25_QMOD = 211   # query docs = doc_id % 211 == 5
+_BM25_K = 5
+_BM25_QTERMS = 8
+
+# Constant-expression discipline: the SQL spells (1.2 + 1.0) and
+# (1.0 - 0.75) instead of 2.2 / 0.25 so both engines derive the
+# double from the SAME parsed literals — the Python-side lit(k1 + 1)
+# is 2.1999999999999997, one ulp OFF the literal 2.2, and a 1-ulp
+# input drift can flip a floor(x + 0.5) boundary.
+_BM25_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t != '') AS tk
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS t FROM tok) GROUP BY ALL
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+nrow AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+stats AS (
+  SELECT n,
+         CAST((SELECT COALESCE(sum(dl), 0) FROM dl) AS DOUBLE)
+           / CAST(n AS DOUBLE) AS avgdl
+  FROM nrow
+),
+dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+idf AS (
+  SELECT t,
+         CAST(floor(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)
+                       + 1.0) * 1e6 + 0.5) AS BIGINT) AS idf,
+         avgdl
+  FROM dft, stats
+),
+q AS (
+  SELECT DISTINCT doc_id AS query_id, t
+  FROM (SELECT doc_id, unnest(tk[1:{_BM25_QTERMS}]) AS t
+        FROM tok WHERE doc_id % {_BM25_QMOD} = 5)
+),
+m AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(floor(
+           CAST(idf AS DOUBLE)
+             * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * ((1.0 - 0.75)
+                         + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+           + 0.5) AS BIGINT) AS c
+  FROM tf
+  JOIN q USING (t)
+  JOIN dl USING (doc_id)
+  JOIN idf USING (t)
+),
+s AS (
+  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+  FROM m GROUP BY ALL
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY score_micro DESC, doc_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro,
+       CAST(score_micro AS DOUBLE) / 1e6 AS score
+FROM r WHERE rank <= {_BM25_K}
+"""
+
+
+@query("bm25_topk_docs", oracle=_BM25_ORACLE)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (operators/retrieval.bm25_topk; Okapi
+    BM25, Lucene non-negative idf flavor): query docs = doc_id %
+    211 == 5 issuing their first 8 distinct tokens as the query —
+    the dedup-mining/contamination-forensics lookup shape. ONE
+    corpus exchange (the (doc, term) tf groupBy; dl rolls up
+    doc-keyed from it); df/idf model-scale with the N/avgdl 1-row
+    broadcast close; query terms broadcast into the postings; per
+    (query, doc, term) contributions round to integer micro units
+    before the BIGINT per-doc sum (order-independent); top-k as a
+    per-query WindowGroupLimit."""
+    from convert_parquet_to_csv_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(
+        F.col("doc_id") % _BM25_QMOD == F.lit(5)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("qtext"),
+    )
+    return bm25_topk(
+        docs,
+        queries,
+        k=_BM25_K,
+        max_query_terms=_BM25_QTERMS,
+    )

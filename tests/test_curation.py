@@ -1551,3 +1551,69 @@ def test_flag_contaminated_semantic_empty_benchmark(spark):
     [r] = flag_contaminated_semantic(vdf, bdf, threshold=0.5).collect()
     assert r["max_benchmark_sim"] is None
     assert r["contaminated"] is False
+
+
+# --- calibration bins (r9) ---------------------------------------------------
+
+def test_calibration_bins_matches_python(spark):
+    from convert_parquet_to_csv_spark.operators.curation import (
+        calibration_bins,
+    )
+
+    scores = [
+        (1, -300), (2, -100), (3, 0), (4, 250),
+        (5, 700), (6, 700), (7, 701), (8, 50),
+        (9, 12345),            # no label -> excluded
+        (None, 5),             # NULL id -> excluded by design
+    ]
+    labels = [
+        (1, 0), (2, 0), (3, 1_000_000), (4, 1_000_000),
+        (5, 1_000_000), (6, 0), (7, 1_000_000), (8, 0),
+    ]
+    sdf = spark.createDataFrame(
+        scores, "doc_id LONG, logit_micro LONG"
+    )
+    ldf = spark.createDataFrame(labels, "doc_id LONG, y_micro LONG")
+    got = {
+        r["bin"]: (
+            r["n_docs"],
+            r["mean_logit_micro"],
+            r["n_pos"],
+            r["frac_pos"],
+        )
+        for r in calibration_bins(sdf, ldf, num_bins=4).collect()
+    }
+
+    lab = dict(labels)
+    j = [(i, lg) for i, lg in scores if i in lab]
+    mn = min(lg for _, lg in j)
+    mx = max(lg for _, lg in j)
+    want: dict[int, list] = {}
+    for i, lg in j:
+        b = ((lg - mn) * 4) // (mx - mn + 1)
+        want.setdefault(b, []).append((lg, lab[i]))
+    ref = {}
+    for b, vals in want.items():
+        n = len(vals)
+        tot = sum(lg for lg, _ in vals)
+        # Spark div truncates toward zero (matters for negative sums)
+        mean = int(tot / n) if tot < 0 else tot // n
+        npos = sum(1 for _, y in vals if y == 1_000_000)
+        ref[b] = (n, mean, npos, npos / n)
+    assert got == ref
+
+
+def test_calibration_bins_degenerate_single_value(spark):
+    from convert_parquet_to_csv_spark.operators.curation import (
+        calibration_bins,
+    )
+
+    sdf = spark.createDataFrame(
+        [(1, 42), (2, 42)], "doc_id LONG, logit_micro LONG"
+    )
+    ldf = spark.createDataFrame(
+        [(1, 1_000_000), (2, 0)], "doc_id LONG, y_micro LONG"
+    )
+    [r] = calibration_bins(sdf, ldf, num_bins=8).collect()
+    assert (r["bin"], r["n_docs"], r["n_pos"]) == (0, 2, 1)
+    assert r["mean_logit_micro"] == 42 and r["frac_pos"] == 0.5

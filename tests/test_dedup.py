@@ -626,3 +626,49 @@ def test_dedup_remap_null_keys_group_together(spark):
         for r in dedup_remap(df, F.md5("text"), method="x").collect()
     }
     assert got == {(11, 10), (13, 12)}
+
+
+# --- incremental MinHash admission (r9) --------------------------------------
+
+def test_minhash_incremental_admission_rule(spark):
+    """New docs (id % 7 == 3): an exact copy of a HISTORY doc drops
+    with matched_id = that doc even when the history id is LARGER;
+    a copy of an EARLIER new doc drops against it; a unique new doc
+    keeps. History rows are never re-adjudicated (absent from the
+    output)."""
+    from convert_parquet_to_csv_spark.operators.dedup import (
+        minhash_dedup_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq = "one two three four five six seven eight nine"
+    rows = [
+        (3, base),            # new: dup of history 20 -> dropped
+        (11, uniq + " x"),    # history (11 % 7 == 4)
+        (17, base + " tail"), # new: near-dup of 3? shares most grams
+        (20, base),           # history twin of 3 (larger id)
+        (24, "solo unique words nothing shared here at all ok"),
+        (31, base),           # new: dup of 3 (earlier new) and 20
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["kept"], r["matched_id"])
+        for r in minhash_dedup_incremental(
+            df, F.col("doc_id") % 7 == F.lit(3)
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    # output covers exactly the new ids
+    assert set(got) == {3, 17, 24, 31}
+    # 3 matches history 20 (larger id than 3 — history always counts)
+    assert got[3] == (False, 20)
+    # 31 matches 3 (earlier new) before 20: min partner = 3
+    assert got[31] == (False, 3)
+    # 24 is unique
+    assert got[24] == (True, None)
+    # 17 shares an 8-gram prefix with base docs; with k=3 shingles
+    # jaccard("base", "base tail") = 6/7 >= 0.5 -> dropped, min
+    # partner is history 20?? partners: history 20 (J>=0.5) and new 3
+    # (3 < 17, J>=0.5) -> min = 3
+    assert got[17] == (False, 3)

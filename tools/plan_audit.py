@@ -55,6 +55,8 @@ CASES = {
     "wordpiece_encode": "WordPiece: ONE corpus exchange (word freq); vocab-scale piece ranking; 1-row broadcast piece map; greedy fold is a map-side projection over distinct words (the unigram plan shape)",
     "source_js_divergence": "JS divergence: ONE corpus exchange (source,token counts); token-keyed pair self-join bounded by vocab x K^2; per-source totals broadcast; K^2 pair spine restores disjoint pairs",
     "decontaminate_semantic": "semantic decontamination: benchmark folded to a 1-row broadcast array; corpus STREAMS through a map-side array_max(transform) scoring projection — zero corpus shuffles",
+    "bm25_topk_docs": "BM25: ONE corpus exchange (doc,term tf); dl/df/idf roll up from it; query terms + idf broadcast into the postings; per-query WindowGroupLimit top-k",
+    "dedup_minhash_incremental": "incremental minhash: all x NEW bucket join (batch-bounded candidates), candidate-pruned exact-Jaccard verify, min-partner groupBy — no corpus-wide pair fan-out",
     "events_daily_gapfill": "gap fill: spine explode bounded by keys x days, one daily-agg shuffle",
     "salted_join_revenue": "salted join: (key,salt) hash join, dim replicated map-side, result invariant",
     "funnel_view_click_purchase": "funnel: per-stage cohorts shrink; AQE broadcasts the cohort joins",

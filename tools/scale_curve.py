@@ -43,6 +43,7 @@ from convert_parquet_to_csv_spark.operators.dedup import (
     duplicated_span_extents,
     maximal_duplicated_extents,
     minhash_dedup,
+    minhash_dedup_incremental,
     remove_duplicated_lines,
     remove_within_doc_repeats,
     winnow_fingerprints,
@@ -55,6 +56,9 @@ from convert_parquet_to_csv_spark.operators.chunking import (
     bpe_learn_merges,
     unigram_lm_encode,
     wordpiece_encode,
+)
+from convert_parquet_to_csv_spark.operators.retrieval import (
+    bm25_topk,
 )
 from convert_parquet_to_csv_spark.operators.curation import (
     bigram_lm_scores,
@@ -320,6 +324,28 @@ def main() -> None:
                         (F.col("doc_id") % 20).cast("string"),
                     ).alias("source"),
                     "text",
+                )
+            ),
+            # r9 wave 3: BM25 against a FIXED 24-query side (the
+            # decontamination benchmark-side rule: retrieval cost
+            # must scale with the corpus/postings, not the queries);
+            # incremental minhash with the standard 1-in-7 batch —
+            # candidates bounded by the batch's buckets, so the
+            # curve should track minhash_dedup's sublinear shape.
+            "bm25_topk": lambda d=docs, s=spark: bm25_topk(
+                d,
+                read_parquet(
+                    s, os.path.join(SF_DIR, "documents.parquet")
+                )
+                .filter(F.col("doc_id") % 211 == 5)
+                .select(
+                    F.col("doc_id").alias("query_id"),
+                    F.col("text").alias("qtext"),
+                ),
+            ),
+            "minhash_incremental": lambda d=docs: (
+                minhash_dedup_incremental(
+                    d, F.col("doc_id") % 7 == F.lit(3)
                 )
             ),
         }
