@@ -2282,6 +2282,13 @@ def bigram_lm_scores(
     model-sized shuffle join, Zipf-head skew handled by AQE
     (hot bigrams are exactly the skew-join case) — then one doc-keyed
     rollup and an id-spine left join for sub-2-token docs.
+
+    Measured scale curve (tools/scale_curve.py, mangled sf0.1
+    replicas, min-of-2, local[32]): 20.2 / 50.1 / 76.5 s at
+    500k/1M/2M docs — 0.95×-linear. The mangled replicas are the
+    WORST case for this operator: per-copy token suffixes make
+    every bigram distinct, so the model tables grow linearly with
+    the corpus; a real corpus's shared vocabulary collapses them.
     """
     tk = docs.select(
         F.col(id_col),
@@ -2419,6 +2426,10 @@ def source_js_divergence(
     hundreds of sources the stop-token fan-out dominates this join —
     cap it with a hot-token guard like source_ngram_overlap_matrix's
     ``max_gram_sources``; the 20-source fixtures don't need one.
+
+    Measured scale curve (same protocol): 3.4 / 2.7 / 4.8 s at
+    500k/1M/2M docs — 0.35×-linear, the flattest curve in the r9
+    table, as the corpus-independent pair join predicts.
     """
     stc = (
         docs.select(

@@ -68,6 +68,12 @@ def bm25_topk(
     same layout); hot stop-terms are exactly the AQE skew-join case,
     and a df ceiling (drop terms with df > xN) is the standard
     guard — not needed at fixture vocabulary sizes.
+
+    Measured scale curve (tools/scale_curve.py, mangled sf0.1
+    replicas, FIXED 24-query side, min-of-2, local[32]): 8.2 /
+    12.1 / 27.4 s at 500k/1M/2M docs — 0.84×-linear; the tail is
+    the postings×query join growing with the corpus while the
+    query side stays fixed, the intended production shape.
     """
     tf = (
         docs.select(
@@ -123,10 +129,17 @@ def bm25_topk(
         )
         .distinct()
     )
+    # idf is restricted to QUERY terms before the broadcast: the full
+    # idf table is vocabulary-sized (billions of terms at corpus
+    # scale) while the query vocabulary is bounded by the query
+    # batch — only the restricted table is broadcast-safe.
+    idf_q = idf.join(
+        F.broadcast(qterms.select("_t").distinct()), "_t", "left_semi"
+    )
     matched = (
         tf.join(F.broadcast(qterms), "_t")
         .join(dl, id_col)
-        .join(F.broadcast(idf.select("_t", "_idf", "_avgdl")), "_t")
+        .join(F.broadcast(idf_q.select("_t", "_idf", "_avgdl")), "_t")
     )
     tf_d = F.col("_tf").cast("double")
     denom = tf_d + F.lit(float(k1)) * (
