@@ -127,6 +127,8 @@ FIRST_TIER: list[str] = [
     "bm25_topk_docs",
     "classifier_calibration_bins",
     "dedup_minhash_incremental",
+    # r9 wave 4: the three-family tokenizer capstone.
+    "subword_fertility_compare",
     # --- r9 kernel/oracle-touched re-gates ---
     # corpus_datacard: eqNullSafe fingerprint join + oracle edit
     # (ADVICE r8 #1); quality_classifier_linear: re-oracled to

@@ -1995,3 +1995,116 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_BM25_K,
         max_query_terms=_BM25_QTERMS,
     )
+
+
+# --- three-family subword fertility comparison (r9) ------------------------
+
+# Each family's full oracle nests as a parenthesized WITH-subquery
+# (DuckDB scopes CTE names per subquery, so the ULM and WordPiece
+# chains' identically-named CTEs cannot collide); the BPE block is
+# already per-lang, the per-doc ULM/WP blocks join documents for
+# lang and roll up. n_words is each family's own whitespace count —
+# identical by construction (case folding never changes token
+# boundaries), which the unit test pins.
+_FERT_COMPARE_ORACLE = f"""
+SELECT 'bpe' AS family, lang,
+       n_bpe_tokens AS n_pieces, n_words,
+       fertility AS pieces_per_word
+FROM ({_BPE_FERTILITY_ORACLE})
+UNION ALL
+SELECT 'unigram' AS family, d.lang,
+       CAST(sum(u.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(u.n_words) AS BIGINT) AS n_words,
+       CAST(sum(u.n_pieces) AS DOUBLE) / CAST(sum(u.n_words) AS DOUBLE)
+         AS pieces_per_word
+FROM ({_ulm_oracle()}) u
+JOIN documents d USING (doc_id)
+GROUP BY d.lang
+UNION ALL
+SELECT 'wordpiece' AS family, d.lang,
+       CAST(sum(w.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(w.n_words) AS BIGINT) AS n_words,
+       CAST(sum(w.n_pieces) AS DOUBLE) / CAST(sum(w.n_words) AS DOUBLE)
+         AS pieces_per_word
+FROM ({_wp_oracle()}) w
+JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
+@query("subword_fertility_compare", oracle=_FERT_COMPARE_ORACLE)
+def subword_fertility_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language fertility of ALL THREE in-engine subword
+    families side by side — (family, lang, n_pieces, n_words,
+    pieces_per_word) for the learned BPE (merge-rank greedy), the
+    unigram-LM (global-cost Viterbi), and WordPiece (greedy
+    longest-match) — the tokenizer-selection table a multilingual
+    pipeline reads before committing a vocabulary. Each family runs
+    its standard one-corpus-exchange plan; the comparison adds only
+    three lang-keyed rollups and a union. The oracle nests the
+    three full replay chains as WITH-subqueries."""
+    from convert_parquet_to_csv_spark.functions.text import (
+        token_count,
+    )
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        bpe_apply_merges,
+        bpe_learn_merges,
+        unigram_lm_encode,
+        wordpiece_encode,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    lang_nw = docs.select(
+        "doc_id",
+        "lang",
+        token_count("text").cast("bigint").alias("_nw"),
+    )
+
+    def _rollup(per_doc: DataFrame, pieces_col: str, family: str):
+        j = per_doc.join(lang_nw, "doc_id")
+        return j.groupBy("lang").agg(
+            F.sum(pieces_col).cast("bigint").alias("n_pieces"),
+            F.sum("_nw").cast("bigint").alias("n_words"),
+            (
+                F.sum(pieces_col).cast("double")
+                / F.sum("_nw").cast("double")
+            ).alias("pieces_per_word"),
+        ).select(
+            F.lit(family).alias("family"),
+            "lang",
+            "n_pieces",
+            "n_words",
+            "pieces_per_word",
+        )
+
+    merges = bpe_learn_merges(docs, rounds=_BPE_ROUNDS)
+    bpe = _rollup(
+        bpe_apply_merges(docs, merges, rounds=_BPE_ROUNDS).select(
+            "doc_id", F.col("n_bpe_tokens").alias("_np")
+        ),
+        "_np",
+        "bpe",
+    )
+    ulm = _rollup(
+        unigram_lm_encode(
+            docs,
+            vocab_multi=_ULM_V,
+            max_piece_len=_ULM_P,
+            max_word_len=_ULM_W,
+        ).select("doc_id", F.col("n_pieces").alias("_np")),
+        "_np",
+        "unigram",
+    )
+    wp = _rollup(
+        wordpiece_encode(
+            docs,
+            vocab_multi=_WP_V,
+            max_piece_len=_WP_P,
+            max_word_len=_WP_W,
+        ).select("doc_id", F.col("n_pieces").alias("_np")),
+        "_np",
+        "wordpiece",
+    )
+    return bpe.unionByName(ulm).unionByName(wp)

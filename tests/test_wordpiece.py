@@ -157,3 +157,31 @@ def test_wordpiece_greedy_is_not_globally_optimal(spark):
     assert optimal("abcde") == 3
     got = _collect(spark, docs, V, P, W)
     assert got == _ref_wordpiece(docs, V=V, P=P, W=W)
+
+
+def test_three_families_agree_on_word_counts(spark):
+    """The fertility-comparison invariant: all three subword
+    families count the SAME whitespace words per doc (case folding
+    never changes token boundaries), so their fertility numbers are
+    directly comparable."""
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        unigram_lm_encode,
+    )
+
+    docs = [(1, "Alpha beta GAMMA beta"), (2, "x  y"), (3, "")]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    ulm = {
+        r["doc_id"]: r["n_words"]
+        for r in unigram_lm_encode(df, vocab_multi=4).collect()
+    }
+    wp = {
+        r["doc_id"]: r["n_words"]
+        for r in wordpiece_encode(df, vocab_multi=4).collect()
+    }
+    spark.catalog.clearCache()
+    # WordPiece lowercases, unigram does not — word COUNTS are still
+    # identical (case folding never changes token boundaries). BPE's
+    # apply path reports only n_bpe_tokens; the comparison query
+    # takes its n_words from token_count, the same whitespace rule.
+    assert ulm == wp
+    assert ulm == {1: 4, 2: 2, 3: 0}
