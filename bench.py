@@ -477,6 +477,7 @@ def main() -> None:
     _run_10m_natural()  # warm
     natural_samples: list[float] = []
     duck_sec = float("inf")
+    duck_samples: list[float] = []
     for _ in range(3):
         t0 = time.perf_counter()
         _run_10m_natural()
@@ -496,6 +497,7 @@ def main() -> None:
                 )
                 _run_duck = None
             else:
+                duck_samples.append(time.perf_counter() - t0)
                 duck_sec = min(duck_sec, time.perf_counter() - t0)
 
     natural = min(natural_samples)
@@ -518,6 +520,15 @@ def main() -> None:
     )
     if duck_sec != float("inf"):
         queries["baseline_duckdb_convert_10m"] = round(duck_sec, 4)
+        # r9: the anchor's OWN dispersion — bench_compare normalizes
+        # every cross-round delta by this key, and this round's VM
+        # proved the anchor can swing 8x on disk alone (77.5 / 31.1 /
+        # 9.6 s across three same-day runs, min-of-3 each). A future
+        # comparison that sees a large anchor move with a large
+        # recorded spread knows to distrust the adjusted column.
+        queries["baseline_duckdb_convert_10m_spread_pct"] = _spread(
+            duck_samples
+        )
         # One hardware-independent number for cross-round comparison
         # (VERDICT r2 item 6): <1.0 means Spark beats same-box DuckDB
         # on the identical input, whatever this round's VM speed is.
