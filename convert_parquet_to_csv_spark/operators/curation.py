@@ -2668,3 +2668,85 @@ def calibration_bins(
             ).alias("frac_pos"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Generic LM-score bucketing (the tercile device, pluggable scorer)
+# --------------------------------------------------------------------------
+
+def lm_score_buckets(
+    scored: DataFrame,
+    sample_mod: int = 2,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    score_col: str = "score",
+    ntok_col: str = "n_tokens",
+    lower_is_better: bool = True,
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing over an ARBITRARY per-doc
+    score table — :func:`ccnet_lm_buckets`' tercile device extracted
+    so any scorer plugs in (the r9 consumer feeds it
+    :func:`bigram_lm_scores`' avg micro-nat cost — the real
+    conditional LM — where ccnet_lm_buckets hard-wires the trigram
+    familiarity). Input: one row per doc with ``(id, lang, score,
+    n_tokens)``; output: per (lang, bucket) doc count, token mass
+    and mean score — bucket ∈ head/middle/tail, 'unsampled' for
+    languages whose md5-bit sample held < 2 docs.
+
+    ``lower_is_better=True`` (cost/perplexity semantics): head =
+    the LOWEST tercile. False (familiarity semantics): head = the
+    highest, exactly ccnet_lm_buckets' orientation.
+
+    Scale shape (inherited from the ccnet device): the per-lang
+    ntile(3) window runs on the deterministic md5-bit SAMPLE only
+    (rate 1/``sample_mod``; production uses ~1e-4 so the sort is
+    sample-scale); cutoffs are a |langs|-row broadcast; assignment
+    is one broadcast join + CASE; the close is a (lang, bucket)
+    aggregate. The scored input is touched twice (sample + assign)
+    — callers hand over a materialized/cheap frame.
+    """
+    sample = scored.filter(
+        F.ascii(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+        )
+        % sample_mod
+        == 0
+    )
+    wt = Window.partitionBy(lang_col).orderBy(
+        F.asc(score_col), F.asc(id_col)
+    )
+    cuts = (
+        sample.withColumn("_tile", F.ntile(3).over(wt))
+        .groupBy(lang_col)
+        .agg(
+            F.max(
+                F.when(F.col("_tile") == 1, F.col(score_col))
+            ).alias("_c1"),
+            F.max(
+                F.when(F.col("_tile") == 2, F.col(score_col))
+            ).alias("_c2"),
+        )
+    )
+    top, bottom = (
+        ("tail", "head") if lower_is_better else ("head", "tail")
+    )
+    assigned = scored.join(
+        F.broadcast(cuts), lang_col, "left"
+    ).select(
+        lang_col,
+        F.when(F.col("_c2").isNull(), F.lit("unsampled"))
+        .when(F.col(score_col) > F.col("_c2"), F.lit(top))
+        .when(F.col(score_col) > F.col("_c1"), F.lit("middle"))
+        .otherwise(F.lit(bottom))
+        .alias("bucket"),
+        F.col(ntok_col).alias("_ntok"),
+        F.col(score_col).alias("_q"),
+    )
+    return assigned.groupBy(lang_col, "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_ntok").cast("bigint").alias("n_tokens"),
+        (
+            F.sum("_q").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_score"),
+    )

@@ -1874,3 +1874,121 @@ def classifier_calibration_bins(
         )
     )
     return C.calibration_bins(scores, labels, num_bins=_CALIB_BINS)
+
+
+# --- bigram-LM head/middle/tail buckets (r9) -------------------------------
+
+# The _BIGRAM_LM_ORACLE chain (tok..sc) re-used verbatim, then the
+# ccnet tercile clauses over avg cost — LOWER cost = more natural =
+# head, so the CASE orientation flips vs _CCNET_ORACLE. Docs with no
+# transitions (< 2 tokens) carry no LM score and are EXCLUDED from
+# the census (the inner sc join), exactly like ccnet's < 3-char rule.
+_BIGRAM_BUCKETS_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t != '') AS tk
+  FROM documents
+),
+tr AS (
+  SELECT doc_id, tk[CAST(i AS INT)] AS a,
+         tk[CAST(i AS INT) + 1] AS b
+  FROM tok, unnest(range(1, len(tk))) t(i)
+),
+dbc AS (
+  SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS c
+  FROM tr GROUP BY ALL
+),
+bc AS (
+  SELECT a, b, CAST(sum(c) AS BIGINT) AS cab FROM dbc GROUP BY ALL
+),
+ctx AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM bc GROUP BY 1),
+v AS (
+  SELECT CAST(count(*) AS BIGINT) AS v
+  FROM (SELECT a AS t FROM bc UNION SELECT b FROM bc)
+),
+cost AS (
+  SELECT a, b,
+         CAST(round(ln(CAST(ca + v AS DOUBLE)
+                       / CAST(cab + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+           AS cost
+  FROM bc JOIN ctx USING (a), v
+),
+sc AS (
+  SELECT dbc.doc_id,
+         CAST(sum(c) AS BIGINT) AS nt,
+         CAST(sum(c * cost) AS BIGINT) AS tc
+  FROM dbc JOIN cost USING (a, b)
+  GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id, d.lang, CAST(sc.tc // sc.nt AS BIGINT) AS q,
+         len(list_filter(string_split_regex(trim(lower(d.text)),
+                                            '\s+'),
+                         x -> x != '')) AS ntok
+  FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+),
+samp AS (
+  SELECT lang, q,
+         ntile(3) OVER (PARTITION BY lang ORDER BY q, doc_id)
+           AS tile
+  FROM scored
+  WHERE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 2 = 0
+),
+cuts AS (
+  SELECT lang,
+         max(q) FILTER (tile = 1) AS c1,
+         max(q) FILTER (tile = 2) AS c2
+  FROM samp GROUP BY lang
+),
+assigned AS (
+  SELECT s.lang,
+         CASE WHEN c.c2 IS NULL THEN 'unsampled'
+              WHEN s.q > c.c2 THEN 'tail'
+              WHEN s.q > c.c1 THEN 'middle'
+              ELSE 'head' END AS bucket,
+         s.ntok, s.q
+  FROM scored s LEFT JOIN cuts c USING (lang)
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_score
+FROM assigned GROUP BY lang, bucket
+"""
+
+
+@query("bigram_lm_buckets", oracle=_BIGRAM_BUCKETS_ORACLE)
+def bigram_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail buckets over the REAL in-engine bigram
+    LM (operators/curation.lm_score_buckets ∘ bigram_lm_scores):
+    score = per-doc average transition cost in micro-nats (LOWER =
+    more natural = head — the orientation flip vs the trigram
+    familiarity ccnet_perplexity_buckets uses), per-lang tercile
+    cutoffs learned on the md5-bit sample, assignment broadcast.
+    This completes the round's LM loop: train (bigram_lm_scores) →
+    score (ngram_lm_perplexity) → bucket/act (here) — all
+    in-engine, no offline model artifact anywhere in the chain.
+    Docs with < 2 tokens carry no LM score and are excluded, like
+    ccnet's < 3-char rule."""
+    from convert_parquet_to_csv_spark.functions.text import (
+        token_count,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    scores = C.bigram_lm_scores(docs.select("doc_id", "text"))
+    scored = (
+        scores.filter(F.col("n_transitions") > 0)
+        .select("doc_id", F.col("avg_cost_micro").alias("score"))
+        .join(
+            docs.select(
+                "doc_id",
+                "lang",
+                token_count(F.lower(F.col("text")))
+                .cast("bigint")
+                .alias("n_tokens"),
+            ),
+            "doc_id",
+        )
+    )
+    return C.lm_score_buckets(scored, lower_is_better=True)

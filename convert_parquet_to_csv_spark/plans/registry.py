@@ -127,8 +127,10 @@ FIRST_TIER: list[str] = [
     "bm25_topk_docs",
     "classifier_calibration_bins",
     "dedup_minhash_incremental",
-    # r9 wave 4: the three-family tokenizer capstone.
+    # r9 wave 4: the three-family tokenizer capstone + the bigram-LM
+    # bucket closure (train -> score -> bucket, all in-engine).
     "subword_fertility_compare",
+    "bigram_lm_buckets",
     # --- r9 kernel/oracle-touched re-gates ---
     # corpus_datacard: eqNullSafe fingerprint join + oracle edit
     # (ADVICE r8 #1); quality_classifier_linear: re-oracled to

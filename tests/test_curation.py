@@ -1617,3 +1617,77 @@ def test_calibration_bins_degenerate_single_value(spark):
     [r] = calibration_bins(sdf, ldf, num_bins=8).collect()
     assert (r["bin"], r["n_docs"], r["n_pos"]) == (0, 2, 1)
     assert r["mean_logit_micro"] == 42 and r["frac_pos"] == 0.5
+
+
+# --- generic LM-score buckets (r9) -------------------------------------------
+
+def test_lm_score_buckets_matches_python(spark):
+    from convert_parquet_to_csv_spark.operators.curation import (
+        lm_score_buckets,
+    )
+    import hashlib
+
+    rows = [
+        # (doc_id, lang, score, n_tokens)
+        *[(i, "en", i * 10, 5) for i in range(1, 9)],
+        (100, "xx", 7, 3),   # lone doc: sample holds <2 -> unsampled
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, lang STRING, score LONG, n_tokens LONG"
+    )
+    got = {
+        (r["lang"], r["bucket"]): (
+            r["n_docs"],
+            r["n_tokens"],
+            r["mean_score"],
+        )
+        for r in lm_score_buckets(df).collect()
+    }
+
+    def sampled(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return ord(h[0]) % 2 == 0
+
+    def ntile3(vals):
+        n = len(vals)
+        base, rem = divmod(n, 3)
+        sizes = [base + (1 if t < rem else 0) for t in range(3)]
+        out, pos = [], 0
+        for t, sz in enumerate(sizes, 1):
+            out += [t] * sz
+        return out
+
+    ref: dict = {}
+    for lang in {"en", "xx"}:
+        lrows = [r for r in rows if r[1] == lang]
+        samp = sorted(
+            (r for r in lrows if sampled(r[0])),
+            key=lambda r: (r[2], r[0]),
+        )
+        tiles = ntile3(samp)
+        c1 = max(
+            (r[2] for r, t in zip(samp, tiles) if t == 1), default=None
+        )
+        c2 = max(
+            (r[2] for r, t in zip(samp, tiles) if t == 2), default=None
+        )
+        for r in lrows:
+            if c2 is None:
+                b = "unsampled"
+            elif r[2] > c2:
+                b = "tail"
+            elif r[2] > c1:
+                b = "middle"
+            else:
+                b = "head"
+            k = (lang, b)
+            n, ntok, tot = ref.get(k, (0, 0, 0))
+            ref[k] = (n + 1, ntok + r[3], tot + r[2])
+    want = {
+        k: (n, ntok, tot / n) for k, (n, ntok, tot) in ref.items()
+    }
+    assert got == want
+    # direction pin: with lower_is_better, head holds the LOWEST
+    # scores, so head's mean < tail's mean
+    if ("en", "head") in got and ("en", "tail") in got:
+        assert got[("en", "head")][2] < got[("en", "tail")][2]

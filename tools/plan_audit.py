@@ -57,6 +57,7 @@ CASES = {
     "decontaminate_semantic": "semantic decontamination: benchmark folded to a 1-row broadcast array; corpus STREAMS through a map-side array_max(transform) scoring projection — zero corpus shuffles",
     "bm25_topk_docs": "BM25: ONE corpus exchange (doc,term tf); dl/df/idf roll up from it; query terms + idf broadcast into the postings; per-query WindowGroupLimit top-k",
     "dedup_minhash_incremental": "incremental minhash: all x NEW bucket join (batch-bounded candidates), candidate-pruned exact-Jaccard verify, min-partner groupBy — no corpus-wide pair fan-out",
+    "bigram_lm_buckets": "bigram-LM buckets: the LM chain's one corpus exchange, then the ccnet tercile device — per-lang ntile on the md5-bit SAMPLE only, |langs|-row cutoff broadcast, CASE assignment",
     "events_daily_gapfill": "gap fill: spine explode bounded by keys x days, one daily-agg shuffle",
     "salted_join_revenue": "salted join: (key,salt) hash join, dim replicated map-side, result invariant",
     "funnel_view_click_purchase": "funnel: per-stage cohorts shrink; AQE broadcasts the cohort joins",
