@@ -1444,6 +1444,8 @@ def minhash_dedup_incremental(
     minhash_dedup's sublinear shape with the batch-bounded
     candidate volume on top.
     """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
     flagged = df.withColumn("_new", is_new)
     sigs = minhash_signatures(
         flagged, id_col, text_col, k, num_perm

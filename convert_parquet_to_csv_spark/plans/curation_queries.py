@@ -1990,5 +1990,13 @@ def bigram_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_id",
         )
+        # lm_score_buckets references its input twice (sample +
+        # assign); without this pin the corpus-scale per-doc bigram
+        # exchange and the model-keyed scoring join would execute
+        # twice — only the model-scale bc table inside
+        # bigram_lm_scores is localCheckpointed (ADVICE r9 #3).
+        # Caller-released: bench/oracle_check clearCache() between
+        # queries, per the registry-wide persist convention.
+        .persist()
     )
     return C.lm_score_buckets(scored, lower_is_better=True)

@@ -1901,9 +1901,11 @@ _BM25_QTERMS = 8
 
 # Constant-expression discipline: the SQL spells (1.2 + 1.0) and
 # (1.0 - 0.75) instead of 2.2 / 0.25 so both engines derive the
-# double from the SAME parsed literals — the Python-side lit(k1 + 1)
-# is 2.1999999999999997, one ulp OFF the literal 2.2, and a 1-ulp
-# input drift can flip a floor(x + 0.5) boundary.
+# double from the SAME parsed expressions. Verified (ADVICE r9):
+# Python's 1.2 + 1.0 rounds to EXACTLY the double 2.2
+# (0x1.199999999999ap+1), and DuckDB's DECIMAL (1.2 + 1.0) casts to
+# the same double — the spelled-out form is defensive (it stays
+# correct if someone swaps k1), not load-bearing for the hash match.
 _BM25_ORACLE = rf"""
 WITH tok AS (
   SELECT doc_id,

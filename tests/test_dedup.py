@@ -672,3 +672,23 @@ def test_minhash_incremental_admission_rule(spark):
     # partner is history 20?? partners: history 20 (J>=0.5) and new 3
     # (3 < 17, J>=0.5) -> min = 3
     assert got[17] == (False, 3)
+
+
+def test_minhash_incremental_rejects_indivisible_bands(spark):
+    """Contract parity with lsh_candidate_pairs (dedup.py:484):
+    num_perm % bands != 0 raises instead of silently dropping the
+    trailing permutations from banding (ADVICE r9 #2)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from convert_parquet_to_csv_spark.operators.dedup import (
+        minhash_dedup_incremental,
+    )
+
+    df = spark.createDataFrame(
+        [(3, "a b c"), (4, "a b c")], "doc_id LONG, text STRING"
+    )
+    with _pytest.raises(ValueError, match="divisible"):
+        minhash_dedup_incremental(
+            df, F.col("doc_id") % 7 == F.lit(3), num_perm=30, bands=8
+        )
