@@ -93,6 +93,38 @@ def test_aqe_wrapped_single_partition_window_flagged():
     assert single_partition_window(plan)
 
 
+def test_stabilize_plan_line_normalizes_volatile_tokens():
+    """PLANS.md churn fix (VERDICT r9 item 7): expression ids,
+    plan_id counters, tmp paths, and hash-set-ordered aggregate key
+    lists all normalize to run-independent text, so a no-op audit
+    re-run is a zero diff."""
+    from plan_audit import stabilize_plan_line
+
+    a = stabilize_plan_line(
+        "HashAggregate(keys=[l_returnflag#42, knownfloatingpointnorma"
+        "lized(normalizenanandzero(l_quantity#38)) AS l_quantity#38, "
+        "gid#5], functions=[count(1)]), [plan_id=407]"
+    )
+    b = stabilize_plan_line(
+        "HashAggregate(keys=[gid#9, l_returnflag#813, knownfloatingpo"
+        "intnormalized(normalizenanandzero(l_quantity#90)) AS "
+        "l_quantity#90], functions=[count(1)]), [plan_id=99]"
+    )
+    assert a == b
+    # hashpartitioning: columns sort, npartitions stays last
+    h = stabilize_plan_line(
+        "Exchange hashpartitioning(b#2, a#1, 8), ENSURE_REQUIREMENTS"
+    )
+    assert "hashpartitioning(a#_, b#_, 8)" in h
+    # tmp fixture paths collapse
+    p = stabilize_plan_line("Location: InMemoryFileIndex[file:/tmp/cptc_xyz/p0]")
+    assert "/tmp/_" in p
+    # unbalanced (pre-truncated) input passes through without error
+    t = stabilize_plan_line("keys=[a#1, trunc(b#2")
+    assert t.startswith("keys=[")
+
+
+
 def test_loop_join_nodes_detected_and_clean_plan_empty():
     flagged = """+- HashAggregate(keys=[], functions=[sum(v)])
    +- BroadcastNestedLoopJoin BuildRight, Cross

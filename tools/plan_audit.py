@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -213,6 +214,82 @@ KEY_MARKERS = (
     "Sort ",
 )
 
+# Volatile plan tokens normalized before writing PLANS.md (VERDICT r9
+# item 7): expression ids (#123) and plan_id counters are GLOBAL
+# session counters, so registering one new query used to shift every
+# subsequent section's ids and each audit run rewrote ~3k lines; tmp
+# fixture paths change every run. Normalizing makes a no-op re-run a
+# zero diff, so real plan changes surface in review. Order matters:
+# normalize BEFORE the 150-char truncation, otherwise id-width drift
+# moves the truncation boundary.
+_VOLATILE = (
+    (re.compile(r"#\d+"), "#_"),
+    (re.compile(r"plan_id=\d+"), "plan_id=_"),
+    (re.compile(r"(?:file:)?/tmp/[^\s,\]\)]+"), "/tmp/_"),
+    (re.compile(r"(?:file:)?\S*/spark-warehouse/[^\s,\]\)]+"), "warehouse/_"),
+)
+
+
+def _split_top_level(inner: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in inner:
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
+
+
+def _sort_balanced(s: str, opener: str, close: str,
+                   keep_last: bool) -> str:
+    # Catalyst emits grouping-set aggregate keys (and the matching
+    # hashpartitioning args) in hash-set order — nondeterministic
+    # across runs (observed: table_profile_lineitem). Sorting the
+    # top-level entries makes the rendered line stable without losing
+    # information: the key SET is what the audit proves, not key
+    # order. Balanced scan, not regex — entries nest parens
+    # (knownfloatingpointnormalized(normalizenanandzero(x))).
+    out, i, op = [], 0, opener[-1]
+    pair = {"(": ")", "[": "]"}[op]
+    while True:
+        j = s.find(opener, i)
+        if j < 0:
+            out.append(s[i:])
+            return "".join(out)
+        out.append(s[i : j + len(opener)])
+        depth, k = 1, j + len(opener)
+        while k < len(s) and depth:
+            if s[k] == op:
+                depth += 1
+            elif s[k] == pair:
+                depth -= 1
+            k += 1
+        if depth:  # unbalanced (already-truncated line): leave as-is
+            out.append(s[j + len(opener):])
+            return "".join(out)
+        parts = _split_top_level(s[j + len(opener) : k - 1])
+        if keep_last:  # hashpartitioning: last arg = npartitions
+            parts = sorted(parts[:-1]) + parts[-1:]
+        else:
+            parts = sorted(parts)
+        out.append(", ".join(parts) + close)
+        i = k
+    # unreachable
+
+
+def stabilize_plan_line(s: str) -> str:
+    for rx, rep in _VOLATILE:
+        s = rx.sub(rep, s)
+    s = _sort_balanced(s, "keys=[", "]", keep_last=False)
+    s = _sort_balanced(s, "hashpartitioning(", ")", keep_last=True)
+    return s
+
 
 # Nodes that mean the next Exchange belongs to a different subtree —
 # stop scanning. Any repartitioning Exchange also terminates: a
@@ -278,6 +355,9 @@ that prove the scale property claimed in its docstring.
 
 Why executed plans: `.explain("formatted")` before an action shows the
 pre-AQE skeleton and hides final exchange/broadcast decisions.
+
+Expression ids (`#_`), `plan_id=_`, and tmp fixture paths are
+normalized so a no-op re-run produces a zero diff.
 """
 
 
@@ -382,6 +462,7 @@ def main() -> None:
         for line in plan.splitlines():
             s = line.rstrip()
             if any(k in s for k in KEY_MARKERS):
+                s = stabilize_plan_line(s)
                 if len(s) > 150:
                     s = s[:147] + "..."
                 keep.append(s)
