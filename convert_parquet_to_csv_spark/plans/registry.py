@@ -84,103 +84,45 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # order of QUERIES/ORACLES is therefore a CORRECTNESS-COVERAGE
 # decision, not cosmetics.
 #
-# r8 strategy (VERDICT r7 item 2): the never-gated class is empty
-# since r7 (new queries gate the round they are born — maintained:
-# the 8 r8 registrations sit right behind the canaries), so the
-# whole refresh budget goes to the OLDEST-signal class — all 39
-# queries whose latest driver row is r2 (5 rounds old; the r7 judge
-# replica-sampled 16 of them green, this is rotation bookkeeping).
-# Layout is exactly the 50-slot gate budget: 3 canaries + 17 r8
-# day-one (8 + 4 wave-2 + 3 wave-3 + 2 wave-4) + 30 of the 39
-# r9 gate plan (executes VERDICT r8 item 2): canaries, then the r9
-# day-one registrations (added the commit they are born — the
-# standing invariant), then the queries whose KERNELS or ORACLES the
-# r9/ADVICE-r8 fixes touched, then the nine TPC-H queries whose
-# newest driver row is still r2 (displaced twice by day-one waves —
-# first in line by explicit verdict queue FIRST_TIER[50:59] → r9
-# slots), then the eight r8 oracle-TEXT-edited names, then r3-latest
-# refresh slots in registration order. After this round the oldest
-# driver signal everywhere is >= r3 and the displaced-TPC-H debt is
-# cleared. Later r9 day-one registrations displace TRAILING
-# r3-refresh slots only (their signal stays r3 — the age floor
-# holds), never the TPC-H/oracle-edited blocks.
+# Rotation doctrine (held since r7): new queries gate the round they
+# are born (the never-gated class stays empty); the rest of the
+# 50-slot prefix rotates the OLDEST-signal class each round; queries
+# whose kernels or oracle TEXT changed re-gate the same round, with
+# result-CHANGED edits outranking refresh slots and result-unchanged
+# fixes trailing them. Signal-age histogram after r9 (latest driver
+# row per name, computed from the CORRECTNESS artifacts):
+#   r9:50  r8:43  r7:39  r6:47  r5:45  r4:47  r3:34  — floor r3.
+# The 34 r3-latest names all sit in this round's gate prefix, so the
+# floor advances to r4 when CORRECTNESS_r10 lands.
 FIRST_TIER: list[str] = [
+    # r10 gate plan (executes VERDICT r9 item 2 — advance the floor
+    # to r4): canaries, then r10 day-one registrations (added the
+    # commit they are born — the standing invariant), then the
+    # queries whose RESULTS this round's kernel changes alter (the
+    # classifier chain retrained on Gopher-deck weak labels replaces
+    # the md5-parity pseudo-labels — stale green rows would be
+    # misleading), then ALL 34 r3-latest names (the complete
+    # oldest-signal class; after this round the oldest driver signal
+    # anywhere is >= r4), then result-UNCHANGED touched kernels
+    # (persist/guard fixes — oracle-verified locally, driver row
+    # refreshed if slots remain). Budget: 3 canaries + day-one +
+    # 3 changed re-gates + 34 refresh must stay <= 50; day-one
+    # growth displaces the TRAILING unchanged re-gates first, never
+    # an r3-refresh slot.
     # --- canaries (every round): flagship roundtrip, conf-pinning sentinel, mapInPandas seam ---
     "convert_roundtrip",
     "python_datasource_scan",
     "multimodal_resize_geometry",
-    # --- r9 day-one registrations (gate the round they are born;
-    # names append here in the same commit that registers them) ---
-    "paragraph_dedup_boilerplate",
+    # --- r10 day-one registrations (append here when born, in the
+    # same commit that registers them) ---
+    # --- r10 result-changed re-gates: the classifier chain now
+    # trains on in-engine Gopher-deck weak labels (VERDICT item 3);
+    # weights, scores, and calibration bins all change. ---
     "quality_classifier_train",
-    "unigram_lm_encode",
-    "dedup_maximal_extents",
-    # r9 wave 2 (displace trailing r3-refresh slots per the rule
-    # above): in-engine bigram-LM scoring, source JS divergence,
-    # embedding-space decontamination, WordPiece encoding.
-    "ngram_lm_perplexity",
-    "source_js_divergence",
-    "decontaminate_semantic",
-    "wordpiece_encode",
-    # r9 wave 3: BM25 retrieval, classifier calibration readout,
-    # incremental MinHash admission.
-    "bm25_topk_docs",
-    "classifier_calibration_bins",
-    "dedup_minhash_incremental",
-    # r9 wave 4: the three-family tokenizer capstone + the bigram-LM
-    # bucket closure (train -> score -> bucket, all in-engine).
-    "subword_fertility_compare",
-    "bigram_lm_buckets",
-    # --- r9 kernel/oracle-touched re-gates ---
-    # corpus_datacard: eqNullSafe fingerprint join + oracle edit
-    # (ADVICE r8 #1); quality_classifier_linear: re-oracled to
-    # consume the in-engine-trained weight table (VERDICT item 3);
-    # dedup_within_doc_repeats: NULL contract now pinned by
-    # spark.sql.ansi.enabled in RUNTIME_PINNED_CONF (ADVICE r8 #2).
-    "corpus_datacard",
     "quality_classifier_linear",
-    "dedup_within_doc_repeats",
-    # line_dedup_boilerplate joins the re-gate block late-r9: its
-    # ORACLE TEXT gained the NULL-id pass-through replay (review r9)
-    # — an edited oracle takes a gate slot; the displaced trailing
-    # r3-refresh name (graph_triangle_copurchase) heads the r10
-    # queue instead.
-    "line_dedup_boilerplate",
-    # --- the nine TPC-H queries still r2-latest (VERDICT r8 queue) ---
-    "q17_small_quantity_revenue",
-    "q21_suppliers_waiting",
-    "q22_sales_opportunity",
-    "q16_parts_supplier_relationship",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q13_customer_distribution",
-    # --- the eight r8 oracle-TEXT-edited names (inline-oracle-
-    # covered meanwhile; driver row restored this round) ---
-    "source_mixture_epochs",
-    "dedup_exact_substring_removal",
-    "dedup_url_canonical",
-    "url_domain_census",
-    "gopher_repetition_signals",
-    "gopher_quality_filter",
-    "dedup_span_extents",
-    "pack_concat_chunks",
-    # --- refresh: r3-latest class (47 names; the 23 below rotate
-    # this round in registration order, the rest queue for r10) ---
-    "python_datasource_write_roundtrip",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_potential_promotion",
-    "span_dedup_c4",
-    "similarity_topk_bruteforce",
-    "dedup_embedding_cosine",
-    "embedding_centroids",
-    "similarity_ivf_recall",
-    "arrow_vector_checksum",
-    "hll_distinct_customers",
-    "approx_quantile_sketch",
-    "cms_heavy_hitters",
+    "classifier_calibration_bins",
+    # --- refresh: the COMPLETE r3-latest class (34 names, floor ->
+    # r4), registration order ---
     "robust_stats_orders",
     "regex_zoo_docs",
     "windowed_agg",
@@ -191,7 +133,6 @@ FIRST_TIER: list[str] = [
     "streaming_foreachbatch_upsert_live",
     "streaming_dedup_live",
     "graph_triangle_copurchase",
-    # --- r10 refresh queue head: the remaining r3-latest names ---
     "multimodal_stats",
     "multimodal_frame_sample",
     "partition_pruned_scan",
@@ -216,6 +157,59 @@ FIRST_TIER: list[str] = [
     "null_semantics_zoo",
     "recursive_cte_hierarchy",
     "variant_json_path",
+    # --- r10 result-unchanged touched kernels (ADVICE r9 persist/
+    # guard fixes + the extents min_count generalization's default
+    # path; first displaced if day-one grows past the 50 cut) ---
+    "bigram_lm_buckets",
+    "dedup_minhash_incremental",
+    "dedup_maximal_extents",
+    # ================= below the 50-slot gate cut =================
+    # --- r9 day-one registrations (r9-green, kept for ordering) ---
+    "paragraph_dedup_boilerplate",
+    "unigram_lm_encode",
+    "ngram_lm_perplexity",
+    "source_js_divergence",
+    "decontaminate_semantic",
+    "wordpiece_encode",
+    "bm25_topk_docs",
+    "subword_fertility_compare",
+    # --- r9 re-gates (r9-green) ---
+    "corpus_datacard",
+    "dedup_within_doc_repeats",
+    "line_dedup_boilerplate",
+    # --- TPC-H r9-refreshed ---
+    "q17_small_quantity_revenue",
+    "q21_suppliers_waiting",
+    "q22_sales_opportunity",
+    "q16_parts_supplier_relationship",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q13_customer_distribution",
+    # --- the eight r8 oracle-TEXT-edited names (r9-refreshed) ---
+    "source_mixture_epochs",
+    "dedup_exact_substring_removal",
+    "dedup_url_canonical",
+    "url_domain_census",
+    "gopher_repetition_signals",
+    "gopher_quality_filter",
+    "dedup_span_extents",
+    "pack_concat_chunks",
+    # --- r3-class names refreshed at r9 ---
+    "python_datasource_write_roundtrip",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    "span_dedup_c4",
+    "similarity_topk_bruteforce",
+    "dedup_embedding_cosine",
+    "embedding_centroids",
+    "similarity_ivf_recall",
+    "arrow_vector_checksum",
+    "hll_distinct_customers",
+    "approx_quantile_sketch",
+    "cms_heavy_hitters",
     # --- r8 day-one registrations (r8-green, below the cut) ---
     "bpe_encode_corpus",
     "pack_chunks_bpe",
