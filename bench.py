@@ -540,6 +540,50 @@ def main() -> None:
         except OSError:
             pass
 
+    # r10 (VERDICT r9 item 1): a SECOND, CPU-shaped anchor beside the
+    # IO-shaped CSV-write one. The single anchor failed to decompose
+    # a VM profile shift two rounds running (r8: anchor moved opposite
+    # to CPU-bound keys; r9: degraded disk blew the anchor up 8x while
+    # CPU keys sat flat) — one number cannot tell "the box's disk got
+    # slow" from "the box's CPU got slow". This key runs the q1-style
+    # aggregation over the SAME 10M-row lineitem with no file write:
+    # parquet decode + hash agg, page-cache-warm after the first pass,
+    # so it tracks the box's CPU speed. bench_compare reads BOTH
+    # anchors to classify cross-round drift per profile.
+    try:
+        import duckdb as _duck_mod
+
+        _q1_sql = (
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(l_quantity), sum(l_extendedprice), "
+            "sum(l_extendedprice * (1 - l_discount)), count(*) "
+            f"FROM read_parquet('{TENM_PATH}/*.parquet') "
+            "WHERE l_shipdate <= DATE '1998-09-02' "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        )
+
+        def _run_duck_q1():
+            # 5 repetitions per timed sample: one pass is ~0.2 s —
+            # too short to be noise-robust as an anchor — and only
+            # RATIOS of this key cross rounds, so the constant
+            # factor is free.
+            con = _duck_mod.connect()
+            for _ in range(5):
+                con.execute(_q1_sql).fetchall()
+
+        _run_duck_q1()  # warm (page cache + duckdb init)
+        q1_samples: list[float] = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _run_duck_q1()
+            q1_samples.append(time.perf_counter() - t0)
+        queries["baseline_duckdb_q1_agg"] = round(min(q1_samples), 4)
+        queries["baseline_duckdb_q1_agg_spread_pct"] = _spread(
+            q1_samples
+        )
+    except Exception as ex:  # noqa: BLE001 — calibration is best-effort
+        print(f"duckdb q1 calibration failed: {ex}", file=sys.stderr)
+
     # Flagship at SF_DIR proper (warm by now).
     def _run_sf():
         shutil.rmtree("/tmp/cptc_bench_sf_csv", ignore_errors=True)

@@ -114,6 +114,45 @@ def test_anchor_still_flags_real_regressions(bench_compare):
     assert flagged == ["q_x"]
 
 
+def test_two_anchor_cpu_drift_explains_cpu_bound_key(bench_compare):
+    """r10 two-anchor protocol (VERDICT r9 item 1): a CPU-bound key
+    that doubled on a box whose CPU anchor also doubled is VM drift
+    — the IO anchor alone (flat) would have flagged it. And the
+    disagreement between the anchors prints the PROFILE SHIFT
+    banner."""
+    a_io = bench_compare.ANCHOR_DEFAULT
+    a_cpu = bench_compare.ANCHOR_CPU
+    old = {a_io: 4.0, a_cpu: 1.0, "q_x": 1.0}
+    new = {a_io: 4.0, a_cpu: 2.0, "q_x": 2.0}
+    flagged, txt = _cap(bench_compare, old, new, tol=0.25)
+    assert flagged == []
+    assert "PROFILE SHIFT" in txt
+    assert "CPU-drift explained" in txt
+
+
+def test_two_anchor_still_flags_real_regressions(bench_compare):
+    """Both anchors flat + query doubled -> neither profile explains
+    it -> flagged. The second anchor must not widen the net."""
+    a_io = bench_compare.ANCHOR_DEFAULT
+    a_cpu = bench_compare.ANCHOR_CPU
+    old = {a_io: 4.0, a_cpu: 1.0, "q_x": 1.0}
+    new = {a_io: 4.2, a_cpu: 1.05, "q_x": 2.0}
+    flagged, txt = _cap(bench_compare, old, new, tol=0.25)
+    assert flagged == ["q_x"]
+    assert "PROFILE SHIFT" not in txt  # x1.05 vs x1.05 agree
+
+
+def test_cpu_anchor_absent_falls_back_to_single_anchor(bench_compare):
+    """Pre-r10 records carry no CPU anchor — behavior must reduce to
+    the r9 single-anchor protocol exactly (no adjcpu column)."""
+    a_io = bench_compare.ANCHOR_DEFAULT
+    old = {a_io: 4.0, "q_x": 1.0}
+    new = {a_io: 5.0, "q_x": 1.25}
+    flagged, txt = _cap(bench_compare, old, new, tol=0.1)
+    assert flagged == []
+    assert "adjcpu" not in txt
+
+
 def test_spread_key_marks_delta_as_noise(bench_compare):
     """An adjusted delta below the recorded `_spread_pct` dispersion
     is noise by the r6 noise-floor doctrine — reported, not flagged."""

@@ -22,6 +22,15 @@ noise-floor protocol) is flagged only when the adjusted delta exceeds
 BOTH the tolerance and the larger of the two runs' recorded spreads —
 within-run dispersion marks deltas below it as VM noise by doctrine.
 
+Two-anchor decomposition (r10, VERDICT r9 item 1): the IO-shaped
+CSV-write anchor alone cannot tell a slow-disk box from a slow-CPU
+box (it failed in opposite directions in r8 and r9). When both
+records also carry ``baseline_duckdb_q1_agg`` (same 10M rows, pure
+scan+aggregate, no file write), per-query deltas are adjusted under
+BOTH drifts and a query is flagged only when NEITHER profile
+explains it — min(adj_io, adj_cpu) must clear tolerance and spread.
+Anchors disagreeing by >25% print a PROFILE SHIFT banner.
+
 Input formats: a bench.py stdout capture (one or two JSON lines — the
 final compact line added in r8 parses on its own), or a driver
 ``BENCH_r{N}.json`` record; when the driver's ``parsed`` field is
@@ -45,6 +54,14 @@ import re
 import sys
 
 ANCHOR_DEFAULT = "baseline_duckdb_convert_10m"
+# r10 (VERDICT r9 item 1): the second, CPU-shaped anchor. The single
+# IO-shaped anchor failed to decompose a VM profile shift two rounds
+# running (r8: anchor moved opposite to CPU-bound keys; r9: a
+# degraded disk blew the anchor up 8x while CPU keys sat flat). With
+# both anchors, a per-query delta is VM drift if EITHER profile's
+# normalization explains it — a real code regression slows the query
+# under both.
+ANCHOR_CPU = "baseline_duckdb_q1_agg"
 
 # driver-record fields that regex recovery must not mistake for
 # query timings
@@ -205,17 +222,45 @@ def compare(
             f"raw deltas only",
             file=out,
         )
+    # Two-anchor decomposition (r10): the CPU-shaped anchor rides
+    # along whenever both records carry it. A query is flagged only
+    # if NEITHER profile's drift explains its delta — min(adj_io,
+    # adj_cpu) must clear tolerance and spread. When the two drifts
+    # disagree by >25% the box's profile shifted (the r8/r9 failure
+    # mode) and the header says so.
+    drift_cpu: float | None = None
+    if anchor and oq.get(ANCHOR_CPU) and nq.get(ANCHOR_CPU):
+        drift_cpu = nq[ANCHOR_CPU] / oq[ANCHOR_CPU]
+        print(
+            f"cpu anchor {ANCHOR_CPU}: {oq[ANCHOR_CPU]:.3f} -> "
+            f"{nq[ANCHOR_CPU]:.3f} (x{drift_cpu:.3f})",
+            file=out,
+        )
+        if drift and max(drift, drift_cpu) / min(drift, drift_cpu) > 1.25:
+            print(
+                "PROFILE SHIFT: IO and CPU anchors disagree "
+                f"(x{drift:.2f} vs x{drift_cpu:.2f}) — flagging only "
+                "deltas unexplained by EITHER profile",
+                file=out,
+            )
 
     shared = sorted(set(oq) & set(nq))
     regressions: list[str] = []
-    print(
-        f"{'query':<36} {'old':>8} {'new':>8} {'raw':>8} {'adj':>8}",
-        file=out,
-    )
+    hdr = f"{'query':<36} {'old':>8} {'new':>8} {'raw':>8} {'adj':>8}"
+    if drift_cpu is not None:
+        hdr += f" {'adjcpu':>8}"
+    print(hdr, file=out)
     for name in shared:
         o, n = oq[name], nq[name]
         raw = (n - o) / o if o else 0.0
         adj = (n / drift - o) / o if o else 0.0
+        adj_cpu = (
+            (n / drift_cpu - o) / o
+            if (o and drift_cpu is not None)
+            else None
+        )
+        # the flagging delta: VM drift if EITHER anchor explains it
+        adj_eff = adj if adj_cpu is None else min(adj, adj_cpu)
         # `_spread_pct` keys are DISPERSION metadata (r6 noise-floor
         # protocol), `_`-prefixed keys are corpus-size metadata, and
         # the anchor/calibration keys time DUCKDB (the VM-speed
@@ -225,6 +270,7 @@ def compare(
             name.endswith("_spread_pct")
             or name.startswith("_")
             or name == ANCHOR_DEFAULT
+            or name == ANCHOR_CPU
             or name == "calibration_ratio_vs_duckdb"
         )
         spread = max(
@@ -232,16 +278,20 @@ def compare(
             nq.get(f"{name}_spread_pct", 0.0),
         ) / 100.0
         flag = ""
-        if is_timing and adj > tol and adj > spread:
+        if is_timing and adj_eff > tol and adj_eff > spread:
             flag = "  << REGRESSION"
             regressions.append(name)
-        elif is_timing and adj > tol:
+        elif is_timing and adj_eff > tol:
             flag = f"  (within {spread:.0%} spread — noise)"
-        print(
+        elif is_timing and adj > tol and adj_cpu is not None:
+            flag = "  (CPU-drift explained)"
+        line = (
             f"{name:<36} {o:>8.3f} {n:>8.3f} {raw:>+7.1%} "
-            f"{adj:>+7.1%}{flag}",
-            file=out,
+            f"{adj:>+7.1%}"
         )
+        if drift_cpu is not None:
+            line += f" {adj_cpu:>+7.1%}"
+        print(line + flag, file=out)
     for name in sorted(set(nq) - set(oq)):
         print(f"{name:<36} {'-':>8} {nq[name]:>8.3f}     new", file=out)
     for name in sorted(set(oq) - set(nq)):
