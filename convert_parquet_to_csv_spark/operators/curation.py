@@ -1112,14 +1112,54 @@ def linear_text_classifier(
     )
 
 
+def gopher_weak_labels(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    micro: int = 1_000_000,
+    **deck_kwargs,
+) -> DataFrame:
+    """In-engine weak-supervision labels for the quality classifier
+    (VERDICT r9 item 3 — retires the md5-parity pseudo-labels, the
+    loop's last stub): ``y_micro = micro`` iff the document passes
+    the FULL Gopher rule deck (:func:`gopher_quality_filter`'s
+    ``passes_all`` conjunction), else 0. This is the standard
+    rule-deck→classifier distillation shape (the DCLM/FineWeb-Edu
+    recipe trains fastText on a labeler the pipeline already owns);
+    an independent IN-ENGINE labeler, so train → apply → calibrate
+    runs end-to-end with no offline artifact anywhere. NULL-id rows
+    are excluded — the training contract (featurization pools by id;
+    a NULL id has no stable gradient identity).
+
+    Splits the synthetic fixture ~50/50 at every SF (251/249 at
+    sf0.01), so the learned weights are non-degenerate and the
+    calibration readout carries signal. Plan shape = the deck's own:
+    two text scans (scalar projection + the shared repetition-gram
+    subtree), one doc-keyed flag join, then a pure projection —
+    nothing new on top of :func:`gopher_quality_filter`.
+    """
+    flags = gopher_quality_filter(df, id_col, text_col, **deck_kwargs)
+    return flags.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.when(F.col("passes_all"), F.lit(int(micro)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("y_micro"),
+    )
+
+
 def md5_parity_micro(col: Column | str, micro: int = 1_000_000) -> Column:
     """Deterministic md5-parity pseudo-label in MICRO units (0 or
     ``micro``) — the house cross-engine RNG applied to a label seam.
-    Extracted (review r9, the hashed_ngram_buckets precedent) so the
-    gated train/apply queries and the scale-curve kernel share ONE
-    label rule that cannot drift; the DuckDB twin is
+    Extracted (review r9, the hashed_ngram_buckets precedent) so
+    every consumer shares ONE parity rule that cannot drift; the
+    DuckDB twin is
     ``(('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15))::BIGINT % 2)
-    * micro``."""
+    * micro``. Since r10 the GATED classifier chain trains on
+    :func:`gopher_weak_labels` instead; this stays as the
+    scale-curve kernel's label source (the curve isolates GD cost —
+    the labeler's cost is measured by the gopher bench keys) and as
+    the house deterministic-label device for tests."""
     c = F.col(col) if isinstance(col, str) else col
     return (
         F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)

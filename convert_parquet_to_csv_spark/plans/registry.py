@@ -115,6 +115,8 @@ FIRST_TIER: list[str] = [
     "multimodal_resize_geometry",
     # --- r10 day-one registrations (append here when born, in the
     # same commit that registers them) ---
+    "classifier_weak_labels",
+    "dedup_maximal_extents_c3",
     # --- r10 result-changed re-gates: the classifier chain now
     # trains on in-engine Gopher-deck weak labels (VERDICT item 3);
     # weights, scores, and calibration bins all change. ---

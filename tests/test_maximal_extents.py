@@ -13,35 +13,32 @@ from hypothesis import strategies as st
 from convert_parquet_to_csv_spark.operators import dedup as D
 
 
-def _ref_maximal(docs, k, w_cap):
-    """Brute force: L(p) = longest common prefix of the (k+w_cap)-
-    truncated suffix at p with ANY other suffix position; report
-    (doc, p, p+L(p)) iff L(p) >= k and L(p-1) <= L(p)."""
+def _ref_maximal(docs, k, w_cap, c=2):
+    """Brute force, generalized to occurrence count >= c (r10):
+    L_c(p) = longest l such that the l-prefix of the (k+w_cap)-
+    truncated suffix at p occurs at >= c suffix positions corpus-wide
+    (p itself included — c=2 is exactly "shares a prefix with some
+    OTHER position", the r9 reference); report (doc, p, p+L(p)) iff
+    L(p) >= k and L(p-1) <= L(p)."""
     cap = k + w_cap
     sufs = []  # (doc, p, tuple of tokens)
-    toks = {}
     for i, text in docs:
         if text is None:
             continue
         ts = text.split()
-        toks[i] = ts
         for p in range(max(len(ts) - k + 1, 0)):
             sufs.append((i, p, tuple(ts[p : p + cap])))
-
-    def lcp(a, b):
-        n = 0
-        for x, y in zip(a, b):
-            if x != y:
-                break
-            n += 1
-        return n
 
     L = {}
     for i, p, s in sufs:
         best = 0
-        for j, q, t in sufs:
-            if (i, p) != (j, q):
-                best = max(best, lcp(s, t))
+        for l in range(1, len(s) + 1):
+            pref = s[:l]
+            cnt = sum(1 for _, _, t in sufs if t[:l] == pref)
+            if cnt >= c:
+                best = l
+            else:
+                break  # prefix counts are non-increasing in l
         L[(i, p)] = best
     out = set()
     for (i, p), l in L.items():
@@ -86,6 +83,103 @@ def test_maximal_extents_match_bruteforce_suffix_reference(
         ).collect()
     }
     assert got == _ref_maximal(rows, k=k, w_cap=4)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_docs_strategy, k=st.integers(2, 3), c=st.integers(3, 4))
+def test_maximal_extents_min_count_matches_bruteforce(
+    spark, docs, k, c
+):
+    """The windowed-c generalization (r10, VERDICT r9 item 4) vs the
+    brute-force >= c-occurrence suffix reference."""
+    rows = [
+        (i, None if ts is None else " ".join(ts))
+        for i, ts in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_toks"])
+        for r in D.maximal_duplicated_extents(
+            df, k=k, w_cap=4, min_count=c
+        ).collect()
+    }
+    assert got == _ref_maximal(rows, k=k, w_cap=4, c=c)
+
+
+def test_maximal_extents_min_count_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    with _pytest.raises(ValueError, match="min_count"):
+        D.maximal_duplicated_extents(df, min_count=1)
+
+
+def test_c3_semantics_triple_vs_double(spark):
+    """A 6-gram occurring exactly twice reports at c=2 but NOT at
+    c=3; one occurring three times reports at both, and c=3's L
+    never exceeds c=2's at the same position (L_c is non-increasing
+    in c)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f tail1"),
+            (2, "a b c d e f tail2"),       # pair-only 6-gram
+            (3, "p q r s t u m1"),
+            (4, "p q r s t u m2"),
+            (5, "p q r s t u m3"),          # triple 6-gram
+        ],
+        "doc_id LONG, text STRING",
+    )
+    c2 = {
+        (r["doc_id"], r["span_start"]): r["span_toks"]
+        for r in D.maximal_duplicated_extents(df, k=6).collect()
+    }
+    c3 = {
+        (r["doc_id"], r["span_start"]): r["span_toks"]
+        for r in D.maximal_duplicated_extents(
+            df, k=6, min_count=3
+        ).collect()
+    }
+    assert (1, 0) in c2 and (2, 0) in c2  # the pair reports at c=2
+    assert (1, 0) not in c3 and (2, 0) not in c3  # but not at c=3
+    assert {(3, 0), (4, 0), (5, 0)} <= set(c3)  # the triple does
+    for key, l3 in c3.items():
+        assert l3 <= c2[key]  # L_3 <= L_2 pointwise
+
+
+def test_islands_subset_of_maximal_extents_coverage(spark):
+    """Consistency gate tying the REMOVAL artifact to the AUDIT
+    artifact (r10, VERDICT r9 item 4): on the sf0.001 documents
+    fixture, every duplicated_span_extents island position is
+    covered by the union of maximal extents at c=2 (any duplicated
+    k-gram lies inside some maximal duplicated substring), and every
+    c=3 extent is covered by the c=2 coverage (>= 3 occurrences
+    implies >= 2)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    k = 6
+    islands = D.duplicated_span_extents(docs, k=k).collect()
+    spark.catalog.clearCache()
+    c2 = D.maximal_duplicated_extents(docs, k=k).collect()
+    c3 = D.maximal_duplicated_extents(docs, k=k, min_count=3).collect()
+    cover: dict[int, set[int]] = {}
+    for r in c2:
+        cover.setdefault(r["doc_id"], set()).update(
+            range(r["span_start"], r["span_end"])
+        )
+    assert islands, "fixture must exercise the invariant"
+    for r in islands:
+        got = cover.get(r["doc_id"], set())
+        missing = set(range(r["span_start"], r["span_end"])) - got
+        assert not missing, (r, sorted(missing)[:5])
+    assert c3, "fixture must contain a >=3-occurrence span"
+    for r in c3:
+        got = cover.get(r["doc_id"], set())
+        assert set(range(r["span_start"], r["span_end"])) <= got, r
 
 
 def test_maximal_vs_islands_semantics(spark):
