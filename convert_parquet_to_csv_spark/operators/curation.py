@@ -1176,7 +1176,7 @@ def train_linear_classifier(
     num_buckets: int = 512,
     epochs: int = 2,
     lr_num: int = 1,
-    lr_den: int = 20,
+    lr_den: int = 400,
     ngram_ns: tuple[int, ...] = (1, 2),
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
@@ -1203,7 +1203,12 @@ def train_linear_classifier(
     with N = |labels|. Squared loss (not logistic) keeps the epoch
     exactly integer — no sigmoid quantization grid — and its GD is
     the classic linear-probe recipe; the truncating div is the ONE
-    rounding per bucket per epoch. NULL ids are excluded from
+    rounding per bucket per epoch. Convergence needs
+    ``lr_num/lr_den < 2/λ_max(XᵀX/N)`` ≈ 2/mean‖x‖² — with ~100
+    ngram counts per doc that is lr ≲ 0.02, hence the 1/400 default
+    (r10: the old 1/20 DIVERGED once labels correlated with doc
+    length — random pseudo-labels had hidden it by cancelling
+    gradients; the calibration table is the regression canary). NULL ids are excluded from
     training (featurization pools by id; a NULL id has no stable
     gradient identity) — documented divergence from the apply path,
     which scores NULL-id rows as one pooled group.

@@ -1691,3 +1691,28 @@ def test_lm_score_buckets_matches_python(spark):
     # scores, so head's mean < tail's mean
     if ("en", "head") in got and ("en", "tail") in got:
         assert got[("en", "head")][2] < got[("en", "tail")][2]
+
+
+def test_calibration_bins_monotone_on_weak_labels(spark):
+    """The r10 regression canary for the classifier chain: trained
+    on Gopher-deck weak labels with the convergent 1/400 learning
+    rate, the calibration table at sf0.001 must be non-degenerate
+    and correctly SIGNED — every top-half bin's observed positive
+    fraction strictly above every bottom-half bin's. (The old 1/20
+    rate DIVERGED on correlated labels: logits at -6..-42 label
+    units, table anti-monotone; random md5-parity labels had hidden
+    it by cancelling gradients.)"""
+    from convert_parquet_to_csv_spark.plans import registry
+
+    registry.load_all()
+    rows = sorted(
+        (r["bin"], r["frac_pos"])
+        for r in registry.QUERIES["classifier_calibration_bins"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    assert len(rows) == 8
+    fracs = [f for _, f in rows]
+    assert len(set(fracs)) >= 3, fracs  # non-degenerate
+    assert min(fracs[4:]) > max(fracs[:4]), fracs  # signed + ordered
