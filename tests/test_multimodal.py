@@ -166,3 +166,74 @@ def test_resize_pads_short_payloads(spark):
     # grid = [[255,255],[0,0]] -> single block mean (255+255+0+0)//4
     assert bytes(row["resized"]) == bytes([127])
     assert (row["new_width"], row["new_height"]) == (1, 1)
+
+
+# --- pure-Python PGM decoder (r10) -----------------------------------------
+
+def test_decode_pgm_p5_and_p2_roundtrip():
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_pgm,
+    )
+
+    px = bytes(range(12))
+    p5 = b"P5\n# comment\n4 3\n255\n" + px
+    assert decode_pgm(p5) == ("P5", 4, 3, 255, px)
+    p2 = ("P2\n# c1\n# c2\n4 3\n255\n"
+          + " ".join(str(b) for b in px)).encode()
+    assert decode_pgm(p2) == ("P2", 4, 3, 255, px)
+    # whitespace variety between header tokens
+    assert decode_pgm(b"P5 4\t3  255\n" + px)[1:4] == (4, 3, 255)
+
+
+def test_decode_pgm_p5_raster_starts_after_single_whitespace():
+    """The P5 spec point parsers get wrong: exactly ONE whitespace
+    byte after maxval, then raw raster — a raster whose FIRST byte
+    is 0x0A (newline) must not be eaten as header whitespace."""
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_pgm,
+    )
+
+    px = b"\n\x00\x20\xff"
+    got = decode_pgm(b"P5\n2 2\n255\n" + px)
+    assert got == ("P5", 2, 2, 255, px)
+
+
+def test_decode_pgm_rejects_malformed():
+    import pytest as _pytest
+
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_pgm,
+    )
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_pgm(b"P6\n1 1\n255\n\x00")      # PPM, not PGM
+    with _pytest.raises(ValueError, match="short raster"):
+        decode_pgm(b"P5\n4 4\n255\n\x00\x01")  # truncated
+    with _pytest.raises(ValueError, match="geometry"):
+        decode_pgm(b"P5\n0 3\n255\n")          # zero width
+    with _pytest.raises(ValueError, match="geometry"):
+        decode_pgm(b"P5\n2 2\n65535\n")        # 16-bit unsupported
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_pgm(b"P2\n1 1\n100\n200")       # pixel above maxval
+    with _pytest.raises(ValueError, match="malformed"):
+        decode_pgm(b"P5\nab cd\n255\n")        # non-decimal header
+
+
+def test_decode_pgm_table_stats_and_resize(spark):
+    """decode → stats → factor-2 block-mean resize on a hand-checked
+    4x4 gradient through the real mapInPandas stage."""
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_pgm_table,
+    )
+
+    px = bytes(range(16))  # 4x4, sum 120
+    payload = b"P5\n4 4\n255\n" + px
+    media = spark.createDataFrame(
+        [(7, bytearray(payload))], "media_id LONG, content BINARY"
+    )
+    [r] = decode_pgm_table(media, factor=2).collect()
+    assert (r["fmt"], r["width"], r["height"]) == ("P5", 4, 4)
+    assert (r["n_pixels"], r["pixel_sum"], r["mean_pixel"]) == (16, 120, 7)
+    # blocks: [[0,1,4,5],[2,3,6,7],[8,9,12,13],[10,11,14,15]] sums
+    # 10,18,42,50 -> //4 -> 2,4,10,12 -> rs sum 28
+    assert (r["rs_width"], r["rs_height"], r["rs_pixel_sum"]) == (2, 2, 28)
