@@ -170,3 +170,95 @@ def bm25_topk(
             ),
         )
     )
+
+
+def bm25_rerank_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    vectors: DataFrame,
+    m: int = 20,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_terms: int = 8,
+) -> DataFrame:
+    """Two-stage hybrid retrieval (r10, VERDICT r9 item 6): BM25
+    candidate generation (top-``m`` per query, :func:`bm25_topk`) →
+    exact-cosine embedding re-rank of the CANDIDATE SET → top-``k``.
+    The standard retrieval shape a training-data pipeline runs for
+    contamination forensics and hard-negative mining: lexical recall
+    first (cheap, inverted-index-shaped), semantic precision second
+    (exact cosine, but only over ``|queries| · m`` candidate rows —
+    never a corpus-wide cosine).
+
+    Output: ``(query_id, rank, doc_id, cosine, bm25_rank,
+    bm25_score_micro)`` — rank 1..k by (cosine DESC, doc_id ASC);
+    the BM25 stage's rank/score ride along as provenance. Queries or
+    candidates with no row in ``vectors`` drop from the re-rank
+    (inner joins — you re-rank where vectors exist; at sf0.1 the
+    embeddings table deliberately covers only part of the corpus and
+    exercises this path).
+
+    Plan shape on top of bm25_topk's ONE corpus exchange: the
+    candidate table (|queries|·m rows) and the query-vector table
+    (≤ |queries| rows) are BROADCAST against the vector table — two
+    map-side passes over ``vectors``, no vector shuffle, then a
+    candidate-scale window for the final top-k. Cosine reuses
+    functions.vectors.cosine_similarity — float32→float64 casts with
+    left-to-right accumulation, bitwise-equal to DuckDB's
+    list_dot_product (the similarity-module determinism contract),
+    so the oracle replays the full two-stage chain value-exactly.
+    """
+    from convert_parquet_to_csv_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    cands = bm25_topk(
+        docs,
+        queries,
+        k=m,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+        max_query_terms=max_query_terms,
+    ).select(
+        query_id_col,
+        F.col("rank").alias("bm25_rank"),
+        id_col,
+        F.col("score_micro").alias("bm25_score_micro"),
+    )
+    qids = cands.select(query_id_col).distinct().withColumnRenamed(
+        query_id_col, "_qid"
+    )
+    qvec = vectors.join(
+        F.broadcast(qids), F.col(vec_id_col) == F.col("_qid")
+    ).select(
+        F.col("_qid").alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+    )
+    cvec = vectors.select(
+        F.col(vec_id_col).alias(id_col), F.col(vec_col).alias("_cvec")
+    ).join(F.broadcast(cands), id_col)
+    scored = cvec.join(F.broadcast(qvec), query_id_col).withColumn(
+        "cosine", cosine_similarity("_qvec", "_cvec")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            query_id_col,
+            F.col("rank").cast("bigint").alias("rank"),
+            id_col,
+            "cosine",
+            F.col("bm25_rank").cast("bigint").alias("bm25_rank"),
+            "bm25_score_micro",
+        )
+    )

@@ -1906,7 +1906,11 @@ _BM25_QTERMS = 8
 # (0x1.199999999999ap+1), and DuckDB's DECIMAL (1.2 + 1.0) casts to
 # the same double — the spelled-out form is defensive (it stays
 # correct if someone swaps k1), not load-bearing for the hash match.
-_BM25_ORACLE = rf"""
+def _bm25_oracle(k: int) -> str:
+    """The BM25 replay chain, parameterized on k so the hybrid
+    re-rank gate (r10) can nest the same chain at candidate depth m
+    without duplicating the SQL."""
+    return rf"""
 WITH tok AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(lower(text)), '\s+'),
@@ -1964,8 +1968,11 @@ r AS (
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro,
        CAST(score_micro AS DOUBLE) / 1e6 AS score
-FROM r WHERE rank <= {_BM25_K}
+FROM r WHERE rank <= {k}
 """
+
+
+_BM25_ORACLE = _bm25_oracle(_BM25_K)
 
 
 @query("bm25_topk_docs", oracle=_BM25_ORACLE)
@@ -1995,6 +2002,85 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         queries,
         k=_BM25_K,
+        max_query_terms=_BM25_QTERMS,
+    )
+
+
+# --- two-stage hybrid retrieval: BM25 -> cosine re-rank (r10) --------------
+
+_RERANK_M = 20  # BM25 candidate depth
+_RERANK_K = 5   # final top-k after the cosine re-rank
+
+# The BM25 chain nests at depth m as a parenthesized subquery; the
+# re-rank joins candidates and queries to the embeddings table
+# (INNER — rows without vectors drop, the operator contract; sf0.1's
+# partial embedding coverage exercises the path) and replays
+# functions.vectors.cosine_similarity via list_dot_product on
+# DOUBLE-cast lists (bitwise-equal accumulation — the
+# similarity-module determinism contract).
+_BM25_RERANK_ORACLE = f"""
+WITH cand AS (
+  SELECT query_id, rank AS bm25_rank, doc_id,
+         score_micro AS bm25_score_micro
+  FROM ({_bm25_oracle(_RERANK_M)}) b
+), vd AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), qv AS (
+  SELECT q.query_id, vd.v AS qvec
+  FROM (SELECT DISTINCT query_id FROM cand) q
+  JOIN vd ON vd.vec_id = q.query_id
+), j AS (
+  SELECT cand.query_id, cand.doc_id, cand.bm25_rank,
+         cand.bm25_score_micro,
+         list_dot_product(qv.qvec, vd.v)
+           / (sqrt(list_dot_product(qv.qvec, qv.qvec))
+              * sqrt(list_dot_product(vd.v, vd.v))) AS cosine
+  FROM cand
+  JOIN qv USING (query_id)
+  JOIN vd ON vd.vec_id = cand.doc_id
+), rr AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY cosine DESC, doc_id ASC) AS rank
+  FROM j
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, cosine,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank, bm25_score_micro
+FROM rr WHERE rank <= {_RERANK_K}
+"""
+
+
+@query("bm25_rerank_topk", oracle=_BM25_RERANK_ORACLE)
+def bm25_rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval (operators/retrieval.
+    bm25_rerank_topk, r10): BM25 top-20 lexical candidates per query
+    (same query construction as bm25_topk_docs) → exact-cosine
+    embedding re-rank of the candidate set → top-5 by (cosine DESC,
+    doc_id ASC), BM25 rank/score as provenance. Candidate-bounded by
+    construction: the candidate and query-vector tables broadcast
+    against the embeddings table — two map-side vector passes, no
+    corpus-wide cosine, no vector shuffle (plan-audited)."""
+    from convert_parquet_to_csv_spark.operators.retrieval import (
+        bm25_rerank_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(
+        F.col("doc_id") % _BM25_QMOD == F.lit(5)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("qtext"),
+    )
+    vectors = read_parquet(
+        spark, os.path.join(sf_dir, "embeddings.parquet")
+    )
+    return bm25_rerank_topk(
+        docs,
+        queries,
+        vectors,
+        m=_RERANK_M,
+        k=_RERANK_K,
         max_query_terms=_BM25_QTERMS,
     )
 

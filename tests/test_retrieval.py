@@ -102,3 +102,49 @@ def test_bm25_rare_term_outranks_stopword(spark):
         r["doc_id"]: r["rank"] for r in bm25_topk(ddf, qdf, k=3).collect()
     }
     assert rows[1] == 1
+
+
+def test_bm25_rerank_topk_semantics(spark):
+    """Hybrid retrieval (r10): BM25 recalls lexical candidates, the
+    cosine re-rank REORDERS them — a candidate that is lexically
+    weaker but semantically closer must win; rows without embeddings
+    drop from the re-rank (inner-join contract)."""
+    from convert_parquet_to_csv_spark.operators.retrieval import (
+        bm25_rerank_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),            # the query doc
+            (2, "apple banana cherry date"),       # strong lexical
+            (3, "apple banana other words here"),  # weaker lexical
+            (4, "apple something else entirely"),  # weakest
+            (5, "no shared terms at all"),         # out of candidates
+        ],
+        "doc_id LONG, text STRING",
+    )
+    queries = spark.createDataFrame(
+        [(1, "apple banana cherry")], "query_id LONG, qtext STRING"
+    )
+    # embeddings: doc 3 is semantically CLOSEST to the query; doc 4
+    # has NO embedding and must drop from the re-rank output.
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.5, 0.8, 0.0]),
+            (3, [0.99, 0.1, 0.0]),
+            (5, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    rows = bm25_rerank_topk(
+        docs, queries, vecs, m=4, k=4, max_query_terms=8
+    ).collect()
+    got = [(r["rank"], r["doc_id"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    # BM25 candidates: 1 (self), 2, 3, 4 — doc 4 drops (no vector);
+    # cosine order: self (1.0) > 3 (0.99..) > 2
+    assert got == [(1, 1), (2, 3), (3, 2)]
+    by_doc = {r["doc_id"]: r for r in rows}
+    # provenance rides along: doc 2 beat doc 3 lexically
+    assert by_doc[2]["bm25_rank"] < by_doc[3]["bm25_rank"]
+    assert all(r["bm25_score_micro"] > 0 for r in rows)

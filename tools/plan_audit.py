@@ -57,6 +57,7 @@ CASES = {
     "source_js_divergence": "JS divergence: ONE corpus exchange (source,token counts); token-keyed pair self-join bounded by vocab x K^2; per-source totals broadcast; K^2 pair spine restores disjoint pairs",
     "decontaminate_semantic": "semantic decontamination: benchmark folded to a 1-row broadcast array; corpus STREAMS through a map-side array_max(transform) scoring projection — zero corpus shuffles",
     "bm25_topk_docs": "BM25: ONE corpus exchange (doc,term tf); dl/df/idf roll up from it; query terms + idf broadcast into the postings; per-query WindowGroupLimit top-k",
+    "bm25_rerank_topk": "hybrid retrieval: BM25 chain unchanged, then candidate + query-vector tables BROADCAST against embeddings (two map-side vector passes, no vector shuffle, no corpus-wide cosine), candidate-scale re-rank window",
     "dedup_minhash_incremental": "incremental minhash: all x NEW bucket join (batch-bounded candidates), candidate-pruned exact-Jaccard verify, min-partner groupBy — no corpus-wide pair fan-out",
     "bigram_lm_buckets": "bigram-LM buckets: the LM chain's one corpus exchange, then the ccnet tercile device — per-lang ntile on the md5-bit SAMPLE only, |langs|-row cutoff broadcast, CASE assignment",
     "events_daily_gapfill": "gap fill: spine explode bounded by keys x days, one daily-agg shuffle",
