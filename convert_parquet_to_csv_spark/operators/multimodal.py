@@ -285,11 +285,18 @@ def decode_pgm(payload: bytes) -> tuple[str, int, int, int, bytes]:
     if w <= 0 or h <= 0 or not 0 < maxval <= 255:
         raise ValueError(f"unsupported PGM geometry {w}x{h}@{maxval}")
     if fmt == "P5":
-        pos += 1  # the single post-maxval whitespace byte
+        # exactly ONE whitespace byte after maxval, then raw raster
+        if not payload[pos : pos + 1].isspace():
+            raise ValueError("missing post-maxval whitespace byte")
+        pos += 1
         pixels = bytes(payload[pos : pos + w * h])
     else:
         toks = bytes(payload[pos:]).split()
-        pixels = bytes(int(t) for t in toks[: w * h])
+        if len(toks) > w * h:
+            raise ValueError(
+                f"excess raster: {len(toks)} tokens for {w * h} pixels"
+            )
+        pixels = bytes(int(t) for t in toks)
     if len(pixels) != w * h:
         raise ValueError(
             f"short raster: {len(pixels)} of {w * h} pixels"

@@ -1620,7 +1620,12 @@ def _trained_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     epochs of exact-integer batch GD. Real deployments swap in a
     rated sample at the same seam — the labels argument."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    labels = C.gopher_weak_labels(docs, min_stopword_hits=1)
+    # the deck is corpus-scale (two text scans + the gram shuffles)
+    # and training references the label table 1 + epochs times (the
+    # N count plus each epoch's residual join) — pin it once.
+    # Caller-released: bench/oracle_check clearCache() between
+    # queries, the registry-wide persist convention.
+    labels = C.gopher_weak_labels(docs, min_stopword_hits=1).persist()
     return C.train_linear_classifier(
         docs,
         labels,

@@ -217,6 +217,10 @@ def test_decode_pgm_rejects_malformed():
         decode_pgm(b"P2\n1 1\n100\n200")       # pixel above maxval
     with _pytest.raises(ValueError, match="malformed"):
         decode_pgm(b"P5\nab cd\n255\n")        # non-decimal header
+    with _pytest.raises(ValueError, match="whitespace"):
+        decode_pgm(b"P5\n1 1\n255")             # raster glued to maxval
+    with _pytest.raises(ValueError, match="excess"):
+        decode_pgm(b"P2\n1 1\n255\n7 8")       # too many pixels
 
 
 def test_decode_pgm_table_stats_and_resize(spark):

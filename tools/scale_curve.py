@@ -58,6 +58,7 @@ from convert_parquet_to_csv_spark.operators.chunking import (
     wordpiece_encode,
 )
 from convert_parquet_to_csv_spark.operators.retrieval import (
+    bm25_rerank_topk,
     bm25_topk,
 )
 from convert_parquet_to_csv_spark.operators.curation import (
@@ -67,6 +68,7 @@ from convert_parquet_to_csv_spark.operators.curation import (
     flag_contaminated,
     flag_contaminated_bloom,
     gopher_repetition_signals,
+    gopher_weak_labels,
     linear_text_classifier,
     md5_parity_micro,
     remove_duplicated_spans,
@@ -347,6 +349,53 @@ def main() -> None:
                 minhash_dedup_incremental(
                     d, F.col("doc_id") % 7 == F.lit(3)
                 )
+            ),
+            # r10: maximal extents at count >= 3 — the generic
+            # windowed-c path (lead(c-1) LCP + trailing ROWS max on
+            # a TOTAL order). The hot filter tightens to count >= 3,
+            # cutting sorted volume further; expected at-or-below
+            # the c=2 curve.
+            "maximal_extents_c3": lambda d=docs: (
+                maximal_duplicated_extents(d, k=6, min_count=3)
+            ),
+            # r10: hybrid retrieval — BM25's fixed 24-query side,
+            # vectors SYNTHESIZED corpus-scale (16-dim hash floats)
+            # so the candidate-vs-vector broadcast joins face a
+            # vector table that grows with the corpus (the fixture
+            # embeddings table is fixture-scale and would leave the
+            # re-rank empty on mangled ids). Expected ~bm25_topk +
+            # two map-side vector passes.
+            "bm25_rerank": lambda d=docs, s=spark: bm25_rerank_topk(
+                d,
+                read_parquet(
+                    s, os.path.join(SF_DIR, "documents.parquet")
+                )
+                .filter(F.col("doc_id") % 211 == 5)
+                .select(
+                    F.col("doc_id").alias("query_id"),
+                    F.col("text").alias("qtext"),
+                ),
+                d.select(
+                    F.col("doc_id").alias("vec_id"),
+                    F.array(
+                        *[
+                            (
+                                F.pmod(
+                                    F.xxhash64("doc_id", F.lit(i)),
+                                    F.lit(1000),
+                                ).cast("float")
+                                / F.lit(1000.0)
+                            )
+                            for i in range(16)
+                        ]
+                    ).alias("embedding"),
+                ),
+            ),
+            # r10: the weak labeler on its own — the full Gopher
+            # deck + label projection, the cost the retrained
+            # classifier chain adds over classifier_train's GD.
+            "gopher_weak_labels": lambda d=docs: gopher_weak_labels(
+                d, min_stopword_hits=1
             ),
         }
         only = os.environ.get("SPARK_GRAFT_CURVE_KERNELS")
