@@ -1521,13 +1521,16 @@ _QTRAIN_LRD = 400
 _QTRAIN_THRESHOLD = 500_000
 
 
-def _qtrain_cte_chain() -> tuple[str, str]:
+def _qtrain_cte_chain(lab_where: str = "") -> tuple[str, str]:
     """The WITH-body CTE chain replaying train_linear_classifier in
-    DuckDB SQL — features, md5-parity labels, and one unrolled CTE
-    quartet (logits → residuals → gradient → weight update) per
-    epoch; integer arithmetic throughout, `//` = Spark `div`
-    (trunc-toward-zero both engines, pinned by unit test). Returns
-    (chain, final_weight_cte_name)."""
+    DuckDB SQL — features, Gopher-deck weak labels (r10), and one
+    unrolled CTE quartet (logits → residuals → gradient → weight
+    update) per epoch; integer arithmetic throughout, `//` = Spark
+    `div` (trunc-toward-zero both engines, pinned by unit test).
+    ``lab_where``: extra predicate ANDed into the training-label CTE
+    (the holdout gate trains on the md5-parity-0 half); the deck
+    renders ONCE as ``laball`` so a holdout tail can join the
+    complementary half. Returns (chain, final_weight_cte_name)."""
     chain = rf"""tok AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(lower(text)), '\s+'),
@@ -1545,7 +1548,7 @@ def _qtrain_cte_chain() -> tuple[str, str]:
   )
 ), dc AS (
   SELECT doc_id, b, count(*) AS c FROM g GROUP BY 1, 2
-), lab AS (
+), laball AS (
   -- r10 (VERDICT r9 item 3): Gopher-deck weak labels replace the
   -- md5-parity pseudo-labels. The full deck oracle nests as a
   -- parenthesized subquery (DuckDB scopes CTE names per subquery —
@@ -1555,6 +1558,8 @@ def _qtrain_cte_chain() -> tuple[str, str]:
          CASE WHEN passes_all THEN 1000000 ELSE 0 END AS y
   FROM ({_GOPHER_FILTER_ORACLE}) gph
   WHERE doc_id IS NOT NULL
+), lab AS (
+  SELECT doc_id, y FROM laball {lab_where}
 ), nn AS (SELECT count(*) AS n FROM lab),
 w0 AS (
   SELECT CAST(i AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
@@ -1910,6 +1915,90 @@ def classifier_calibration_bins(
     ).select("doc_id", "logit_micro")
     labels = C.gopher_weak_labels(docs, min_stopword_hits=1)
     return C.calibration_bins(scores, labels, num_bins=_CALIB_BINS)
+
+
+# --- held-out classifier calibration (r10) ---------------------------------
+
+# Train on the md5-parity-0 half of the weak labels, calibrate on the
+# parity-1 half — the true generalization readout the training-set
+# calibration gate only approximates ("production swaps the labels
+# side for a held-out rated sample, same plan" — now gated). The
+# deck renders ONCE (laball) and both halves select from it.
+_HOLDOUT_SPLIT = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+    "::BIGINT % 2)"
+)
+_HOLDOUT_CHAIN, _HOLDOUT_WF = _qtrain_cte_chain(
+    f"WHERE {_HOLDOUT_SPLIT} = 0"
+)
+
+_HOLDOUT_ORACLE = (
+    "WITH "
+    + _HOLDOUT_CHAIN
+    + f""", s AS (
+  SELECT dc.doc_id,
+         CAST(sum(dc.c * w.w) AS BIGINT) AS logit_micro
+  FROM dc JOIN {_HOLDOUT_WF} w ON w.b = dc.b
+  GROUP BY dc.doc_id
+), sp AS (
+  SELECT d.doc_id, COALESCE(s.logit_micro, 0) AS lg
+  FROM (SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id IS NOT NULL) d
+  LEFT JOIN s ON d.doc_id = s.doc_id
+), labh AS (
+  SELECT doc_id, y FROM laball WHERE {_HOLDOUT_SPLIT} = 1
+), jl AS (
+  SELECT sp.doc_id, sp.lg, labh.y FROM sp JOIN labh USING (doc_id)
+), st AS (SELECT min(lg) AS mn, max(lg) AS mx FROM jl),
+bn AS (
+  SELECT ((lg - mn) * {_CALIB_BINS}) // (mx - mn + 1) AS bin, lg, y
+  FROM jl, st
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(lg) // count(*) AS BIGINT) AS mean_logit_micro,
+       CAST(sum(CASE WHEN y = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pos,
+       CAST(sum(CASE WHEN y = 1000000 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS frac_pos
+FROM bn GROUP BY 1
+"""
+)
+
+
+@query("quality_classifier_holdout", oracle=_HOLDOUT_ORACLE)
+def quality_classifier_holdout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Held-out reliability table (r10): train the linear classifier
+    on the md5-parity-0 HALF of the Gopher weak labels, score every
+    doc, calibrate against the parity-1 half the optimizer never saw
+    — the generalization readout that separates real signal from
+    label memorization (held-out top-half bins stay 0.83-1.0
+    positive vs 0-0.27 bottom-half at the fixtures). Same plan
+    shapes as the train/apply/calibration gates; the split is one
+    map-side parity predicate on the SHARED label table (pinned
+    once, both halves filter it)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    labels = C.gopher_weak_labels(
+        docs, min_stopword_hits=1
+    ).persist()  # shared by both halves; caller-released
+    parity = C.md5_parity_micro("doc_id", micro=1)
+    weights = C.train_linear_classifier(
+        docs,
+        labels.filter(parity == 0),
+        num_buckets=_QTRAIN_B,
+        epochs=_QTRAIN_EPOCHS,
+        lr_num=_QTRAIN_LRN,
+        lr_den=_QTRAIN_LRD,
+        hash_fn="md5",
+    )
+    scores = C.linear_text_classifier(
+        docs, weights, num_buckets=_QTRAIN_B, hash_fn="md5"
+    ).select("doc_id", "logit_micro")
+    return C.calibration_bins(
+        scores, labels.filter(parity == 1), num_bins=_CALIB_BINS
+    )
 
 
 # --- bigram-LM head/middle/tail buckets (r9) -------------------------------

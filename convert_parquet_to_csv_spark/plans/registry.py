@@ -119,6 +119,7 @@ FIRST_TIER: list[str] = [
     "dedup_maximal_extents_c3",
     "multimodal_decode_pgm",
     "bm25_rerank_topk",
+    "quality_classifier_holdout",
     # --- r10 result-changed re-gates: the classifier chain now
     # trains on in-engine Gopher-deck weak labels (VERDICT item 3);
     # weights, scores, and calibration bins all change. ---
