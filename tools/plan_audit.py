@@ -437,7 +437,13 @@ def main() -> None:
     loop_offenders: dict[str, list[str]] = {}
     seen_loop: set[str] = set()
     seen_single: set[str] = set()
-    sections = [HEADER]
+    # sections keyed by name and written in CASES order at the end:
+    # the full sweep iterates registry order while --skip-window-audit
+    # iterates CASES order, and emitting in iteration order made the
+    # two modes produce differently-ORDERED files — a whole-file
+    # reorder diff on every mode switch (the last churn source after
+    # the token normalization).
+    section_by_name: dict[str, str] = {}
     for name in audit_names:
         claim = CASES.get(name)
         current[0] = name
@@ -481,10 +487,13 @@ def main() -> None:
             if n
         )
         ex = f"**{n_ex}**" + (f" ({detail})" if detail else "")
-        sections.append(
+        section_by_name[name] = (
             f"## {name}\n\n*Claim: {claim}.* Exchanges: {ex}\n\n"
             "```\n" + "\n".join(keep[:18]) + "\n```\n"
         )
+    sections = [HEADER] + [
+        section_by_name[n] for n in CASES if n in section_by_name
+    ]
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
