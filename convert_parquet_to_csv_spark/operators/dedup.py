@@ -1594,3 +1594,154 @@ def minhash_dedup_incremental(
         F.col("matched_id").isNull().alias("kept"),
         "matched_id",
     )
+
+
+def shared_extent_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 6,
+    w_cap: int = 18,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """Cross-set ExactSubstr decontamination (r10): one row per
+    corpus doc sharing a >= ``k``-token VERBATIM span with any
+    benchmark doc — ``(id, max_shared_toks, bench_id,
+    n_hit_positions)`` — the forensic report contamination triage
+    reads where :func:`~convert_parquet_to_csv_spark.operators.
+    curation.flag_contaminated`'s n-gram flag only answers yes/no.
+    ``max_shared_toks`` is the longest shared span (cap-clipped at
+    ``k + w_cap``, the extents convention), ``bench_id`` a
+    DETERMINISTIC WITNESS achieving it — the nearest suffix-order
+    benchmark neighbor at the winning position (equal-slice ties
+    take the smallest bench id via the total sort; across a doc's
+    positions the smallest witness at the max wins), not necessarily
+    the globally smallest id among all max-achieving benchmark docs.
+    ``n_hit_positions`` counts corpus suffix positions whose >= k
+    prefix appears verbatim in the benchmark.
+
+    Algorithm — the two-set suffix identity (Lee et al. 2022's
+    cross-set flavor of :func:`maximal_duplicated_extents`): the
+    longest prefix of a corpus suffix matching ANY benchmark suffix
+    equals its LCP with the NEAREST benchmark suffix above or below
+    in suffix order. Both sides' (k + w_cap)-token slices union into
+    the same per-k-gram windows (suffix order localizes as before);
+    the nearest benchmark neighbors arrive as two running carries —
+    ``last(bench_struct, ignorenulls)`` over the preceding frame and
+    ``first(...)`` over the following frame — on ONE total-order
+    sort (the c3 lesson: (side, id, p) tie-breakers, both engines).
+    Gram pre-filter is exact and CROSS-SIDE: only grams present on
+    BOTH sides can produce a >= k cross-set match, so the window
+    volume is bounded by the INTERSECTION footprint — at 100 TB
+    corpus vs a benchmark of thousands of docs, that is benchmark-
+    scale, not corpus-scale (the same reason the bm25 idf broadcast
+    is query-bounded). No collect, no UDF, no single-partition
+    window; hash collisions only concatenate windows whose
+    cross-boundary LCP < k, invisible past the >= k filter.
+    """
+    bench_id = bench_id_col or id_col
+    slice_len = k + w_cap
+
+    def occ_of(df: DataFrame, idc: str, side: int) -> DataFrame:
+        base = df.select(
+            F.col(idc).alias("_id"), tokens(text_col).alias("_tk")
+        ).filter(F.size("_tk") >= k)
+        return base.select(
+            "_id",
+            F.explode(
+                F.sequence(F.lit(0), F.size("_tk") - k)
+            ).alias("_p"),
+            "_tk",
+        ).select(
+            "_id",
+            "_p",
+            F.expr(f"slice(_tk, _p + 1, {slice_len})").alias("_s"),
+            F.xxhash64(F.expr(f"slice(_tk, _p + 1, {k})")).alias("_gh"),
+            F.lit(side).alias("_side"),
+        )
+
+    both = occ_of(docs, id_col, 0).unionByName(
+        occ_of(benchmark, bench_id, 1)
+    )
+    hot = (
+        both.groupBy("_gh")
+        .agg(
+            F.min("_side").alias("_mn"), F.max("_side").alias("_mx")
+        )
+        .filter((F.col("_mn") == 0) & (F.col("_mx") == 1))
+        .select("_gh")
+    )
+    both = both.join(hot, "_gh")
+    order = [
+        F.col("_s").asc(),
+        F.col("_side").asc(),
+        F.col("_id").asc_nulls_first(),
+        F.col("_p").asc(),
+    ]
+    wg = Window.partitionBy("_gh").orderBy(*order)
+    bstruct = F.when(
+        F.col("_side") == 1,
+        F.struct(F.col("_s").alias("_bs"), F.col("_id").alias("_bid")),
+    )
+    up = F.last(bstruct, ignorenulls=True).over(
+        wg.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dn = F.first(bstruct, ignorenulls=True).over(
+        wg.rowsBetween(0, Window.unboundedFollowing)
+    )
+
+    def lcp_against(nb: Column) -> Column:
+        zipped = F.zip_with(
+            "_s", nb["_bs"], lambda x, y: x.eqNullSafe(y)
+        )
+        return F.when(nb.isNull(), F.lit(0)).otherwise(
+            F.coalesce(
+                F.nullif(
+                    F.array_position(zipped, F.lit(False)), F.lit(0)
+                )
+                - 1,
+                F.least(F.size("_s"), F.size(nb["_bs"])),
+            )
+        )
+
+    scored = (
+        both.withColumn("_up", up)
+        .withColumn("_dn", dn)
+        .filter(F.col("_side") == 0)
+        .select(
+            "_id",
+            lcp_against(F.col("_up")).cast("bigint").alias("_lu"),
+            lcp_against(F.col("_dn")).cast("bigint").alias("_ld"),
+            F.col("_up._bid").alias("_bu"),
+            F.col("_dn._bid").alias("_bd"),
+        )
+        .select(
+            "_id",
+            F.greatest("_lu", "_ld").alias("_l"),
+            F.when(F.col("_lu") > F.col("_ld"), F.col("_bu"))
+            .when(F.col("_ld") > F.col("_lu"), F.col("_bd"))
+            .otherwise(F.least("_bu", "_bd"))
+            .alias("_partner"),
+        )
+        .filter(F.col("_l") >= k)
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.max("_l").cast("bigint").alias("max_shared_toks"),
+            # struct-max argmax: max L first, then MIN partner id
+            F.max(
+                F.struct(
+                    F.col("_l"), (-F.col("_partner")).alias("_nb")
+                )
+            ).alias("_mx"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hit_positions"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "max_shared_toks",
+            (-F.col("_mx._nb")).cast("bigint").alias("bench_id"),
+            "n_hit_positions",
+        )
+    )

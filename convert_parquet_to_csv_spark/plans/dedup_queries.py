@@ -2392,6 +2392,115 @@ FROM stp WHERE l >= {_MX_K} AND lp <= l
 """
 
 
+# Cross-set ExactSubstr decontamination (r10): both sides' suffix
+# slices union into per-gram windows; the nearest benchmark
+# neighbors arrive as IGNORE-NULLS carries on one total-order sort;
+# the per-position partner and the per-doc argmax replay with the
+# same deterministic tie-breaks (ORDER BY l DESC, partner ASC ==
+# Spark's max(struct(l, -partner))).
+_XSET_LCP = """coalesce(nullif(list_position(list_transform(
+             range(1, least(len(s), len(struct_extract({nb}, 'bs'))) + 1),
+             ii -> s[CAST(ii AS INT)] IS NOT DISTINCT FROM
+                   struct_extract({nb}, 'bs')[CAST(ii AS INT)]),
+             false), 0) - 1,
+           least(len(s), len(struct_extract({nb}, 'bs'))))"""
+
+# k = 4 for THIS gate (not the extents' 6): the synthetic fixture's
+# tiny vocabulary makes long verbatim cross-doc spans rare, and k=6
+# left the sf0.01 driver fixture with ZERO contaminated rows — a
+# degenerate (vacuously green) gate. k=4 yields 8/8/727 rows at
+# sf0.001/0.01/0.1; production tunes k upward with real vocabulary.
+_XC_K = 4
+_XC_S = _XC_K + _MX_WCAP
+
+_XSET_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), occ AS (
+  SELECT doc_id AS id, CAST(i AS INT) AS p,
+         toks[CAST(i AS INT) + 1 : CAST(i AS INT) + {_XC_S}] AS s,
+         array_to_string(toks[CAST(i AS INT) + 1 :
+                              CAST(i AS INT) + {_XC_K}], ' ') AS g,
+         CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS side
+  FROM tok, unnest(range(0, len(toks) - {_XC_K} + 1)) AS t(i)
+  WHERE len(toks) >= {_XC_K}
+), hot AS (
+  SELECT g FROM occ GROUP BY g HAVING min(side) = 0 AND max(side) = 1
+), occ2 AS (
+  SELECT occ.* FROM occ JOIN hot USING (g)
+), nb AS (
+  SELECT id, p, side, s,
+         last_value(CASE WHEN side = 1
+                         THEN struct_pack(bs := s, bid := id) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY g ORDER BY s, side, id, p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS up,
+         first_value(CASE WHEN side = 1
+                          THEN struct_pack(bs := s, bid := id) END
+                     IGNORE NULLS)
+           OVER (PARTITION BY g ORDER BY s, side, id, p
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS dn
+  FROM occ2
+), sc AS (
+  SELECT id,
+         CASE WHEN up IS NULL THEN 0 ELSE
+           {_XSET_LCP.format(nb='up')} END AS lu,
+         CASE WHEN dn IS NULL THEN 0 ELSE
+           {_XSET_LCP.format(nb='dn')} END AS ld,
+         struct_extract(up, 'bid') AS bu,
+         struct_extract(dn, 'bid') AS bd
+  FROM nb WHERE side = 0
+), pt AS (
+  SELECT id, greatest(lu, ld) AS l,
+         CASE WHEN lu > ld THEN bu
+              WHEN ld > lu THEN bd
+              ELSE least(bu, bd) END AS partner
+  FROM sc WHERE greatest(lu, ld) >= {_XC_K}
+), rw AS (
+  SELECT id, partner, row_number() OVER (
+      PARTITION BY id ORDER BY l DESC, partner ASC) AS rn
+  FROM pt
+), gs AS (
+  SELECT id, CAST(max(l) AS BIGINT) AS max_shared_toks,
+         CAST(count(*) AS BIGINT) AS n_hit_positions
+  FROM pt GROUP BY id
+)
+SELECT gs.id AS doc_id, gs.max_shared_toks,
+       CAST(rw.partner AS BIGINT) AS bench_id, gs.n_hit_positions
+FROM gs JOIN rw ON rw.id IS NOT DISTINCT FROM gs.id AND rw.rn = 1
+"""
+
+
+@query("decontaminate_exact_substr", oracle=_XSET_ORACLE)
+def decontaminate_exact_substr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-set ExactSubstr decontamination (operators/dedup.
+    shared_extent_contamination, r10): per corpus doc (doc_id % 97
+    != 0) sharing a >= 4-token VERBATIM span with any benchmark doc
+    (doc_id % 97 == 0; k=4 per the constant's fixture note) — the
+    longest shared span (cap-clipped at 22), a deterministic witness bench_id, and the hit-position
+    count. The forensic refinement of decontaminate_ngram_overlap's
+    yes/no flag: suffix slices of BOTH sides union into per-gram
+    windows, nearest-benchmark-neighbor LCP via IGNORE-NULLS carries
+    on one total-order sort, cross-side gram pre-filter bounds the
+    window volume by the INTERSECTION footprint (benchmark-scale at
+    production sizes). Brute-force cross-set reference pinned in
+    tests/test_maximal_extents.py."""
+    docs = _docs(spark, sf_dir)
+    return D.shared_extent_contamination(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        k=_XC_K,
+        w_cap=_MX_WCAP,
+    )
+
+
 # c = 3 flavor (r10, VERDICT r9 item 4): the generic windowed-c
 # construction — e = LCP with the (c−1)-ahead suffix neighbor, then
 # a trailing-(c−1) ROWS max — replayed with the same per-gram-string

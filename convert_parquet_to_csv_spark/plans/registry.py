@@ -120,6 +120,7 @@ FIRST_TIER: list[str] = [
     "multimodal_decode_pgm",
     "bm25_rerank_topk",
     "quality_classifier_holdout",
+    "decontaminate_exact_substr",
     # --- r10 result-changed re-gates: the classifier chain now
     # trains on in-engine Gopher-deck weak labels (VERDICT item 3);
     # weights, scores, and calibration bins all change. ---

@@ -234,3 +234,136 @@ def test_lcp_identical_slices_full_cap(spark):
     assert got == ref
     # positions 0..4 of both docs are cap-clipped 8-token extents
     assert (1, 0, 8, 8) in got and (2, 0, 8, 8) in got
+
+
+def _ref_cross_set(corpus, bench, k, w_cap):
+    """Brute force for shared_extent_contamination: per corpus doc,
+    the longest capped LCP between any of its suffixes and any
+    benchmark suffix, plus the count of corpus positions whose
+    >= k-prefix appears verbatim in the benchmark."""
+    cap = k + w_cap
+
+    def sufs(docs):
+        out = []
+        for i, text in docs:
+            if text is None:
+                continue
+            ts = text.split()
+            for p in range(max(len(ts) - k + 1, 0)):
+                out.append((i, tuple(ts[p : p + cap])))
+        return out
+
+    cs, bs = sufs(corpus), sufs(bench)
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    per_doc = {}
+    for i, s in cs:
+        best = max((lcp(s, t) for _, t in bs), default=0)
+        if best >= k:
+            mx, hits = per_doc.get(i, (0, 0))
+            per_doc[i] = (max(mx, best), hits + 1)
+    return per_doc
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=_docs_strategy, bench=_docs_strategy, k=st.integers(2, 3)
+)
+def test_shared_extent_contamination_matches_bruteforce(
+    spark, corpus, bench, k
+):
+    """max_shared_toks and n_hit_positions match the brute force
+    exactly; the reported bench_id ACHIEVES the max (the nearest-
+    neighbor construction picks one deterministic witness among
+    potentially many)."""
+    crows = [
+        (i, None if ts is None else " ".join(ts))
+        for i, ts in enumerate(corpus)
+    ]
+    brows = [
+        (100 + i, None if ts is None else " ".join(ts))
+        for i, ts in enumerate(bench)
+    ]
+    cdf = spark.createDataFrame(crows, "doc_id LONG, text STRING")
+    bdf = spark.createDataFrame(brows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (
+            r["max_shared_toks"],
+            r["n_hit_positions"],
+            r["bench_id"],
+        )
+        for r in D.shared_extent_contamination(
+            cdf, bdf, k=k, w_cap=4
+        ).collect()
+    }
+    want = _ref_cross_set(crows, brows, k=k, w_cap=4)
+    assert {i: v[:2] for i, v in got.items()} == want
+    # the witness achieves the max
+    cap = k + 4
+    btoks = {
+        i: (t or "").split() for i, t in brows if t is not None
+    }
+    for i, (mx, _, bid) in got.items():
+        ts = dict(crows)[i].split()
+        bts = btoks[bid]
+        achieved = 0
+        for p in range(len(ts)):
+            for q in range(len(bts)):
+                a, b = tuple(ts[p : p + cap]), tuple(bts[q : q + cap])
+                n = 0
+                for x, y in zip(a, b):
+                    if x != y:
+                        break
+                    n += 1
+                achieved = max(achieved, n)
+        assert achieved == mx, (i, bid, mx, achieved)
+
+
+def test_shared_extent_contamination_semantics(spark):
+    """An 8-token verbatim benchmark span reports length 8 at k=6
+    with the right partner; a doc sharing nothing is absent; on a
+    max-length tie the witness is the NEAREST suffix-order neighbor
+    (a deterministic pick, not the globally smallest id)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "x1 x2 a b c d e f g h y1 y2"),  # 8-token span
+            (2, "no overlap with anything here at all"),
+            (3, "p q r s t u"),                   # exact 6 in 2 benches
+        ],
+        "doc_id LONG, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "zz a b c d e f g h zz"),
+            (101, "p q r s t u tail"),
+            (102, "p q r s t u other"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: (
+            r["max_shared_toks"],
+            r["bench_id"],
+            r["n_hit_positions"],
+        )
+        for r in D.shared_extent_contamination(
+            corpus, bench, k=6, w_cap=18
+        ).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1] == (8, 100, 3)  # positions 2,3,4 hit with 8/7/6
+    # 101 and 102 both achieve 6; the witness is the nearest
+    # FOLLOWING suffix-order neighbor: "...u other" (102) sorts
+    # before "...u tail" (101), so 102 wins deterministically.
+    assert got[3] == (6, 102, 1)
