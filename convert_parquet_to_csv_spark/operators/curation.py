@@ -2795,3 +2795,65 @@ def lm_score_buckets(
             / F.count(F.lit(1)).cast("double")
         ).alias("mean_score"),
     )
+
+
+def langid_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-line language segmentation (r10): split each document on
+    newlines, language-ID every line with the marker heuristic
+    (:func:`~convert_parquet_to_csv_spark.functions.text.lang_id`),
+    and report the per-doc composition — ``(id, n_lines,
+    majority_lang, majority_frac, n_langs)``. The mC4/CCNet
+    pre-processing shape: multilingual crawls route DOCUMENTS by
+    language, but mixed-language pages (boilerplate in one language,
+    content in another) need line-granular evidence before the
+    routing decision; ``n_langs > 1`` with a low ``majority_frac``
+    is the "segment me, don't route me" flag.
+
+    majority_lang ties break to the alphabetically-first language
+    (the min-struct argmax device: min over (-count, lang));
+    lines with no marker hits count as 'und'. NULL-text docs drop
+    (split(NULL) has no lines — the caller's id spine restores them
+    if needed).
+
+    Plan shape: one line explode (fan-out = corpus lines), the
+    lang_id scoring entirely map-side Column algebra (no UDF, no
+    model table), one (id, lang) partial-agg shuffle that collapses
+    to ≤ |langs| rows per doc before the doc-keyed close — two
+    narrow exchanges, no window, corpus rows never carry more than
+    (id, lang).
+    """
+    from convert_parquet_to_csv_spark.functions.text import lang_id
+
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_line"),
+    )
+    counts = (
+        lines.select(id_col, lang_id("_line").alias("_lang"))
+        .groupBy(id_col, "_lang")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_lines"),
+            F.min(
+                F.struct((-F.col("_c")).alias("_nc"), F.col("_lang"))
+            ).alias("_mx"),
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        )
+        .select(
+            F.col(id_col),
+            "n_lines",
+            F.col("_mx._lang").alias("majority_lang"),
+            (
+                (-F.col("_mx._nc")).cast("double")
+                / F.col("n_lines").cast("double")
+            ).alias("majority_frac"),
+            "n_langs",
+        )
+    )

@@ -121,6 +121,7 @@ FIRST_TIER: list[str] = [
     "bm25_rerank_topk",
     "quality_classifier_holdout",
     "decontaminate_exact_substr",
+    "langid_line_segments",
     # --- r10 result-changed re-gates: the classifier chain now
     # trains on in-engine Gopher-deck weak labels (VERDICT item 3);
     # weights, scores, and calibration bins all change. ---

@@ -69,16 +69,18 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- language id ----------------------------------------------------------
 
-def _duck_occurrences(needle: str) -> str:
-    pad = "' ' || lower(text) || ' '"
+def _duck_occurrences(needle: str, expr: str = "text") -> str:
+    pad = f"' ' || lower({expr}) || ' '"
     return (
         f"(length({pad}) - length(replace({pad}, '{needle}', '')))"
         f" / {len(needle)}"
     )
 
 
-def _duck_lang_score(lang: str) -> str:
-    return " + ".join(_duck_occurrences(m) for m in T.LANG_MARKERS[lang])
+def _duck_lang_score(lang: str, expr: str = "text") -> str:
+    return " + ".join(
+        _duck_occurrences(m, expr) for m in T.LANG_MARKERS[lang]
+    )
 
 
 _LANG_ORACLE = f"""
@@ -2196,3 +2198,122 @@ def subword_fertility_compare(
         "wordpiece",
     )
     return bpe.unionByName(ulm).unionByName(wp)
+
+
+# --- per-line language segmentation (r10) ----------------------------------
+
+_SEG_W = 12  # tokens per synthesized line
+
+# Mixed-language fixture: pair each doc with its successor
+# (doc_id + 1, inner — NULL ids and the last doc drop in both
+# engines), wrap each text into 12-token lines, and concatenate the
+# two line blocks — giving multi-line documents whose lines really
+# do carry different langid outcomes. The oracle replays the line
+# synthesis (the line-dedup device), the per-line marker scores, the
+# fixed argmax tie-break, and the min-struct majority election
+# (row_number ORDER BY c DESC, lang ASC == Spark's
+# min(struct(-c, lang))).
+_SEG_LINE_SYNTH = f"""
+  SELECT doc_id,
+         CASE
+           WHEN a IS NULL THEN NULL
+           WHEN len(a) = 0 THEN ''
+           ELSE array_to_string(
+             list_transform(
+               range(1, CAST(ceil(len(a) / {_SEG_W}.0) AS BIGINT) + 1),
+               p -> array_to_string(
+                 a[CAST((p-1)*{_SEG_W} AS INT)+1
+                   :CAST((p-1)*{_SEG_W} AS INT)+{_SEG_W}], ' ')),
+             chr(10))
+         END AS text2
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> t != '') AS a
+        FROM documents)
+"""
+
+_SEG_ORACLE = f"""
+WITH lined AS ({_SEG_LINE_SYNTH}),
+pairs AS (
+  SELECT l1.doc_id,
+         l1.text2 || chr(10) || l2.text2 AS mixed
+  FROM lined l1 JOIN lined l2 ON l2.doc_id = l1.doc_id + 1
+  WHERE l1.text2 IS NOT NULL AND l2.text2 IS NOT NULL
+),
+ln AS (
+  SELECT doc_id, unnest(string_split(mixed, chr(10))) AS line
+  FROM pairs
+),
+sc AS (
+  SELECT doc_id,
+         CAST({_duck_lang_score('en', 'line')} AS DOUBLE) AS s_en,
+         CAST({_duck_lang_score('de', 'line')} AS DOUBLE) AS s_de,
+         CAST({_duck_lang_score('fr', 'line')} AS DOUBLE) AS s_fr,
+         CAST({_duck_lang_score('es', 'line')} AS DOUBLE) AS s_es
+  FROM ln
+),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+              WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+         END AS lang
+  FROM sc
+),
+cnt AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS c
+  FROM pred GROUP BY 1, 2
+),
+rw AS (
+  SELECT doc_id, lang, c, row_number() OVER (
+      PARTITION BY doc_id ORDER BY c DESC, lang ASC) AS rn
+  FROM cnt
+),
+gs AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(count(*) AS BIGINT) AS n_langs
+  FROM cnt GROUP BY 1
+)
+SELECT gs.doc_id, gs.n_lines, rw.lang AS majority_lang,
+       CAST(rw.c AS DOUBLE) / CAST(gs.n_lines AS DOUBLE)
+         AS majority_frac,
+       gs.n_langs
+FROM gs JOIN rw ON rw.doc_id = gs.doc_id AND rw.rn = 1
+"""
+
+
+@query("langid_line_segments", oracle=_SEG_ORACLE)
+def langid_line_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-line language segmentation
+    (operators/curation.langid_segments, r10): the mC4/CCNet
+    routing-vs-segmenting readout — line-granular langid over
+    multi-line docs, per-doc majority language, majority fraction,
+    and distinct-language count (n_langs > 1 = the mixed-page flag).
+    Fixture synthesizes genuinely mixed documents by pairing each
+    doc with its successor and wrapping both texts into 12-token
+    lines. One line explode + map-side marker scoring (no UDF, no
+    model table), one (id, lang) partial-agg shuffle, one doc-keyed
+    close."""
+    from convert_parquet_to_csv_spark.operators.curation import (
+        langid_segments,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", T.synth_token_lines("text", w=_SEG_W).alias("_t")
+    )
+    d2 = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("_t").alias("_t2")
+    )
+    mixed = (
+        d.join(d2, "doc_id")
+        .filter(F.col("_t").isNotNull() & F.col("_t2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat(F.col("_t"), F.lit("\n"), F.col("_t2")).alias(
+                "text"
+            ),
+        )
+    )
+    return langid_segments(mixed)

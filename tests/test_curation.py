@@ -1716,3 +1716,38 @@ def test_calibration_bins_monotone_on_weak_labels(spark):
     fracs = [f for _, f in rows]
     assert len(set(fracs)) >= 3, fracs  # non-degenerate
     assert min(fracs[4:]) > max(fracs[:4]), fracs  # signed + ordered
+
+
+def test_langid_segments_majority_and_ties(spark):
+    """Line-granular language composition (r10): majority counts per
+    doc, ties break to the alphabetically-first language, lines with
+    no marker hits count as 'und', NULL-text docs drop."""
+    from convert_parquet_to_csv_spark.operators.curation import (
+        langid_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 2 en lines + 1 marker-less line -> majority en, 2 langs
+            (1, "the cat and the dog\nthe end of the story\nxx yy zz"),
+            # 1 en line + 1 und line -> tie -> 'en' (alphabetical)
+            (2, "the cat and the dog\nxx yy zz"),
+            # single marker-less line
+            (3, "xx yy zz"),
+            (4, None),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_lines"],
+            r["majority_lang"],
+            round(r["majority_frac"], 6),
+            r["n_langs"],
+        )
+        for r in langid_segments(docs).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (3, "en", round(2 / 3, 6), 2)
+    assert got[2] == (2, "en", 0.5, 2)
+    assert got[3] == (1, "und", 1.0, 1)
