@@ -58,6 +58,10 @@ CASES = {
     "decontaminate_semantic": "semantic decontamination: benchmark folded to a 1-row broadcast array; corpus STREAMS through a map-side array_max(transform) scoring projection — zero corpus shuffles",
     "bm25_topk_docs": "BM25: ONE corpus exchange (doc,term tf); dl/df/idf roll up from it; query terms + idf broadcast into the postings; per-query WindowGroupLimit top-k",
     "bm25_rerank_topk": "hybrid retrieval: BM25 chain unchanged, then candidate + query-vector tables BROADCAST against embeddings (two map-side vector passes, no vector shuffle, no corpus-wide cosine), candidate-scale re-rank window",
+    "dedup_maximal_extents_c3": "extents c>=3: lead(c-1) LCP + trailing ROWS max ride ONE per-gram window sort (total order), count>=3 hot filter cuts sorted volume below the c=2 plan",
+    "decontaminate_exact_substr": "cross-set ExactSubstr: both sides union into per-gram windows, nearest-bench-neighbor carries on one total-order sort, cross-side hot filter bounds volume by the intersection footprint",
+    "langid_line_segments": "line langid: explode + map-side marker scoring (no UDF), one (id, lang) partial-agg shuffle, doc-keyed close",
+    "quality_classifier_holdout": "holdout calibration: the train chain's epoch exchanges on the parity-0 labels, apply's one corpus exchange, 1-row min/max close, 8-row aggregate vs the parity-1 labels",
     "dedup_minhash_incremental": "incremental minhash: all x NEW bucket join (batch-bounded candidates), candidate-pruned exact-Jaccard verify, min-partner groupBy — no corpus-wide pair fan-out",
     "bigram_lm_buckets": "bigram-LM buckets: the LM chain's one corpus exchange, then the ccnet tercile device — per-lang ntile on the md5-bit SAMPLE only, |langs|-row cutoff broadcast, CASE assignment",
     "events_daily_gapfill": "gap fill: spine explode bounded by keys x days, one daily-agg shuffle",
