@@ -1631,14 +1631,21 @@ def shared_extent_contamination(
     ``last(bench_struct, ignorenulls)`` over the preceding frame and
     ``first(...)`` over the following frame — on ONE total-order
     sort (the c3 lesson: (side, id, p) tie-breakers, both engines).
-    Gram pre-filter is exact and CROSS-SIDE: only grams present on
-    BOTH sides can produce a >= k cross-set match, so the window
-    volume is bounded by the INTERSECTION footprint — at 100 TB
-    corpus vs a benchmark of thousands of docs, that is benchmark-
-    scale, not corpus-scale (the same reason the bm25 idf broadcast
-    is query-bounded). No collect, no UDF, no single-partition
-    window; hash collisions only concatenate windows whose
+    Gram pre-filter is exact and CROSS-SIDE: a corpus position can
+    only produce a >= k cross-set match if its leading gram appears
+    in the BENCHMARK, so the benchmark's distinct gram-hash set
+    (bounded — thousands of docs → ~10⁵ 8-byte keys) BROADCASTS and
+    the corpus stream filters map-side: ZERO corpus-scale shuffles
+    before the window, whose volume is the intersection footprint
+    plus the benchmark (the same reason the bm25 idf broadcast is
+    query-bounded). No collect, no UDF, no single-partition window;
+    hash collisions only admit extra window rows whose
     cross-boundary LCP < k, invisible past the >= k filter.
+    Measured (mangled sf0.1 replicas, copy-0-mangled 200-doc bench,
+    min-of-2, local[32]): the first cut's groupBy-form filter
+    shuffled ~one gram key per corpus position and read 38.4 /
+    172.5 s at 500k/1M with GC stalls at 2M; the broadcast form is
+    near-flat — see the r10 ledger table.
     """
     bench_id = bench_id_col or id_col
     slice_len = k + w_cap
@@ -1661,18 +1668,25 @@ def shared_extent_contamination(
             F.lit(side).alias("_side"),
         )
 
-    both = occ_of(docs, id_col, 0).unionByName(
-        occ_of(benchmark, bench_id, 1)
-    )
-    hot = (
-        both.groupBy("_gh")
-        .agg(
-            F.min("_side").alias("_mn"), F.max("_side").alias("_mx")
-        )
-        .filter((F.col("_mn") == 0) & (F.col("_mx") == 1))
-        .select("_gh")
-    )
-    both = both.join(hot, "_gh")
+    occ_c = occ_of(docs, id_col, 0)
+    occ_b = occ_of(benchmark, bench_id, 1)
+    # Cross-side gram filter via BROADCAST semi-join on the BENCH
+    # gram set — the flag_contaminated device, and the scale fix the
+    # first curve run forced: the first cut computed the cross-side
+    # filter as min/max(side) over a (gh, side) groupBy, which
+    # shuffles ~one key per corpus position (mangled replicas make
+    # every gram distinct) — measured SUPERLINEAR, 38.4 s at 500k →
+    # 172.5 s at 1M, GC-locker stalls at 2M. The benchmark side is
+    # bounded (thousands of docs → ~10⁵ gram hashes, 8 bytes each),
+    # so its distinct gram set broadcasts and the corpus stream
+    # filters MAP-SIDE — zero corpus-scale shuffles before the
+    # intersection-bounded window. Result set is identical: a corpus
+    # position survives iff its gram appears in the benchmark
+    # (the old filter's gram-in-corpus conjunct was trivially true).
+    bench_grams = occ_b.select("_gh").distinct()
+    both = occ_c.join(
+        F.broadcast(bench_grams), "_gh", "left_semi"
+    ).unionByName(occ_b)
     order = [
         F.col("_s").asc(),
         F.col("_side").asc(),

@@ -46,6 +46,7 @@ from convert_parquet_to_csv_spark.operators.dedup import (
     minhash_dedup_incremental,
     remove_duplicated_lines,
     remove_within_doc_repeats,
+    shared_extent_contamination,
     winnow_fingerprints,
 )
 from convert_parquet_to_csv_spark.functions.text import (
@@ -396,6 +397,26 @@ def main() -> None:
             # classifier chain adds over classifier_train's GD.
             "gopher_weak_labels": lambda d=docs: gopher_weak_labels(
                 d, min_stopword_hits=1
+            ),
+            # r10: cross-set ExactSubstr decontamination. The bench
+            # side gets the COPY-0 mangling so it intersects exactly
+            # the corpus's copy-0 slice (a constant-size overlap as
+            # the corpus grows) — the honest test of the operator's
+            # scale claim: window volume is bounded by the
+            # INTERSECTION footprint, so past the occ scan the curve
+            # should flatten toward the per-corpus-token gram-count
+            # cost.
+            "xset_contamination": lambda d=docs, b=bench_side: (
+                shared_extent_contamination(
+                    d,
+                    b.select(
+                        "doc_id",
+                        F.regexp_replace(
+                            F.col("text"), r"(\S+)", "$1x0"
+                        ).alias("text"),
+                    ),
+                    k=4,
+                )
             ),
         }
         only = os.environ.get("SPARK_GRAFT_CURVE_KERNELS")
