@@ -168,6 +168,20 @@ BENCH_QUERY_NAMES = [
     # plus an 8-row aggregate, already trended by that key.
     "bm25_topk_docs",
     "dedup_minhash_incremental",
+    # r10: the hybrid re-rank (BM25 chain + two map-side vector
+    # passes), the generic windowed-c extents path (lead(c-1) LCP +
+    # trailing ROWS max on one total-order sort), the cross-set
+    # ExactSubstr decontamination (broadcast bench-gram filter, the
+    # measured 6-34x rewrite), the weak-label deck projection the
+    # classifier chain now trains on, and the line-langid
+    # segmentation explode. multimodal_decode_pgm is left out: its
+    # fixture is |corpus|/41 files — the number would be all
+    # session/file-IO overhead. classifier_weak_labels/holdout cost
+    # IS the deck + train chains, already trended by their keys.
+    "bm25_rerank_topk",
+    "dedup_maximal_extents_c3",
+    "decontaminate_exact_substr",
+    "langid_line_segments",
 ]
 
 # VERDICT r4 items 2+7: queries whose plans persist() shared subtrees
