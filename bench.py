@@ -67,8 +67,20 @@ def _write_local_record(payload: dict) -> str:
     COMPLETE record now lands in a committed file per round
     (``BENCH_LOCAL_r{N}.json``); tools/bench_compare prefers it over
     the truncated driver tail. Stdout stays exactly as before for
-    the driver."""
-    path = os.path.join(REPO_DIR, f"BENCH_LOCAL_r{_current_round()}.json")
+    the driver.
+
+    VERDICT r10 item 5b: the driver's end-of-round re-run used to
+    OVERWRITE the builder's committed quiet-box record in the working
+    tree (r10's committed 40.7%-spread record was clobbered by a
+    230%-spread degraded-box artifact; a blind ``git add -A`` next
+    round would have committed it). The committed name is now opt-in:
+    set ``SPARK_GRAFT_BENCH_COMMIT=1`` for the builder's solo run;
+    every other invocation (the driver's included) writes the
+    distinct, never-committed ``BENCH_LOCAL_r{N}.driver.json``."""
+    suffix = "" if os.environ.get("SPARK_GRAFT_BENCH_COMMIT") == "1" else ".driver"
+    path = os.path.join(
+        REPO_DIR, f"BENCH_LOCAL_r{_current_round()}{suffix}.json"
+    )
     with open(path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")

@@ -261,3 +261,26 @@ def test_headline_carries_spread_protocol(bench):
     assert "rr_samples" in src and "natural_samples" in src
     # and the full payload goes to the committed local record
     assert "_write_local_record(full_payload)" in src
+
+
+def test_local_record_driver_runs_cannot_clobber_committed_name(
+    bench, monkeypatch, tmp_path
+):
+    """VERDICT r10 item 5b: the driver's end-of-round bench re-run
+    overwrote the builder's committed quiet-box BENCH_LOCAL record
+    (230%-spread degraded-box artifact over the 40.7% record). The
+    committed filename is now opt-in via SPARK_GRAFT_BENCH_COMMIT=1;
+    any other run (the driver's) lands on a distinct, gitignored
+    ``.driver.json`` name."""
+    monkeypatch.setattr(bench, "REPO_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "11")
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_COMMIT", raising=False)
+    p = bench._write_local_record({"k": 1})
+    assert p.endswith("BENCH_LOCAL_r11.driver.json")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_COMMIT", "1")
+    p = bench._write_local_record({"k": 1})
+    assert p.endswith("BENCH_LOCAL_r11.json")
+    # the driver name must be gitignored so `git add -A` can't pick it up
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo_root, ".gitignore")) as f:
+        assert "BENCH_LOCAL_r*.driver.json" in f.read()
