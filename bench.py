@@ -194,6 +194,15 @@ BENCH_QUERY_NAMES = [
     "dedup_maximal_extents_c3",
     "decontaminate_exact_substr",
     "langid_line_segments",
+    # r11: the cross-modal CLIP-score pair filter (nested-HOF media
+    # vector + one id-keyed join) and the incremental cross-set
+    # decontamination (old-positions pass + delta pass + footprint
+    # merge — trended against decontaminate_exact_substr, whose
+    # from-scratch answer it must reproduce). multimodal_decode_ppm
+    # is left out for the decode_pgm reason: |corpus|/43 fixture
+    # files, all session/file-IO overhead.
+    "cross_modal_consistency",
+    "decontaminate_exact_substr_incremental",
 ]
 
 # VERDICT r4 items 2+7: queries whose plans persist() shared subtrees
@@ -833,11 +842,24 @@ def main() -> None:
         "convert_10m_rows_spread_pct": queries[
             "convert_10m_rows_spread_pct"
         ],
+        # rr carries its OWN spread in the headline block (VERDICT
+        # r10 wrong-item 3: the round-robin variant swings 4x across
+        # boxes while natural swings 6% — raw-delta reads need the
+        # dispersion next to the number, not two files away)
         "convert_10m_rows_rr": round(rr, 4),
+        "convert_10m_rows_rr_spread_pct": queries[
+            "convert_10m_rows_rr_spread_pct"
+        ],
         "convert_10m_rows_natural": round(natural, 4),
+        "convert_10m_rows_natural_spread_pct": queries[
+            "convert_10m_rows_natural_spread_pct"
+        ],
     }
     if duck_sec != float("inf"):
         headline_summary["baseline_duckdb_convert_10m"] = round(duck_sec, 4)
+        headline_summary["baseline_duckdb_convert_10m_spread_pct"] = (
+            queries["baseline_duckdb_convert_10m_spread_pct"]
+        )
         headline_summary["calibration_ratio_vs_duckdb"] = round(
             headline / duck_sec, 4
         )

@@ -1647,6 +1647,27 @@ def shared_extent_contamination(
     172.5 s at 500k/1M with GC stalls at 2M; the broadcast form is
     near-flat — see the r10 ledger table.
     """
+    frame = _xset_position_frame(
+        docs, benchmark, k, w_cap, id_col, text_col, bench_id_col
+    )
+    return _xset_report(_xset_scored(frame, k), id_col)
+
+
+def _xset_position_frame(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int,
+    w_cap: int,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str | None,
+) -> DataFrame:
+    """The cross-set suffix window pass of
+    :func:`shared_extent_contamination`, stopping at the per-corpus-
+    position neighbor frame ``(_id, _p, _s, _up, _dn)`` — factored
+    out (r11) so the incremental path can persist and merge position
+    tables. Expressions identical to the r10 kernel; the plan is
+    unchanged up to column pruning."""
     bench_id = bench_id_col or id_col
     slice_len = k + w_cap
 
@@ -1704,34 +1725,56 @@ def shared_extent_contamination(
     dn = F.first(bstruct, ignorenulls=True).over(
         wg.rowsBetween(0, Window.unboundedFollowing)
     )
-
-    def lcp_against(nb: Column) -> Column:
-        zipped = F.zip_with(
-            "_s", nb["_bs"], lambda x, y: x.eqNullSafe(y)
-        )
-        return F.when(nb.isNull(), F.lit(0)).otherwise(
-            F.coalesce(
-                F.nullif(
-                    F.array_position(zipped, F.lit(False)), F.lit(0)
-                )
-                - 1,
-                F.least(F.size("_s"), F.size(nb["_bs"])),
-            )
-        )
-
-    scored = (
+    return (
         both.withColumn("_up", up)
         .withColumn("_dn", dn)
         .filter(F.col("_side") == 0)
-        .select(
+        .select("_id", "_p", "_s", "_up", "_dn")
+    )
+
+
+def _xset_lcp_against(nb: Column) -> Column:
+    """LCP of the corpus slice ``_s`` against a neighbor struct's
+    ``_bs`` (0 when the neighbor is NULL) — the r10 expression,
+    shared by the from-scratch and merged-position paths."""
+    zipped = F.zip_with(
+        "_s", nb["_bs"], lambda x, y: x.eqNullSafe(y)
+    )
+    return F.when(nb.isNull(), F.lit(0)).otherwise(
+        F.coalesce(
+            F.nullif(
+                F.array_position(zipped, F.lit(False)), F.lit(0)
+            )
+            - 1,
+            F.least(F.size("_s"), F.size(nb["_bs"])),
+        )
+    )
+
+
+def _xset_scored(frame: DataFrame, k: int) -> DataFrame:
+    """Neighbor frame → per-position ``(_l, _partner)`` with the
+    ``>= k`` report filter — the r10 scoring expressions (partner
+    tie: equal LCPs take the smaller bench id). Keeps the frame
+    columns so :func:`contamination_hit_positions` can re-select
+    them; Catalyst prunes the extras in the aggregate-only path."""
+    return (
+        frame.select(
             "_id",
-            lcp_against(F.col("_up")).cast("bigint").alias("_lu"),
-            lcp_against(F.col("_dn")).cast("bigint").alias("_ld"),
+            "_p",
+            "_s",
+            "_up",
+            "_dn",
+            _xset_lcp_against(F.col("_up")).cast("bigint").alias("_lu"),
+            _xset_lcp_against(F.col("_dn")).cast("bigint").alias("_ld"),
             F.col("_up._bid").alias("_bu"),
             F.col("_dn._bid").alias("_bd"),
         )
         .select(
             "_id",
+            "_p",
+            "_s",
+            "_up",
+            "_dn",
             F.greatest("_lu", "_ld").alias("_l"),
             F.when(F.col("_lu") > F.col("_ld"), F.col("_bu"))
             .when(F.col("_ld") > F.col("_lu"), F.col("_bd"))
@@ -1740,6 +1783,12 @@ def shared_extent_contamination(
         )
         .filter(F.col("_l") >= k)
     )
+
+
+def _xset_report(scored: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc contamination report from scored positions — the r10
+    aggregate (max shared length; witness = argmax by (L desc,
+    partner asc) via struct-max; hit-position count)."""
     return (
         scored.groupBy("_id")
         .agg(
@@ -1759,3 +1808,133 @@ def shared_extent_contamination(
             "n_hit_positions",
         )
     )
+
+
+def contamination_hit_positions(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 6,
+    w_cap: int = 18,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """Position-level cross-set contamination intermediate (r11,
+    VERDICT r10 item 6): one row per corpus position whose >= ``k``-
+    token prefix appears verbatim in ``benchmark`` — ``(id_col, p,
+    s, up, dn)`` with the capped corpus slice and BOTH nearest-
+    benchmark-neighbor structs ``(bs, bid)`` retained. This is the
+    table an incremental pipeline PERSISTS per benchmark version:
+    when a benchmark delta arrives, a delta-only run of this
+    function merges with the stored table
+    (:func:`merge_contamination_positions`) and re-aggregates —
+    provably equal to a from-scratch run on the union (the suffix-
+    identity max over a union of benchmark sets is the max of the
+    per-set maxes, and the union's nearest neighbor at any position
+    is the slice-order max/min of the per-set neighbors; the c3
+    total-order tie-breaks make every step deterministic).
+
+    Storage is contamination-footprint-bounded: positions with a
+    >= k hit only, each carrying ≤ 3 capped slices.
+    """
+    frame = _xset_position_frame(
+        docs, benchmark, k, w_cap, id_col, text_col, bench_id_col
+    )
+    return _xset_scored(frame, k).select(
+        F.col("_id").alias(id_col),
+        F.col("_p").alias("p"),
+        F.col("_s").alias("s"),
+        F.col("_up").alias("up"),
+        F.col("_dn").alias("dn"),
+    )
+
+
+def merge_contamination_positions(
+    pos_a: DataFrame,
+    pos_b: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Merge two :func:`contamination_hit_positions` tables (same
+    corpus, disjoint benchmark sets) into the union-benchmark
+    position frame: full outer join on (id, p); the union's up-
+    neighbor is the slice-order MAX of the per-set up-neighbors
+    (the nearest-from-below among both sets' nearests), the union's
+    dn-neighbor the slice-order MIN — ``greatest``/``least`` over
+    the ``(bs, bid)`` structs, which skip NULLs and compare arrays
+    lexicographically exactly like the window sort that produced
+    them. The corpus slice rides through ``coalesce`` (identical on
+    both sides wherever both are present).
+
+    Plan shape: ONE equi-join keyed (id, p) on two contamination-
+    footprint-scale tables — no corpus-scale work at all; this is
+    the merge step's entire cost at 100 TB.
+    """
+    a = pos_a.select(
+        F.col(id_col).alias("_id"),
+        F.col("p").alias("_p"),
+        F.col("s").alias("_sa"),
+        F.col("up").alias("_ua"),
+        F.col("dn").alias("_da"),
+    )
+    b = pos_b.select(
+        F.col(id_col).alias("_id"),
+        F.col("p").alias("_p"),
+        F.col("s").alias("_sb"),
+        F.col("up").alias("_ub"),
+        F.col("dn").alias("_db"),
+    )
+    return a.join(b, ["_id", "_p"], "full_outer").select(
+        F.col("_id").alias(id_col),
+        F.col("_p").alias("p"),
+        F.coalesce("_sa", "_sb").alias("s"),
+        F.greatest("_ua", "_ub").alias("up"),
+        F.least("_da", "_db").alias("dn"),
+    )
+
+
+def shared_extent_contamination_incremental(
+    docs: DataFrame,
+    bench_delta: DataFrame,
+    old_positions: DataFrame,
+    k: int = 6,
+    w_cap: int = 18,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """Incremental cross-set ExactSubstr decontamination (r11,
+    VERDICT r10 item 6): a new benchmark version arrives as
+    ``bench_delta``; instead of re-running the union from scratch,
+    run the suffix window pass against the DELTA ONLY (its gram set
+    broadcasts — far smaller than the union's — so the window volume
+    is the delta's intersection footprint), merge the resulting
+    position table with the PERSISTED ``old_positions``
+    (:func:`contamination_hit_positions` output for the previous
+    benchmark version, same ``k``/``w_cap``), and re-aggregate.
+
+    The result is provably equal to
+    :func:`shared_extent_contamination` on ``bench_old ∪
+    bench_delta`` — per corpus position, the longest shared prefix
+    against a union of benchmark sets is the max of the per-set
+    values, the union's nearest suffix-order neighbors are the
+    slice-order extremes of the per-set neighbors, and gram-hash
+    collisions cannot sort between a position and a true >= k match
+    (the contiguous-prefix-range argument in the base kernel's
+    docstring), so they never alter a reported value. Equality is
+    test-pinned (tests/test_maximal_extents.py) AND driver-gated:
+    the registered query's oracle IS the from-scratch union SQL.
+    """
+    delta_pos = contamination_hit_positions(
+        docs, bench_delta, k, w_cap, id_col, text_col, bench_id_col
+    )
+    merged = merge_contamination_positions(
+        old_positions, delta_pos, id_col
+    )
+    frame = merged.select(
+        F.col(id_col).alias("_id"),
+        F.col("p").alias("_p"),
+        F.col("s").alias("_s"),
+        F.col("up").alias("_up"),
+        F.col("dn").alias("_dn"),
+    )
+    return _xset_report(_xset_scored(frame, k), id_col)

@@ -25,7 +25,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
@@ -246,6 +246,44 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
 # Real pixel decode: Netpbm grayscale (PGM), pure Python (r10)
 # --------------------------------------------------------------------------
 
+def _netpbm_header(
+    payload: bytes, magics: tuple[bytes, ...], family: str
+) -> tuple[str, int, int, int, int]:
+    """Shared Netpbm header parse (PGM r10, PPM r11): magic check,
+    then three decimal tokens (width height maxval) separated by
+    arbitrary whitespace with ``#`` comments running to end-of-line.
+    Returns ``(fmt, width, height, maxval, pos)`` with ``pos`` the
+    byte index just after the maxval token. Behavior is exactly the
+    r10 ``decode_pgm`` header loop (its unit tests pin the edges);
+    only the accepted magic set varies by family.
+    """
+    magic = bytes(payload[:2])
+    if magic not in magics:
+        raise ValueError(f"not a {family} payload (magic {magic!r})")
+    fmt = magic.decode("ascii")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError(f"malformed {family} header at byte {pos}")
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+        raise ValueError(
+            f"unsupported {family} geometry {w}x{h}@{maxval}"
+        )
+    return fmt, w, h, maxval, pos
+
+
 def decode_pgm(payload: bytes) -> tuple[str, int, int, int, bytes]:
     """Pure-Python Netpbm grayscale decoder — P2 (ASCII) and P5
     (binary raster), ``maxval <= 255`` (r10, VERDICT r9 item 5):
@@ -260,30 +298,9 @@ def decode_pgm(payload: bytes) -> tuple[str, int, int, int, bytes]:
     in the mapInPandas stage, carrying the media_id context from the
     caller's loop.
     """
-    magic = bytes(payload[:2])
-    if magic not in (b"P2", b"P5"):
-        raise ValueError(f"not a PGM payload (magic {magic!r})")
-    fmt = magic.decode("ascii")
-    pos = 2
-    vals: list[int] = []
-    # header: three decimal tokens (width height maxval), arbitrary
-    # whitespace between, '#' comments running to end-of-line
-    while len(vals) < 3:
-        while pos < len(payload) and payload[pos : pos + 1].isspace():
-            pos += 1
-        if pos < len(payload) and payload[pos : pos + 1] == b"#":
-            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
-                pos += 1
-            continue
-        start = pos
-        while pos < len(payload) and payload[pos : pos + 1].isdigit():
-            pos += 1
-        if pos == start:
-            raise ValueError(f"malformed PGM header at byte {pos}")
-        vals.append(int(payload[start:pos]))
-    w, h, maxval = vals
-    if w <= 0 or h <= 0 or not 0 < maxval <= 255:
-        raise ValueError(f"unsupported PGM geometry {w}x{h}@{maxval}")
+    fmt, w, h, maxval, pos = _netpbm_header(
+        payload, (b"P2", b"P5"), "PGM"
+    )
     if fmt == "P5":
         # exactly ONE whitespace byte after maxval, then raw raster
         if not payload[pos : pos + 1].isspace():
@@ -382,3 +399,377 @@ def decode_pgm_table(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_decode, schema=_DECODE_PGM_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real pixel decode: Netpbm color (PPM), pure Python (r11)
+# --------------------------------------------------------------------------
+
+def decode_ppm(payload: bytes) -> tuple[str, int, int, int, bytes]:
+    """Pure-Python Netpbm COLOR decoder — P3 (ASCII) and P6 (binary
+    raster), ``maxval <= 255`` (r11, VERDICT r10 item 4: widen the
+    real-codec surface beside :func:`decode_pgm`). The raster is
+    ``width*height*3`` samples, RGB-interleaved row-major; after
+    P6's maxval exactly ONE whitespace byte precedes the raster,
+    and P3 tokenizes on whitespace with per-sample maxval checks —
+    the same strictness contract the PGM parser pins (short raster,
+    excess raster, sample above maxval all raise).
+
+    Returns ``(fmt, width, height, maxval, samples)`` with samples
+    as ``width*height*3`` bytes (r0 g0 b0 r1 g1 b1 ...).
+    """
+    fmt, w, h, maxval, pos = _netpbm_header(
+        payload, (b"P3", b"P6"), "PPM"
+    )
+    n = w * h * 3
+    if fmt == "P6":
+        # exactly ONE whitespace byte after maxval, then raw raster
+        if not payload[pos : pos + 1].isspace():
+            raise ValueError("missing post-maxval whitespace byte")
+        pos += 1
+        samples = bytes(payload[pos : pos + n])
+    else:
+        toks = bytes(payload[pos:]).split()
+        if len(toks) > n:
+            raise ValueError(
+                f"excess raster: {len(toks)} tokens for {n} samples"
+            )
+        samples = bytes(int(t) for t in toks)
+    if len(samples) != n:
+        raise ValueError(f"short raster: {len(samples)} of {n} samples")
+    if fmt == "P3" and max(samples, default=0) > maxval:
+        raise ValueError("sample above maxval")
+    return fmt, w, h, maxval, samples
+
+
+_DECODE_PPM_SCHEMA = (
+    "media_id LONG, fmt STRING, width INT, height INT, maxval INT, "
+    "n_pixels LONG, r_sum LONG, g_sum LONG, b_sum LONG, "
+    "rs_width INT, rs_height INT, "
+    "rs_r_sum LONG, rs_g_sum LONG, rs_b_sum LONG"
+)
+
+
+def decode_ppm_table(media: DataFrame, factor: int = 2) -> DataFrame:
+    """decode → per-channel stats → per-channel resize on REAL color
+    pixel data, one Arrow batch loop (r11): parse each (media_id,
+    content) payload with :func:`decode_ppm`, report geometry plus
+    exact integer per-channel sums, then downsample each channel by
+    ``factor`` with the same integer block-mean kernel the PGM/
+    resize stages use (sum of each f×f block // f², cropped to full
+    blocks) and report the resized per-channel sums — every output
+    column is exact integer arithmetic, so an oracle that replays
+    the payload construction replays the whole 3-channel decode
+    chain in SQL.
+
+    Plan shape: ONE mapInPandas over the media rows (identical to
+    :func:`decode_pgm_table` — batch-granular memory, numpy block
+    reduction per channel, no shuffle); at 100 TB it scales like any
+    binary-column map via ``spark.sql.files.maxPartitionBytes``.
+    """
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    from convert_parquet_to_csv_spark.shipping import (
+        ensure_package_shipped,
+    )
+
+    ensure_package_shipped(media.sparkSession)
+
+    def _decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = (
+            "media_id", "fmt", "width", "height", "maxval",
+            "n_pixels", "r_sum", "g_sum", "b_sum",
+            "rs_width", "rs_height", "rs_r_sum", "rs_g_sum",
+            "rs_b_sum",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                fmt, w, h, mv, sm = decode_ppm(
+                    bytes(content) if content is not None else b""
+                )
+                grid = (
+                    np.frombuffer(sm, dtype=np.uint8).reshape(h, w, 3)
+                )
+                csum = grid.sum(axis=(0, 1), dtype=np.int64)
+                nh, nw = max(h // factor, 1), max(w // factor, 1)
+                ch, cw = nh * factor, nw * factor
+                if ch > h or cw > w:  # degenerate tiny image
+                    rs = grid[:nh, :nw, :].astype(np.int64)
+                    rsum = rs.sum(axis=(0, 1))
+                else:
+                    rs = (
+                        grid[:ch, :cw, :]
+                        .reshape(nh, factor, nw, factor, 3)
+                        .astype(np.int64)
+                        .sum(axis=(1, 3))
+                        // (factor * factor)
+                    )
+                    rsum = rs.sum(axis=(0, 1))
+                out["media_id"].append(mid)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["maxval"].append(mv)
+                out["n_pixels"].append(w * h)
+                out["r_sum"].append(int(csum[0]))
+                out["g_sum"].append(int(csum[1]))
+                out["b_sum"].append(int(csum[2]))
+                out["rs_width"].append(nw)
+                out["rs_height"].append(nh)
+                out["rs_r_sum"].append(int(rsum[0]))
+                out["rs_g_sum"].append(int(rsum[1]))
+                out["rs_b_sum"].append(int(rsum[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_decode, schema=_DECODE_PPM_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real sample decode: WAV PCM, pure Python (r11)
+# --------------------------------------------------------------------------
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """Pure-Python RIFF/WAVE PCM decoder (r11, VERDICT r10 item 4's
+    audio half): integer PCM only (format code 1), 8- or 16-bit,
+    any channel count — the trivially-parseable audio container that
+    gives ``multimodal_audio_energy`` a real-samples twin the same
+    way PGM/PPM did for pixels. Walks the RIFF chunk list (chunks
+    are (id, le32 size, payload) with word alignment), requires one
+    ``fmt `` before one ``data``, and rejects everything else with
+    ``ValueError`` — same strictness contract as the Netpbm parsers
+    (truncated data, unsupported codecs, malformed headers raise).
+
+    Returns ``(num_channels, sample_rate, bits_per_sample,
+    n_samples, data)`` with ``n_samples`` the TOTAL interleaved
+    sample count (frames × channels) and ``data`` the raw
+    little-endian PCM bytes of exactly the declared data size.
+    """
+    if bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"WAVE":
+        raise ValueError(
+            f"not a RIFF/WAVE payload (magic {bytes(payload[:4])!r})"
+        )
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(payload):
+        cid = bytes(payload[pos : pos + 4])
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(
+                f"truncated {cid!r} chunk: {len(body)} of {size} bytes"
+            )
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"fmt chunk too short ({size} bytes)")
+            code = int.from_bytes(body[0:2], "little")
+            if code != 1:
+                raise ValueError(
+                    f"unsupported WAV format code {code} (PCM=1 only; "
+                    "compressed codecs are the environment seam)"
+                )
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if channels < 1 or rate < 1 or bits not in (8, 16):
+                raise ValueError(
+                    f"unsupported PCM geometry {channels}ch@{rate}Hz/"
+                    f"{bits}bit"
+                )
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            channels, rate, bits = fmt
+            if size % (bits // 8) != 0:
+                raise ValueError(
+                    f"data size {size} not a multiple of sample width"
+                )
+            n = size // (bits // 8)
+            return channels, rate, bits, n, bytes(body)
+        # skip unknown chunks; RIFF pads odd sizes to word boundaries
+        pos += 8 + size + (size % 2)
+    raise ValueError("no data chunk")
+
+
+_WAV_ENERGY_SCHEMA = (
+    "media_id LONG, num_channels INT, sample_rate INT, bits INT, "
+    "n_samples LONG, n_frames LONG, total_energy LONG, "
+    "max_frame_energy LONG"
+)
+
+
+def wav_energy_table(
+    media: DataFrame, frame_len: int = 256
+) -> DataFrame:
+    """decode → per-frame absolute-sample energy on REAL PCM data,
+    one Arrow batch loop (r11): parse each (media_id, content)
+    payload with :func:`decode_wav`, split the interleaved sample
+    stream into ``frame_len``-sample frames (the last frame may be
+    short), and report exact integer energy — Σ|sample| per frame,
+    totals and max over frames — the real-samples twin of
+    ``multimodal_audio_energy``'s raw-byte arithmetic. 8-bit PCM is
+    unsigned (centered at 128 per the WAV spec, |s − 128|); 16-bit
+    is signed little-endian.
+
+    Plan shape: ONE mapInPandas over the media rows, numpy
+    vectorized, no shuffle — the decode_pgm_table contract.
+    """
+    if frame_len < 1:
+        raise ValueError(f"frame_len must be >= 1, got {frame_len}")
+    from convert_parquet_to_csv_spark.shipping import (
+        ensure_package_shipped,
+    )
+
+    ensure_package_shipped(media.sparkSession)
+
+    def _decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = (
+            "media_id", "num_channels", "sample_rate", "bits",
+            "n_samples", "n_frames", "total_energy",
+            "max_frame_energy",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                ch, rate, bits, n, data = decode_wav(
+                    bytes(content) if content is not None else b""
+                )
+                if bits == 16:
+                    s = np.frombuffer(data, dtype="<i2").astype(
+                        np.int64
+                    )
+                    mag = np.abs(s)
+                else:
+                    s = np.frombuffer(data, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    mag = np.abs(s - 128)
+                n_frames = (n + frame_len - 1) // frame_len if n else 0
+                if n_frames:
+                    pad = n_frames * frame_len - n
+                    fr = np.pad(mag, (0, pad)).reshape(
+                        n_frames, frame_len
+                    ).sum(axis=1)
+                    total, mx = int(fr.sum()), int(fr.max())
+                else:
+                    total, mx = 0, 0
+                out["media_id"].append(mid)
+                out["num_channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["bits"].append(bits)
+                out["n_samples"].append(n)
+                out["n_frames"].append(n_frames)
+                out["total_energy"].append(total)
+                out["max_frame_energy"].append(mx)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_decode, schema=_WAV_ENERGY_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Cross-modal consistency (CLIP-score shape, r11)
+# --------------------------------------------------------------------------
+
+def clip_score_pairs(
+    media: DataFrame,
+    vectors: DataFrame,
+    dim: int = 16,
+    tau: float = 0.1,
+    k: int | None = None,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-modal consistency filter (r11, VERDICT r10 item 3): the
+    CLIP-score-shaped op a multimodal curation pipeline runs — per
+    (media, caption) pair, cosine between a media feature vector and
+    the caption's text embedding, plus the ``keep = cosine >= tau``
+    filter verdict; ``k`` optionally returns only the top-k most
+    consistent pairs (sort-limit — Spark's distributed TakeOrdered,
+    no single-partition window).
+
+    The media feature here is the deterministic SQL-replayable stand
+    -in for a real image encoder (the same seam doctrine as the stub
+    embedding): ``dim`` contiguous byte-block sums over the payload —
+    block ``b`` covers byte indices ``i`` with ``i*dim div total ==
+    b`` — computed entirely JVM-side (hex + substring + conv inside
+    nested higher-order functions; NO per-byte row explosion, no
+    UDF). The caption side is the embedding's leading ``dim``
+    components (a fixed projection). Cosine reuses
+    functions.vectors.cosine_similarity — float64 left-to-right
+    accumulation, bitwise-equal to DuckDB list_dot_product, so the
+    whole pair score replays in SQL value-exactly.
+
+    Pairing is the natural (media_id == vec_id) equi-join — at scale
+    a co-partitioned shuffle join on the id, never a cross join; the
+    per-pair score is map-side after the join. Pairs whose media
+    payload is shorter than ``dim`` bytes drop (a block would be
+    empty); pairs without an embedding row drop (inner join — score
+    where both modalities exist, the bm25_rerank contract).
+    """
+    from convert_parquet_to_csv_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    d = int(dim)
+
+    def _block_sum(b: Column) -> Column:
+        total = F.col("_total")
+        lo = F.floor((b * total + d - 1) / d).cast("bigint")
+        hi = F.floor(((b + 1) * total + d - 1) / d).cast("bigint") - 1
+        return F.aggregate(
+            F.sequence(lo, hi),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc
+            + F.conv(
+                F.substring(F.col("_h"), (i * 2 + 1).cast("int"), 2),
+                16,
+                10,
+            ).cast("bigint"),
+        ).cast("double")
+
+    mvec = (
+        media.filter(F.col("kind") == "image")
+        .select(
+            "media_id",
+            F.hex(F.col("content")).alias("_h"),
+            F.octet_length(F.col("content")).cast("bigint").alias(
+                "_total"
+            ),
+        )
+        .filter(F.col("_total") >= d)
+        .select(
+            "media_id",
+            "_total",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d - 1)), _block_sum
+            ).alias("_mvec"),
+        )
+    )
+    tvec = vectors.select(
+        F.col(vec_id_col).alias("media_id"),
+        F.slice(F.col(vec_col), 1, d).alias("_tvec"),
+    )
+    scored = (
+        mvec.join(tvec, "media_id")
+        .withColumn("cosine", cosine_similarity("_mvec", "_tvec"))
+        .select(
+            "media_id",
+            F.col("_total").alias("n_bytes"),
+            "cosine",
+            (F.col("cosine") >= float(tau)).alias("keep"),
+        )
+    )
+    if k is not None:
+        scored = scored.orderBy(
+            F.desc("cosine"), F.asc("media_id")
+        ).limit(int(k))
+    return scored

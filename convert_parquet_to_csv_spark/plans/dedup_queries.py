@@ -2501,6 +2501,44 @@ def decontaminate_exact_substr(
     )
 
 
+@query("decontaminate_exact_substr_incremental", oracle=_XSET_ORACLE)
+def decontaminate_exact_substr_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental cross-set ExactSubstr decontamination (operators/
+    dedup.shared_extent_contamination_incremental, r11 — VERDICT r10
+    item 6): the benchmark (doc_id % 97 == 0) splits into a
+    persisted OLD version (odd multiples of 97) and an arriving
+    DELTA (even multiples, doc_id % 194 == 0); the old version's
+    position table (contamination_hit_positions) stands in for the
+    persisted artifact, the delta runs its own — delta-gram-bounded
+    — window pass, and the merge + re-aggregate produces the union
+    report WITHOUT a union-scale window.
+
+    The oracle is DELIBERATELY the from-scratch union SQL
+    (_XSET_ORACLE, byte-identical to decontaminate_exact_substr's):
+    a green hash row IS the incremental-equals-from-scratch proof,
+    re-established by the driver every time this gate runs."""
+    docs = _docs(spark, sf_dir)
+    bench_old = docs.filter(
+        (F.col("doc_id") % 97 == 0) & (F.col("doc_id") % 194 != 0)
+    )
+    bench_delta = docs.filter(F.col("doc_id") % 194 == 0)
+    old_positions = D.contamination_hit_positions(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        bench_old,
+        k=_XC_K,
+        w_cap=_MX_WCAP,
+    )
+    return D.shared_extent_contamination_incremental(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        bench_delta,
+        old_positions,
+        k=_XC_K,
+        w_cap=_MX_WCAP,
+    )
+
+
 # c = 3 flavor (r10, VERDICT r9 item 4): the generic windowed-c
 # construction — e = LCP with the (c−1)-ahead suffix neighbor, then
 # a trailing-(c−1) ROWS max — replayed with the same per-gram-string

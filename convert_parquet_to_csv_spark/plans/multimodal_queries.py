@@ -354,3 +354,196 @@ def multimodal_decode_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return M.decode_pgm_table(media, factor=2)
+
+
+# --- real pixel decode: PPM color end-to-end (r11) --------------------------
+
+# Same replay doctrine as _PGM_ORACLE, now 3-channel: the fixture
+# pads text to w*h*3 chars and interleaves them RGB (sample i →
+# pixel i//3, channel i%3), so per-channel sums and the per-channel
+# factor-2 block-mean resize are all integer arithmetic DuckDB can
+# replay from the document text alone. A parser bug anywhere — P6's
+# single post-maxval whitespace byte, P3 tokenizing, channel
+# deinterleave, crop bounds — lands as a value mismatch.
+_PPM_ORACLE = """
+WITH sub AS (
+  SELECT doc_id, text, length(text) AS nc
+  FROM documents WHERE doc_id % 43 = 0 AND text IS NOT NULL
+), geom AS (
+  SELECT doc_id, text, nc % 11 + 2 AS w, nc % 5 + 2 AS h FROM sub
+), pix AS (
+  SELECT doc_id, w, h,
+         CAST(u.i AS BIGINT) // 3 AS q,
+         CAST(u.i AS BIGINT) % 3 AS c,
+         ascii(substring(rpad(text, CAST(w * h * 3 AS INT), 'x'),
+                         CAST(u.i + 1 AS INT), 1)) AS px
+  FROM geom, LATERAL unnest(range(0, w * h * 3)) AS u(i)
+), st AS (
+  SELECT doc_id,
+         CAST(sum(px) FILTER (WHERE c = 0) AS BIGINT) AS r_sum,
+         CAST(sum(px) FILTER (WHERE c = 1) AS BIGINT) AS g_sum,
+         CAST(sum(px) FILTER (WHERE c = 2) AS BIGINT) AS b_sum
+  FROM pix GROUP BY 1
+), bs AS (
+  SELECT doc_id, c, (q // w) // 2 AS br, (q % w) // 2 AS bc,
+         CAST(sum(px) // 4 AS BIGINT) AS bm
+  FROM pix
+  WHERE (q // w) < (h // 2) * 2 AND (q % w) < (w // 2) * 2
+  GROUP BY 1, 2, 3, 4
+), rs AS (
+  SELECT doc_id,
+         CAST(sum(bm) FILTER (WHERE c = 0) AS BIGINT) AS rs_r_sum,
+         CAST(sum(bm) FILTER (WHERE c = 1) AS BIGINT) AS rs_g_sum,
+         CAST(sum(bm) FILTER (WHERE c = 2) AS BIGINT) AS rs_b_sum
+  FROM bs GROUP BY 1
+)
+SELECT g.doc_id AS media_id,
+       CASE WHEN g.doc_id % 2 = 0 THEN 'P6' ELSE 'P3' END AS fmt,
+       CAST(g.w AS INT) AS width,
+       CAST(g.h AS INT) AS height,
+       CAST(255 AS INT) AS maxval,
+       CAST(g.w * g.h AS BIGINT) AS n_pixels,
+       st.r_sum, st.g_sum, st.b_sum,
+       CAST(g.w // 2 AS INT) AS rs_width,
+       CAST(g.h // 2 AS INT) AS rs_height,
+       rs.rs_r_sum, rs.rs_g_sum, rs.rs_b_sum
+FROM geom g JOIN st USING (doc_id) JOIN rs USING (doc_id)
+"""
+
+
+@query("multimodal_decode_ppm", oracle=_PPM_ORACLE)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color decode end-to-end (r11, VERDICT r10 item 4 — the
+    codec seam narrowed to compressed formats): the doc_id%43
+    document subset is materialized as actual .ppm FILES — P6 binary
+    raster for even ids, P3 ASCII for odd, headers carrying a
+    comment line — with the padded text's character codes
+    RGB-interleaved as samples, then scanned back through Spark's
+    binaryFile source and decoded by the pure-Python
+    operators/multimodal.decode_ppm inside ONE mapInPandas stage
+    that also computes exact per-channel integer stats and the
+    factor-2 per-channel block-mean resize.
+
+    Same LOCAL-MODE fixture note as multimodal_decode_pgm: the
+    fixture files land in the driver's local tmpdir (the collect
+    exists only to write them — |corpus|/43 rows); a cluster points
+    the same binaryFile scan at a shared filesystem."""
+    import shutil
+
+    docs = (
+        read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+        .filter((F.col("doc_id") % 43 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    sub = docs.collect()  # tiny: |corpus|/43 fixture rows
+    dst = scratch_dir(sf_dir, "ppm_fixture")
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for row in sub:
+        nc = len(row.text)
+        w, h = nc % 11 + 2, nc % 5 + 2
+        n = w * h * 3
+        padded = (row.text + "x" * n)[:n]
+        codes = [ord(c) for c in padded]
+        if max(codes) > 255:
+            raise ValueError(
+                "fixture text is not single-byte; the per-character "
+                "oracle replay would diverge"
+            )
+        header = f"# r11 fixture\n{w} {h}\n255\n"
+        if row.doc_id % 2 == 0:
+            payload = b"P6\n" + header.encode("ascii") + bytes(codes)
+        else:
+            payload = (
+                "P3\n" + header + " ".join(map(str, codes))
+            ).encode("ascii")
+        with open(os.path.join(dst, f"{row.doc_id}.ppm"), "wb") as fh:
+            fh.write(payload)
+    media = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(dst)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.ppm$", 1)
+            .cast("bigint")
+            .alias("media_id"),
+            "content",
+        )
+    )
+    return M.decode_ppm_table(media, factor=2)
+
+
+# --- cross-modal consistency: CLIP-score shape (r11) ------------------------
+
+_XMODAL_DIM = 16
+_XMODAL_TAU = 0.1
+
+# The oracle replays BOTH modalities value-exactly: the media vector
+# is integer byte-block sums (block b = indices with i*dim div total
+# == b — replayed per byte via unnest + integer division, where the
+# Spark side computes the same partition as per-block sequence
+# bounds [ceil(b·total/dim), ceil((b+1)·total/dim)-1] without any
+# row explosion), the caption vector is the embedding's leading dim
+# components cast to double, and cosine is list_dot_product — the
+# same left-to-right float64 accumulation Spark's zip_with/aggregate
+# does, bitwise-equal per the similarity-module contract. The keep
+# verdict therefore compares identical doubles on both engines.
+_XMODAL_ORACLE = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text,''))) AS h,
+         octet_length(encode(coalesce(text,''))) AS total
+  FROM documents WHERE doc_id % 3 = 0
+), mb AS (
+  SELECT * FROM media WHERE total >= {_XMODAL_DIM}
+), bytes AS (
+  SELECT media_id, total, CAST(u.i AS BIGINT) AS i,
+         CAST('0x' || substring(h, CAST(u.i*2+1 AS INT), 2) AS BIGINT)
+           AS b
+  FROM mb, LATERAL unnest(range(0, total)) AS u(i)
+), blocks AS (
+  SELECT media_id, total, (i * {_XMODAL_DIM}) // total AS blk,
+         CAST(sum(b) AS DOUBLE) AS s
+  FROM bytes GROUP BY 1, 2, 3
+), mvec AS (
+  SELECT media_id, total, list(s ORDER BY blk) AS mv
+  FROM blocks GROUP BY 1, 2
+), tv AS (
+  SELECT vec_id AS media_id,
+         list_transform(embedding[1:{_XMODAL_DIM}],
+                        x -> CAST(x AS DOUBLE)) AS tvec
+  FROM embeddings
+), sc AS (
+  SELECT mv.media_id, CAST(mv.total AS BIGINT) AS n_bytes,
+         list_dot_product(mv.mv, tv.tvec) /
+         (sqrt(list_dot_product(mv.mv, mv.mv)) *
+          sqrt(list_dot_product(tv.tvec, tv.tvec))) AS cosine
+  FROM mvec mv JOIN tv USING (media_id)
+)
+SELECT media_id, n_bytes, cosine, cosine >= {_XMODAL_TAU} AS keep
+FROM sc
+"""
+
+
+@query("cross_modal_consistency", oracle=_XMODAL_ORACLE)
+def cross_modal_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-modal consistency filter (operators/multimodal.
+    clip_score_pairs, r11 — VERDICT r10 item 3): per (image,
+    caption) pair — image-kind media items joined to the embeddings
+    table on media_id == vec_id — the CLIP-score-shaped cosine
+    between a 16-block byte-sum media feature vector (JVM-side
+    nested higher-order functions, no UDF, no per-byte explosion)
+    and the caption embedding's leading 16 components, plus the
+    ``keep = cosine >= 0.1`` curation verdict. Pairs with payloads
+    under 16 bytes or no embedding row drop (documented contract).
+    The pairing is a co-partitioned equi-join on the id — the
+    standard per-pair shape that survives 100 TB (no cross join, no
+    vector shuffle beyond the id-keyed join)."""
+    media = _media(spark, sf_dir)
+    vectors = read_parquet(
+        spark, os.path.join(sf_dir, "embeddings.parquet")
+    )
+    return M.clip_score_pairs(
+        media, vectors, dim=_XMODAL_DIM, tau=_XMODAL_TAU
+    )

@@ -1718,6 +1718,92 @@ def test_calibration_bins_monotone_on_weak_labels(spark):
     assert min(fracs[4:]) > max(fracs[:4]), fracs  # signed + ordered
 
 
+def test_classifier_noise_robust_calibration(spark):
+    """Label-noise robustness (r11, VERDICT r10 item 7 — the DCLM
+    robustness check): flip a deterministic md5-selected ~5% of the
+    Gopher weak labels, retrain, and the calibration table evaluated
+    against the CLEAN labels must (a) stay correctly SIGNED — every
+    top-half bin's positive fraction above every bottom-half bin's —
+    and (b) drift boundedly per bin vs the clean retrain. Driver
+    registration is slated r12 day-one: the r11 gate prefix is fully
+    committed to the floor-r5 rotation (registry.py policy rule 2).
+    """
+    from convert_parquet_to_csv_spark.operators.curation import (
+        calibration_bins,
+        gopher_weak_labels,
+        linear_text_classifier,
+        train_linear_classifier,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    # min_stopword_hits=1: the gated chain's fixture tuning (the
+    # synthetic vocabulary rarely hits 2 stopwords, which would
+    # collapse the label split to all-0)
+    clean = gopher_weak_labels(docs, min_stopword_hits=1).persist()
+    flip = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("noise"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 20
+        == 0
+    )
+    noisy = clean.select(
+        "doc_id",
+        F.when(flip, F.lit(1_000_000) - F.col("y_micro"))
+        .otherwise(F.col("y_micro"))
+        .alias("y_micro"),
+    )
+    n_flipped = noisy.join(
+        clean.withColumnRenamed("y_micro", "_yc"), "doc_id"
+    ).filter(F.col("y_micro") != F.col("_yc")).count()
+    assert n_flipped > 0  # the coin actually flipped some labels
+
+    def bins_for(labels):
+        w = train_linear_classifier(
+            docs, labels, num_buckets=512, epochs=2
+        )
+        scores = linear_text_classifier(
+            docs.filter(F.col("doc_id").isNotNull()),
+            w,
+            num_buckets=512,
+        )
+        # calibrate BOTH runs against the CLEAN labels — the noise
+        # lives only in training
+        out = {
+            r["bin"]: r["frac_pos"]
+            for r in calibration_bins(scores, clean).collect()
+        }
+        spark.catalog.clearCache()
+        return out
+
+    b_clean = bins_for(clean)
+    b_noisy = bins_for(noisy)
+    fr_noisy = [b_noisy[b] for b in sorted(b_noisy)]
+    # (a) signed + non-degenerate under noise
+    assert len(fr_noisy) == 8
+    h = len(fr_noisy) // 2
+    assert min(fr_noisy[h:]) > max(fr_noisy[:h]), fr_noisy
+    # (b) bounded per-bin drift on shared bins (bin EDGES shift with
+    # the logit range, so compare where both tables have mass)
+    drifts = [
+        abs(b_noisy[b] - b_clean[b]) for b in b_noisy if b in b_clean
+    ]
+    assert drifts and max(drifts) <= 0.25, (b_clean, b_noisy)
+    clean.unpersist()
+
+
 def test_langid_segments_majority_and_ties(spark):
     """Line-granular language composition (r10): majority counts per
     doc, ties break to the alphabetically-first language, lines with

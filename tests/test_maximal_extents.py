@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from convert_parquet_to_csv_spark.operators import dedup as D
 
@@ -367,3 +368,94 @@ def test_shared_extent_contamination_semantics(spark):
     # FOLLOWING suffix-order neighbor: "...u other" (102) sorts
     # before "...u tail" (101), so 102 wins deterministically.
     assert got[3] == (6, 102, 1)
+
+
+def _xset_rows(df):
+    return sorted(
+        (
+            r["doc_id"],
+            r["max_shared_toks"],
+            r["bench_id"],
+            r["n_hit_positions"],
+        )
+        for r in df.collect()
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=_docs_strategy, bench=_docs_strategy, k=st.integers(2, 3)
+)
+def test_incremental_contamination_equals_from_scratch(
+    spark, corpus, bench, k
+):
+    """The r11 incremental path — persisted old-position table +
+    delta-only window pass + merge — must reproduce the from-scratch
+    union report EXACTLY, witness ids included (the per-position
+    nearest-neighbor identity: union neighbors are the slice-order
+    extremes of the per-set neighbors)."""
+    crows = [
+        (i, None if ts is None else " ".join(ts))
+        for i, ts in enumerate(corpus)
+    ]
+    brows = [
+        (100 + i, None if ts is None else " ".join(ts))
+        for i, ts in enumerate(bench)
+    ]
+    cdf = spark.createDataFrame(crows, "doc_id LONG, text STRING")
+    bdf = spark.createDataFrame(brows, "doc_id LONG, text STRING")
+    bench_old = bdf.filter(F.col("doc_id") % 2 == 0)
+    bench_delta = bdf.filter(F.col("doc_id") % 2 == 1)
+    scratch = D.shared_extent_contamination(cdf, bdf, k=k, w_cap=4)
+    old_pos = D.contamination_hit_positions(
+        cdf, bench_old, k=k, w_cap=4
+    )
+    inc = D.shared_extent_contamination_incremental(
+        cdf, bench_delta, old_pos, k=k, w_cap=4
+    )
+    assert _xset_rows(inc) == _xset_rows(scratch)
+
+
+def test_incremental_contamination_merge_semantics(spark):
+    """Directed cases: a delta that lengthens an old doc's best
+    match updates max + witness; a doc hit only by the delta
+    appears; a doc hit only by the old set survives the merge;
+    shared positions are not double-counted."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "x1 x2 a b c d e f g h y1 y2"),
+            (2, "m n o p q r"),
+            (3, "only old hits this doc here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    bench_old = spark.createDataFrame(
+        [(100, "zz a b c d e f zz"), (101, "only old hits this")],
+        "doc_id LONG, text STRING",
+    )
+    bench_delta = spark.createDataFrame(
+        [(200, "a b c d e f g h tail"), (201, "m n o p q r")],
+        "doc_id LONG, text STRING",
+    )
+    union = bench_old.unionByName(bench_delta)
+    scratch = D.shared_extent_contamination(
+        corpus, union, k=4, w_cap=18
+    )
+    old_pos = D.contamination_hit_positions(
+        corpus, bench_old, k=4, w_cap=18
+    )
+    inc = D.shared_extent_contamination_incremental(
+        corpus, bench_delta, old_pos, k=4, w_cap=18
+    )
+    got = {r[0]: r[1:] for r in _xset_rows(inc)}
+    assert _xset_rows(inc) == _xset_rows(scratch)
+    # doc 1: old best was 6 ("a b c d e f"), delta lengthens to 8
+    assert got[1][0] == 8 and got[1][1] == 200
+    # doc 2: delta-only hit
+    assert got[2][0] == 6 and got[2][1] == 201
+    # doc 3: old-only hit survives
+    assert got[3][1] == 101

@@ -241,3 +241,214 @@ def test_decode_pgm_table_stats_and_resize(spark):
     # blocks: [[0,1,4,5],[2,3,6,7],[8,9,12,13],[10,11,14,15]] sums
     # 10,18,42,50 -> //4 -> 2,4,10,12 -> rs sum 28
     assert (r["rs_width"], r["rs_height"], r["rs_pixel_sum"]) == (2, 2, 28)
+
+
+def test_decode_ppm_p6_and_p3_roundtrip():
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    sm = bytes(range(36))  # 4x3 RGB
+    p6 = b"P6\n# comment\n4 3\n255\n" + sm
+    assert decode_ppm(p6) == ("P6", 4, 3, 255, sm)
+    p3 = ("P3\n# c1\n4 3\n255\n"
+          + " ".join(str(b) for b in sm)).encode()
+    assert decode_ppm(p3) == ("P3", 4, 3, 255, sm)
+    # P6 raster whose first byte is 0x0A must not be eaten as header
+    # whitespace (the single post-maxval byte contract, PGM lesson)
+    sm2 = b"\n\x00\x20\xff" * 3
+    assert decode_ppm(b"P6\n2 2\n255\n" + sm2) == ("P6", 2, 2, 255, sm2)
+
+
+def test_decode_ppm_rejects_malformed():
+    import pytest as _pytest
+
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")        # PGM, not PPM
+    with _pytest.raises(ValueError, match="short raster"):
+        decode_ppm(b"P6\n2 2\n255\n" + bytes(11))  # truncated
+    with _pytest.raises(ValueError, match="geometry"):
+        decode_ppm(b"P6\n0 3\n255\n")            # zero width
+    with _pytest.raises(ValueError, match="geometry"):
+        decode_ppm(b"P6\n2 2\n65535\n")          # 16-bit unsupported
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P3\n1 1\n100\n200 1 2")     # sample above maxval
+    with _pytest.raises(ValueError, match="whitespace"):
+        decode_ppm(b"P6\n1 1\n255" + bytes(3))   # raster glued to maxval
+    with _pytest.raises(ValueError, match="excess"):
+        decode_ppm(b"P3\n1 1\n255\n7 8 9 10")    # too many samples
+
+
+def test_decode_ppm_table_channel_stats_and_resize(spark):
+    """decode → per-channel stats → factor-2 per-channel block-mean
+    resize on a hand-checked 4x4 RGB gradient through the real
+    mapInPandas stage."""
+    import numpy as np
+
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_ppm_table,
+    )
+
+    sm = bytes(range(48))  # 4x4x3, channel c sum = sum(c, c+3, ...)
+    payload = b"P6\n4 4\n255\n" + sm
+    media = spark.createDataFrame(
+        [(9, bytearray(payload))], "media_id LONG, content BINARY"
+    )
+    [r] = decode_ppm_table(media, factor=2).collect()
+    assert (r["fmt"], r["width"], r["height"], r["n_pixels"]) == (
+        "P6", 4, 4, 16,
+    )
+    g = np.frombuffer(sm, dtype=np.uint8).reshape(4, 4, 3)
+    want = g.sum(axis=(0, 1))
+    assert (r["r_sum"], r["g_sum"], r["b_sum"]) == tuple(want)
+    rs = (
+        g.reshape(2, 2, 2, 2, 3).astype(np.int64).sum(axis=(1, 3)) // 4
+    )
+    want_rs = rs.sum(axis=(0, 1))
+    assert (r["rs_width"], r["rs_height"]) == (2, 2)
+    assert (r["rs_r_sum"], r["rs_g_sum"], r["rs_b_sum"]) == tuple(want_rs)
+
+
+def test_clip_score_pairs_vector_and_drops(spark):
+    """The media block-sum vector matches a hand computation; pairs
+    with short payloads or no embedding row drop; the keep flag
+    follows tau; k returns the top-k most consistent pairs."""
+    import math
+
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        clip_score_pairs,
+    )
+
+    payload = bytes(range(1, 9))  # 8 bytes, dim 4 -> blocks of 2
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(payload)),
+            (2, "image", bytearray(b"ab")),      # shorter than dim
+            (3, "audio", bytearray(payload)),    # wrong kind
+            (4, "image", bytearray(payload)),    # no embedding row
+            (5, "image", bytearray(payload)),
+        ],
+        "media_id LONG, kind STRING, content BINARY",
+    )
+    vectors = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0, 9.9]),
+            (2, [1.0, 1.0, 1.0, 1.0, 9.9]),
+            (3, [1.0, 1.0, 1.0, 1.0, 9.9]),
+            (5, [3.0, 7.0, 11.0, 15.0, 9.9]),  # parallel to blocks
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    got = {
+        r["media_id"]: r
+        for r in clip_score_pairs(
+            media, vectors, dim=4, tau=0.9
+        ).collect()
+    }
+    # block sums of 1..8 in pairs: [3, 7, 11, 15]
+    assert set(got) == {1, 5}
+    v = [3.0, 7.0, 11.0, 15.0]
+    n = math.sqrt(sum(x * x for x in v))
+    assert got[1]["n_bytes"] == 8
+    assert abs(got[1]["cosine"] - 3.0 / n) < 1e-12
+    assert got[1]["keep"] is False
+    assert abs(got[5]["cosine"] - 1.0) < 1e-12
+    assert got[5]["keep"] is True
+    top = clip_score_pairs(media, vectors, dim=4, tau=0.9, k=1).collect()
+    assert [r["media_id"] for r in top] == [5]
+
+
+def _wav(channels=1, rate=8000, bits=16, samples=(), fmt_code=1,
+         extra_chunk=False):
+    """Hand-built RIFF/WAVE: optional junk chunk before fmt to
+    exercise the chunk walk."""
+    import struct
+
+    width = bits // 8
+    if bits == 16:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    else:
+        data = bytes(samples)
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, channels, rate,
+        rate * channels * width, channels * width, bits,
+    )
+    chunks = b""
+    if extra_chunk:
+        chunks += b"JUNK" + struct.pack("<I", 3) + b"abc\x00"  # padded
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_pcm16_and_pcm8_roundtrip():
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    ch, rate, bits, n, data = decode_wav(
+        _wav(samples=(0, 100, -100, 32767), extra_chunk=True)
+    )
+    assert (ch, rate, bits, n) == (1, 8000, 16, 4)
+    import struct
+
+    assert struct.unpack("<4h", data) == (0, 100, -100, 32767)
+    ch, rate, bits, n, data = decode_wav(
+        _wav(channels=2, bits=8, samples=(0, 128, 255, 1))
+    )
+    assert (ch, bits, n) == (2, 8, 4)
+    assert data == bytes((0, 128, 255, 1))
+
+
+def test_decode_wav_rejects_malformed():
+    import pytest as _pytest
+
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_wav(b"RIFX" + b"\x00" * 20)
+    with _pytest.raises(ValueError, match="format code"):
+        decode_wav(_wav(samples=(1,), fmt_code=3))  # float PCM
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(_wav(samples=(1, 2, 3))[:-2])
+    with _pytest.raises(ValueError, match="no data chunk"):
+        wav = _wav(samples=())
+        decode_wav(wav[: wav.index(b"data")])
+    with _pytest.raises(ValueError, match="before fmt"):
+        import struct as _s
+
+        decode_wav(
+            b"RIFF" + _s.pack("<I", 12) + b"WAVE"
+            + b"data" + _s.pack("<I", 2) + b"\x00\x00"
+        )
+
+
+def test_wav_energy_table_hand_computed(spark):
+    """frame_len=2 over 5 samples: frames |0|+|100|, |-100|+|200|,
+    |300| -> energies 100, 300, 300; 8-bit is unsigned-centered."""
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        wav_energy_table,
+    )
+
+    p16 = _wav(samples=(0, 100, -100, 200, 300))
+    p8 = _wav(bits=8, samples=(128, 130, 126))  # |s-128| = 0, 2, 2
+    media = spark.createDataFrame(
+        [(1, bytearray(p16)), (2, bytearray(p8))],
+        "media_id LONG, content BINARY",
+    )
+    got = {
+        r["media_id"]: r
+        for r in wav_energy_table(media, frame_len=2).collect()
+    }
+    r = got[1]
+    assert (r["bits"], r["n_samples"], r["n_frames"]) == (16, 5, 3)
+    assert (r["total_energy"], r["max_frame_energy"]) == (700, 300)
+    r = got[2]
+    assert (r["bits"], r["n_samples"], r["n_frames"]) == (8, 3, 2)
+    assert (r["total_energy"], r["max_frame_energy"]) == (4, 2)

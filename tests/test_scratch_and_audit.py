@@ -122,6 +122,17 @@ def test_stabilize_plan_line_normalizes_volatile_tokens():
     # unbalanced (pre-truncated) input passes through without error
     t = stabilize_plan_line("keys=[a#1, trunc(b#2")
     assert t.startswith("keys=[")
+    # r11: subexpr-elimination aliases and HOF lambda variables are
+    # global counters too
+    c1 = stabilize_plan_line(
+        "count(if (NOT _common_expr_16#3) null else _common_expr_16#3)"
+        " lambdafunction(NOT (lambda x_708#9 = ), lambda x_708#9)"
+    )
+    c2 = stabilize_plan_line(
+        "count(if (NOT _common_expr_22#4) null else _common_expr_22#4)"
+        " lambdafunction(NOT (lambda x_739#2 = ), lambda x_739#2)"
+    )
+    assert c1 == c2
 
 
 
@@ -199,3 +210,57 @@ def test_oracle_edited_queries_hash_match_duckdb(spark):
         assert frame_signature(canon(spdf)) == frame_signature(
             canon(dpdf)
         ), name
+
+
+def test_plans_md_sections_match_fresh_regen(tmp_path):
+    """PLANS.md freshness canary (r11, VERDICT r10 item 5a: the
+    decontaminate_exact_substr section went stale at HEAD when the
+    6-34x kernel rewrite landed without a regen). Regenerates a
+    3-section sample through the real plan_audit path (subprocess —
+    the audit pins its own session confs, which the plan text
+    depends on) and asserts byte-equality with the committed file.
+    The sample: the flagship section plus the two kernels this
+    round's refactors touched. Full-file freshness remains the
+    tool's job — run `python tools/plan_audit.py` and check
+    `git diff PLANS.md` is empty in any commit that rewrites a
+    gated kernel."""
+    import subprocess
+
+    names = [
+        "convert_roundtrip",
+        "decontaminate_exact_substr",
+        "decontaminate_exact_substr_incremental",
+    ]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "PLANS_fresh.md"
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools", "plan_audit.py"),
+            "--only",
+            ",".join(names),
+            "--out",
+            str(out),
+        ],
+        check=True,
+        cwd=repo,
+        timeout=540,
+    )
+
+    def sections(text: str) -> dict[str, str]:
+        parts = ("\n" + text).split("\n## ")
+        return {
+            p.split("\n", 1)[0].strip(): p.rstrip()
+            for p in parts[1:]
+        }
+
+    with open(os.path.join(repo, "PLANS.md")) as f:
+        committed = sections(f.read())
+    fresh = sections(out.read_text())
+    for n in names:
+        assert n in committed, f"PLANS.md lacks a section for {n}"
+        assert committed[n] == fresh[n], (
+            f"PLANS.md section for {n} is STALE — regenerate "
+            "PLANS.md in the same commit as the kernel change "
+            "(python tools/plan_audit.py)"
+        )

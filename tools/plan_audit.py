@@ -211,6 +211,9 @@ CASES = {
     "pack_concat_chunks": "concat packing: 1-row id min/max close -> integer id bins, <=num_bins carry window (allowlisted dimension-scale), within-bin offset windows PARTITIONED by bin, chunk-range explode bounded by tokens/ctx",
     "source_mixture_epochs": "mixture law: one (source) partial-agg shuffle, 1-row sqrt-micro total broadcast, pure integer Column algebra after — dimension scale past the first aggregate",
     "source_ngram_overlap": "source overlap: one (source, gram-hash) DISTINCT shuffle collapses corpus to source vocabularies; gram self-join + size joins all vocabulary-scale",
+    # r11 flagships
+    "cross_modal_consistency": "cross-modal CLIP score: media block-sum vector via nested HOFs map-side (no UDF, no per-byte explosion), ONE id-keyed equi-join to embeddings, per-pair cosine projection — no cross join, no vector shuffle beyond the id join",
+    "decontaminate_exact_substr_incremental": "incremental xset: delta-gram broadcast bounds the new window pass, persisted-position merge is ONE (id,p)-keyed full outer join at contamination-footprint scale, re-aggregate as the base kernel — no union-scale window anywhere",
 }
 
 KEY_MARKERS = (
@@ -232,6 +235,14 @@ _VOLATILE = (
     (re.compile(r"plan_id=\d+"), "plan_id=_"),
     (re.compile(r"(?:file:)?/tmp/[^\s,\]\)]+"), "/tmp/_"),
     (re.compile(r"(?:file:)?\S*/spark-warehouse/[^\s,\]\)]+"), "warehouse/_"),
+    # r11: two more GLOBAL session counters the r10 pass missed —
+    # subexpression-elimination aliases (_common_expr_NN) and
+    # higher-order-function lambda variables (lambda x_NNN / the
+    # bare x_NNN references inside the lambda body). Both shift for
+    # every later section when one new query registers, exactly the
+    # expr-id churn class.
+    (re.compile(r"_common_expr_\d+"), "_common_expr_#"),
+    (re.compile(r"\bx_\d+"), "x_#"),
 )
 
 
@@ -375,7 +386,26 @@ def main() -> None:
         help="only regenerate PLANS.md sections (CASES), skip the "
         "full-registry single-partition-window audit",
     )
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated CASES subset to regenerate (implies "
+        "sections-only); used by the PLANS.md freshness canary test",
+    )
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="write sections to this path instead of PLANS.md "
+        "(freshness comparison without touching the committed file)",
+    )
     args = ap.parse_args()
+    if args.only:
+        args.skip_window_audit = True
+        if not args.out:
+            raise SystemExit(
+                "--only without --out would overwrite PLANS.md with "
+                "a PARTIAL file; pass --out"
+            )
 
     registry.load_all()
     spark = get_spark(
@@ -390,6 +420,12 @@ def main() -> None:
     audit_names = (
         list(CASES) if args.skip_window_audit else list(registry.QUERIES)
     )
+    if args.only:
+        wanted = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in CASES]
+        if unknown:
+            raise SystemExit(f"--only names not in CASES: {unknown}")
+        audit_names = wanted
     tools_dir = os.path.dirname(os.path.abspath(__file__))
     import json
 
@@ -498,7 +534,7 @@ def main() -> None:
     sections = [HEADER] + [
         section_by_name[n] for n in CASES if n in section_by_name
     ]
-    out = os.path.join(os.path.dirname(os.path.dirname(
+    out = args.out or os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(sections))

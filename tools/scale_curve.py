@@ -40,6 +40,7 @@ from convert_parquet_to_csv_spark.session import get_spark
 from convert_parquet_to_csv_spark.sources.io_ops import read_parquet
 from convert_parquet_to_csv_spark.operators.dedup import (
     containment_pairs,
+    contamination_hit_positions,
     duplicated_span_extents,
     maximal_duplicated_extents,
     minhash_dedup,
@@ -47,6 +48,7 @@ from convert_parquet_to_csv_spark.operators.dedup import (
     remove_duplicated_lines,
     remove_within_doc_repeats,
     shared_extent_contamination,
+    shared_extent_contamination_incremental,
     winnow_fingerprints,
 )
 from convert_parquet_to_csv_spark.functions.text import (
@@ -419,6 +421,33 @@ def main() -> None:
                 )
             ),
         }
+        # r11: incremental cross-set decontamination. The OLD
+        # benchmark version's position table is a persisted artifact
+        # in production, so it materializes to parquet UNTIMED here
+        # (even benchmark ids); the timed kernel is the steady-state
+        # batch: the delta-only window pass (odd ids) + the
+        # footprint-scale merge + re-aggregate. Trend it against
+        # xset_contamination — both scan the corpus once map-side;
+        # the incremental claim is that everything PAST the scan is
+        # delta-footprint-bounded.
+        bench_mangled = bench_side.select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), r"(\S+)", "$1x0").alias(
+                "text"
+            ),
+        )
+        oldpos_path = f"/tmp/cptc_xset_oldpos_{n}.parquet"
+        contamination_hit_positions(
+            docs, bench_mangled.filter(F.col("doc_id") % 2 == 0), k=4
+        ).write.mode("overwrite").parquet(oldpos_path)
+        spark.catalog.clearCache()
+        kernels["xset_incremental"] = (
+            lambda d=docs, p=oldpos_path, bd=bench_mangled.filter(
+                F.col("doc_id") % 2 == 1
+            ): shared_extent_contamination_incremental(
+                d, bd, read_parquet(spark, p), k=4
+            )
+        )
         only = os.environ.get("SPARK_GRAFT_CURVE_KERNELS")
         if only:
             wanted = {k.strip() for k in only.split(",") if k.strip()}
