@@ -1230,9 +1230,19 @@ def train_linear_classifier(
     b = hashed_ngram_buckets(
         feat_docs, id_col, text_col, num_buckets, ngram_ns, hash_fn
     )
+    # Persist PRE-PARTITIONED on the id (r11, the
+    # embedding_power_iteration_pc1 device): counts leaves its
+    # groupBy hash-partitioned on (id, _b), so every epoch's logits
+    # groupBy(id) and gradient join(id) re-shuffled the corpus-scale
+    # table. One upfront repartition(id) satisfies both per-epoch
+    # distributions from cache — measured 2.8x on the 500k-doc curve
+    # corpus (44.8 -> 15.9 s min-of-2, interleaved same-box, weight
+    # table hash-identical). The label table is NOT pinned: its rows
+    # are narrow and map-side recompute beat a second persist in the
+    # same A/B (9.7 vs 14.8 s).
     counts = b.groupBy(id_col, "_b").agg(
         F.count(F.lit(1)).alias("_c")
-    ).persist()
+    ).repartition(id_col).persist()
     lab = labels.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col), F.col("y_micro").cast("long").alias("_y")
     )

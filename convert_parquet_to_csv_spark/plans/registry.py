@@ -127,12 +127,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #      independent check, not the only check). Growth past ~330
 #      requires retiring a redundant gate per rule 3.
 # r11 arithmetic: 3 lent canary slots (r4 names) + 3 day-one
-# registrations + 44 remaining r4 names = 50. The two result-
-# unchanged touched kernels this round (decontaminate_exact_substr,
+# registrations + 44 remaining r4 names = 50. The result-unchanged
+# touched kernels this round (decontaminate_exact_substr,
 # multimodal_decode_pgm — pure refactors extracting the incremental
-# position path / the shared Netpbm header) are r10-latest, verified
-# by the in-suite oracle replay and tri-SF local replicas, and take
-# no slot (doctrine: unchanged fixes trail, and no slots remain).
+# position path / the shared Netpbm header; the classifier-train
+# chain — counts persisted pre-partitioned on id, the measured 2.8x
+# per-epoch-exchange fix, weight values hash-identical) are
+# r10-latest, verified by the in-suite oracle replay and tri-SF
+# local replicas, and take no slot (doctrine: unchanged fixes
+# trail, and no slots remain).
 FIRST_TIER: list[str] = [
     # --- canary-seam slots, LENT to r4-class members (rule 4) ---
     "csv_adversarial_roundtrip",

@@ -49,7 +49,7 @@ CASES = {
     # r9 flagships: prove the docstring shapes from the executed plans
     "dedup_maximal_extents": "maximal extents: suffix window PARTITIONED by the leading-gram hash (never single-partition), LCP as codegen'd zip_with (no UDF), doc-keyed suppression lag",
     "unigram_lm_encode": "unigram LM: ONE corpus exchange (word freq); vocab-scale piece agg; cost MAP built engine-side and broadcast (1-row close); Viterbi fold is a map-side projection over distinct words",
-    "quality_classifier_train": "classifier train: per-epoch corpus joins are doc-keyed; weight table broadcast into the logit join; epochs separated by bounded localCheckpoints (audited plan is the final update stage)",
+    "quality_classifier_train": "classifier train: counts persisted PRE-PARTITIONED on the doc id (one upfront exchange; every epoch's logits groupBy and gradient join reuse the cached distribution — the r11 2.8x fix); weight table broadcast into the logit join; epochs separated by bounded localCheckpoints (audited plan is the final update stage)",
     "paragraph_dedup_boilerplate": "paragraph dedup: same kernel as line dedup at the \\n{2,} knob — min-struct winner groupBy, paragraph-keyed join, doc-keyed reassembly, no window",
     # r9 wave-2 flagships
     "ngram_lm_perplexity": "bigram LM: ONE corpus exchange (map-side zip_with transitions -> per-doc bigram groupBy); bigram/context/V model tables roll up from it; one model-keyed scoring join; id-spine close",
