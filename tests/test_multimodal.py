@@ -452,3 +452,153 @@ def test_wav_energy_table_hand_computed(spark):
     r = got[2]
     assert (r["bits"], r["n_samples"], r["n_frames"]) == (8, 3, 2)
     assert (r["total_energy"], r["max_frame_energy"]) == (4, 2)
+
+
+# --- hypothesis roundtrips for the r11 decoders ------------------------------
+
+from hypothesis import HealthCheck as _HC
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(
+    w=_st.integers(1, 9),
+    h=_st.integers(1, 7),
+    maxval=_st.integers(1, 255),
+    binary=_st.booleans(),
+    data=_st.data(),
+)
+def test_decode_ppm_roundtrip_property(w, h, maxval, binary, data):
+    """encode(w, h, maxval, samples) -> decode is the identity for
+    every geometry and sample content, P3 and P6 alike — including
+    rasters whose first byte is whitespace-valued."""
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    n = w * h * 3
+    samples = data.draw(
+        _st.lists(
+            _st.integers(0, maxval), min_size=n, max_size=n
+        )
+    )
+    header = f"# c\n{w} {h}\n{maxval}\n"
+    if binary:
+        payload = b"P6\n" + header.encode() + bytes(samples)
+    else:
+        payload = (
+            "P3\n" + header + " ".join(map(str, samples))
+        ).encode()
+    fmt, W, H, mv, sm = decode_ppm(payload)
+    assert (fmt, W, H, mv) == ("P6" if binary else "P3", w, h, maxval)
+    assert sm == bytes(samples)
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(
+    channels=_st.integers(1, 3),
+    rate=_st.integers(1, 48000),
+    bits=_st.sampled_from([8, 16]),
+    junk=_st.booleans(),
+    data=_st.data(),
+)
+def test_decode_wav_roundtrip_property(channels, rate, bits, junk, data):
+    """encode -> decode identity over channel counts, rates, both
+    sample widths, and optional unknown chunks before fmt."""
+    import struct
+
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    nf = data.draw(_st.integers(0, 20))
+    n = nf * channels
+    if bits == 16:
+        samples = data.draw(
+            _st.lists(
+                _st.integers(-32768, 32767), min_size=n, max_size=n
+            )
+        )
+    else:
+        samples = data.draw(
+            _st.lists(_st.integers(0, 255), min_size=n, max_size=n)
+        )
+    payload = _wav(
+        channels=channels, rate=rate, bits=bits,
+        samples=tuple(samples), extra_chunk=junk,
+    )
+    ch, r, b, count, raw = decode_wav(payload)
+    assert (ch, r, b, count) == (channels, rate, bits, n)
+    if bits == 16:
+        got = list(struct.unpack(f"<{n}h", raw)) if n else []
+    else:
+        got = list(raw)
+    assert got == samples
+
+
+def test_clip_score_pairs_matches_python_reference(spark):
+    """Random-ish payload sizes (coprime with dim, shorter/longer
+    blocks) against a pure-Python block-sum + cosine reference —
+    the block-partition formula and the float accumulation order
+    both pinned."""
+    import math
+
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        clip_score_pairs,
+    )
+
+    dim = 5
+    payloads = {
+        1: bytes(range(1, 6)),          # total == dim
+        2: bytes(range(1, 18)),         # 17 bytes, coprime with 5
+        3: bytes([7] * 64),             # uniform
+        4: bytes(range(255, 249, -1)),  # 6 bytes, descending
+    }
+    emb = {
+        1: [0.5, -1.0, 2.0, 0.25, -0.125, 9.9],
+        2: [1.0, 1.0, 1.0, 1.0, 1.0, 9.9],
+        3: [0.0, 0.0, 0.0, 0.0, 1.0, 9.9],
+        4: [-1.0, 2.0, -3.0, 4.0, -5.0, 9.9],
+    }
+    media = spark.createDataFrame(
+        [(k, "image", bytearray(v)) for k, v in payloads.items()],
+        "media_id LONG, kind STRING, content BINARY",
+    )
+    vectors = spark.createDataFrame(
+        [(k, v) for k, v in emb.items()],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    got = {
+        r["media_id"]: r["cosine"]
+        for r in clip_score_pairs(
+            media, vectors, dim=dim, tau=0.0
+        ).collect()
+    }
+    import struct as _s  # noqa: F401  (parity with wav test style)
+
+    for k, payload in payloads.items():
+        t = len(payload)
+        mv = []
+        for b in range(dim):
+            lo = (b * t + dim - 1) // dim
+            hi = ((b + 1) * t + dim - 1) // dim - 1
+            mv.append(float(sum(payload[lo : hi + 1])))
+        tv = [float(_s_cast) for _s_cast in emb[k][:dim]]
+        # float32 storage of the embedding, then double accumulation
+        import numpy as np
+
+        tv = [float(np.float32(x)) for x in tv]
+        dot = 0.0
+        for a, c in zip(mv, tv):
+            dot += a * c
+        na = 0.0
+        for a in mv:
+            na += a * a
+        nb = 0.0
+        for c in tv:
+            nb += c * c
+        denom = math.sqrt(na) * math.sqrt(nb)
+        want = dot / denom if denom > 0 else 0.0
+        assert got[k] == want, (k, got[k], want)
