@@ -420,6 +420,41 @@ def test_incremental_contamination_equals_from_scratch(
     assert _xset_rows(inc) == _xset_rows(scratch)
 
 
+def test_incremental_positions_survive_parquet_roundtrip(
+    spark, tmp_path
+):
+    """The old-position table is a PERSISTED artifact in production:
+    write it to parquet, read it back, and the incremental result
+    must still equal from-scratch — pins the schema (arrays + the
+    two neighbor structs) through the storage boundary, not just
+    in-flight lineage."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "x1 x2 a b c d e f g h y1 y2"),
+            (2, "m n o p q r"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    bench_old = spark.createDataFrame(
+        [(100, "zz a b c d e f zz")], "doc_id LONG, text STRING"
+    )
+    bench_delta = spark.createDataFrame(
+        [(200, "a b c d e f g h tail"), (201, "m n o p q r")],
+        "doc_id LONG, text STRING",
+    )
+    p = str(tmp_path / "oldpos.parquet")
+    D.contamination_hit_positions(
+        corpus, bench_old, k=4, w_cap=18
+    ).write.parquet(p)
+    inc = D.shared_extent_contamination_incremental(
+        corpus, bench_delta, spark.read.parquet(p), k=4, w_cap=18
+    )
+    scratch = D.shared_extent_contamination(
+        corpus, bench_old.unionByName(bench_delta), k=4, w_cap=18
+    )
+    assert _xset_rows(inc) == _xset_rows(scratch)
+
+
 def test_incremental_contamination_merge_semantics(spark):
     """Directed cases: a delta that lengthens an old doc's best
     match updates max + witness; a doc hit only by the delta
