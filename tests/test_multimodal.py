@@ -602,3 +602,109 @@ def test_clip_score_pairs_matches_python_reference(spark):
         denom = math.sqrt(na) * math.sqrt(nb)
         want = dot / denom if denom > 0 else 0.0
         assert got[k] == want, (k, got[k], want)
+
+
+def test_wav_energy_gate_prevalidation_duckdb_replay(spark, tmp_path):
+    """r12 gate design pre-validated end-to-end (the r11 ledger's
+    slated `multimodal_wav_energy` registration): the doc_id%47
+    sf0.001 subset materializes as real .wav FILES (mono 16-bit PCM,
+    samples = little-endian byte PAIRS of the even-padded utf-8
+    text), scans back through binaryFile into wav_energy_table, and
+    DuckDB replays the whole integer chain — byte pairing,
+    sign-extension, frame split, Σ|sample| — from the documents
+    table alone. When r12 registers the gate, this SQL becomes the
+    oracle verbatim — with ONE addition: an empty-text doc yields a
+    0-sample WAV and a (0, 0, 0) Spark row, but vanishes from the
+    oracle's frame groupBy; the gate must either filter
+    octet_length > 0 on both sides or spine empty docs back in
+    (none exist in the %47 sf0.001 subset, so this test can't
+    exercise it — flagged here so r12 doesn't rediscover it at
+    another SF)."""
+    import struct
+    import duckdb
+
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        wav_energy_table,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(
+        (F.col("doc_id") % 47 == 0) & F.col("text").isNotNull()
+    ).select("doc_id", "text").collect()
+    assert docs  # non-vacuous
+    d = str(tmp_path / "wavfix")
+    os.makedirs(d)
+    for row in docs:
+        raw = row.text.encode("utf-8")
+        if len(raw) % 2:
+            raw += b"\x00"
+        n = len(raw) // 2
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        chunks = (b"fmt " + struct.pack("<I", 16) + fmt
+                  + b"data" + struct.pack("<I", len(raw)) + raw)
+        payload = (b"RIFF" + struct.pack("<I", 4 + len(chunks))
+                   + b"WAVE" + chunks)
+        with open(os.path.join(d, f"{row.doc_id}.wav"), "wb") as fh:
+            fh.write(payload)
+    media = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(d)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.wav$", 1)
+            .cast("bigint").alias("media_id"),
+            "content",
+        )
+    )
+    got = {
+        r["media_id"]: (
+            r["num_channels"], r["sample_rate"], r["bits"],
+            r["n_samples"], r["n_frames"], r["total_energy"],
+            r["max_frame_energy"],
+        )
+        for r in wav_energy_table(media, frame_len=64).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    oracle = """
+WITH sub AS (
+  SELECT doc_id, encode(text) AS raw
+  FROM documents WHERE doc_id % 47 = 0 AND text IS NOT NULL
+), padded AS (
+  SELECT doc_id,
+         hex(raw) ||
+         CASE WHEN octet_length(raw) % 2 = 1 THEN '00' ELSE '' END
+           AS h,
+         (octet_length(raw) + octet_length(raw) % 2) // 2 AS n
+  FROM sub
+), smp AS (
+  SELECT doc_id, n, CAST(u.i AS BIGINT) AS i,
+         CAST('0x' || substring(h, CAST(u.i*4+3 AS INT), 2) AS BIGINT)
+           * 256 +
+         CAST('0x' || substring(h, CAST(u.i*4+1 AS INT), 2) AS BIGINT)
+           AS u16
+  FROM padded, LATERAL unnest(range(0, n)) AS u(i)
+), mag AS (
+  SELECT doc_id, n, i // 64 AS frame,
+         abs(CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END)
+           AS m
+  FROM smp
+), fr AS (
+  SELECT doc_id, n, frame, CAST(sum(m) AS BIGINT) AS e
+  FROM mag GROUP BY 1, 2, 3
+)
+SELECT doc_id AS media_id, 1 AS num_channels, 8000 AS sample_rate,
+       16 AS bits, CAST(n AS BIGINT) AS n_samples,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(e) AS BIGINT) AS total_energy,
+       CAST(max(e) AS BIGINT) AS max_frame_energy
+FROM fr GROUP BY doc_id, n
+"""
+    want = {
+        r[0]: tuple(r[1:]) for r in con.sql(oracle).fetchall()
+    }
+    assert got == want
