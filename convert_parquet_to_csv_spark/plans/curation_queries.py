@@ -1521,7 +1521,9 @@ _QTRAIN_LRD = 400
 _QTRAIN_THRESHOLD = 500_000
 
 
-def _qtrain_cte_chain(lab_where: str = "") -> tuple[str, str]:
+def _qtrain_cte_chain(
+    lab_where: str = "", y_expr: str = "y"
+) -> tuple[str, str]:
     """The WITH-body CTE chain replaying train_linear_classifier in
     DuckDB SQL — features, Gopher-deck weak labels (r10), and one
     unrolled CTE quartet (logits → residuals → gradient → weight
@@ -1530,7 +1532,12 @@ def _qtrain_cte_chain(lab_where: str = "") -> tuple[str, str]:
     ``lab_where``: extra predicate ANDed into the training-label CTE
     (the holdout gate trains on the md5-parity-0 half); the deck
     renders ONCE as ``laball`` so a holdout tail can join the
-    complementary half. Returns (chain, final_weight_cte_name)."""
+    complementary half. ``y_expr``: the training-target select item
+    over laball's ``y``, INCLUDING its ``AS y`` alias when not the
+    bare column (r11 — the slated r12 noise gate flips a
+    deterministic 5%); the default ``"y"`` renders the pre-r11 text
+    byte-identically, so existing gated oracles are untouched
+    (test-pinned). Returns (chain, final_weight_cte_name)."""
     chain = rf"""tok AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(lower(text)), '\s+'),
@@ -1559,7 +1566,7 @@ def _qtrain_cte_chain(lab_where: str = "") -> tuple[str, str]:
   FROM ({_GOPHER_FILTER_ORACLE}) gph
   WHERE doc_id IS NOT NULL
 ), lab AS (
-  SELECT doc_id, y FROM laball {lab_where}
+  SELECT doc_id, {y_expr} FROM laball {lab_where}
 ), nn AS (SELECT count(*) AS n FROM lab),
 w0 AS (
   SELECT CAST(i AS BIGINT) AS b, CAST(0 AS BIGINT) AS w

@@ -1837,3 +1837,97 @@ def test_langid_segments_majority_and_ties(spark):
     assert got[1] == (3, "en", round(2 / 3, 6), 2)
     assert got[2] == (2, "en", 0.5, 2)
     assert got[3] == (1, "und", 1.0, 1)
+
+
+def test_noise_gate_prevalidation_duckdb_replay(spark):
+    """r12 gate design pre-validated (the slated
+    `quality_classifier_noise` registration): train on Gopher weak
+    labels with a deterministic md5-selected ~5% flipped, and the
+    DuckDB chain — _qtrain_cte_chain with the flip as y_expr —
+    replays the learned weight table BIT-EXACTLY. The default
+    y_expr renders the pre-r11 chain byte-identically (also pinned
+    here), so the gated train/holdout oracles are untouched."""
+    import duckdb
+
+    from convert_parquet_to_csv_spark.operators.curation import (
+        gopher_weak_labels,
+        train_linear_classifier,
+    )
+    from convert_parquet_to_csv_spark.plans.curation_queries import (
+        _QTRAIN_CHAIN,
+        _qtrain_cte_chain,
+    )
+
+    # no-regate invariant: default render == the shipped chain text
+    chain_default, wf = _qtrain_cte_chain()
+    assert chain_default == _QTRAIN_CHAIN
+
+    flip_sql = (
+        "('0x' || substr(md5('noise' || CAST(doc_id AS VARCHAR)), 1, "
+        "15))::BIGINT % 20 = 0"
+    )
+    chain, wf = _qtrain_cte_chain(
+        y_expr=(
+            f"CASE WHEN {flip_sql} THEN 1000000 - y ELSE y END AS y"
+        )
+    )
+    oracle = (
+        "WITH " + chain
+        + f" SELECT b AS _b, CAST(w AS BIGINT) AS w FROM {wf}"
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = dict(con.sql(oracle).fetchall())
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    clean = gopher_weak_labels(docs, min_stopword_hits=1)
+    flip = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("noise"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 20
+        == 0
+    )
+    noisy = clean.select(
+        "doc_id",
+        F.when(flip, F.lit(1_000_000) - F.col("y_micro"))
+        .otherwise(F.col("y_micro"))
+        .alias("y_micro"),
+    )
+    got = {
+        r["_b"]: r["weight_micro"]
+        for r in train_linear_classifier(
+            docs,
+            noisy,
+            num_buckets=512,
+            epochs=2,
+            lr_num=1,
+            lr_den=400,
+            hash_fn="md5",
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == want
+    # and the flip actually changed the learned table vs clean
+    clean_w = dict(
+        con.sql(
+            "WITH " + chain_default
+            + f" SELECT b, CAST(w AS BIGINT) FROM {wf}"
+        ).fetchall()
+    )
+    assert want != clean_w
