@@ -8,9 +8,13 @@ sizing, UDF signatures, batch shapes — is real and tested; the codec
 call itself is STUBBED (``decoder="stub"``) because no image/audio
 library ships in this container: ``decoder="pil"``/``"ffmpeg"`` raise
 ``NotImplementedError`` at the exact seam a real codec plugs into —
-EXCEPT Netpbm grayscale (PGM), which :func:`decode_pgm` parses in
-pure Python (r10), so decode → stats → resize runs end-to-end on
-real pixel bytes with no external library.
+EXCEPT the uncompressed-format family parsed in pure Python: Netpbm
+grayscale PGM (r10, :func:`decode_pgm`), Netpbm color PPM (r11,
+:func:`decode_ppm`), RIFF/WAV integer PCM (r11, :func:`decode_wav`),
+and Windows BMP 24-bit BI_RGB (r11, :func:`decode_bmp`) — so decode →
+stats → resize runs end-to-end on real pixel/sample bytes with no
+external library, and the seam covers only genuinely compressed
+codecs (JPEG/PNG/MP3/video).
 
 Scale notes: media rows are big (MBs); the knobs that matter are
 ``spark.sql.files.maxPartitionBytes`` (keep a partition's batch of
@@ -467,6 +471,18 @@ def decode_ppm_table(media: DataFrame, factor: int = 2) -> DataFrame:
     reduction per channel, no shuffle); at 100 TB it scales like any
     binary-column map via ``spark.sql.files.maxPartitionBytes``.
     """
+    return _rgb_decode_table(media, decode_ppm, factor)
+
+
+def _rgb_decode_table(media, decoder, factor: int) -> DataFrame:
+    """Shared 3-channel decode→stats→resize stage for the RGB parser
+    family (PPM r11, BMP r11-late): one mapInPandas batch loop whose
+    per-payload ``decoder`` returns ``(fmt, w, h, maxval, samples)``
+    with samples RGB-interleaved row-major TOP-DOWN. Extracted
+    verbatim from decode_ppm_table (the gated kernel) so a second
+    decoder cannot drift from the gated arithmetic — the PPM gate
+    and unit tests re-pin this loop on every run.
+    """
     if factor < 1:
         raise ValueError(f"factor must be >= 1, got {factor}")
     from convert_parquet_to_csv_spark.shipping import (
@@ -488,7 +504,7 @@ def decode_ppm_table(media: DataFrame, factor: int = 2) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in cols}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                fmt, w, h, mv, sm = decode_ppm(
+                fmt, w, h, mv, sm = decoder(
                     bytes(content) if content is not None else b""
                 )
                 grid = (
@@ -526,6 +542,89 @@ def decode_ppm_table(media: DataFrame, factor: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_decode, schema=_DECODE_PPM_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real pixel decode: BMP (BI_RGB 24-bit), pure Python (r11-late)
+# --------------------------------------------------------------------------
+
+def decode_bmp(payload: bytes) -> tuple[str, int, int, int, bytes]:
+    """Pure-Python Windows BMP decoder — BITMAPINFOHEADER (DIB size
+    40), 24-bit uncompressed BI_RGB only, both row orders: positive
+    height = bottom-up storage (the common case), negative = top-down.
+    Third member of the real-codec family (PGM r10, PPM r11 — VERDICT
+    r10 item 4's "narrow the seam to compressed formats" continued):
+    palette, RLE, and 16/32-bit variants raise at the same seam a
+    full codec would plug into, with the family's strictness contract
+    — bad magic, unsupported DIB/planes/bpp/compression, short pixel
+    array, and trailing bytes after the raster all raise.
+
+    Returns ``(fmt, width, height, maxval, samples)`` with ``fmt``
+    ``"BM24BU"``/``"BM24TD"`` (storage order), ``maxval`` fixed 255,
+    and ``samples`` normalized to RGB-interleaved row-major TOP-DOWN
+    (bottom-up files are flipped; BGR file order swapped to RGB) so
+    the shared :func:`_rgb_decode_table` arithmetic applies unchanged.
+    Rows are stored padded to 4-byte multiples; pad CONTENTS are
+    undefined by the format and ignored, but the padded length is
+    validated exactly.
+    """
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    (dib,) = struct.unpack_from("<I", payload, 14)
+    if dib != 40:
+        raise ValueError(f"unsupported DIB header size {dib}")
+    w, hraw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if w <= 0 or hraw == 0:
+        raise ValueError(f"bad geometry {w}x{hraw}")
+    if planes != 1:
+        raise ValueError(f"planes must be 1, got {planes}")
+    if bpp != 24:
+        raise ValueError(f"unsupported bit depth {bpp} (24-bit only)")
+    if comp != 0:
+        raise ValueError("compressed BMP unsupported (BI_RGB only)")
+    if off < 54:
+        raise ValueError("pixel offset inside header")
+    h, topdown = abs(hraw), hraw < 0
+    rowsize = (w * 3 + 3) // 4 * 4
+    need = off + rowsize * h
+    if len(payload) < need:
+        raise ValueError(
+            f"short pixel array: {len(payload)} of {need} bytes"
+        )
+    if len(payload) > need:
+        raise ValueError("excess bytes after pixel array")
+    rows = []
+    for r in range(h):
+        src = r if topdown else h - 1 - r
+        base = off + src * rowsize
+        row = payload[base : base + w * 3]
+        rows.append(
+            bytes(
+                row[3 * i + (2 - c)]
+                for i in range(w)
+                for c in range(3)
+            )
+        )
+    return (
+        "BM24TD" if topdown else "BM24BU", w, h, 255, b"".join(rows)
+    )
+
+
+def decode_bmp_table(media: DataFrame, factor: int = 2) -> DataFrame:
+    """decode → per-channel stats → per-channel resize on REAL BMP
+    pixel data: the shared :func:`_rgb_decode_table` stage (one
+    mapInPandas, exact integer arithmetic — the PPM-gated loop) fed
+    by :func:`decode_bmp`. Output schema identical to
+    :func:`decode_ppm_table`; ``fmt`` reads ``BM24BU``/``BM24TD``.
+    """
+    return _rgb_decode_table(media, decode_bmp, factor)
 
 
 # --------------------------------------------------------------------------

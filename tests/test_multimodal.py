@@ -708,3 +708,265 @@ FROM fr GROUP BY doc_id, n
         r[0]: tuple(r[1:]) for r in con.sql(oracle).fetchall()
     }
     assert got == want
+
+
+# --- BMP (BI_RGB 24-bit): the r11-late real decoder ---------------------------
+
+def _bmp(w, h, rgb_topdown, topdown=False, pad_byte=0, gap=0):
+    """Encode a 24-bit BI_RGB BMP from TOP-DOWN RGB-interleaved
+    samples; ``topdown`` picks the storage order (negative height),
+    ``pad_byte`` fills the per-row 4-byte padding (contents are
+    undefined by the format), ``gap`` inserts junk between the
+    headers and the pixel array (the offset field spans it)."""
+    import struct
+
+    rowsize = (w * 3 + 3) // 4 * 4
+    off = 54 + gap
+    raster = bytearray()
+    for r in range(h):
+        src = r if topdown else h - 1 - r
+        for i in range(w):
+            base = (src * w + i) * 3
+            rgb = rgb_topdown[base:base + 3]
+            raster += bytes((rgb[2], rgb[1], rgb[0]))
+        raster += bytes([pad_byte]) * (rowsize - w * 3)
+    total = off + rowsize * h
+    hdr = b"BM" + struct.pack("<IHHI", total, 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if topdown else h), 1, 24, 0,
+        rowsize * h, 2835, 2835, 0, 0,
+    )
+    return hdr + dib + bytes([0xEE]) * gap + bytes(raster)
+
+
+def test_decode_bmp_bottomup_and_topdown_roundtrip():
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_bmp,
+    )
+
+    sm = bytes(range(36))  # 4x3 RGB, top-down logical order
+    assert decode_bmp(_bmp(4, 3, sm, topdown=False)) == (
+        "BM24BU", 4, 3, 255, sm,
+    )
+    assert decode_bmp(_bmp(4, 3, sm, topdown=True)) == (
+        "BM24TD", 4, 3, 255, sm,
+    )
+    # row padding contents and a header->raster gap are both ignored
+    assert decode_bmp(_bmp(3, 2, sm[:18], pad_byte=0xAB, gap=5)) == (
+        "BM24BU", 3, 2, 255, sm[:18],
+    )
+
+
+def test_decode_bmp_rejects_malformed():
+    import struct
+
+    import pytest as _pytest
+
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_bmp,
+    )
+
+    good = _bmp(2, 2, bytes(range(12)))
+    with _pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"XX" + good[2:])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(good[:40])
+    with _pytest.raises(ValueError, match="DIB"):
+        decode_bmp(good[:14] + struct.pack("<I", 124) + good[18:])
+    with _pytest.raises(ValueError, match="geometry"):
+        decode_bmp(good[:18] + struct.pack("<ii", 0, 2) + good[26:])
+    with _pytest.raises(ValueError, match="planes"):
+        decode_bmp(good[:26] + struct.pack("<H", 3) + good[28:])
+    with _pytest.raises(ValueError, match="bit depth"):
+        decode_bmp(good[:28] + struct.pack("<H", 32) + good[30:])
+    with _pytest.raises(ValueError, match="compressed"):
+        decode_bmp(good[:30] + struct.pack("<I", 1) + good[34:])
+    with _pytest.raises(ValueError, match="short pixel array"):
+        decode_bmp(good[:-1])
+    with _pytest.raises(ValueError, match="excess"):
+        decode_bmp(good + b"\x00")
+    with _pytest.raises(ValueError, match="offset inside header"):
+        decode_bmp(good[:10] + struct.pack("<I", 20) + good[14:])
+
+
+def test_decode_bmp_table_channel_stats_and_resize(spark):
+    """Same hand-checked 4x4 RGB gradient as the PPM table test,
+    through the shared mapInPandas stage fed by the BMP decoder —
+    pins that the extracted _rgb_decode_table arithmetic is the
+    gated PPM arithmetic."""
+    import numpy as np
+
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_bmp_table,
+    )
+
+    sm = bytes(range(48))  # 4x4x3 top-down RGB
+    media = spark.createDataFrame(
+        [
+            (9, bytearray(_bmp(4, 4, sm, topdown=False))),
+            (10, bytearray(_bmp(4, 4, sm, topdown=True))),
+        ],
+        "media_id LONG, content BINARY",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_bmp_table(media, factor=2).collect()
+    }
+    g = np.frombuffer(sm, dtype=np.uint8).reshape(4, 4, 3)
+    want = tuple(g.sum(axis=(0, 1)))
+    rs = (
+        g.reshape(2, 2, 2, 2, 3).astype(np.int64).sum(axis=(1, 3)) // 4
+    )
+    want_rs = tuple(rs.sum(axis=(0, 1)))
+    for mid, fmt in ((9, "BM24BU"), (10, "BM24TD")):
+        r = rows[mid]
+        assert (r["fmt"], r["width"], r["height"], r["n_pixels"]) == (
+            fmt, 4, 4, 16,
+        )
+        assert (r["r_sum"], r["g_sum"], r["b_sum"]) == want
+        assert (r["rs_width"], r["rs_height"]) == (2, 2)
+        assert (r["rs_r_sum"], r["rs_g_sum"], r["rs_b_sum"]) == want_rs
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(
+    w=_st.integers(1, 9),
+    h=_st.integers(1, 7),
+    topdown=_st.booleans(),
+    pad_byte=_st.integers(0, 255),
+    gap=_st.integers(0, 7),
+    data=_st.data(),
+)
+def test_decode_bmp_roundtrip_property(w, h, topdown, pad_byte, gap, data):
+    """encode(w, h, samples) -> decode is the identity for every
+    geometry, both storage orders, any pad-byte contents, and any
+    header->raster gap."""
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_bmp,
+    )
+
+    n = w * h * 3
+    samples = bytes(
+        data.draw(
+            _st.lists(_st.integers(0, 255), min_size=n, max_size=n)
+        )
+    )
+    fmt, W, H, mv, sm = decode_bmp(
+        _bmp(w, h, samples, topdown=topdown, pad_byte=pad_byte, gap=gap)
+    )
+    assert (fmt, W, H, mv) == (
+        "BM24TD" if topdown else "BM24BU", w, h, 255,
+    )
+    assert sm == samples
+
+
+def test_bmp_gate_prevalidation_duckdb_replay(spark, tmp_path):
+    """r13-slated gate design pre-validated end-to-end (the WAV-gate
+    device, third real-codec member): the doc_id%53 sf0.001 subset
+    materializes as real .bmp FILES — bottom-up storage for even
+    ids, top-down for odd — whose TOP-DOWN logical samples are the
+    padded text's character codes RGB-interleaved, scans back
+    through binaryFile into decode_bmp_table, and DuckDB replays the
+    whole integer chain (per-channel sums + factor-2 per-channel
+    block-mean resize) from the documents table alone. When the gate
+    registers, this SQL becomes the oracle verbatim."""
+    import duckdb
+
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_bmp_table,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(
+        (F.col("doc_id") % 53 == 0) & F.col("text").isNotNull()
+    ).select("doc_id", "text").collect()
+    assert docs  # non-vacuous
+    d = str(tmp_path / "bmpfix")
+    os.makedirs(d)
+    for row in docs:
+        nc = len(row.text)
+        w, h = nc % 9 + 2, nc % 5 + 2
+        n = w * h * 3
+        padded = (row.text + "x" * n)[:n]
+        codes = [ord(c) for c in padded]
+        assert max(codes) <= 255  # single-byte fixture vocabulary
+        payload = _bmp(
+            w, h, bytes(codes), topdown=(row.doc_id % 2 == 1),
+            pad_byte=0x5A,
+        )
+        with open(os.path.join(d, f"{row.doc_id}.bmp"), "wb") as fh:
+            fh.write(payload)
+    media = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(d)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bmp$", 1)
+            .cast("bigint").alias("media_id"),
+            "content",
+        )
+    )
+    got = {
+        r["media_id"]: (
+            r["fmt"], r["width"], r["height"], r["maxval"],
+            r["n_pixels"], r["r_sum"], r["g_sum"], r["b_sum"],
+            r["rs_width"], r["rs_height"],
+            r["rs_r_sum"], r["rs_g_sum"], r["rs_b_sum"],
+        )
+        for r in decode_bmp_table(media, factor=2).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    oracle = """
+WITH sub AS (
+  SELECT doc_id, text, length(text) AS nc
+  FROM documents WHERE doc_id % 53 = 0 AND text IS NOT NULL
+), geom AS (
+  SELECT doc_id, text, nc % 9 + 2 AS w, nc % 5 + 2 AS h FROM sub
+), pix AS (
+  SELECT doc_id, w, h,
+         CAST(u.i AS BIGINT) // 3 AS q,
+         CAST(u.i AS BIGINT) % 3 AS c,
+         ascii(substring(rpad(text, CAST(w * h * 3 AS INT), 'x'),
+                         CAST(u.i + 1 AS INT), 1)) AS px
+  FROM geom, LATERAL unnest(range(0, w * h * 3)) AS u(i)
+), st AS (
+  SELECT doc_id,
+         CAST(sum(px) FILTER (WHERE c = 0) AS BIGINT) AS r_sum,
+         CAST(sum(px) FILTER (WHERE c = 1) AS BIGINT) AS g_sum,
+         CAST(sum(px) FILTER (WHERE c = 2) AS BIGINT) AS b_sum
+  FROM pix GROUP BY 1
+), bs AS (
+  SELECT doc_id, c, (q // w) // 2 AS br, (q % w) // 2 AS bc,
+         CAST(sum(px) // 4 AS BIGINT) AS bm
+  FROM pix
+  WHERE (q // w) < (h // 2) * 2 AND (q % w) < (w // 2) * 2
+  GROUP BY 1, 2, 3, 4
+), rs AS (
+  SELECT doc_id,
+         CAST(sum(bm) FILTER (WHERE c = 0) AS BIGINT) AS rs_r_sum,
+         CAST(sum(bm) FILTER (WHERE c = 1) AS BIGINT) AS rs_g_sum,
+         CAST(sum(bm) FILTER (WHERE c = 2) AS BIGINT) AS rs_b_sum
+  FROM bs GROUP BY 1
+)
+SELECT g.doc_id AS media_id,
+       CASE WHEN g.doc_id % 2 = 0 THEN 'BM24BU' ELSE 'BM24TD' END
+         AS fmt,
+       CAST(g.w AS INT) AS width,
+       CAST(g.h AS INT) AS height,
+       CAST(255 AS INT) AS maxval,
+       CAST(g.w * g.h AS BIGINT) AS n_pixels,
+       st.r_sum, st.g_sum, st.b_sum,
+       CAST(g.w // 2 AS INT) AS rs_width,
+       CAST(g.h // 2 AS INT) AS rs_height,
+       rs.rs_r_sum, rs.rs_g_sum, rs.rs_b_sum
+FROM geom g JOIN st USING (doc_id) JOIN rs USING (doc_id)
+"""
+    want = {
+        r[0]: tuple(r[1:]) for r in con.sql(oracle).fetchall()
+    }
+    assert got == want
