@@ -242,6 +242,12 @@ NOISE_FLOOR_NAMES = [
     "decontaminate_ngram_overlap",
     "decontaminate_ngram_overlap_hashed",
     "asof_click_attribution",
+    # r11 (healthy-box record): the one cross-record mover not
+    # explained by either anchor — 1.91 / 2.34 / 2.96 / 3.20-3.45 s
+    # across four boxes on untouched code, min-of-2 with no spread
+    # key. Watch item; from here it carries `_spread_pct` so the
+    # r12 comparison self-adjudicates.
+    "similarity_topk_ivf",
 ]
 
 # Pruned in r6 (the span_dedup `_warm` lesson generalized): a `_warm`
