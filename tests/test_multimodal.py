@@ -970,3 +970,35 @@ FROM geom g JOIN st USING (doc_id) JOIN rs USING (doc_id)
         r[0]: tuple(r[1:]) for r in con.sql(oracle).fetchall()
     }
     assert got == want
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(
+    w=_st.integers(1, 9),
+    h=_st.integers(1, 7),
+    maxval=_st.integers(1, 255),
+    binary=_st.booleans(),
+    data=_st.data(),
+)
+def test_decode_pgm_roundtrip_property(w, h, maxval, binary, data):
+    """encode -> decode identity for the grayscale family founder
+    (r11-late: PPM/WAV/BMP each carry one; PGM now matches), P2 and
+    P5 alike — including rasters starting with whitespace bytes."""
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_pgm,
+    )
+
+    n = w * h
+    samples = data.draw(
+        _st.lists(_st.integers(0, maxval), min_size=n, max_size=n)
+    )
+    header = f"# c\n{w} {h}\n{maxval}\n"
+    if binary:
+        payload = b"P5\n" + header.encode() + bytes(samples)
+    else:
+        payload = (
+            "P2\n" + header + " ".join(map(str, samples))
+        ).encode()
+    fmt, W, H, mv, sm = decode_pgm(payload)
+    assert (fmt, W, H, mv) == ("P5" if binary else "P2", w, h, maxval)
+    assert sm == bytes(samples)
