@@ -986,7 +986,14 @@ def maximal_duplicated_extents(
     insensitive to slice volume (w_cap 6 vs 18 at 2M: 58.9 vs
     72.0 s same-session), and per-gram partitions stay bounded — on
     a multi-executor cluster the slice exchange spreads across
-    heaps (the gopher-signals 2M diagnosis, same class).
+    heaps (the gopher-signals 2M diagnosis, same class). The
+    single-JVM knob is MEASURED, not argued (r11, healthy-disk box,
+    interleaved min-of-2 at 2M): ``spark.sql.shuffle.partitions``
+    32 → 128 cuts the same run 111.5 → 61.4 s (1.8×) — smaller
+    sort partitions fit the task heap, which is exactly the
+    spill-aware sizing rule a 100 TB deployment applies
+    (SURVEY §2's "size shuffle partitions to executor memory");
+    code untouched, conf only.
     """
     slice_len = k + w_cap
     base = df.select(id_col, tokens(text_col).alias("_tk")).filter(
