@@ -318,3 +318,33 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
         out[f"n_{kind}"] = F.regexp_count(c, F.lit(pattern))
         c = F.regexp_replace(c, pattern, repl)
     return out
+
+
+def md5_long(col: Column | str, salt: str = "") -> Column:
+    """House cross-engine RNG draw: the first 60 bits of
+    ``md5(salt || str(x))`` as a non-negative BIGINT. DuckDB twin:
+    ``('0x' || substr(md5('salt' || CAST(x AS VARCHAR)), 1, 15))::BIGINT``.
+
+    Extracted as the SHARED primitive behind the md5-parity /
+    md5-selection idiom (:func:`...operators.curation.md5_parity_micro`
+    is the gated precedent and is deliberately left untouched): new
+    consumers (deterministic split points, selection gates) call this
+    one rule so the Spark and oracle renderings cannot drift. 15 hex
+    chars < 2^60, so the value is always positive and ``%`` agrees
+    between engines (no negative-mod divergence).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def md5_long_sql(expr: str, salt: str = "") -> str:
+    """The DuckDB rendering of :func:`md5_long` — kept beside it so
+    the two strings are reviewed as one unit."""
+    return (
+        f"('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), "
+        "1, 15))::BIGINT"
+    )

@@ -793,3 +793,96 @@ def wordpiece_encode(
             / F.col("n_words").cast("double"),
         ).alias("pieces_per_word"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_den: int = 2,
+    min_tokens: int = 3,
+    pre_tag: str = "<PRE>",
+    suf_tag: str = "<SUF>",
+    mid_tag: str = "<MID>",
+) -> DataFrame:
+    """Fill-in-the-middle (FIM) training-example construction — the
+    infilling-objective transform of Bavarian et al. 2022 ("Efficient
+    Training of Language Models to Fill in the Middle"), the standard
+    prep step for code models. A NEW example-construction family
+    beside packing (pack_* lay out unchanged token streams; this
+    REWRITES each selected document into the PSM rendering
+    ``<PRE> prefix <SUF> suffix <MID> middle`` so the model learns to
+    infill), absent from the reference (its string surface is
+    filename stem ops, utils.py:37-44).
+
+    Determinism contract (the house md5 RNG, one draw per decision):
+    a doc is selected iff ``md5_long('fim-sel:'||id) % rate_den == 0``
+    and it has ≥ ``min_tokens`` whitespace tokens (the paper applies
+    FIM to a fixed fraction of documents — ``rate_den=2`` ≈ the 50%
+    rate); split points are two dependent draws,
+    ``i = md5_long('fim-i:'||id) % (n+1)`` and
+    ``j = i + md5_long('fim-j:'||id) % (n−i+1)``, giving the uniform
+    0 ≤ i ≤ j ≤ n split-pair shape (prefix/middle/suffix may each be
+    empty, exactly as the paper's character-level splits allow).
+    Non-selected docs pass through as ``mode='plain'`` with the
+    whitespace-normalized token join, NULL split points.
+
+    Everything is one projection of built-in expressions — tokenize,
+    two md5 draws, three ``slice``s, array concat + join — zero
+    shuffle, zero Python, embarrassingly parallel: the 100 TB shape
+    is a map-only stage whatever the cluster size. The token array
+    binds ONCE via the single-element ``transform(array(...))`` trick
+    (synth_token_lines precedent: conditional branches block
+    common-subexpression elimination, and this expression references
+    the array eleven times).
+
+    Output: (id, n_tokens, mode, i_split, j_split, fim_text) — every
+    column replayable in ANSI SQL (list_slice / array_to_string /
+    the md5_long_sql rendering) for the DuckDB oracle.
+    """
+    if rate_den < 1:
+        raise ValueError("rate_den must be >= 1")
+    from convert_parquet_to_csv_spark.functions.text import (
+        md5_long,
+        tokens,
+    )
+
+    idc = F.col(id_col)
+    sel_hash = md5_long(idc, salt="fim-sel:") % rate_den == 0
+    u_i = md5_long(idc, salt="fim-i:")
+    u_j = md5_long(idc, salt="fim-j:")
+
+    def _fields(tk: Column) -> Column:
+        n = F.size(tk)
+        sel = sel_hash & (n >= min_tokens)
+        i = u_i % (n + 1)
+        j = i + u_j % (n - i + 1)
+        psm = F.concat(
+            F.array(F.lit(pre_tag)),
+            F.slice(tk, F.lit(1), i),
+            F.array(F.lit(suf_tag)),
+            F.slice(tk, j + 1, n - j),
+            F.array(F.lit(mid_tag)),
+            F.slice(tk, i + 1, j - i),
+        )
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            F.when(sel, F.lit("psm"))
+            .otherwise(F.lit("plain"))
+            .alias("mode"),
+            F.when(sel, i).cast("long").alias("i_split"),
+            F.when(sel, j).cast("long").alias("j_split"),
+            F.when(sel, F.array_join(psm, " "))
+            .otherwise(F.array_join(tk, " "))
+            .alias("fim_text"),
+        )
+
+    bound = F.transform(F.array(tokens(text_col)), _fields)[0]
+    return df.select(
+        idc,
+        bound["n_tokens"].alias("n_tokens"),
+        bound["mode"].alias("mode"),
+        bound["i_split"].alias("i_split"),
+        bound["j_split"].alias("j_split"),
+        bound["fim_text"].alias("fim_text"),
+    )

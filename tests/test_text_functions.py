@@ -427,3 +427,131 @@ def test_concat_chunk_pack_counts_df_override(spark):
                 - max(cid * ctx, st),
             )
     assert got == ref
+
+
+# --------------------------------------------------------------------------
+# fill-in-the-middle transform (slated future registration: fim_transform)
+# --------------------------------------------------------------------------
+
+
+def test_fim_transform_matches_independent_python_reference(spark):
+    """Third-implementation check: recompute the md5 split points and
+    PSM rendering in pure Python (hashlib + str.split — independent
+    of both Spark and DuckDB) for real sf0.001 docs."""
+    import hashlib
+    import os
+
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        fim_transform,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    docs = (
+        spark.read.parquet(os.path.join(sf, "sf0.001", "documents.parquet"))
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["mode"],
+            r["i_split"],
+            r["j_split"],
+            r["fim_text"],
+        )
+        for r in fim_transform(docs).collect()
+    }
+
+    def h(salt: str, x: int) -> int:
+        return int(
+            hashlib.md5(f"{salt}{x}".encode()).hexdigest()[:15], 16
+        )
+
+    for row in docs.collect():
+        d, tk = row["doc_id"], row["text"].split()
+        n = len(tk)
+        if h("fim-sel:", d) % 2 == 0 and n >= 3:
+            i = h("fim-i:", d) % (n + 1)
+            j = i + h("fim-j:", d) % (n - i + 1)
+            txt = " ".join(
+                ["<PRE>"] + tk[:i] + ["<SUF>"] + tk[j:] + ["<MID>"]
+                + tk[i:j]
+            )
+            assert got[d] == (n, "psm", i, j, txt), d
+        else:
+            assert got[d] == (n, "plain", None, None, " ".join(tk)), d
+
+
+def _fim_oracle_sql(parquet_path: str) -> str:
+    from convert_parquet_to_csv_spark.functions.text import md5_long_sql
+
+    sel = md5_long_sql("doc_id", "fim-sel:")
+    ui = md5_long_sql("doc_id", "fim-i:")
+    uj = md5_long_sql("doc_id", "fim-j:")
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS tk
+  FROM '{parquet_path}'
+), base AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         ({sel} % 2 = 0) AND (len(tk) >= 3) AS sel,
+         {ui} % (len(tk) + 1) AS i0,
+         {uj} AS uj
+  FROM tok
+), split AS (
+  SELECT doc_id, tk, n, sel, i0 AS i, i0 + uj % (n - i0 + 1) AS j
+  FROM base
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CASE WHEN sel THEN 'psm' ELSE 'plain' END AS mode,
+       CASE WHEN sel THEN CAST(i AS BIGINT) END AS i_split,
+       CASE WHEN sel THEN CAST(j AS BIGINT) END AS j_split,
+       CASE WHEN sel THEN array_to_string(
+            ['<PRE>'] || list_slice(tk, 1, i) || ['<SUF>']
+            || list_slice(tk, j + 1, n) || ['<MID>']
+            || list_slice(tk, i + 1, j), ' ')
+         ELSE array_to_string(tk, ' ') END AS fim_text
+FROM split
+"""
+
+
+def test_fim_gate_prevalidation_duckdb_replay(spark):
+    """Future-registration gate design pre-validated tri-SF (the
+    day-one rule's oracle, run in-suite until a gate slot opens —
+    the WAV/BMP device): fim_transform on the documents table vs the
+    full DuckDB replay of the md5 split-point chain, value-exact at
+    sf0.001, sf0.01 AND sf0.1."""
+    import os
+
+    import duckdb
+
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        fim_transform,
+    )
+
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = os.path.join(base, sf, "documents.parquet")
+        docs = spark.read.parquet(path).select("doc_id", "text")
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["mode"],
+                r["i_split"],
+                r["j_split"],
+                r["fim_text"],
+            )
+            for r in fim_transform(docs).collect()
+        }
+        con = duckdb.connect()
+        want = {
+            r[0]: tuple(r[1:])
+            for r in con.sql(_fim_oracle_sql(path)).fetchall()
+        }
+        assert got == want, sf
+        # the transform actually fires: both modes present
+        modes = {v[1] for v in got.values()}
+        assert modes == {"psm", "plain"}, sf
