@@ -1292,3 +1292,138 @@ def jl_project(
             for i in range(out_dims)
         ]
     )
+
+
+def bitext_margin_pairs(
+    x_vectors: DataFrame,
+    y_vectors: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix parallel-corpus miner): score every candidate
+    (x, y) pair by its RATIO MARGIN — cosine normalized by the mean
+    of both sides' k-NN cosines —
+
+        margin(x, y) = cos(x, y) / ((Σ_kNN(x) + Σ_kNN(y)) / 2k)
+
+    — then keep MUTUAL best matches above ``threshold``. The margin
+    is the load-bearing part: raw cosine is miscalibrated around hub
+    vectors (a hub scores high against everything, flooding the
+    pair list); dividing by the neighborhood mean cancels the hub's
+    inflated baseline. Mutual-best (x picks y AND y picks x) is the
+    standard "intersection" retrieval direction. A NEW family beside
+    ``cross_modal_consistency`` (one-directional raw-cosine top-k
+    filter): margin normalization + bidirectional agreement is what
+    makes mined bitext usable — reference has no vector surface at
+    all (BASELINE.json north-star).
+
+    Cross-engine determinism: cosines are the house bitwise-exact
+    accumulation (functions/vectors.py); each side's k-NN SUM is a
+    conditional-max pivot over the rank window — k explicit
+    ``max(case rank=r)`` terms added LEFT-ASSOCIATIVELY, never a
+    float SUM aggregate, so the addition order (and hence the bits)
+    matches the oracle's identically-shaped expression; the margin
+    is one division of identically-parenthesized operands. Window
+    ties break on the partner id.
+
+    Scale shape: this exact kernel broadcasts the smaller language
+    side (the correctness baseline, same contract as
+    ``topk_bruteforce``); at corpus scale the candidate set comes
+    from IVF/LSH (similarity_topk_ivf's layout) and the SAME margin
+    arithmetic runs over candidates only — k-NN sums then use
+    candidate top-k, which is exactly what FAISS-based CCMatrix
+    ships. Per-side sums are map-side-combinable aggregates keyed by
+    id; no vector-keyed shuffle anywhere.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    x = x_vectors.select(
+        F.col(id_col).alias("src_id"), F.col(vec_col).alias("_xv")
+    )
+    y = y_vectors.select(
+        F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("_yv")
+    )
+    scored = x.crossJoin(F.broadcast(y)).select(
+        "src_id",
+        "tgt_id",
+        cosine_similarity("_xv", "_yv").alias("cos_sim"),
+    )
+    return bitext_margin_from_candidates(scored, k=k, threshold=threshold)
+
+
+def bitext_margin_from_candidates(
+    scored: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+) -> DataFrame:
+    """The margin + mutual-best stage of :func:`bitext_margin_pairs`,
+    decoupled from candidate generation: ``scored`` is ANY
+    (src_id, tgt_id, cos_sim) candidate table. The exact kernel
+    feeds it the full cross product; the 100 TB path feeds IVF/LSH
+    candidates (similarity_topk_ivf's layout — each side probes the
+    other's nearest lists), in which case the k-NN sums become
+    candidate-top-k sums — exactly FAISS-based CCMatrix's shipped
+    approximation. Shuffle shape: two rank windows + two
+    map-side-combinable id-keyed aggregates + two id-keyed joins,
+    all on (id, id, double) rows — vectors never enter this stage.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    wx = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_sim"), F.asc("tgt_id")
+    )
+    wy = Window.partitionBy("tgt_id").orderBy(
+        F.desc("cos_sim"), F.asc("src_id")
+    )
+    ranked = scored.withColumn(
+        "_rx", F.row_number().over(wx)
+    ).withColumn("_ry", F.row_number().over(wy))
+
+    def _ksum(rank_col: str) -> F.Column:
+        # k explicit conditional-max terms, folded left-to-right —
+        # deterministic addition order in BOTH engines (a float SUM
+        # aggregate would be order-nondeterministic under shuffle).
+        terms = [
+            F.coalesce(
+                F.max(
+                    F.when(F.col(rank_col) == r, F.col("cos_sim"))
+                ),
+                F.lit(0.0),
+            )
+            for r in range(1, k + 1)
+        ]
+        s = terms[0]
+        for t in terms[1:]:
+            s = s + t
+        return s
+
+    sx = ranked.groupBy("src_id").agg(_ksum("_rx").alias("_sx"))
+    sy = ranked.groupBy("tgt_id").agg(_ksum("_ry").alias("_sy"))
+    m = (
+        ranked.join(sx, "src_id")
+        .join(sy, "tgt_id")
+        .withColumn(
+            "margin",
+            F.col("cos_sim")
+            / ((F.col("_sx") + F.col("_sy")) / F.lit(2.0 * k)),
+        )
+    )
+    wfx = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.asc("tgt_id")
+    )
+    wfy = Window.partitionBy("tgt_id").orderBy(
+        F.desc("margin"), F.asc("src_id")
+    )
+    return (
+        m.withColumn("_bf", F.row_number().over(wfx))
+        .withColumn("_bb", F.row_number().over(wfy))
+        .filter(
+            (F.col("_bf") == 1)
+            & (F.col("_bb") == 1)
+            & (F.col("margin") >= threshold)
+        )
+        .select("src_id", "tgt_id", "cos_sim", "margin")
+    )

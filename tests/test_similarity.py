@@ -493,3 +493,173 @@ def test_jl_project_preserves_relative_distance_order(spark):
     d_near = np.linalg.norm(got[1] - got[2])
     d_far = np.linalg.norm(got[1] - got[3])
     assert d_near < d_far
+
+
+# --------------------------------------------------------------------------
+# margin-based bitext mining (slated future registration:
+# bitext_margin_mutual)
+# --------------------------------------------------------------------------
+
+
+def test_bitext_margin_defeats_hub(spark):
+    """The semantic point of the margin: a hub vector is the RAW
+    cosine best for EVERY query, but margin normalization (dividing
+    by both sides' k-NN means) cancels its inflated baseline and
+    recovers the true partners, leaving the hub unmatched."""
+    x = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    # hub (id 10) sits symmetrically close to both queries (cos .65);
+    # true partners p1/p2 (ids 11/12) score only .6 against their
+    # own query and 0 against the other.
+    d = 0.3937004
+    y = spark.createDataFrame(
+        [
+            (10, [0.65, 0.65, d]),
+            (11, [0.6, 0.0, 0.8]),
+            (12, [0.0, 0.6, 0.8]),
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    # raw cosine best is the hub for BOTH queries
+    raw = S.topk_bruteforce(
+        y, x.withColumnRenamed("vec_id", "vec_id"), k=1,
+        exclude_self=False,
+    )
+    assert {
+        (r["query_id"], r["neighbor_id"]) for r in raw.collect()
+    } == {(1, 10), (2, 10)}
+    got = {
+        (r["src_id"], r["tgt_id"]): r["margin"]
+        for r in S.bitext_margin_pairs(x, y, k=2).collect()
+    }
+    assert set(got) == {(1, 11), (2, 12)}
+    assert all(m > 1.2 for m in got.values())
+
+
+def _bitext_oracle_sql(parquet_path: str, k: int) -> str:
+    ddot = "list_dot_product({a}, {b})"
+
+    def dcos(a: str, b: str) -> str:
+        return (
+            f"{ddot.format(a=a, b=b)} / "
+            f"(sqrt({ddot.format(a=a, b=a)}) * "
+            f"sqrt({ddot.format(a=b, b=b)}))"
+        )
+
+    ksum = lambda rank: " + ".join(  # noqa: E731
+        f"coalesce(max(CASE WHEN {rank} = {r} THEN cos_sim END), 0.0)"
+        for r in range(1, k + 1)
+    )
+    return f"""
+WITH vd AS (
+  SELECT vec_id, label,
+         list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+  FROM '{parquet_path}'
+), x AS (SELECT vec_id AS src_id, v AS xv FROM vd WHERE label < 5),
+y AS (SELECT vec_id AS tgt_id, v AS yv FROM vd WHERE label >= 5),
+scored AS (
+  SELECT src_id, tgt_id, {dcos('xv', 'yv')} AS cos_sim FROM x, y
+), ranked AS (
+  SELECT *,
+    row_number() OVER (
+      PARTITION BY src_id ORDER BY cos_sim DESC, tgt_id ASC) AS _rx,
+    row_number() OVER (
+      PARTITION BY tgt_id ORDER BY cos_sim DESC, src_id ASC) AS _ry
+  FROM scored
+), sx AS (SELECT src_id, {ksum('_rx')} AS _sx FROM ranked GROUP BY src_id),
+sy AS (SELECT tgt_id, {ksum('_ry')} AS _sy FROM ranked GROUP BY tgt_id),
+m AS (
+  SELECT r.src_id, r.tgt_id, r.cos_sim,
+         r.cos_sim / ((sx._sx + sy._sy) / {2.0 * k}) AS margin
+  FROM ranked r JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+), best AS (
+  SELECT *,
+    row_number() OVER (
+      PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS _bf,
+    row_number() OVER (
+      PARTITION BY tgt_id ORDER BY margin DESC, src_id ASC) AS _bb
+  FROM m
+)
+SELECT src_id, tgt_id, cos_sim, margin FROM best
+WHERE _bf = 1 AND _bb = 1 AND margin >= 1.0
+"""
+
+
+def test_bitext_gate_prevalidation_duckdb_replay(spark):
+    """Future-registration gate design pre-validated tri-SF (the
+    WAV/BMP device): labels 0-4 as the source side, 5-9 as the
+    target side of the embeddings fixture, mutual margin-best pairs
+    at threshold 1.0 — Spark vs the full DuckDB replay, BIT-exact
+    doubles (cosines via the bitwise-identical accumulation, k-NN
+    sums via the left-associative conditional-max pivot, one
+    identically-parenthesized margin division)."""
+    import os
+
+    import duckdb
+
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    k = 4
+    for sf, n_expect in (
+        ("sf0.001", 158),
+        ("sf0.01", 163),
+        ("sf0.1", 637),
+    ):
+        path = os.path.join(base, sf, "embeddings.parquet")
+        emb = spark.read.parquet(path)
+        got = {
+            (r["src_id"], r["tgt_id"]): (r["cos_sim"], r["margin"])
+            for r in S.bitext_margin_pairs(
+                emb.filter(F.col("label") < 5),
+                emb.filter(F.col("label") >= 5),
+                k=k,
+            ).collect()
+        }
+        con = duckdb.connect()
+        want = {
+            (r[0], r[1]): (r[2], r[3])
+            for r in con.sql(_bitext_oracle_sql(path, k)).fetchall()
+        }
+        assert got == want, sf
+        assert len(got) == n_expect, sf
+        # mutual-best is injective on both sides
+        assert len({s for s, _ in got}) == len(got)
+        assert len({t for _, t in got}) == len(got)
+
+
+def test_bitext_candidates_api_reproduces_exact(spark, sf_small):
+    """The scale path: bitext_margin_from_candidates over a BOUNDED
+    candidate table (top-20 per side, both directions — the shape an
+    IVF/LSH generator emits) reproduces the exact kernel's mutual
+    pair set BIT-identically at sf0.001 — candidate top-k sums equal
+    true k-NN sums whenever candidates cover the top-k, which
+    top-20 ⊇ top-4 guarantees here."""
+    import os
+
+    emb = spark.read.parquet(
+        os.path.join(sf_small, "embeddings.parquet")
+    )
+    x = emb.filter(F.col("label") < 5)
+    y = emb.filter(F.col("label") >= 5)
+    exact = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in S.bitext_margin_pairs(x, y, k=4).collect()
+    }
+    fwd = S.topk_bruteforce(y, x, k=20, exclude_self=False).select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+        F.col("similarity").alias("cos_sim"),
+    )
+    bwd = S.topk_bruteforce(x, y, k=20, exclude_self=False).select(
+        F.col("neighbor_id").alias("src_id"),
+        F.col("query_id").alias("tgt_id"),
+        F.col("similarity").alias("cos_sim"),
+    )
+    cand = fwd.unionByName(bwd).dropDuplicates(["src_id", "tgt_id"])
+    approx = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in S.bitext_margin_from_candidates(cand, k=4).collect()
+    }
+    assert approx == exact
+    assert len(exact) == 158
