@@ -901,6 +901,7 @@ def maximal_duplicated_extents(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 2,
+    sort_partitions: int | None = None,
 ) -> DataFrame:
     """TRUE-maximal duplicated substrings (VERDICT r8 item 4 — the
     suffix-extension refinement of :func:`duplicated_span_extents`):
@@ -994,6 +995,16 @@ def maximal_duplicated_extents(
     spill-aware sizing rule a 100 TB deployment applies
     (SURVEY §2's "size shuffle partitions to executor memory");
     code untouched, conf only.
+
+    ``sort_partitions`` ships that measured knob per-kernel (r11
+    late-session): when set, the hot-slice exchange is an explicit
+    ``repartition(sort_partitions, "_gh")`` — hash partitioning on
+    the gram key SATISFIES the window's required distribution, so
+    EnsureRequirements inserts no second exchange (the plan has the
+    same exchange count, just wider) and the result is identical by
+    construction (per-gram groups are never split; test-pinned).
+    Default ``None`` keeps the session-conf width — the gated plan
+    is byte-identical to r10's.
     """
     slice_len = k + w_cap
     base = df.select(id_col, tokens(text_col).alias("_tk")).filter(
@@ -1028,6 +1039,10 @@ def maximal_duplicated_extents(
         .select("_gh")
     )
     occ = occ.join(hot, "_gh")
+    if sort_partitions is not None:
+        if sort_partitions < 1:
+            raise ValueError("sort_partitions must be >= 1")
+        occ = occ.repartition(sort_partitions, "_gh")
     # Order by the token ARRAY itself — element-wise lexicographic in
     # both engines. (A space-joined string is NOT order-equivalent
     # when tokens contain non-whitespace chars below 0x20 — legal in

@@ -494,3 +494,39 @@ def test_incremental_contamination_merge_semantics(spark):
     assert got[2][0] == 6 and got[2][1] == 201
     # doc 3: old-only hit survives
     assert got[3][1] == 101
+
+
+def test_sort_partitions_knob_identity_and_plan(spark, sf_small):
+    """The shipped multi-executor knob (r11: conf A/B measured 1.8x
+    at 2M docs): ``sort_partitions`` must (a) leave the result
+    BIT-identical on both the c=2 and generic-c paths — hash
+    partitioning never splits a gram group — and (b) REPLACE the
+    gram window's ensure-requirements exchange rather than adding a
+    second one (same shuffle count, wider width)."""
+    import os
+
+    docs = spark.read.parquet(
+        os.path.join(sf_small, "documents.parquet")
+    )
+
+    def _exchanges(df) -> list[str]:
+        # BEFORE execution — once an AdaptiveSparkPlan runs, its
+        # toString prints Final AND Initial plans (doubled lines).
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [
+            ln.strip()[:90]
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+        ]
+
+    for c in (2, 3):
+        base = D.maximal_duplicated_extents(docs, min_count=c)
+        knob = D.maximal_duplicated_extents(
+            docs, min_count=c, sort_partitions=64
+        )
+        eb, ek = _exchanges(base), _exchanges(knob)
+        assert sorted(map(tuple, base.collect())) == sorted(
+            map(tuple, knob.collect())
+        )
+        assert len(eb) == len(ek)  # replaced, not added
+        assert any("64), REPARTITION_BY_NUM" in x for x in ek)
