@@ -872,3 +872,163 @@ def clip_score_pairs(
             F.desc("cosine"), F.asc("media_id")
         ).limit(int(k))
     return scored
+
+
+# --------------------------------------------------------------------------
+# Perceptual near-dup: average hash over REAL decoded pixels (r11)
+# --------------------------------------------------------------------------
+
+_AHASH_SCHEMA = (
+    "media_id LONG, width INT, height INT, ahash LONG, n_set_bits INT"
+)
+
+
+def ahash_table(
+    media: DataFrame, grid: int = 4, decoder=None
+) -> DataFrame:
+    """Average-hash (aHash) fingerprints over REAL decoded pixels —
+    the perceptual image-dedup primitive a LAION-scale multimodal
+    curation pipeline runs (near-identical crops/recompressions land
+    at small hamming distance; exact byte dedup misses them all).
+    Bridges the two operator families: the real-codec seam
+    (decode_pgm/decode_ppm/decode_bmp) feeds the banded-LSH dedup
+    shape (dedup.py's simhash machinery, here over pixel structure
+    instead of token shingles).
+
+    Integer-exact aHash: block-mean the pixel grid to ``grid²``
+    cells (sum // (fh·fw) with fh = h//grid, fw = w//grid — the
+    SAME crop-to-full-blocks block-mean rule the resize kernel and
+    its oracle replay use), then bit(r,c) = 1 iff
+    cell·grid² > Σcells (the mean threshold cleared of division),
+    packed row-major MSB-first into a BIGINT. Every step is integer
+    arithmetic, so the DuckDB oracle replays the WHOLE chain —
+    fixture bytes → pixels → cells → threshold → packed hash — and a
+    decoder or packing bug lands as a value mismatch. Images
+    smaller than the grid on either axis are DROPPED (fh·fw = 0 has
+    no defined cell mean); the oracle applies the same guard.
+
+    ``grid² ≤ 62`` enforced: bit 63 would reach the BIGINT sign bit
+    and the two engines' hex→int conventions differ at the
+    boundary. One mapInPandas stage (numpy block reduction), no
+    shuffle — at 100 TB this scales like any binary-column map.
+    """
+    if grid < 1 or grid * grid > 62:
+        raise ValueError("grid must satisfy 1 <= grid*grid <= 62")
+    if decoder is None:
+        decoder = decode_pgm
+    from convert_parquet_to_csv_spark.shipping import (
+        ensure_package_shipped,
+    )
+
+    ensure_package_shipped(media.sparkSession)
+    g = grid
+
+    def _hash(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "ahash", "n_set_bits",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, w, h, _, px = decoder(
+                    bytes(content) if content is not None else b""
+                )
+                fh, fw = h // g, w // g
+                if fh == 0 or fw == 0:
+                    continue  # smaller than the grid — no cell mean
+                pix = np.frombuffer(px, dtype=np.uint8)
+                if pix.size != w * h:  # color decoder: take channel 0
+                    pix = pix.reshape(h * w, -1)[:, 0]
+                cells = (
+                    pix.reshape(h, w)[: fh * g, : fw * g]
+                    .reshape(g, fh, g, fw)
+                    .astype(np.int64)
+                    .sum(axis=(1, 3))
+                    // (fh * fw)
+                )
+                total = int(cells.sum())
+                bits = (cells * (g * g) > total).astype(np.int64)
+                flat = bits.flatten()
+                hv = 0
+                for b in flat:  # g² ≤ 62 iterations, driver-free
+                    hv = (hv << 1) | int(b)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash"].append(hv)
+                out["n_set_bits"].append(int(flat.sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_hash, schema=_AHASH_SCHEMA)
+
+
+def ahash_neardup_pairs(
+    hashes: DataFrame,
+    grid: int = 4,
+    bands: int = 4,
+    max_hamming: int = 2,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+) -> DataFrame:
+    """Banded-LSH near-dup pairs over aHash fingerprints: split the
+    grid² hash bits into ``bands`` equal slices; any pair agreeing
+    on ≥1 whole band is a candidate (two hashes within hamming
+    distance < bands MUST agree on some band — pigeonhole, the
+    simhash_complete guarantee, dedup.py:624); candidates verify
+    with an exact popcount of the XOR. Never all-pairs: the join is
+    bucketed on (band index, band value), the 100 TB shape, and the
+    verify is map-side Column algebra (no second shuffle beyond the
+    pair dedup).
+
+    Output: (id_a < id_b, hamming) for pairs with
+    hamming ≤ ``max_hamming``. Set ``bands > max_hamming`` for a
+    complete (recall-1.0) answer per the pigeonhole bound.
+    """
+    nbits = grid * grid
+    if bands < 1 or nbits % bands != 0:
+        raise ValueError("bands must divide grid*grid")
+    width = nbits // bands
+    mask = (1 << width) - 1
+    h = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_hv")
+    )
+    banded = h.select(
+        "_id",
+        "_hv",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    (
+                        F.shiftright(
+                            F.col("_hv"), width * (bands - 1 - b)
+                        ).bitwiseAND(F.lit(mask))
+                    ).alias("val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("_bk"),
+    ).select("_id", "_hv", "_bk.band", "_bk.val")
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.val") == F.col("b.val"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(
+                F.col("a._hv").bitwiseXOR(F.col("b._hv"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs

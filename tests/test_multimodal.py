@@ -1002,3 +1002,191 @@ def test_decode_pgm_roundtrip_property(w, h, maxval, binary, data):
     fmt, W, H, mv, sm = decode_pgm(payload)
     assert (fmt, W, H, mv) == ("P5" if binary else "P2", w, h, maxval)
     assert sm == bytes(samples)
+
+
+# --------------------------------------------------------------------------
+# perceptual near-dup: aHash over real decoded pixels (slated future
+# registration: multimodal_ahash_neardup)
+# --------------------------------------------------------------------------
+
+_AHASH_G = 4
+
+
+def _ahash_oracle_hash_sql(sf_dir: str) -> str:
+    g = _AHASH_G
+    return f"""
+WITH sub AS (
+  SELECT doc_id, text, length(text) AS nc
+  FROM '{sf_dir}/documents.parquet'
+  WHERE doc_id % 41 = 0 AND text IS NOT NULL
+), geom AS (
+  SELECT doc_id, text, nc % 13 + 3 AS w, nc % 7 + 2 AS h FROM sub
+), media AS (
+  SELECT doc_id AS media_id, text, w, h FROM geom
+  UNION ALL
+  SELECT doc_id + 1000000000, text, w, h FROM geom
+  WHERE doc_id % 82 = 0
+), ok AS (
+  SELECT media_id, text, w, h, h // {g} AS fh, w // {g} AS fw
+  FROM media WHERE h // {g} > 0 AND w // {g} > 0
+), pix AS (
+  SELECT media_id, w, h, fh, fw, CAST(u.i AS BIGINT) AS i,
+         ascii(substring(rpad(text, CAST(w * h AS INT), 'x'),
+                         CAST(u.i + 1 AS INT), 1)) AS px
+  FROM ok, LATERAL unnest(range(0, w * h)) AS u(i)
+), cells AS (
+  SELECT media_id, (i // w) // fh AS cr, (i % w) // fw AS cc,
+         CAST(sum(px) // (fh * fw) AS BIGINT) AS m
+  FROM pix
+  WHERE (i // w) < fh * {g} AND (i % w) < fw * {g}
+  GROUP BY media_id, fh, fw, cr, cc
+), tot AS (
+  SELECT media_id, sum(m) AS total FROM cells GROUP BY 1
+), bits AS (
+  SELECT c.media_id, cr, cc,
+         CASE WHEN c.m * {g * g} > t.total THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot t USING (media_id)
+), hv AS (
+  SELECT media_id,
+         CAST(sum(bit * (CAST(1 AS BIGINT)
+              << CAST({g * g} - 1 - (cr * {g} + cc) AS INT)))
+           AS BIGINT) AS ahash,
+         CAST(sum(bit) AS INT) AS n_set_bits
+  FROM bits GROUP BY 1
+)
+SELECT o.media_id, CAST(o.w AS INT) AS width,
+       CAST(o.h AS INT) AS height, hv.ahash, hv.n_set_bits
+FROM ok o JOIN hv USING (media_id)
+"""
+
+
+def _write_ahash_fixture(spark, sf_dir: str, dst: str) -> None:
+    """The PGM gate's fixture device (doc_id%41, P5 even / P2 odd,
+    text chars as pixel bytes) PLUS a byte-identical twin at
+    media_id + 1e9 for every doc_id%82 image — guaranteed hamming-0
+    near-dup pairs whatever the corpus text looks like."""
+    import os
+    import shutil
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter((F.col("doc_id") % 41 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .collect()
+    )
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for row in docs:
+        nc = len(row.text)
+        w, h = nc % 13 + 3, nc % 7 + 2
+        padded = (row.text + "x" * (w * h))[: w * h]
+        codes = [ord(c) for c in padded]
+        assert max(codes) <= 255
+        header = f"# ahash fixture\n{w} {h}\n255\n"
+        if row.doc_id % 2 == 0:
+            payload = b"P5\n" + header.encode("ascii") + bytes(codes)
+        else:
+            payload = (
+                "P2\n" + header + " ".join(map(str, codes))
+            ).encode("ascii")
+        with open(os.path.join(dst, f"{row.doc_id}.pgm"), "wb") as fh:
+            fh.write(payload)
+        if row.doc_id % 82 == 0:
+            with open(
+                os.path.join(dst, f"{row.doc_id + 1000000000}.pgm"),
+                "wb",
+            ) as fh:
+                fh.write(payload)
+
+
+def test_ahash_gate_prevalidation_duckdb_replay(spark, tmp_path):
+    """Future-registration gate pre-validated tri-SF (the WAV/BMP
+    device): aHash fingerprints AND banded near-dup pairs vs the
+    full DuckDB replay (fixture bytes -> pixels -> block means ->
+    mean threshold -> packed hash -> hamming pairs). The pairs
+    oracle is the NAIVE quadratic form — equality simultaneously
+    proves the banded join's pigeonhole completeness
+    (bands=4 > max_hamming=2)."""
+    import os
+
+    import duckdb
+
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        ahash_table,
+    )
+
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    for sf, n_imgs in (("sf0.001", 14), ("sf0.01", 9), ("sf0.1", 123)):
+        sf_dir = os.path.join(base, sf)
+        dst = str(tmp_path / f"ahash_{sf}")
+        _write_ahash_fixture(spark, sf_dir, dst)
+        media = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.pgm")
+            .load(dst)
+            .select(
+                F.regexp_extract(F.col("path"), r"(\d+)\.pgm$", 1)
+                .cast("bigint")
+                .alias("media_id"),
+                "content",
+            )
+        )
+        ht = ahash_table(media, grid=_AHASH_G)
+        got_h = {
+            r["media_id"]: (
+                r["width"], r["height"], r["ahash"], r["n_set_bits"]
+            )
+            for r in ht.collect()
+        }
+        got_p = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in ahash_neardup_pairs(
+                ht, grid=_AHASH_G, bands=4, max_hamming=2
+            ).collect()
+        }
+        con = duckdb.connect()
+        hsql = _ahash_oracle_hash_sql(sf_dir)
+        want_h = {
+            r[0]: tuple(r[1:]) for r in con.sql(hsql).fetchall()
+        }
+        want_p = {
+            (r[0], r[1]): r[2]
+            for r in con.sql(
+                f"""WITH hv AS ({hsql})
+SELECT a.media_id, b.media_id,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT)
+FROM hv a JOIN hv b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 2"""
+            ).fetchall()
+        }
+        assert got_h == want_h, sf
+        assert len(got_h) == n_imgs, sf
+        assert got_p == want_p, sf
+        # every %82 twin survives as a hamming-0 pair
+        twins = {
+            (a, b) for (a, b) in got_p if b - a == 1000000000
+        }
+        assert all(got_p[t] == 0 for t in twins)
+        assert len(twins) >= 1, sf
+
+
+def test_ahash_packing_hand_computed(spark):
+    """MSB-first row-major packing pinned by hand: a 4x4 ramp
+    (pixels 0..15, grid=4 -> cells == pixels, total 120) sets
+    exactly the cells 8..15 (16*i > 120 iff i >= 8), so the hash is
+    the low byte 0x00FF = 255 and n_set_bits = 8."""
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        ahash_table,
+    )
+
+    payload = b"P5\n4 4\n255\n" + bytes(range(16))
+    media = spark.createDataFrame(
+        [(7, bytearray(payload))], "media_id LONG, content BINARY"
+    )
+    rows = ahash_table(media, grid=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["width"], r["height"], r["ahash"], r["n_set_bits"]) == (
+        4, 4, 255, 8,
+    )
