@@ -830,7 +830,10 @@ def fim_transform(
     Everything is one projection of built-in expressions — tokenize,
     two md5 draws, three ``slice``s, array concat + join — zero
     shuffle, zero Python, embarrassingly parallel: the 100 TB shape
-    is a map-only stage whatever the cluster size. The token array
+    is a map-only stage whatever the cluster size. Measured curve
+    (tools/scale_curve.py, mangled sf0.1 replicas, min-of-2,
+    local[32]): 1.55 / 2.48 / 5.35 s at 500k/1M/2M docs —
+    0.86×-linear, the flat map-only signature. The token array
     binds ONCE via the single-element ``transform(array(...))`` trick
     (synth_token_lines precedent: conditional branches block
     common-subexpression elimination, and this expression references

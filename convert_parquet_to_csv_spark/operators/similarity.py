@@ -1369,6 +1369,12 @@ def bitext_margin_from_candidates(
     approximation. Shuffle shape: two rank windows + two
     map-side-combinable id-keyed aggregates + two id-keyed joins,
     all on (id, id, double) rows — vectors never enter this stage.
+    Measured (local[32], min-of-2, synthetic candidates): 2M
+    candidate rows → 2.13 s, 10M → 3.06 s (5× rows, 1.4× time —
+    scheduling overhead amortizing, no superlinearity). A top-20
+    candidate table reproduces the exact kernel's pair set
+    bit-identically at the gate SF (test-pinned): candidate top-k
+    sums equal true k-NN sums whenever candidates cover the top-k.
     """
     if k < 1:
         raise ValueError("k must be >= 1")

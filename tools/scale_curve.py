@@ -57,6 +57,7 @@ from convert_parquet_to_csv_spark.functions.text import (
 )
 from convert_parquet_to_csv_spark.operators.chunking import (
     bpe_learn_merges,
+    fim_transform,
     unigram_lm_encode,
     wordpiece_encode,
 )
@@ -173,6 +174,10 @@ def main() -> None:
             "dsir_weights": lambda d=docs, b=bench_side: (
                 dsir_importance_weights(d, b, hash_fn="xxhash64")
             ),
+            # r11 late-session: the FIM example-construction
+            # transform — map-only by design; the curve documents
+            # that it stays exactly linear (no hidden shuffle).
+            "fim_transform": lambda d=docs: fim_transform(d),
             # r7 additions (VERDICT r6 item 6): the remaining heavy
             # r6 kernels. Containment runs with the hot-shingle guard
             # ON (max_bucket=1000) — that IS the scale configuration;
