@@ -939,8 +939,16 @@ def ahash_table(
                 if fh == 0 or fw == 0:
                     continue  # smaller than the grid — no cell mean
                 pix = np.frombuffer(px, dtype=np.uint8)
-                if pix.size != w * h:  # color decoder: take channel 0
-                    pix = pix.reshape(h * w, -1)[:, 0]
+                if pix.size != w * h:
+                    # color decoder (PPM/BMP interleave channels):
+                    # integer luma = per-pixel channel mean — exact,
+                    # replayable ((r+g+b)//3 in the oracle)
+                    pix = (
+                        pix.reshape(h * w, -1)
+                        .astype(np.int64)
+                        .sum(axis=1)
+                        // (pix.size // (h * w))
+                    )
                 cells = (
                     pix.reshape(h, w)[: fh * g, : fw * g]
                     .reshape(g, fh, g, fw)

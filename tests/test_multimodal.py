@@ -1190,3 +1190,28 @@ def test_ahash_packing_hand_computed(spark):
     assert (r["width"], r["height"], r["ahash"], r["n_set_bits"]) == (
         4, 4, 255, 8,
     )
+
+
+def test_ahash_color_luma_hand_computed(spark):
+    """Color payloads hash via integer luma (per-pixel channel mean):
+    a P6 whose pixel i carries channels (i, i+1, i+2) has luma
+    (3i+3)//3 = i+1 — a shifted ramp, same mean-threshold pattern as
+    the grayscale ramp, so the hash is again 0x00FF."""
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        ahash_table,
+        decode_ppm,
+    )
+
+    rgb = bytes(
+        b for i in range(16) for b in (i, i + 1, i + 2)
+    )
+    payload = b"P6\n4 4\n255\n" + rgb
+    media = spark.createDataFrame(
+        [(9, bytearray(payload))], "media_id LONG, content BINARY"
+    )
+    rows = ahash_table(media, grid=4, decoder=decode_ppm).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["width"], r["height"], r["ahash"], r["n_set_bits"]) == (
+        4, 4, 255, 8,
+    )
