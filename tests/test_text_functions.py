@@ -555,3 +555,66 @@ def test_fim_gate_prevalidation_duckdb_replay(spark):
         # the transform actually fires: both modes present
         modes = {v[1] for v in got.values()}
         assert modes == {"psm", "plain"}, sf
+
+
+def test_fim_transform_edges_and_reassembly(spark):
+    """Edge docs (empty, blank, sub-min_tokens, control-char tokens,
+    messy whitespace) + the reassembly invariant: stripping the
+    three tags and re-ordering PSM -> prefix middle suffix must
+    reproduce the whitespace-normalized token stream exactly."""
+    import hashlib
+
+    from convert_parquet_to_csv_spark.operators.chunking import (
+        fim_transform,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "   "),
+            (2, "one"),
+            (3, "one two"),
+            (4, "a b c"),
+            (5, " a\tb\nc  d \x01e "),
+            (6, None),
+            (7, "w x y z " * 10),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r.asDict() for r in fim_transform(docs).collect()}
+    assert set(got) == set(range(8))
+
+    def h(salt, x):
+        return int(
+            hashlib.md5(f"{salt}{x}".encode()).hexdigest()[:15], 16
+        )
+
+    for d, text in [
+        (0, ""), (1, "   "), (2, "one"), (3, "one two"),
+        (4, "a b c"), (5, " a\tb\nc  d \x01e "), (7, "w x y z " * 10),
+    ]:
+        tk = text.split()
+        n = len(tk)
+        r = got[d]
+        assert r["n_tokens"] == n
+        if n < 3 or h("fim-sel:", d) % 2 != 0:
+            assert r["mode"] == "plain"
+            assert r["fim_text"] == " ".join(tk)
+            assert r["i_split"] is None and r["j_split"] is None
+        else:
+            assert r["mode"] == "psm"
+            i, j = r["i_split"], r["j_split"]
+            assert 0 <= i <= j <= n
+            out = r["fim_text"].split()
+            # strip tags, reorder PSM -> original
+            p_at = out.index("<PRE>")
+            s_at = out.index("<SUF>")
+            m_at = out.index("<MID>")
+            prefix = out[p_at + 1 : s_at]
+            suffix = out[s_at + 1 : m_at]
+            middle = out[m_at + 1 :]
+            assert prefix + middle + suffix == tk
+    # NULL text propagates as NULLs, plain mode
+    assert got[6]["n_tokens"] is None
+    assert got[6]["fim_text"] is None
+    assert got[6]["mode"] == "plain"
