@@ -618,3 +618,32 @@ def test_fim_transform_edges_and_reassembly(spark):
     assert got[6]["n_tokens"] is None
     assert got[6]["fim_text"] is None
     assert got[6]["mode"] == "plain"
+
+
+def test_md5_long_pair_cross_engine(spark):
+    """The shared house-RNG pair: functions.text.md5_long (Spark)
+    and md5_long_sql (DuckDB rendering) agree value-for-value over
+    ids and salts — the one rule every new deterministic-selection
+    consumer (FIM splits, noise flips, future gates) inherits."""
+    import duckdb
+
+    ids = list(range(0, 2000, 7)) + [10**12, 10**15]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
+    for salt in ("", "fim-sel:", "x:"):
+        got = {
+            r["doc_id"]: r["v"]
+            for r in df.select(
+                "doc_id", T.md5_long("doc_id", salt=salt).alias("v")
+            ).collect()
+        }
+        con = duckdb.connect()
+        want = dict(
+            con.sql(
+                "SELECT doc_id, "
+                + T.md5_long_sql("doc_id", salt=salt)
+                + " AS v FROM (SELECT unnest(?) AS doc_id)",
+                params=[ids],
+            ).fetchall()
+        )
+        assert got == want, salt
+        assert all(v >= 0 for v in got.values())
