@@ -924,7 +924,6 @@ def ahash_table(
     g = grid
 
     def _hash(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -935,41 +934,58 @@ def ahash_table(
                 _, w, h, _, px = decoder(
                     bytes(content) if content is not None else b""
                 )
-                fh, fw = h // g, w // g
-                if fh == 0 or fw == 0:
+                hashed = ahash_of(px, w, h, g)
+                if hashed is None:
                     continue  # smaller than the grid — no cell mean
-                pix = np.frombuffer(px, dtype=np.uint8)
-                if pix.size != w * h:
-                    # color decoder (PPM/BMP interleave channels):
-                    # integer luma = per-pixel channel mean — exact,
-                    # replayable ((r+g+b)//3 in the oracle)
-                    pix = (
-                        pix.reshape(h * w, -1)
-                        .astype(np.int64)
-                        .sum(axis=1)
-                        // (pix.size // (h * w))
-                    )
-                cells = (
-                    pix.reshape(h, w)[: fh * g, : fw * g]
-                    .reshape(g, fh, g, fw)
-                    .astype(np.int64)
-                    .sum(axis=(1, 3))
-                    // (fh * fw)
-                )
-                total = int(cells.sum())
-                bits = (cells * (g * g) > total).astype(np.int64)
-                flat = bits.flatten()
-                hv = 0
-                for b in flat:  # g² ≤ 62 iterations, driver-free
-                    hv = (hv << 1) | int(b)
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
-                out["ahash"].append(hv)
-                out["n_set_bits"].append(int(flat.sum()))
+                out["ahash"].append(hashed[0])
+                out["n_set_bits"].append(hashed[1])
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_hash, schema=_AHASH_SCHEMA)
+
+
+def ahash_of(px: bytes, w: int, h: int, grid: int):
+    """The aHash kernel as a pure function of decoded raster bytes —
+    extracted from the mapInPandas closure so the hypothesis
+    roundtrip can drive it directly (the decoder-family pattern).
+    ``px`` is ``w*h*channels`` interleaved samples (channels inferred
+    from the length; >1 → integer per-pixel channel-mean luma).
+    Returns ``(packed_hash, n_set_bits)`` or ``None`` when the image
+    is smaller than the grid on either axis.
+    """
+    import numpy as np
+
+    g = grid
+    fh, fw = h // g, w // g
+    if fh == 0 or fw == 0:
+        return None
+    pix = np.frombuffer(px, dtype=np.uint8)
+    if pix.size != w * h:
+        # color decoder (PPM/BMP interleave channels): integer luma
+        # = per-pixel channel mean — exact, replayable ((r+g+b)//3
+        # in the oracle)
+        pix = (
+            pix.reshape(h * w, -1)
+            .astype(np.int64)
+            .sum(axis=1)
+            // (pix.size // (h * w))
+        )
+    cells = (
+        pix.reshape(h, w)[: fh * g, : fw * g]
+        .reshape(g, fh, g, fw)
+        .astype(np.int64)
+        .sum(axis=(1, 3))
+        // (fh * fw)
+    )
+    total = int(cells.sum())
+    flat = (cells * (g * g) > total).astype(np.int64).flatten()
+    hv = 0
+    for b in flat:  # g² ≤ 62 iterations
+        hv = (hv << 1) | int(b)
+    return hv, int(flat.sum())
 
 
 def ahash_neardup_pairs(

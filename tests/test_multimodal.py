@@ -1215,3 +1215,60 @@ def test_ahash_color_luma_hand_computed(spark):
     assert (r["width"], r["height"], r["ahash"], r["n_set_bits"]) == (
         4, 4, 255, 8,
     )
+
+
+def test_ahash_hypothesis_vs_loop_reference():
+    """Decoder-family hypothesis pattern: ahash_of vs an independent
+    numpy-free pure-int reference over random geometry, channel
+    count, grid and pixel bytes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        ahash_of,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(1, 12),  # w
+        st.integers(1, 12),  # h
+        st.sampled_from([1, 2, 3, 4]),  # grid
+        st.sampled_from([1, 3]),  # channels
+        st.data(),
+    )
+    def run(w, h, g, nch, data):
+        raw = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * nch,
+                    max_size=w * h * nch,
+                )
+            )
+        )
+        got = ahash_of(raw, w, h, g)
+        fh, fw = h // g, w // g
+        if fh == 0 or fw == 0:
+            assert got is None
+            return
+        # independent reference: plain loops, ints only
+        luma = [
+            sum(raw[p * nch + c] for c in range(nch)) // nch
+            for p in range(w * h)
+        ]
+        cells = []
+        for cr in range(g):
+            for cc in range(g):
+                s = 0
+                for r in range(cr * fh, (cr + 1) * fh):
+                    for c in range(cc * fw, (cc + 1) * fw):
+                        s += luma[r * w + c]
+                cells.append(s // (fh * fw))
+        total = sum(cells)
+        bits = [1 if m * g * g > total else 0 for m in cells]
+        hv = 0
+        for b in bits:
+            hv = (hv << 1) | b
+        assert got == (hv, sum(bits))
+
+    run()
