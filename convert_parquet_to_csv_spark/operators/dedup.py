@@ -996,15 +996,28 @@ def maximal_duplicated_extents(
     (SURVEY §2's "size shuffle partitions to executor memory");
     code untouched, conf only.
 
-    ``sort_partitions`` ships that measured knob per-kernel (r11
-    late-session): when set, the hot-slice exchange is an explicit
-    ``repartition(sort_partitions, "_gh")`` — hash partitioning on
-    the gram key SATISFIES the window's required distribution, so
-    EnsureRequirements inserts no second exchange (the plan has the
-    same exchange count, just wider) and the result is identical by
-    construction (per-gram groups are never split; test-pinned).
-    Default ``None`` keeps the session-conf width — the gated plan
-    is byte-identical to r10's.
+    ``sort_partitions`` ships PART of that knob per-kernel (r11
+    late-session): when set, the gram-window slice exchange and the
+    doc-window suppression exchange become explicit
+    ``repartition(sort_partitions, key)`` — hash partitioning on the
+    window key SATISFIES each window's required distribution, so
+    EnsureRequirements inserts no second exchange (same exchange
+    count, wider; result identical by construction — per-key groups
+    never split; both pinned in the knob test). What the parameter
+    canNOT reach is the hot-count groupBy's REDUCE width — an
+    aggregation exchange always follows the session conf, and a
+    repartition before it would forfeit map-side combine (the wrong
+    trade on dup-heavy real corpora). Measured decomposition
+    (time-varying box, every comparison interleaved min-of-2 at 2M
+    docs): conf 32→128 reproduced **135.1 → 72.9 s (1.85×)**;
+    conf32+knob128 vs conf128 read 130.2 vs 87.4 s — i.e. on the
+    curve corpus (per-copy-mangled ⇒ grams near-distinct ⇒ the
+    count agg's reduce side is ~corpus-volume and spills at width
+    32) the session conf remains the full lever, exactly the
+    spill-aware deployment rule the module prescribes; the knob
+    covers the window share for mixed workloads whose session conf
+    must stay small. Default ``None`` keeps the gated plan
+    byte-identical to r10's.
     """
     slice_len = k + w_cap
     base = df.select(id_col, tokens(text_col).alias("_tk")).filter(
@@ -1110,6 +1123,11 @@ def maximal_duplicated_extents(
     # and could never suppress; requiring lag(_p) == p−1 alongside
     # the L comparison is therefore exact.
     wd = Window.partitionBy(id_col).orderBy("_p")
+    if sort_partitions is not None:
+        # widen the suppression window's exchange too — the conf A/B
+        # widened every exchange, and capturing only the gram window
+        # left half the win on the table (measured below)
+        scored = scored.repartition(sort_partitions, id_col)
     return (
         scored.withColumn("_pprev", F.lag("_p").over(wd))
         .withColumn("_lprevraw", F.lag("_l").over(wd))

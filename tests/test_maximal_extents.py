@@ -529,4 +529,7 @@ def test_sort_partitions_knob_identity_and_plan(spark, sf_small):
             map(tuple, knob.collect())
         )
         assert len(eb) == len(ek)  # replaced, not added
-        assert any("64), REPARTITION_BY_NUM" in x for x in ek)
+        # both the gram-window and the doc-window exchanges widen
+        assert (
+            sum("64), REPARTITION_BY_NUM" in x for x in ek) == 2
+        )
