@@ -343,8 +343,13 @@ def md5_long(col: Column | str, salt: str = "") -> Column:
 
 def md5_long_sql(expr: str, salt: str = "") -> str:
     """The DuckDB rendering of :func:`md5_long` — kept beside it so
-    the two strings are reviewed as one unit."""
+    the two strings are reviewed as one unit. The salt interpolates
+    into a SQL string literal, so single quotes are doubled (ADVICE
+    r11: an unescaped ``'`` would break — or inject into — the
+    oracle while the Spark side handled it fine, a silent
+    divergence); ``F.lit(salt)`` on the Spark side needs no escape,
+    so values still agree byte-for-byte."""
     return (
-        f"('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), "
-        "1, 15))::BIGINT"
+        f"('0x' || substr(md5('{salt.replace(chr(39), chr(39) * 2)}' "
+        f"|| CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
     )

@@ -819,11 +819,16 @@ def fim_transform(
     a doc is selected iff ``md5_long('fim-sel:'||id) % rate_den == 0``
     and it has ≥ ``min_tokens`` whitespace tokens (the paper applies
     FIM to a fixed fraction of documents — ``rate_den=2`` ≈ the 50%
-    rate); split points are two dependent draws,
-    ``i = md5_long('fim-i:'||id) % (n+1)`` and
-    ``j = i + md5_long('fim-j:'||id) % (n−i+1)``, giving the uniform
-    0 ≤ i ≤ j ≤ n split-pair shape (prefix/middle/suffix may each be
-    empty, exactly as the paper's character-level splits allow).
+    rate); split points draw TWO INDEPENDENT uniform positions,
+    ``a = md5_long('fim-i:'||id) % (n+1)`` and
+    ``b = md5_long('fim-j:'||id) % (n+1)``, and sort them —
+    ``(i, j) = (min(a,b), max(a,b))`` — Bavarian et al.'s
+    sort-two-uniform split distribution (P(i,j) = 2/(n+1)² for
+    i < j, 1/(n+1)² for i = j; ADVICE r11 replaced the first cut's
+    i-then-j|i conditional draw, whose middle-length distribution
+    was skewed toward long middles at small i). 0 ≤ i ≤ j ≤ n;
+    prefix/middle/suffix may each be empty, exactly as the paper's
+    character-level splits allow.
     Non-selected docs pass through as ``mode='plain'`` with the
     whitespace-normalized token join, NULL split points.
 
@@ -858,8 +863,10 @@ def fim_transform(
     def _fields(tk: Column) -> Column:
         n = F.size(tk)
         sel = sel_hash & (n >= min_tokens)
-        i = u_i % (n + 1)
-        j = i + u_j % (n - i + 1)
+        a = u_i % (n + 1)
+        b = u_j % (n + 1)
+        i = F.least(a, b)
+        j = F.greatest(a, b)
         psm = F.concat(
             F.array(F.lit(pre_tag)),
             F.slice(tk, F.lit(1), i),

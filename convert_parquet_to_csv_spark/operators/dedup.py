@@ -1018,6 +1018,22 @@ def maximal_duplicated_extents(
     covers the window share for mixed workloads whose session conf
     must stay small. Default ``None`` keeps the gated plan
     byte-identical to r10's.
+
+    The FULL lever is now in the API (r12, VERDICT r11 item 4):
+    ``session.scoped_shuffle_partitions(spark, 128)`` — a set/
+    restore context manager scoping the session conf around the
+    job's ACTION, which is the only thing that reaches the
+    hot-count aggregate's reduce width. Deployment recipe::
+
+        from convert_parquet_to_csv_spark.session import (
+            scoped_shuffle_partitions,
+        )
+        with scoped_shuffle_partitions(spark, 128):
+            maximal_duplicated_extents(docs).write.parquet(dst)
+
+    Results are bit-identical at any width (test-pinned); the r12
+    interleaved A/B at 2M curve docs measures the recipe end-to-end
+    (numbers in the ledger).
     """
     slice_len = k + w_cap
     base = df.select(id_col, tokens(text_col).alias("_tk")).filter(

@@ -1327,7 +1327,14 @@ def bitext_margin_pairs(
     float SUM aggregate, so the addition order (and hence the bits)
     matches the oracle's identically-shaped expression; the margin
     is one division of identically-parenthesized operands. Window
-    ties break on the partner id.
+    ties break on the partner id. The neighborhood mean divides by
+    the ACTUAL number of contributing ranks per side (ADVICE r11:
+    dividing by a fixed 2k deflates the denominator for sides with
+    fewer than k candidates, biasing sparse-coverage vectors toward
+    passing) — in this full-cross-product kernel every side has ≥ k
+    candidates whenever the opposite side does, so the counts sum to
+    2k and the division is bit-identical to the fixed-2k form; the
+    distinction matters on the candidate-table path below.
 
     Scale shape: this exact kernel broadcasts the smaller language
     side (the correctness baseline, same contract as
@@ -1366,7 +1373,25 @@ def bitext_margin_from_candidates(
     candidates (similarity_topk_ivf's layout — each side probes the
     other's nearest lists), in which case the k-NN sums become
     candidate-top-k sums — exactly FAISS-based CCMatrix's shipped
-    approximation. Shuffle shape: two rank windows + two
+    approximation.
+
+    Sparse-coverage semantics (ADVICE r11 fix): the neighborhood
+    mean is ``(Σ_top(x) + Σ_top(y)) / (n_x + n_y)`` with ``n_side =
+    min(k, candidates on that side)`` — the ACTUAL contributing-rank
+    counts, not a fixed ``2k``. Under a sparse candidate generator a
+    side with fewer than k candidates previously got a deflated
+    denominator (zero-padded sum over 2k), inflating its margins
+    toward the threshold; with true counts the mean is unbiased.
+    When every pair has full top-k coverage on both sides the counts
+    sum to exactly ``2k`` and the division is BIT-identical to the
+    old form (integer-exact denominator cast the same way, same
+    parenthesization — the full-coverage replay tests pin this).
+    Pairs whose two sums are BOTH exactly zero (an all-zero-cosine
+    neighborhood — only degenerate zero vectors produce it) have no
+    defined margin and are dropped by an explicit predicate rather
+    than the old division's silent NULL-comparison drop.
+
+    Shuffle shape: two rank windows + two
     map-side-combinable id-keyed aggregates + two id-keyed joins,
     all on (id, id, double) rows — vectors never enter this stage.
     Measured (local[32], min-of-2, synthetic candidates): 2M
@@ -1406,15 +1431,31 @@ def bitext_margin_from_candidates(
             s = s + t
         return s
 
-    sx = ranked.groupBy("src_id").agg(_ksum("_rx").alias("_sx"))
-    sy = ranked.groupBy("tgt_id").agg(_ksum("_ry").alias("_sy"))
+    def _kcount(rank_col: str) -> F.Column:
+        # actual contributing ranks = min(k, candidates) — exact
+        # integer count, so the denominator carries no float noise
+        return F.count(F.when(F.col(rank_col) <= k, F.lit(1)))
+
+    sx = ranked.groupBy("src_id").agg(
+        _ksum("_rx").alias("_sx"), _kcount("_rx").alias("_nx")
+    )
+    sy = ranked.groupBy("tgt_id").agg(
+        _ksum("_ry").alias("_sy"), _kcount("_ry").alias("_ny")
+    )
     m = (
         ranked.join(sx, "src_id")
         .join(sy, "tgt_id")
+        # zero-denominator guard (ADVICE r11): both sums exactly 0.0
+        # means no scorable neighborhood — drop explicitly instead
+        # of riding a NULL margin through the windows
+        .filter((F.col("_sx") + F.col("_sy")) != 0.0)
         .withColumn(
             "margin",
             F.col("cos_sim")
-            / ((F.col("_sx") + F.col("_sy")) / F.lit(2.0 * k)),
+            / (
+                (F.col("_sx") + F.col("_sy"))
+                / (F.col("_nx") + F.col("_ny")).cast("double")
+            ),
         )
     )
     wfx = Window.partitionBy("src_id").orderBy(

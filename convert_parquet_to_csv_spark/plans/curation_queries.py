@@ -2008,6 +2008,88 @@ def quality_classifier_holdout(
     )
 
 
+# --- label-noise-robust training (r12) -------------------------------------
+
+# The DCLM robustness device gated (r12 day-one, slated by the r11
+# ledger): a deterministic md5-selected ~5% of the Gopher weak labels
+# flip (y → 1M − y), and the oracle replays the full two-epoch GD on
+# the NOISY labels bit-exactly — _qtrain_cte_chain's y_expr hook
+# renders the flip inside the label CTE, everything downstream is the
+# byte-identical epoch quartet machinery the train gate pins. The
+# companion pytest (test_classifier_noise_robust_calibration) asserts
+# the DCLM property itself: the noisy-trained table stays correctly
+# signed against CLEAN labels with bounded per-bin drift.
+_NOISE_FLIP_SQL = (
+    "('0x' || substr(md5('noise' || CAST(doc_id AS VARCHAR)), 1, "
+    "15))::BIGINT % 20 = 0"
+)
+
+_NOISE_CHAIN, _NOISE_WF = _qtrain_cte_chain(
+    y_expr=(
+        f"CASE WHEN {_NOISE_FLIP_SQL} THEN 1000000 - y ELSE y END AS y"
+    )
+)
+
+_QNOISE_ORACLE = (
+    "WITH "
+    + _NOISE_CHAIN
+    + f"""
+SELECT b AS _b, CAST(w AS BIGINT) AS weight_micro FROM {_NOISE_WF}
+"""
+)
+
+
+@query("quality_classifier_noise", oracle=_QNOISE_ORACLE)
+def quality_classifier_noise(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Noisy-label training run (r12 day-one; VERDICT r10 item 7's
+    step 2 promoted to a driver gate): flip a deterministic
+    md5-selected ~5% of the Gopher-deck weak labels (the house-RNG
+    flip predicate, identical in both engines) and train the same
+    two-epoch exact-integer GD — the learned 512-row weight table is
+    the output, bit-replayable through _qtrain_cte_chain's y_expr
+    hook. Pins the full label→flip→train path the DCLM-style noise
+    robustness test exercises, so a drift in either the flip
+    selection or the trainer's arithmetic lands as a driver
+    hash-mismatch. Same plan shapes as quality_classifier_train; the
+    flip is one map-side projection on the shared label table."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    clean = C.gopher_weak_labels(docs, min_stopword_hits=1)
+    flip = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("noise"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 20
+        == 0
+    )
+    noisy = clean.select(
+        "doc_id",
+        F.when(flip, F.lit(1_000_000) - F.col("y_micro"))
+        .otherwise(F.col("y_micro"))
+        .alias("y_micro"),
+    ).persist()  # referenced 1 + epochs times; caller-released
+    return C.train_linear_classifier(
+        docs,
+        noisy,
+        num_buckets=_QTRAIN_B,
+        epochs=_QTRAIN_EPOCHS,
+        lr_num=_QTRAIN_LRN,
+        lr_den=_QTRAIN_LRD,
+        hash_fn="md5",
+    )
+
+
 # --- bigram-LM head/middle/tail buckets (r9) -------------------------------
 
 # The _BIGRAM_LM_ORACLE chain (tok..sc) re-used verbatim, then the

@@ -547,3 +547,121 @@ def cross_modal_consistency(
     return M.clip_score_pairs(
         media, vectors, dim=_XMODAL_DIM, tau=_XMODAL_TAU
     )
+
+
+# --- real audio decode: WAV PCM end-to-end (r12) ----------------------------
+
+# Same replay doctrine as _PGM_ORACLE/_PPM_ORACLE, now for audio: the
+# fixture encodes each doc's even-padded utf-8 text as the raw
+# little-endian 16-bit PCM sample stream of a real mono .wav file, so
+# byte pairing, sign extension, the frame split, and the per-frame
+# magnitude sums are all integer arithmetic DuckDB can replay from
+# the documents table alone. A parser bug anywhere — RIFF chunk walk,
+# fmt field offsets, little-endian pairing, two's-complement
+# sign-extension, short last frame — lands as a value mismatch.
+# Empty-text docs are filtered on BOTH sides (an empty doc would
+# yield a 0-sample WAV whose Spark row has no oracle twin — the frame
+# groupBy loses it; the %47 subset has none at any shipped SF, the
+# filter pins the contract anyway — flagged by the r11 prevalidation).
+_WAV_ORACLE = """
+WITH sub AS (
+  SELECT doc_id, encode(text) AS raw
+  FROM documents
+  WHERE doc_id % 47 = 0 AND text IS NOT NULL
+    AND octet_length(encode(text)) > 0
+), padded AS (
+  SELECT doc_id,
+         hex(raw) ||
+         CASE WHEN octet_length(raw) % 2 = 1 THEN '00' ELSE '' END
+           AS h,
+         (octet_length(raw) + octet_length(raw) % 2) // 2 AS n
+  FROM sub
+), smp AS (
+  SELECT doc_id, n, CAST(u.i AS BIGINT) AS i,
+         CAST('0x' || substring(h, CAST(u.i*4+3 AS INT), 2) AS BIGINT)
+           * 256 +
+         CAST('0x' || substring(h, CAST(u.i*4+1 AS INT), 2) AS BIGINT)
+           AS u16
+  FROM padded, LATERAL unnest(range(0, n)) AS u(i)
+), mag AS (
+  SELECT doc_id, n, i // 64 AS frame,
+         abs(CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END)
+           AS m
+  FROM smp
+), fr AS (
+  SELECT doc_id, n, frame, CAST(sum(m) AS BIGINT) AS e
+  FROM mag GROUP BY 1, 2, 3
+)
+SELECT doc_id AS media_id,
+       CAST(1 AS INT) AS num_channels,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(16 AS INT) AS bits,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(e) AS BIGINT) AS total_energy,
+       CAST(max(e) AS BIGINT) AS max_frame_energy
+FROM fr GROUP BY doc_id, n
+"""
+
+
+@query("multimodal_wav_energy", oracle=_WAV_ORACLE)
+def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (r12 day-one, slated by the r11
+    ledger; VERDICT r10 item 4's audio half): the doc_id%47 document
+    subset is materialized as actual mono 16-bit PCM .wav FILES —
+    RIFF/WAVE with the samples being the even-padded utf-8 text's
+    little-endian byte pairs — then scanned back through Spark's
+    binaryFile source and decoded by the pure-Python
+    operators/multimodal.decode_wav inside ONE mapInPandas stage
+    (wav_energy_table) that splits the sample stream into 64-sample
+    frames and reports exact integer Σ|sample| energies (total and
+    max over frames). Gives multimodal_audio_energy's raw-byte
+    arithmetic a real-samples twin through a real RIFF parser.
+
+    Same LOCAL-MODE fixture note as multimodal_decode_pgm/_ppm: the
+    fixture files land in the driver's local tmpdir (the collect
+    exists only to write them — |corpus|/47 rows); a cluster points
+    the same binaryFile scan at a shared filesystem."""
+    import shutil
+    import struct
+
+    docs = (
+        read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+        .filter(
+            (F.col("doc_id") % 47 == 0)
+            & F.col("text").isNotNull()
+            & (F.length("text") > 0)
+        )
+        .select("doc_id", "text")
+    )
+    sub = docs.collect()  # tiny: |corpus|/47 fixture rows
+    dst = scratch_dir(sf_dir, "wav_fixture")
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for row in sub:
+        raw = row.text.encode("utf-8")
+        if len(raw) % 2:
+            raw += b"\x00"
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        chunks = (
+            b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(raw)) + raw
+        )
+        payload = (
+            b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+            + chunks
+        )
+        with open(os.path.join(dst, f"{row.doc_id}.wav"), "wb") as fh:
+            fh.write(payload)
+    media = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(dst)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.wav$", 1)
+            .cast("bigint")
+            .alias("media_id"),
+            "content",
+        )
+    )
+    return M.wav_energy_table(media, frame_len=64)

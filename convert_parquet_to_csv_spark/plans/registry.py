@@ -89,12 +89,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # 50-slot prefix rotates the OLDEST-signal class each round; queries
 # whose kernels or oracle TEXT changed re-gate the same round, with
 # result-CHANGED edits outranking refresh slots and result-unchanged
-# fixes trailing them. Signal-age histogram after r10 (latest driver
+# fixes trailing them. Signal-age histogram after r11 (latest driver
 # row per name, computed from the CORRECTNESS artifacts):
-#   r10:50  r9:41  r8:43  r7:39  r6:47  r5:45  r4:47  — floor r4.
-# ALL 47 r4-latest names sit in this round's gate prefix (3 of them
-# in the lent canary slots, below), so the floor advances to r5 when
-# CORRECTNESS_r11 lands.
+#   r11:50  r10:50  r9:41  r8:43  r7:39  r6:47  r5:45  — floor r5.
+# ALL 45 r5-latest names sit in this round's gate prefix, so the
+# floor advances to r6 when CORRECTNESS_r12 lands.
 #
 # REGISTRY-BANDWIDTH POLICY (r11, VERDICT r10 item 2 — written down
 # because the arithmetic now binds). The driver gates EXACTLY 50
@@ -126,28 +125,83 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #      replays in-suite on every pytest run (the driver gate is the
 #      independent check, not the only check). Growth past ~330
 #      requires retiring a redundant gate per rule 3.
-# r11 arithmetic: 3 lent canary slots (r4 names) + 3 day-one
-# registrations + 44 remaining r4 names = 50. The result-unchanged
-# touched kernels this round (decontaminate_exact_substr,
-# multimodal_decode_pgm — pure refactors extracting the incremental
-# position path / the shared Netpbm header; the classifier-train
-# chain — counts persisted pre-partitioned on id, the measured 2.8x
-# per-epoch-exchange fix, weight values hash-identical) are
-# r10-latest, verified by the in-suite oracle replay and tri-SF
-# local replicas, and take no slot (doctrine: unchanged fixes
-# trail, and no slots remain).
+# r12 arithmetic (executed exactly as the r11 ledger queued it): 3
+# returning standing canaries (rule 4 — the r11 lend expires) + 2
+# day-one registrations (quality_classifier_noise,
+# multimodal_wav_energy — both oracles prevalidated tri-SF in r11's
+# suite before this round began) + the COMPLETE 45-name r5-latest
+# class = 50. r13 projection (rule 4 again): 47 r6-class names +
+# canaries standing would leave no day-one slots — LEND all 3 canary
+# slots to seam-matched r6 members, freeing 3 day-one slots for
+# multimodal_decode_bmp + fim_transform + one of
+# (bitext_margin_mutual, multimodal_ahash_neardup); r14: canaries
+# return + 39 r7-class + the remaining 1-2 registrations.
 FIRST_TIER: list[str] = [
-    # --- canary-seam slots, LENT to r4-class members (rule 4) ---
+    # --- the standing canary slots, returned per rule 4 ---
+    "convert_roundtrip",
+    "python_datasource_scan",
+    "multimodal_resize_geometry",
+    # --- r12 day-one registrations (append here when born, in the
+    # same commit that registers them) ---
+    "quality_classifier_noise",
+    "multimodal_wav_energy",
+    # --- refresh: the COMPLETE r5-latest class (45 names, floor ->
+    # r6), registration order ---
+    "arrow_python_udf_tokens",
+    "observe_metrics_single_pass",
+    "transpose_status_summary",
+    "bigram_collocations_lift",
+    "ohlc_bars_events",
+    "ewma_trailing_value",
+    "moment_stats_exact",
+    "zscore_anomaly_events",
+    "epoch_resample_replacement",
+    "weighted_median_price",
+    "winsorize_prices",
+    "pareto_frontier_parts",
+    "ab_experiment_readout",
+    "listagg_nations_by_region",
+    "rolling_28d_active_users",
+    "mom_revenue_growth",
+    "prefix_autocomplete_topk",
+    "market_concentration_hhi",
+    "paginate_orders_page5",
+    "null_ordering_topk",
+    "ks_drift_ab_arms",
+    "correlation_exact",
+    "audience_overlap_matrix",
+    "status_transition_matrix",
+    "conversion_latency_percentiles",
+    "ols_price_trend",
+    "gini_order_value",
+    "cohort_ltv_curve",
+    "rfm_segmentation",
+    "basket_lift_part_pairs",
+    "abc_pareto_classification",
+    "new_vs_returning_revenue",
+    "label_centroid_distances",
+    "max_concurrent_intervals",
+    "source_language_prune",
+    "chisq_independence_cells",
+    "dow_seasonality_index",
+    "tokenizer_fertility_by_lang",
+    "empty_input_semantics_zoo",
+    "band_join_nonequi",
+    "null_safe_join_semantics",
+    "not_in_null_trap",
+    "max_drawdown_daily_value",
+    "longest_daily_streak",
+    "trimmed_mean_price",
+    # ================= below the 50-slot gate cut =================
+    # --- the r11 gate plan, displaced (the r11-lent canary-seam
+    # names first, then the r11 day-one registrations) ---
     "csv_adversarial_roundtrip",
     "try_cast_zoo",
     "arrow_interop_roundtrip",
-    # --- r11 day-one registrations (append here when born, in the
-    # same commit that registers them) ---
     "cross_modal_consistency",
     "multimodal_decode_ppm",
     "decontaminate_exact_substr_incremental",
-    # --- refresh: the remaining 44 r4-latest names (floor -> r5),
-    # registration order ---
+    # --- the 44 r4-latest names refreshed at r11 (r11-green) ---
     "quantity_array_agg",
     "multimodal_audio_energy",
     "max_records_per_file_cap",
@@ -192,12 +246,6 @@ FIRST_TIER: list[str] = [
     "survivorship_golden_record",
     "rls_masked_view",
     "asof_tolerance_attribution",
-    # ================= below the 50-slot gate cut =================
-    # --- the r10 gate plan, displaced (standing canaries first —
-    # they return to the top at r12 per policy rule 4) ---
-    "convert_roundtrip",
-    "python_datasource_scan",
-    "multimodal_resize_geometry",
     # --- r10 day-one registrations (r10-green) ---
     "classifier_weak_labels",
     "dedup_maximal_extents_c3",
@@ -385,51 +433,6 @@ FIRST_TIER: list[str] = [
     "array_functions_zoo",
     "json_corrupt_handling",
     "pivot_status_by_year",
-    "arrow_python_udf_tokens",
-    "observe_metrics_single_pass",
-    "transpose_status_summary",
-    "bigram_collocations_lift",
-    "ohlc_bars_events",
-    "ewma_trailing_value",
-    "moment_stats_exact",
-    "zscore_anomaly_events",
-    "epoch_resample_replacement",
-    "weighted_median_price",
-    "winsorize_prices",
-    "pareto_frontier_parts",
-    "ab_experiment_readout",
-    "listagg_nations_by_region",
-    "rolling_28d_active_users",
-    "mom_revenue_growth",
-    "prefix_autocomplete_topk",
-    "market_concentration_hhi",
-    "paginate_orders_page5",
-    "null_ordering_topk",
-    "ks_drift_ab_arms",
-    "correlation_exact",
-    "audience_overlap_matrix",
-    "status_transition_matrix",
-    "conversion_latency_percentiles",
-    "ols_price_trend",
-    "gini_order_value",
-    "cohort_ltv_curve",
-    "rfm_segmentation",
-    "basket_lift_part_pairs",
-    "abc_pareto_classification",
-    "new_vs_returning_revenue",
-    "label_centroid_distances",
-    "max_concurrent_intervals",
-    "source_language_prune",
-    "chisq_independence_cells",
-    "dow_seasonality_index",
-    "tokenizer_fertility_by_lang",
-    "empty_input_semantics_zoo",
-    "band_join_nonequi",
-    "null_safe_join_semantics",
-    "not_in_null_trap",
-    "max_drawdown_daily_value",
-    "longest_daily_streak",
-    "trimmed_mean_price",
 ]
 
 

@@ -1272,3 +1272,381 @@ def test_ahash_hypothesis_vs_loop_reference():
         assert got == (hv, sum(bits))
 
     run()
+
+
+def test_ahash_max_bucket_drops_never_corrupts(spark):
+    """The r12 hot-bucket guard (VERDICT r11 item 1): capping a
+    popular (band, value) bucket may only DROP pairs — surviving
+    pairs must be exactly a subset of the uncapped answer with
+    identical exact hamming — and pairs whose every agreeing band
+    is hot vanish while cold-bucket pairs survive. Mirrors
+    lsh_candidate_pairs' max_bucket contract (dedup.py:467)."""
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+    )
+
+    # 12 hashes sharing bands 0..2 (hot at cap 8) and distinct in
+    # band 3 (cold but valueless for joining), plus one twin pair in
+    # a fully cold bucket.
+    rows = [(i, 0xA000 | i) for i in range(12)]
+    rows += [(100, 0x1234), (101, 0x1234)]
+    hashes = spark.createDataFrame(rows, "media_id long, ahash long")
+
+    def naive(rows, max_hamming=2):
+        out = {}
+        for ia, ha in rows:
+            for ib, hb in rows:
+                if ia < ib and bin(ha ^ hb).count("1") <= max_hamming:
+                    out[(ia, ib)] = bin(ha ^ hb).count("1")
+        return out
+
+    want = naive(rows)
+    got_uncapped = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_neardup_pairs(
+            hashes, grid=4, bands=4, max_hamming=2, max_bucket=None
+        ).collect()
+    }
+    # bands=4 > max_hamming=2: pigeonhole-complete == the quadratic
+    assert got_uncapped == want
+    # default cap (1000) leaves this tiny corpus untouched
+    got_default = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_neardup_pairs(
+            hashes, grid=4, bands=4, max_hamming=2
+        ).collect()
+    }
+    assert got_default == want
+
+    got_capped = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_neardup_pairs(
+            hashes, grid=4, bands=4, max_hamming=2, max_bucket=8
+        ).collect()
+    }
+    spark.catalog.clearCache()  # guard-persisted banded tables
+    # drops only, never corrupts: subset with identical hamming
+    assert set(got_capped) <= set(want)
+    assert all(got_capped[p] == want[p] for p in got_capped)
+    # the cold-bucket twins survive the cap...
+    assert got_capped[(100, 101)] == 0
+    # ...and the hot-band cluster's pairs are dropped (their every
+    # agreeing band — 0, 1, 2 — holds all 12 members > cap 8)
+    assert all(a == 100 for (a, b) in got_capped)
+    assert len(want) > len(got_capped)
+
+
+# --- PNG (8-bit non-interlaced, zlib-compressed): the r12 real codec --------
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png(w, h, samples, color=True, filters=None, split_idat=1,
+         ancillary=False):
+    """Encode a REAL PNG (8-bit gray or RGB, non-interlaced) from
+    row-major top-down samples, applying the requested per-row
+    filter types (default all 0) before zlib compression —
+    ``filters`` exercises the decoder's five defilter paths;
+    ``split_idat`` splits the compressed stream into that many
+    consecutive IDAT chunks; ``ancillary`` inserts a tEXt chunk."""
+    import struct
+    import zlib
+
+    bpp = 3 if color else 1
+    stride = w * bpp
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        line = samples[r * stride : (r + 1) * stride]
+        f = filters[r]
+        enc = bytearray(line)
+        if f == 1:
+            for i in range(stride - 1, bpp - 1, -1):
+                enc[i] = (enc[i] - line[i - bpp]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                enc[i] = (enc[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a if pa <= pb and pa <= pc
+                    else (b if pb <= pc else c)
+                )
+                enc[i] = (enc[i] - pred) & 0xFF
+        raw.append(f)
+        raw += enc
+        prev = line
+    comp = zlib.compress(bytes(raw))
+    step = max(1, (len(comp) + split_idat - 1) // split_idat)
+    idats = b"".join(
+        _png_chunk(b"IDAT", comp[i : i + step])
+        for i in range(0, len(comp), step)
+    ) or _png_chunk(b"IDAT", b"")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if color else 0, 0, 0, 0)
+    anc = _png_chunk(b"tEXt", b"k\x00v") if ancillary else b""
+    return (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + anc
+        + idats + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_gray_and_rgb_all_filters():
+    """Hand roundtrip through every filter type, both color types,
+    split IDAT, and an ancillary chunk."""
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    w, h = 4, 5
+    gray = bytes(range(7, 7 + w * h))
+    fmt, W, H, mv, sm = decode_png(
+        _png(w, h, gray, color=False, filters=[0, 1, 2, 3, 4])
+    )
+    assert (fmt, W, H, mv, sm) == ("PNG8G", w, h, 255, gray)
+    rgb = bytes((i * 11) % 256 for i in range(w * h * 3))
+    fmt, W, H, mv, sm = decode_png(
+        _png(w, h, rgb, color=True, filters=[4, 3, 2, 1, 0],
+             split_idat=3, ancillary=True)
+    )
+    assert (fmt, W, H, mv, sm) == ("PNG8RGB", w, h, 255, rgb)
+
+
+def test_decode_png_rejects_malformed():
+    """The family strictness contract for the compressed member."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    w, h = 3, 2
+    rgb = bytes(range(w * h * 3))
+    good = _png(w, h, rgb)
+
+    def bad(mutant, match):
+        with _pytest.raises(ValueError, match=match):
+            decode_png(mutant)
+
+    bad(b"JFIF" + good[4:], "signature")
+    bad(good[:-1], "missing CRC|truncated")
+    bad(good + b"\x00", "excess bytes")
+    # flip one IDAT payload byte -> CRC mismatch
+    at = good.index(b"IDAT") + 4
+    bad(good[:at] + bytes([good[at] ^ 0xFF]) + good[at + 1 :],
+        "CRC mismatch")
+    # 16-bit depth / palette / interlaced all refuse
+    for field, val, match in (
+        (8, 16, "bit depth"), (9, 3, "color type"),
+        (12, 1, "interlaced"),
+    ):
+        ihdr = bytearray(
+            struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        )
+        ihdr[field] = val
+        bad(
+            b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", bytes(ihdr))
+            + good[8 + 25 :],
+            match,
+        )
+    # short decompressed raster: drop the last row from the stream
+    raw = bytearray()
+    for r in range(h):
+        raw.append(0)
+        raw += rgb[r * w * 3 : (r + 1) * w * 3]
+    comp_short = zlib.compress(bytes(raw[: -(w * 3 + 1)]))
+    bad(
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        )
+        + _png_chunk(b"IDAT", comp_short) + _png_chunk(b"IEND", b""),
+        "decompressed size",
+    )
+    # unknown CRITICAL chunk refuses; same chunk as ancillary passes
+    crit = _png_chunk(b"ZZZZ", b"x")
+    at = good.index(b"IDAT") - 4
+    bad(good[:at] + crit + good[at:], "critical chunk")
+    anc = _png_chunk(b"zZZZ", b"x")
+    fmt, W, H, mv, sm = decode_png(good[:at] + anc + good[at:])
+    assert sm == rgb
+    # non-consecutive IDAT runs refuse
+    two = _png(w, h, rgb, split_idat=2)
+    first_end = two.index(b"IDAT") - 4
+    second = two.index(b"IDAT", first_end + 8) - 4
+    interposed = two[:second] + anc + two[second:]
+    bad(interposed, "consecutive")
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(
+    w=_st.integers(1, 9),
+    h=_st.integers(1, 7),
+    color=_st.booleans(),
+    split_idat=_st.integers(1, 3),
+    data=_st.data(),
+)
+def test_decode_png_roundtrip_property(w, h, color, split_idat, data):
+    """encode(w, h, samples, filters) -> decode is the identity for
+    every geometry, both color types, any per-row filter-type
+    sequence, and any IDAT split — the compressed member of the
+    decoder family carries the same roundtrip pin as its siblings."""
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    n = w * h * (3 if color else 1)
+    samples = bytes(
+        data.draw(
+            _st.lists(_st.integers(0, 255), min_size=n, max_size=n)
+        )
+    )
+    filters = data.draw(
+        _st.lists(_st.integers(0, 4), min_size=h, max_size=h)
+    )
+    fmt, W, H, mv, sm = decode_png(
+        _png(w, h, samples, color=color, filters=filters,
+             split_idat=split_idat)
+    )
+    assert (fmt, W, H, mv) == (
+        "PNG8RGB" if color else "PNG8G", w, h, 255,
+    )
+    assert sm == samples
+
+
+def test_png_gate_prevalidation_duckdb_replay(spark, tmp_path):
+    """Future-registration gate design pre-validated end-to-end (the
+    WAV/BMP device, now through a REAL zlib inflate + defilter): the
+    doc_id%59 sf0.001 subset materializes as real .png FILES — RGB,
+    per-row filter types cycling (doc_id + row) % 5 so every
+    defilter path runs — whose logical samples are the padded text's
+    character codes RGB-interleaved; scans back through binaryFile
+    into decode_png_table, and DuckDB replays the whole integer
+    chain from the documents table alone. When the gate registers,
+    this SQL becomes the oracle verbatim."""
+    import duckdb
+
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        decode_png_table,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(
+        (F.col("doc_id") % 59 == 0) & F.col("text").isNotNull()
+    ).select("doc_id", "text").collect()
+    assert docs  # non-vacuous
+    d = str(tmp_path / "pngfix")
+    os.makedirs(d)
+    for row in docs:
+        nc = len(row.text)
+        w, h = nc % 8 + 2, nc % 6 + 2
+        n = w * h * 3
+        padded = (row.text + "x" * n)[:n]
+        codes = [ord(c) for c in padded]
+        assert max(codes) <= 255  # single-byte fixture vocabulary
+        payload = _png(
+            w, h, bytes(codes), color=True,
+            filters=[(row.doc_id + r) % 5 for r in range(h)],
+            split_idat=row.doc_id % 3 + 1,
+        )
+        with open(os.path.join(d, f"{row.doc_id}.png"), "wb") as fh:
+            fh.write(payload)
+    media = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(d)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.png$", 1)
+            .cast("bigint").alias("media_id"),
+            "content",
+        )
+    )
+    got = {
+        r["media_id"]: (
+            r["fmt"], r["width"], r["height"], r["maxval"],
+            r["n_pixels"], r["r_sum"], r["g_sum"], r["b_sum"],
+            r["rs_width"], r["rs_height"],
+            r["rs_r_sum"], r["rs_g_sum"], r["rs_b_sum"],
+        )
+        for r in decode_png_table(media, factor=2).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    oracle = """
+WITH sub AS (
+  SELECT doc_id, text, length(text) AS nc
+  FROM documents WHERE doc_id % 59 = 0 AND text IS NOT NULL
+), geom AS (
+  SELECT doc_id, text, nc % 8 + 2 AS w, nc % 6 + 2 AS h FROM sub
+), pix AS (
+  SELECT doc_id, w, h,
+         CAST(u.i AS BIGINT) // 3 AS q,
+         CAST(u.i AS BIGINT) % 3 AS c,
+         ascii(substring(rpad(text, CAST(w * h * 3 AS INT), 'x'),
+                         CAST(u.i + 1 AS INT), 1)) AS px
+  FROM geom, LATERAL unnest(range(0, w * h * 3)) AS u(i)
+), st AS (
+  SELECT doc_id,
+         CAST(sum(px) FILTER (WHERE c = 0) AS BIGINT) AS r_sum,
+         CAST(sum(px) FILTER (WHERE c = 1) AS BIGINT) AS g_sum,
+         CAST(sum(px) FILTER (WHERE c = 2) AS BIGINT) AS b_sum
+  FROM pix GROUP BY 1
+), bs AS (
+  SELECT doc_id, c, (q // w) // 2 AS br, (q % w) // 2 AS bc,
+         CAST(sum(px) // 4 AS BIGINT) AS bm
+  FROM pix
+  WHERE (q // w) < (h // 2) * 2 AND (q % w) < (w // 2) * 2
+  GROUP BY 1, 2, 3, 4
+), rs AS (
+  SELECT doc_id,
+         CAST(sum(bm) FILTER (WHERE c = 0) AS BIGINT) AS rs_r_sum,
+         CAST(sum(bm) FILTER (WHERE c = 1) AS BIGINT) AS rs_g_sum,
+         CAST(sum(bm) FILTER (WHERE c = 2) AS BIGINT) AS rs_b_sum
+  FROM bs GROUP BY 1
+)
+SELECT g.doc_id AS media_id,
+       'PNG8RGB' AS fmt,
+       CAST(g.w AS INT) AS width,
+       CAST(g.h AS INT) AS height,
+       CAST(255 AS INT) AS maxval,
+       CAST(g.w * g.h AS BIGINT) AS n_pixels,
+       st.r_sum, st.g_sum, st.b_sum,
+       CAST(g.w // 2 AS INT) AS rs_width,
+       CAST(g.h // 2 AS INT) AS rs_height,
+       rs.rs_r_sum, rs.rs_g_sum, rs.rs_b_sum
+FROM geom g JOIN st USING (doc_id) JOIN rs USING (doc_id)
+"""
+    want = {
+        r[0]: tuple(r[1:]) for r in con.sql(oracle).fetchall()
+    }
+    assert got == want
+    # ahash over the PNG decoder: channel inference handles RGB
+    from convert_parquet_to_csv_spark.operators.multimodal import (
+        ahash_table, decode_png,
+    )
+
+    ah = ahash_table(media, grid=2, decoder=decode_png).collect()
+    assert len(ah) == len(got)

@@ -552,6 +552,9 @@ def _bitext_oracle_sql(parquet_path: str, k: int) -> str:
         f"coalesce(max(CASE WHEN {rank} = {r} THEN cos_sim END), 0.0)"
         for r in range(1, k + 1)
     )
+    kcount = lambda rank: (  # noqa: E731
+        f"count(CASE WHEN {rank} <= {k} THEN 1 END)"
+    )
     return f"""
 WITH vd AS (
   SELECT vec_id, label,
@@ -568,12 +571,16 @@ scored AS (
     row_number() OVER (
       PARTITION BY tgt_id ORDER BY cos_sim DESC, src_id ASC) AS _ry
   FROM scored
-), sx AS (SELECT src_id, {ksum('_rx')} AS _sx FROM ranked GROUP BY src_id),
-sy AS (SELECT tgt_id, {ksum('_ry')} AS _sy FROM ranked GROUP BY tgt_id),
+), sx AS (SELECT src_id, {ksum('_rx')} AS _sx,
+                 {kcount('_rx')} AS _nx FROM ranked GROUP BY src_id),
+sy AS (SELECT tgt_id, {ksum('_ry')} AS _sy,
+                 {kcount('_ry')} AS _ny FROM ranked GROUP BY tgt_id),
 m AS (
   SELECT r.src_id, r.tgt_id, r.cos_sim,
-         r.cos_sim / ((sx._sx + sy._sy) / {2.0 * k}) AS margin
+         r.cos_sim / ((sx._sx + sy._sy)
+                      / CAST(sx._nx + sy._ny AS DOUBLE)) AS margin
   FROM ranked r JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+  WHERE (sx._sx + sy._sy) != 0.0
 ), best AS (
   SELECT *,
     row_number() OVER (
@@ -705,3 +712,43 @@ def test_bitext_ivf_candidates_recall(spark, sf_small):
         for r in S.bitext_margin_from_candidates(cand, k=4).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.95
+
+
+def test_bitext_sparse_candidates_unbiased_denominator(spark):
+    """ADVICE r11 fix pinned: with FEWER than k candidates on a
+    side, the neighborhood mean divides by the actual contributing
+    counts (n_x + n_y), not the fixed 2k that deflated the
+    denominator and inflated sparse-coverage margins; an
+    all-zero-cosine pair is dropped by the explicit zero-denominator
+    guard instead of surfacing a NULL margin."""
+    rows = [
+        (1, 10, 0.9),
+        (1, 11, 0.5),
+        (2, 10, 0.8),
+        # degenerate zero-cosine island -> zero denominator -> drop
+        (3, 12, 0.0),
+    ]
+    cand = spark.createDataFrame(
+        rows, "src_id LONG, tgt_id LONG, cos_sim DOUBLE"
+    )
+    got = {
+        (r["src_id"], r["tgt_id"]): r["margin"]
+        for r in S.bitext_margin_from_candidates(
+            cand, k=4, threshold=0.0
+        ).collect()
+    }
+    # Python reference with the SAME left-associative arithmetic
+    sx = {1: (0.9 + 0.5, 2), 2: (0.8, 1), 3: (0.0, 1)}
+    sy = {10: (0.9 + 0.8, 2), 11: (0.5, 1), 12: (0.0, 1)}
+
+    def margin(s, t, cos):
+        return cos / ((sx[s][0] + sy[t][0]) / float(sx[s][1] + sy[t][1]))
+
+    # mutual best at threshold 0: (1,10) wins both directions;
+    # (2,10) loses tgt 10 to src 1; (1,11) loses src 1 to tgt 10;
+    # (3,12) is dropped by the zero-denominator guard
+    assert set(got) == {(1, 10)}
+    assert got[(1, 10)] == margin(1, 10, 0.9)
+    # and the value differs from the old fixed-2k form — the bias
+    # this fix removes (2k = 8 vs true counts 4)
+    assert got[(1, 10)] != 0.9 / ((sx[1][0] + sy[10][0]) / 8.0)

@@ -471,8 +471,9 @@ def test_fim_transform_matches_independent_python_reference(spark):
         d, tk = row["doc_id"], row["text"].split()
         n = len(tk)
         if h("fim-sel:", d) % 2 == 0 and n >= 3:
-            i = h("fim-i:", d) % (n + 1)
-            j = i + h("fim-j:", d) % (n - i + 1)
+            # sort-two-uniform (ADVICE r11): two independent draws
+            a, b = h("fim-i:", d) % (n + 1), h("fim-j:", d) % (n + 1)
+            i, j = min(a, b), max(a, b)
             txt = " ".join(
                 ["<PRE>"] + tk[:i] + ["<SUF>"] + tk[j:] + ["<MID>"]
                 + tk[i:j]
@@ -497,11 +498,12 @@ WITH tok AS (
 ), base AS (
   SELECT doc_id, tk, len(tk) AS n,
          ({sel} % 2 = 0) AND (len(tk) >= 3) AS sel,
-         {ui} % (len(tk) + 1) AS i0,
-         {uj} AS uj
+         {ui} % (len(tk) + 1) AS a,
+         {uj} % (len(tk) + 1) AS b
   FROM tok
 ), split AS (
-  SELECT doc_id, tk, n, sel, i0 AS i, i0 + uj % (n - i0 + 1) AS j
+  SELECT doc_id, tk, n, sel,
+         least(a, b) AS i, greatest(a, b) AS j
   FROM base
 )
 SELECT doc_id,
@@ -629,7 +631,9 @@ def test_md5_long_pair_cross_engine(spark):
 
     ids = list(range(0, 2000, 7)) + [10**12, 10**15]
     df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
-    for salt in ("", "fim-sel:", "x:"):
+    # "it's:" pins the ADVICE r11 escaping fix: a single quote in the
+    # salt must render a VALID oracle literal that still agrees
+    for salt in ("", "fim-sel:", "x:", "it's:"):
         got = {
             r["doc_id"]: r["v"]
             for r in df.select(

@@ -214,6 +214,9 @@ CASES = {
     # r11 flagships
     "cross_modal_consistency": "cross-modal CLIP score: media block-sum vector via nested HOFs map-side (no UDF, no per-byte explosion), ONE id-keyed equi-join to embeddings, per-pair cosine projection — no cross join, no vector shuffle beyond the id join",
     "decontaminate_exact_substr_incremental": "incremental xset: delta-gram broadcast bounds the new window pass, persisted-position merge is ONE (id,p)-keyed full outer join at contamination-footprint scale, re-aggregate as the base kernel — no union-scale window anywhere",
+    # r12 flagships
+    "multimodal_wav_energy": "WAV energy: binaryFile scan -> ONE MapInPandas batch seam (RIFF parse + numpy frame sums), zero exchanges before or after the Python boundary",
+    "quality_classifier_noise": "noisy-label train: the train chain's plan with the md5 flip as a map-side projection on the label table — counts persisted pre-partitioned on id, weight table broadcast, epoch exchanges unchanged",
 }
 
 KEY_MARKERS = (
