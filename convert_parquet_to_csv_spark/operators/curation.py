@@ -1010,16 +1010,53 @@ def hashed_ngram_buckets(
             ).alias("_b"),
         )
     if hash_fn == "md5":
-        grams = F.flatten(
-            F.array(*[ngrams(text_col, n=n) for n in ngram_ns])
+        # r12 optimization round: same exploded-position structure as
+        # the xxhash64 branch, building each gram STRING per exploded
+        # row with codegen'd array_join(slice(...)) — byte-identical
+        # to ngrams()'s strings (same tokens(lower(text)), same
+        # single-space join), so md5 → bucket values are unchanged
+        # and every md5-flavor oracle replays bit-exact. What it
+        # removes is the per-doc HOF lambda chain (transform +
+        # array_join inside ngrams(), then flatten + array of TWO
+        # full gram-string arrays materialized per doc before the
+        # explode) — the measured slow class this module documents
+        # (string path 7.2 s vs 0.6 s for the xxhash64 featurization
+        # at sf0.1). Bench evidence in OPTIMIZATION_r12.md
+        # (quality_classifier_train is the heaviest consumer).
+        base = df.select(
+            F.col(id_col),
+            tokens(F.lower(F.col(text_col))).alias("_tk"),
         )
-        return df.select(
-            F.col(id_col), F.explode(grams).alias("_g")
-        ).select(
+        pos = base.select(
+            id_col,
+            "_tk",
+            F.explode(
+                F.sequence(F.lit(0), F.size("_tk") - 1)
+            ).alias("_i"),
+        ).filter(F.size("_tk") > 0)
+        g = pos.select(
+            id_col,
+            "_tk",
+            "_i",
+            F.explode(
+                F.array(*[F.lit(n) for n in ngram_ns])
+            ).alias("_n"),
+        ).filter(F.col("_i") + F.col("_n") <= F.size("_tk"))
+        return g.select(
             id_col,
             F.pmod(
                 F.conv(
-                    F.substring(F.md5(F.col("_g")), 1, 15), 16, 10
+                    F.substring(
+                        F.md5(
+                            F.array_join(
+                                F.expr("slice(_tk, _i + 1, _n)"), " "
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
                 ).cast("long"),
                 F.lit(num_buckets),
             ).alias("_b"),
