@@ -699,7 +699,29 @@ def _gopher_gram_masses(
             ).alias("_gl"),
         )
     )
-    gc = grams.groupBy(id_col, "_n", "_gh").agg(
+    # r12 optimization round: ONE doc-keyed exchange replaces the
+    # previous three aggregate exchanges. The straight
+    # groupBy(id, n, gh) chain shuffled (1) partial-agg'd gram rows
+    # on (id, n, gh), then (2) its output again on (id, n) for the
+    # per-n collapse, then (3) once more on (id) for the final
+    # pivot — and on real crawl text gram keys are mostly unique
+    # within a doc, so the map-side combine the first exchange paid
+    # a partial hash-agg pass for reduced almost nothing. Hash-
+    # repartitioning the raw gram stream on the DOC id instead
+    # satisfies the ClusteredDistribution of ALL THREE aggregates
+    # (partitioning by a subset of each grouping key), so the whole
+    # collapse chain runs exchange-free on one distribution, as
+    # complete (single-pass) aggregates. Measured (sf0.1, 5000 docs,
+    # 2.21M gram rows, interleaved min-of-2, local[32]): masses
+    # subtree 3.16 -> 1.78 s (1.8x); results bit-identical (collect
+    # compare + the gopher family oracles tri-SF). Per-partition
+    # aggregate state is unchanged (a partition holds its docs'
+    # grams either way); what a dup-heavy doc loses in map-side
+    # combine it regains by skipping two downstream corpus-volume
+    # exchanges — and exchanges (2)/(3) disappear at every corpus
+    # shape. Plan diff: 3 Exchange -> 1 Exchange
+    # (plans/r12/gopher_repetition_signals_{before,after}.txt).
+    gc = grams.repartition(id_col).groupBy(id_col, "_n", "_gh").agg(
         F.count(F.lit(1)).alias("_c"), F.max("_gl").alias("_gl")
     )
     # top_{n}gram mass = chars of the single MOST FREQUENT gram (Rae
@@ -1277,9 +1299,21 @@ def train_linear_classifier(
     # table hash-identical). The label table is NOT pinned: its rows
     # are narrow and map-side recompute beat a second persist in the
     # same A/B (9.7 vs 14.8 s).
-    counts = b.groupBy(id_col, "_b").agg(
+    # r12 optimization round: repartition on the id BEFORE the count
+    # groupBy, not after — HashPartitioning(id) satisfies the
+    # aggregate's ClusteredDistribution((id, _b)) (subset rule), so
+    # the groupBy runs exchange-free on the repartitioned stream and
+    # the persisted table still carries the id distribution every
+    # epoch reuses. The previous groupBy-then-repartition form paid
+    # TWO corpus-volume exchanges (partial-agg'd (id,_b) pairs, then
+    # the aggregated table again); gram->bucket counts are near 1
+    # within a doc, so the forfeited map-side combine is cheap.
+    # Measured (sf0.1, interleaved min-of-2): counts build
+    # 0.69 -> 0.55 s; identical rows. Plan diff: 2 Exchange -> 1 on
+    # the counts subtree (plans/r12/quality_classifier_train_*.txt).
+    counts = b.repartition(id_col).groupBy(id_col, "_b").agg(
         F.count(F.lit(1)).alias("_c")
-    ).repartition(id_col).persist()
+    ).persist()
     lab = labels.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col), F.col("y_micro").cast("long").alias("_y")
     )
@@ -1389,7 +1423,18 @@ def dsir_importance_weights(
         )
 
     raw_b = buckets(raw)
-    doc_counts = raw_b.groupBy(id_col, "_b").agg(
+    # r12 optimization round: same doc-keyed exchange consolidation
+    # as train_linear_classifier/_gopher_gram_masses — repartition the
+    # raw bucket stream on the id once, so the (id, _b) count groupBy
+    # (subset rule) AND the final scoring groupBy(id) both run
+    # exchange-free on the cached distribution; previously the scored
+    # corpus-volume table re-shuffled on the id after the broadcast
+    # ratio join. q_counts' bucket rollup pays its num_buckets-sized
+    # exchange either way. Measured (sf0.1, xxhash64 flavor,
+    # interleaved min-of-3 across two process pairs): whole operator
+    # 2.20 -> 1.63 s; rows identical; md5-flavor oracles tri-SF
+    # green.
+    doc_counts = raw_b.repartition(id_col).groupBy(id_col, "_b").agg(
         F.count(F.lit(1)).alias("_c")
     )
     if persist:
