@@ -1031,9 +1031,14 @@ def maximal_duplicated_extents(
         with scoped_shuffle_partitions(spark, 128):
             maximal_duplicated_extents(docs).write.parquet(dst)
 
-    Results are bit-identical at any width (test-pinned); the r12
-    interleaved A/B at 2M curve docs measures the recipe end-to-end
-    (numbers in the ledger).
+    Results are bit-identical at any width (test-pinned). The r12
+    optimization round measured the recipe END-TO-END at 2M curve
+    docs (interleaved min-of-2, local[32], 16g driver, degraded-disk
+    box — both variants share it): default conf 32 = 156.4 s vs
+    ``scoped_shuffle_partitions(spark, 128)`` = 92.6 s — **1.69×**,
+    reproducing the r11 conf-only decomposition (111.5 → 61.4 s
+    healthy box; 135.1 → 72.9 s time-varying box) through the
+    shipped API. Numbers also in OPTIMIZATION_r12.md.
     """
     slice_len = k + w_cap
     base = df.select(id_col, tokens(text_col).alias("_tk")).filter(
