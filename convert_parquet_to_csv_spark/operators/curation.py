@@ -444,29 +444,49 @@ def remove_duplicated_spans(
         )
         .select("gram")
     )
+    # r12 optimization round, two changes measured together (500k
+    # corpus, 5-round interleaved: min 6.63 -> 5.59 s, median 8.87 ->
+    # 8.22 s on a noisy box; outputs collect-identical at sf0.01 and
+    # oracle-replayed tri-SF):
+    # 1. The candidate-pruned gram stream is PERSISTED when two
+    #    consumers exist (the exact distinct-count pass AND the
+    #    coverage pass) — previously each consumer recomputed the
+    #    full tokenize+explode+hash scan and re-joined cand, so the
+    #    corpus-volume gram projection ran THREE times. g2 is
+    #    candidate-bounded (occurrences of >max_docs-count grams —
+    #    boilerplate-scale, ~3% of gram volume on the curve corpus),
+    #    nothing like the full-gram/arr persists r5 measured as
+    #    losses (tools/span_persist_ab.py — that negative result
+    #    stands for corpus-volume tables). Cache is caller-released
+    #    via clearCache(), the lsh_candidate_pairs contract.
+    # 2. The `.distinct()` between the coverage explode and
+    #    collect_set is REMOVED: collect_set is duplicate-insensitive
+    #    (set semantics), so the distinct's full exchange of the
+    #    covered-position stream on (cid, cpos) bought nothing — the
+    #    partial collect_set buffers dedupe map-side and the one
+    #    doc-keyed exchange ships the same set bytes. Plan diff: one
+    #    Exchange removed (plans/r12/span_dedup_c4_{before,after}).
     if min_total is not None:
         hot = cand
+        hot_occ = grams.join(hot, "gram")
     else:
+        g2 = grams.join(cand, "gram").persist()
         hot = (
-            grams.join(cand, "gram")
-            .groupBy("gram")
+            g2.groupBy("gram")
             .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
             .filter(F.col("_nd") > max_docs)
             .select("gram")
         )
+        hot_occ = g2.join(hot, "gram")
     # `covered` shares lineage with `arr`, so joining on same-named
     # columns would trip Spark's "trivially true equals predicate"
     # auto-disambiguation warning (harmless but log-spam) — the
     # coverage side's key columns are renamed instead.
-    covered = (
-        grams.join(hot, "gram")
-        .select(
-            F.col(id_col).alias("_cid"),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
-            ).alias("cpos"),
-        )
-        .distinct()
+    covered = hot_occ.select(
+        F.col(id_col).alias("_cid"),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+        ).alias("cpos"),
     )
     cov_per_doc = covered.groupBy("_cid").agg(
         F.collect_set("cpos").alias("_cov")
