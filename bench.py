@@ -248,6 +248,16 @@ NOISE_FLOOR_NAMES = [
     # key. Watch item; from here it carries `_spread_pct` so the
     # r12 comparison self-adjudicates.
     "similarity_topk_ivf",
+    # r13 (VERDICT r12 item 5): the r12 driver box read 4.30 s where
+    # the builder's committed record read 1.43 s on the same tree.
+    # Adjudicated by a dedicated 7-run same-box probe
+    # (tools/r13_ab/dsir_spread_probe.py): min 1.63 s, spread 56%,
+    # no sample near 4.3 — the driver reading is its degraded-disk
+    # box (IO anchor x2.2), not code. Promoted here (the topk_ivf
+    # treatment) so future deltas self-adjudicate; its `_warm`
+    # dual-methodology key is preserved by the warm companion pass
+    # after the noise-floor loop.
+    "dsir_importance_weights",
 ]
 
 # Pruned in r6 (the span_dedup `_warm` lesson generalized): a `_warm`
@@ -709,6 +719,23 @@ def main() -> None:
         queries[f"{name}_spread_pct"] = round(
             (max(samples) - min(samples)) / min(samples) * 100, 1
         )
+    # Dual-methodology companions for noise-floor names (r13: dsir
+    # joined the noise-floor set but must keep its `_warm` key — the
+    # driver contract never drops a key). Same protocol as the main
+    # loop's DUAL branch: warmup populates the plan's persisted
+    # subtrees, the timed runs reuse them.
+    for name, fn in noise_floor_fns:
+        if name not in DUAL_METHODOLOGY_NAMES:
+            continue
+
+        def _run_warm(fn=fn):
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+        spark.catalog.clearCache()
+        queries[f"{name}_warm"] = round(
+            time_kernel(_run_warm, warmup=1, repeat=2), 4
+        )
+        spark.catalog.clearCache()
 
     # At-scale minhash-LSH dedup: full pipeline (shingle → signature →
     # banded candidates → exact-Jaccard verify → survivors) over the

@@ -334,6 +334,15 @@ def remove_duplicated_spans(
        place — the word corpus is never exploded and never crosses an
        exchange.
 
+    Cache contract (r13): NONE — the candidate-gram intermediate the
+    default path shares between its distinct-count and coverage
+    passes is persisted, drained, and released INSIDE the call
+    (try/finally; the coverage table is eagerly localCheckpoint'ed,
+    so the default path runs its heavy stages at call time and the
+    returned plan is the cheap reassembly tail). Callers need no
+    ``spark.catalog.clearCache()`` — unlike ``lsh_candidate_pairs``,
+    whose returned plan still references its cache.
+
     Measured design change (r5, ``tools/span_reassembly_ab.py``,
     interleaved cache-cleared min-of-2, full clean_text output): this
     array-native reassembly beats the previous word-stream form
@@ -457,40 +466,69 @@ def remove_duplicated_spans(
     #    boilerplate-scale, ~3% of gram volume on the curve corpus),
     #    nothing like the full-gram/arr persists r5 measured as
     #    losses (tools/span_persist_ab.py — that negative result
-    #    stands for corpus-volume tables). Cache is caller-released
-    #    via clearCache(), the lsh_candidate_pairs contract.
+    #    stands for corpus-volume tables). r13: the cache is released
+    #    in-operator (try/finally below) — no caller clearCache()
+    #    obligation remains.
     # 2. The `.distinct()` between the coverage explode and
     #    collect_set is REMOVED: collect_set is duplicate-insensitive
-    #    (set semantics), so the distinct's full exchange of the
-    #    covered-position stream on (cid, cpos) bought nothing — the
-    #    partial collect_set buffers dedupe map-side and the one
-    #    doc-keyed exchange ships the same set bytes. Plan diff: one
-    #    Exchange removed (plans/r12/span_dedup_c4_{before,after}).
-    if min_total is not None:
-        hot = cand
-        hot_occ = grams.join(hot, "gram")
-    else:
-        g2 = grams.join(cand, "gram").persist()
-        hot = (
-            g2.groupBy("gram")
-            .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
-            .filter(F.col("_nd") > max_docs)
-            .select("gram")
-        )
-        hot_occ = g2.join(hot, "gram")
+    #    (set semantics), so set membership is unchanged. RECORD
+    #    CORRECTION (r13, VERDICT r12 What's-wrong #1): the r12 claim
+    #    that this removed an Exchange was WRONG — Catalyst
+    #    (RemoveRedundantAggregates under the duplicate-agnostic
+    #    collect_set) had already eliminated the distinct; both r12
+    #    before-dumps show no distinct aggregate and identical
+    #    exchange structure. Code hygiene only, zero plan delta; the
+    #    family's measured r12 win belongs to change 1 alone.
     # `covered` shares lineage with `arr`, so joining on same-named
     # columns would trip Spark's "trivially true equals predicate"
     # auto-disambiguation warning (harmless but log-spam) — the
     # coverage side's key columns are renamed instead.
-    covered = hot_occ.select(
-        F.col(id_col).alias("_cid"),
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + (n - 1))
-        ).alias("cpos"),
-    )
-    cov_per_doc = covered.groupBy("_cid").agg(
-        F.collect_set("cpos").alias("_cov")
-    )
+    def _cov_per_doc(hot_occ: DataFrame) -> DataFrame:
+        covered = hot_occ.select(
+            F.col(id_col).alias("_cid"),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("cpos"),
+        )
+        return covered.groupBy("_cid").agg(
+            F.collect_set("cpos").alias("_cov")
+        )
+
+    if min_total is not None:
+        # ExactSubstr rule: the total-count survivors ARE the hot set;
+        # single consumer of the gram stream, nothing to persist, the
+        # whole plan stays lazy.
+        cov_per_doc = _cov_per_doc(grams.join(cand, "gram"))
+    else:
+        # r13 (VERDICT r12 items 5/7): g2's cache no longer outlives
+        # the call. Both g2 consumers — the exact distinct-count pass
+        # and the coverage explode — are drained HERE by eagerly
+        # materializing the per-doc coverage table (boilerplate-scale:
+        # one row per doc owning a hot span, a few ints each) via
+        # ``localCheckpoint``; the try/finally then releases g2
+        # deterministically instead of leaking one cached
+        # candidate-gram table per call into the session (the r12
+        # shape relied on the caller's clearCache()). The returned
+        # plan references only the checkpointed coverage table and the
+        # token arrays, so it stays lazy for the cheap reassembly
+        # tail. Trade (guide §5): a localCheckpoint intermediate is
+        # not replayable if an executor dies mid-JOB downstream — at
+        # this table's size the re-run cost is one operator call, and
+        # the r12 alternative leaked storage instead. Measured at the
+        # 500k bench corpus (interleaved min-of-3, r13 ledger):
+        # within noise of the r12 persist shape, as expected — the
+        # same work runs, only the release point moves.
+        g2 = grams.join(cand, "gram").persist()
+        try:
+            hot = (
+                g2.groupBy("gram")
+                .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+                .filter(F.col("_nd") > max_docs)
+                .select("gram")
+            )
+            cov_per_doc = _cov_per_doc(g2.join(hot, "gram")).localCheckpoint()
+        finally:
+            g2.unpersist()
     joined = arr.join(
         cov_per_doc, F.col(id_col) == F.col("_cid"), "left"
     )
@@ -617,7 +655,10 @@ GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
 def _gopher_gram_masses(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    _consolidate: bool = True,
 ) -> DataFrame:
     """Integer repetition char-MASSES for docs owning >=1 counted
     gram (>=2 tokens): (id, _tm2, _tm3, _tm4, _dm5.._dm10). Shorter
@@ -666,11 +707,17 @@ def _gopher_gram_masses(
     ratio is one integer-sum divided once — IEEE bit-stable across
     engines.
 
-    Plan shape: ONE posexplode of the token array, cross-expanded to
-    the 9 gram lengths in the same projection (9 rows per position,
-    no second explode stage), then two partial-agg shuffles —
-    (doc, n, gram-hash) counts, then (doc, n) masses — both hashed on
-    doc-prefixed keys so the second reuses the first's clustering.
+    Plan shape (r12 consolidation — ADVICE r12 docstring sync): ONE
+    posexplode of the token array, cross-expanded to the 9 gram
+    lengths in the same projection (9 rows per position, no second
+    explode stage), then ONE ``repartition(id)`` exchange of the raw
+    gram stream — hash partitioning on the doc id satisfies the
+    ClusteredDistribution of ALL downstream aggregates ((id, n, gh)
+    counts, (id, n) masses, the final (id) pivot: subset rule), so
+    the whole collapse chain runs exchange-free after it (the inline
+    r12 comment below carries the measured A/B and the map-side-
+    combine trade; tools/r13_ab/gopher_dup_heavy_ab.py the dup-heavy
+    adversarial measurement).
     Gram identity is ``xxhash64(token-slice)`` (the measured shingle
     lesson from dedup: never carry gram strings across a shuffle);
     same ~2⁻⁶⁴ collision acceptance as minhash's base hash.
@@ -736,12 +783,26 @@ def _gopher_gram_masses(
     # subtree 3.16 -> 1.78 s (1.8x); results bit-identical (collect
     # compare + the gopher family oracles tri-SF). Per-partition
     # aggregate state is unchanged (a partition holds its docs'
-    # grams either way); what a dup-heavy doc loses in map-side
-    # combine it regains by skipping two downstream corpus-volume
-    # exchanges — and exchanges (2)/(3) disappear at every corpus
-    # shape. Plan diff: 3 Exchange -> 1 Exchange
+    # grams either way). Plan diff: 3 Exchange -> 1 Exchange
     # (plans/r12/gopher_repetition_signals_{before,after}.txt).
-    gc = grams.repartition(id_col).groupBy(id_col, "_n", "_gh").agg(
+    # r13 (VERDICT r12 item 3 — the r12 "regains by skipping two
+    # downstream exchanges" argument MEASURED on the adversarial
+    # shape, and it does NOT fully regain): dup-x40 corpus (50k docs
+    # x 320 tokens over 8 distinct, tools/r13_ab/gopher_dup_heavy_ab
+    # .py, interleaved min-of-2): consolidated 9.09 s vs legacy
+    # **7.42 s** — on repetition-heavy text map-side combine
+    # compresses the first exchange ~40x and its two downstream
+    # exchanges are tiny (few distinct grams per doc), so the legacy
+    # chain wins 1.22x. On crawl-shaped text the consolidation keeps
+    # its measured 1.8x. `_consolidate` (public: the callers'
+    # `consolidate_exchanges`) selects per corpus; values identical
+    # either way (test_gopher_masses_legacy_exchange_shape_identical).
+    # ``_consolidate=False`` is the PRE-r12 three-exchange form, kept
+    # reachable ONLY for the measured dup-heavy A/B (VERDICT r12 item
+    # 3, tools/r13_ab/gopher_dup_heavy_ab.py) — every caller uses the
+    # consolidated default.
+    gsrc = grams.repartition(id_col) if _consolidate else grams
+    gc = gsrc.groupBy(id_col, "_n", "_gh").agg(
         F.count(F.lit(1)).alias("_c"), F.max("_gl").alias("_gl")
     )
     # top_{n}gram mass = chars of the single MOST FREQUENT gram (Rae
@@ -828,6 +889,7 @@ def gopher_repetition_signals(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_tokens_per_doc: int | None = None,
+    consolidate_exchanges: bool = True,
 ) -> DataFrame:
     """Per-document Gopher repetition metrics for EVERY input doc:
     see :func:`_gopher_gram_masses` for the metric definitions and
@@ -846,7 +908,21 @@ def gopher_repetition_signals(
     ledger). Implemented as one pre-projection rebuilding the text
     from the first ``cap`` tokens (``array_join(slice(tokens))``), so
     numerator AND denominator see the same truncated doc and every
-    downstream identity (chars == Σ token lens + n−1) still holds."""
+    downstream identity (chars == Σ token lens + n−1) still holds.
+
+    ``consolidate_exchanges`` (r13, VERDICT r12 item 3 — the measured
+    corpus-shape trade): ``True`` (default) runs the r12 single
+    doc-keyed raw-stream exchange — the right shape for crawl-like
+    corpora whose gram keys are ~unique within a doc (measured 1.8×
+    there). ``False`` restores the pre-r12 partial-agg exchange
+    chain, which WINS on repetition-heavy corpora where map-side
+    combine compresses the first exchange: measured on the
+    adversarial dup-×40 corpus (50k docs × 320 tokens of 8 distinct,
+    tools/r13_ab/gopher_dup_heavy_ab.py, interleaved min-of-2) —
+    masses consolidated 9.09 s vs legacy **7.42 s** (legacy 1.22×
+    faster). No static heuristic can see the corpus shape from the
+    plan, so the switch is a parameter; identical results either way
+    (test-pinned)."""
     if max_tokens_per_doc is not None:
         if max_tokens_per_doc < 1:
             raise ValueError("max_tokens_per_doc must be >= 1")
@@ -856,7 +932,9 @@ def gopher_repetition_signals(
                 F.slice(tokens(text_col), 1, max_tokens_per_doc), " "
             ).alias(text_col),
         )
-    masses = _gopher_gram_masses(df, id_col, text_col)
+    masses = _gopher_gram_masses(
+        df, id_col, text_col, _consolidate=consolidate_exchanges
+    )
     chars = df.select(id_col, _gopher_chars(text_col).alias("_chars"))
     joined = chars.join(masses, id_col, "left")
     return joined.select(
@@ -886,6 +964,7 @@ def gopher_quality_filter(
     max_mean_word_len: float = 10.0,
     min_alpha_word_frac: float = 0.80,
     min_stopword_hits: int = 2,
+    consolidate_exchanges: bool = True,
 ) -> DataFrame:
     """The Gopher quality-rule deck as per-document boolean flags plus
     the conjunction (``passes_all``): word-count bounds, mean word
@@ -896,7 +975,9 @@ def gopher_quality_filter(
 
     Flags, not a silent drop: curation pipelines tune thresholds per
     corpus, and the flag table is what you aggregate to see WHICH rule
-    is doing the killing before committing to a filter. The paper's
+    is doing the killing before committing to a filter.
+    ``consolidate_exchanges``: see :func:`gopher_repetition_signals`
+    (the r13 measured corpus-shape trade; default = crawl-shaped). The paper's
     line-shape rules (bullet/ellipsis line fractions, symbol-to-word
     ratio) are omitted — they need raw line structure, which the
     single-line test fixture cannot exercise; add them over
@@ -906,8 +987,9 @@ def gopher_quality_filter(
     map-side projection for the scalar features (which also yields
     the char denominator: chars = _tc + (_nt - 1), no third scan),
     one feeding the shared repetition-gram subtree
-    (:func:`_gopher_gram_masses`, two partial-agg shuffles kept
-    NARROW — no per-gram char column). Short docs (< 2 tokens) are
+    (:func:`_gopher_gram_masses`, r12: one doc-keyed repartition with
+    the whole aggregate chain exchange-free behind it, kept NARROW —
+    no per-gram char column). Short docs (< 2 tokens) are
     absent from the gram stream; their repetition masses are exactly
     0, below every positive threshold, so their rule flags come out
     True from the mass/chars comparison after the doc_id-keyed left
@@ -966,7 +1048,9 @@ def gopher_quality_filter(
             F.col("_tc") + F.greatest(F.col("_nt") - 1, F.lit(0))
         ).cast("long").alias("_chars"),
     )
-    rep = _gopher_gram_masses(df, id_col, text_col)
+    rep = _gopher_gram_masses(
+        df, id_col, text_col, _consolidate=consolidate_exchanges
+    )
     joined = scalars.join(rep, id_col, "left")
     # mass coalesces to 0 for docs absent from the gram stream, so
     # every repetition flag evaluates True through the same
@@ -1258,6 +1342,7 @@ def train_linear_classifier(
     lr_den: int = 400,
     ngram_ns: tuple[int, ...] = (1, 2),
     hash_fn: str = "xxhash64",
+    consolidate_exchanges: bool = True,
 ) -> DataFrame:
     """Train the linear quality classifier IN-ENGINE (VERDICT r8
     item 3 — the BPE train→apply precedent applied to the last
@@ -1331,9 +1416,24 @@ def train_linear_classifier(
     # Measured (sf0.1, interleaved min-of-2): counts build
     # 0.69 -> 0.55 s; identical rows. Plan diff: 2 Exchange -> 1 on
     # the counts subtree (plans/r12/quality_classifier_train_*.txt).
-    counts = b.repartition(id_col).groupBy(id_col, "_b").agg(
-        F.count(F.lit(1)).alias("_c")
-    ).persist()
+    # r13 (VERDICT r12 item 3): the trade MEASURED on the adversarial
+    # dup-heavy corpus (within-doc dup x40 — every bucket repeated
+    # ~40x/doc, tools/r13_ab/gopher_dup_heavy_ab.py): consolidated
+    # 2.50 s vs legacy groupBy-then-repartition **1.34 s** — map-side
+    # combine wins 1.9x there. Corpus shape is invisible to the plan,
+    # so `consolidate_exchanges` parameterizes it; default True stays
+    # the crawl-shaped production answer.
+    if consolidate_exchanges:
+        counts = b.repartition(id_col).groupBy(id_col, "_b").agg(
+            F.count(F.lit(1)).alias("_c")
+        ).persist()
+    else:
+        counts = (
+            b.groupBy(id_col, "_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .repartition(id_col)
+            .persist()
+        )
     lab = labels.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col), F.col("y_micro").cast("long").alias("_y")
     )
@@ -1401,6 +1501,7 @@ def dsir_importance_weights(
     ngram_ns: tuple[int, ...] = (1, 2),
     hash_fn: str = "xxhash64",
     persist: bool = True,
+    consolidate_exchanges: bool = True,
 ) -> DataFrame:
     """(id, score_micro): per-raw-doc DSIR importance score — the
     log-likelihood ratio log p_target(doc)/p_raw(doc) under hashed
@@ -1453,10 +1554,20 @@ def dsir_importance_weights(
     # exchange either way. Measured (sf0.1, xxhash64 flavor,
     # interleaved min-of-3 across two process pairs): whole operator
     # 2.20 -> 1.63 s; rows identical; md5-flavor oracles tri-SF
-    # green.
-    doc_counts = raw_b.repartition(id_col).groupBy(id_col, "_b").agg(
-        F.count(F.lit(1)).alias("_c")
-    )
+    # green. r13: `consolidate_exchanges` gates the same dup-heavy
+    # trade measured at train_linear_classifier's counts build
+    # (legacy 1.9x faster at within-doc dup x40 — see the note
+    # there); default True = the crawl-shaped answer.
+    if consolidate_exchanges:
+        doc_counts = raw_b.repartition(id_col).groupBy(
+            id_col, "_b"
+        ).agg(F.count(F.lit(1)).alias("_c"))
+    else:
+        doc_counts = (
+            raw_b.groupBy(id_col, "_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .repartition(id_col)
+        )
     if persist:
         # double-referenced: q_counts aggregates it AND the scoring
         # join re-reads it — without the cache the raw-corpus explode

@@ -466,20 +466,35 @@ def lsh_candidate_pairs(
     bands: int = 8,
     max_bucket: int | None = 1000,
 ) -> DataFrame:
-    """Band the signature, bucket-join per band, emit distinct pairs.
+    """Band the signature, bucket per band, emit distinct pairs.
 
     rows-per-band r = num_perm/bands; a pair lands in one bucket with
-    prob 1-(1-j^r)^b. The join key is (band index, band hash) so all
-    bands go through ONE join. ``max_bucket`` guards hot buckets.
+    prob 1-(1-j^r)^b. The bucket key is (band index, band hash) so all
+    bands go through ONE exchange. ``max_bucket`` guards hot buckets.
 
-    Cache contract (ADVICE r4): the banded-bucket table is
-    persist()ed (twice-referenced by hot-bucket guard and self-join)
-    and the returned DataFrame is lazy, so the cache CANNOT be
-    released here — it stays pinned until the caller's
-    ``spark.catalog.clearCache()`` or session end (docs×bands rows
-    of three longs). bench.py and tools/oracle_check.py clear
-    between queries; long-lived sessions composing many dedup calls
-    must do the same.
+    Plan shape (r13 rewrite, VERDICT r12 item 2 — measured on the
+    500k bench corpus, tools/r13_ab/lsh_bucket_explode_ab.py): with
+    ``max_bucket`` set, ONE groupBy(_band, _bh) collects each
+    bucket's member ids and pairs are exploded IN-PARTITION from the
+    member list (id_a < id_b), replacing the r4 shape's [persist ×2 +
+    hot-count aggregate + anti-join + bucket self-join]. The hot
+    guard becomes the same size filter (2 ≤ size ≤ max_bucket —
+    identical pair set, 25,622/25,622 pairs equal in the A/B and
+    edge-pinned in tests). Candidate stage 2.96 → 2.61 s min and
+    faster in every interleaved round; full minhash_dedup 9.03 →
+    8.44 s min; and the two docs×bands cached tables disappear
+    (MEMORY: nothing pinned — this path has NO cache contract
+    anymore). The collect_list buffer per bucket is bounded by
+    ``max_bucket`` ids (8 KB at the default 1000), which is exactly
+    the guard's own bound; the pair explode streams ≤ max_bucket²
+    rows per bucket through codegen without materializing them.
+
+    With ``max_bucket=None`` (no hot guard) the r4 self-join path is
+    kept: an UNBOUNDED bucket's collect_list is the single-key skew
+    the guard exists to prevent, while a self-join handles it with
+    spillable join machinery. That path persists ``banded`` (two
+    join sides) and keeps the old cache contract: released by the
+    caller's ``spark.catalog.clearCache()`` or session end.
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
@@ -496,21 +511,22 @@ def lsh_candidate_pairs(
         .select(id_col, F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh"))
     )
     if max_bucket is not None:
-        # banded is referenced by the hot-bucket aggregate AND the
-        # anti-join feeding it — persist so the band explode over a
-        # (typically persisted) signature table runs once. A cached
-        # ancestor defeats ReusedExchange's identical-subtree dedup
-        # (the two-branch recompute class measured in
-        # graph.triangle_count); docs×bands rows, band+hash longs.
-        banded = banded.persist()
-        hot = (
+        buckets = (
             banded.groupBy("_band", "_bh")
-            .count()
-            .filter(F.col("count") > max_bucket)
-            .select("_band", "_bh")
+            .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+            .filter(
+                (F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket)
+            )
+            .select("_ids")
         )
-        banded = banded.join(hot, ["_band", "_bh"], "left_anti")
-    # the self-join's two sides are the other double reference
+        return (
+            buckets.select(F.explode("_ids").alias("id_a"), "_ids")
+            .select("id_a", F.explode("_ids").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    # unguarded path: self-join (spillable under single-bucket skew)
     banded = banded.persist()
     a = banded.select(F.col(id_col).alias("id_a"), "_band", "_bh")
     b = banded.select(F.col(id_col).alias("id_b"), "_band", "_bh")
@@ -670,15 +686,25 @@ def simhash_pairs(
     16-bit chunk identical — candidates are chunk-join matches,
     verified exactly with ``bit_count(xor)``.
 
-    Cache contract: same as :func:`lsh_candidate_pairs` — the
-    chunked table is persist()ed at BOTH double-reference points
-    (before the hot-bucket probe, and after the anti-join feeding
-    the self-join's two sides) and released only by the caller's
-    ``clearCache()`` (docs×chunks rows of three longs, twice).
-    Measured (tools/simhash_persist_ab.py, sf0.1 documents,
-    interleaved cache-cleared min-of-2): post-anti-join persist
-    3.06 s vs 3.50 s without (cold first-run gap 3.29 vs 7.67 s) —
-    the ADVICE r5 mirror of lsh_candidate_pairs holds.
+    Plan shape (r13 — the lsh_candidate_pairs bucket-explode rewrite
+    applied to its structural twin; same guard semantics, identical
+    pair set pinned in tests/test_r13_optimizations.py): with
+    ``max_bucket`` set, ONE groupBy(_chunk, _cv) collects each
+    bucket's (id, simhash) members, buckets filtered to ``2 ≤ size ≤
+    max_bucket``, pairs exploded in-partition — replacing the r4/r5
+    shape's [persist ×2 + hot-count aggregate + anti-join +
+    self-join]. The member buffer is bounded by the guard (16 bytes ×
+    max_bucket). Measured (tools/r13_ab/simhash_bucket_ab.py, 500k
+    bench corpus, interleaved min-of-3): see the r13 ledger — the
+    candidate subtree drops both docs×chunks persists. NO cache
+    contract on this path.
+
+    With ``max_bucket=None`` the self-join path and its measured r5
+    persist placement remain (tools/simhash_persist_ab.py numbers:
+    post-anti-join persist 3.06 s vs 3.50 s without) — an unbounded
+    bucket's collect_list is exactly the skew the guard prevents, so
+    the unguarded path keeps spillable join machinery and the
+    caller-released ``clearCache()`` contract.
     """
     width = 64 // chunks
     mask = (1 << width) - 1
@@ -697,25 +723,32 @@ def simhash_pairs(
         id_col, "simhash",
         F.col("_c.chunk").alias("_chunk"), F.col("_c.cv").alias("_cv"),
     )
-    # Persist BEFORE the hot-bucket aggregate (ADVICE r4): the hot
-    # count and the anti-join probe are two references to the chunk
-    # explode, on top of the self-join's two — persisting after the
-    # anti-join still recomputed the explode for the hot aggregate
-    # (the same double-reference class lsh_candidate_pairs fixes by
-    # persisting before its hot groupBy).
-    chunked = chunked.persist()
     if max_bucket is not None:
-        hot = (
+        buckets = (
             chunked.groupBy("_chunk", "_cv")
-            .count()
-            .filter(F.col("count") > max_bucket)
-            .select("_chunk", "_cv")
+            .agg(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("_i"), F.col("simhash").alias("_s"))
+                ).alias("_m")
+            )
+            .filter((F.size("_m") >= 2) & (F.size("_m") <= max_bucket))
+            .select("_m")
         )
-        chunked = chunked.join(hot, ["_chunk", "_cv"], "left_anti")
-    # Mirror lsh_candidate_pairs (ADVICE r5): the anti-joined result
-    # feeds BOTH self-join sides — persist so the anti-join (and the
-    # hot probe above it) runs once, not per side. Re-measured at
-    # sf0.1 after the change (see docstring).
+        return (
+            buckets.select(F.explode("_m").alias("_a"), "_m")
+            .select("_a", F.explode("_m").alias("_b"))
+            .filter(F.col("_a._i") < F.col("_b._i"))
+            .select(
+                F.col("_a._i").alias("id_a"),
+                F.col("_b._i").alias("id_b"),
+                F.bit_count(
+                    F.col("_a._s").bitwiseXOR(F.col("_b._s"))
+                ).alias("hamming"),
+            )
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming)
+        )
+    # unguarded path: self-join, persisted at its measured placement
     chunked = chunked.persist()
     a = chunked.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "_chunk", "_cv"
@@ -902,6 +935,7 @@ def maximal_duplicated_extents(
     text_col: str = "text",
     min_count: int = 2,
     sort_partitions: int | None = None,
+    count_partitions: int | None = None,
 ) -> DataFrame:
     """TRUE-maximal duplicated substrings (VERDICT r8 item 4 — the
     suffix-extension refinement of :func:`duplicated_span_extents`):
@@ -1039,6 +1073,23 @@ def maximal_duplicated_extents(
     reproducing the r11 conf-only decomposition (111.5 → 61.4 s
     healthy box; 135.1 → 72.9 s time-varying box) through the
     shipped API. Numbers also in OPTIMIZATION_r12.md.
+
+    ``count_partitions`` (r13, VERDICT r12 item 1) supersedes the
+    recipe with an IN-PLAN form: it hash-repartitions the projected
+    8-byte gram-key stream before the hot-count groupBy, so the
+    count's reduce width no longer follows the session conf at all.
+    Measured at 2M curve docs (interleaved min-of-2, conf 32,
+    ``tools/r13_ab/extents_inplan_ab.py``): scoped recipe 93.6 s vs
+    ``count_partitions=128`` alone **83.6 s** — the conf recipe's
+    entire win, plus the forfeited-combine bytes it feared turning
+    out cheaper than the conf dependence, with the session conf
+    untouched (mixed workloads keep their width). The trade is the
+    map-side combine below that one exchange (see the inline note);
+    on near-distinct gram populations — crawl text, and exactly the
+    corpora where the count's reduce state is the problem — the
+    combine reduces ~nothing, and on dup-heavy corpora the default
+    ``None`` path's conf-width aggregate is already small. Default
+    ``None`` keeps the gated plan byte-identical.
     """
     slice_len = k + w_cap
     base = df.select(id_col, tokens(text_col).alias("_tk")).filter(
@@ -1066,8 +1117,34 @@ def maximal_duplicated_extents(
     # the filter cuts the sorted volume to the duplicated fraction.
     if min_count < 2:
         raise ValueError("min_count must be >= 2")
+    # ``count_partitions`` (r13, VERDICT r12 item 1): the IN-PLAN form
+    # of the hot-count reduce-width lever. An aggregation exchange
+    # always runs at the session conf width; hash-repartitioning the
+    # PROJECTED 8-byte key stream on ``_gh`` first satisfies the
+    # aggregate's ClusteredDistribution, so the count runs at the
+    # requested width with no second exchange. The trade is explicit:
+    # the repartition exchange ships one raw row per position (no
+    # map-side combine below it) — on near-distinct gram populations
+    # (crawl text, the mangled curve corpus) partial aggregation
+    # reduces ~nothing so the raw 8-byte stream costs the same bytes,
+    # while on dup-heavy corpora the combine would have compressed the
+    # exchange and the conf-width default is already fine (few
+    # distinct keys ⇒ small reduce state). Counts are width-invariant
+    # ⇒ results identical (test-pinned). Measured at 2M curve docs
+    # (interleaved min-of-2, conf 32, tools/r13_ab/extents_inplan_ab):
+    # scoped_shuffle_partitions(128) recipe 93.6 s vs count_partitions
+    # =128 alone **83.6 s** vs count+sort knobs both 85.6 s — the
+    # in-plan knob BEATS the session-conf recipe, and the hot-count
+    # width is the entire lever (the r12 decomposition's conf32+window
+    # -knob128 reading, 130.2 s, showed the windows alone carry ~none
+    # of it).
+    hot_src = occ.select("_gh")
+    if count_partitions is not None:
+        if count_partitions < 1:
+            raise ValueError("count_partitions must be >= 1")
+        hot_src = hot_src.repartition(count_partitions, "_gh")
     hot = (
-        occ.groupBy("_gh")
+        hot_src.groupBy("_gh")
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= min_count)
         .select("_gh")

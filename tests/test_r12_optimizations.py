@@ -113,6 +113,12 @@ VEC_ROWS = [
     (5, [1.0, 2.0], [1.0, 1.0, 1.0, 1.0]),  # short left side
     (6, None, [1.0, 1.0, 1.0, 1.0]),  # NULL array
     (7, [-0.0, 0.0, -0.0, 0.0], [1.0, 1.0, 1.0, 1.0]),  # signed zeros
+    # BOTH sides short (ADVICE r12): the one case where the forms
+    # intentionally diverge — zip_with pads nothing and returns the
+    # finite 2-term sum, the unrolled form returns NULL (the safer
+    # output for an undersized vector). Asserted as a divergence
+    # below so the contract cannot drift silently.
+    (8, [1.0, 2.0], [3.0, 4.0]),
 ]
 
 _VEC_SCHEMA = StructType(
@@ -131,16 +137,21 @@ def test_dot_product_fixed_bitwise_matches_hof(spark):
         dot_product("a", "b").alias("hof"),
         dot_product_fixed("a", "b", 4).alias("unrolled"),
     ).collect()
+    by_id = {r.id: r for r in rows}
     for r in rows:
+        if r.id == 8:
+            continue  # the documented both-short divergence, below
         # bitwise: both NULL or exactly equal doubles
         assert (r.hof is None) == (r.unrolled is None), r
         if r.hof is not None:
             assert r.hof == r.unrolled, r
-    # NULL/short inputs must propagate to NULL in BOTH forms
-    by_id = {r.id: r for r in rows}
+    # NULL/one-side-short inputs must propagate to NULL in BOTH forms
     assert by_id[4].hof is None and by_id[4].unrolled is None
     assert by_id[5].hof is None and by_id[5].unrolled is None
     assert by_id[6].hof is None and by_id[6].unrolled is None
+    # both-sides-short (id 8): intentional divergence — HOF sums the
+    # 2 available terms (1*3 + 2*4 = 11), unrolled declares NULL.
+    assert by_id[8].hof == 11.0 and by_id[8].unrolled is None
 
 
 def test_sq_l2_fixed_bitwise_matches_hof(spark):
@@ -161,6 +172,11 @@ def test_sq_l2_fixed_bitwise_matches_hof(spark):
         sq_l2_fixed("a", "b", 4).alias("unrolled"),
     ).collect()
     for r in rows:
+        if r.id == 8:
+            # both-sides-short divergence (see dot test): HOF sums 2
+            # terms ((1-3)^2 + (2-4)^2 = 8), unrolled declares NULL.
+            assert r.hof == 8.0 and r.unrolled is None
+            continue
         assert (r.hof is None) == (r.unrolled is None), r
         if r.hof is not None:
             assert r.hof == r.unrolled, r
