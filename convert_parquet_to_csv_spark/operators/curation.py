@@ -515,9 +515,12 @@ def remove_duplicated_spans(
         # not replayable if an executor dies mid-JOB downstream — at
         # this table's size the re-run cost is one operator call, and
         # the r12 alternative leaked storage instead. Measured at the
-        # 500k bench corpus (interleaved min-of-3, r13 ledger):
-        # within noise of the r12 persist shape, as expected — the
-        # same work runs, only the release point moves.
+        # 500k bench corpus (3 process-interleaved pairs, r12 tree vs
+        # r13 tree, min-of-2 each): r12 persist mins 6.12/6.71/7.31
+        # vs r13 release 6.71/7.38/8.52 — the release costs ~one
+        # extra small job (+0.5 s median) inside the key's 30-40%
+        # box spread; the same-round bench-protocol trend still read
+        # 10.79 -> 6.86 s (numbers in OPTIMIZATION_r13.md section 7).
         g2 = grams.join(cand, "gram").persist()
         try:
             hot = (

@@ -488,6 +488,12 @@ def lsh_candidate_pairs(
     ``max_bucket`` ids (8 KB at the default 1000), which is exactly
     the guard's own bound; the pair explode streams ≤ max_bucket²
     rows per bucket through codegen without materializing them.
+    Scale-checked at 2M docs where buckets are ~all singletons (the
+    adversarial shape for per-group array state): the isolated
+    candidate stage still wins every interleaved round (bucket mins
+    3.10 vs legacy 3.91 s; 102,494 pairs identical), and a
+    count-filter-then-join alternative measures consistently second
+    (tools/r13_ab/lsh_count_filter_ab.py keeps all three shapes).
 
     With ``max_bucket=None`` (no hot guard) the r4 self-join path is
     kept: an UNBOUNDED bucket's collect_list is the single-key skew
