@@ -1619,7 +1619,11 @@ def minhash_dedup_incremental(
     the gate is self-contained), but the LSH bucket join is
     all × NEW instead of all × all: candidate fan-out is bounded by
     the BATCH's bucket occupancy, so a small daily batch probes a
-    100 TB history for the cost of its own buckets. Verification is
+    100 TB history for the cost of its own buckets. (r13: with the
+    ``max_bucket`` guard set, the probe is a bucket-collect + pair
+    explode rather than a join — buckets with no new member are
+    filtered by a codegen flag before any pair work; see the inline
+    note for the measured A/B.) Verification is
     the same candidate-pruned exact-Jaccard second pass as
     minhash_dedup (sets built only for docs appearing in a
     candidate pair; never a full-corpus set shuffle).
@@ -1664,34 +1668,73 @@ def minhash_dedup_incremental(
         )
     )
     if max_bucket is not None:
-        banded = banded.persist()
-        hot = (
+        # r13 (the lsh_candidate_pairs bucket-explode rewrite applied
+        # to the all×NEW admission shape): ONE groupBy collects each
+        # bucket's (id, new) members plus a codegen has-new flag;
+        # buckets without a new member never explode (they produced
+        # no candidates in the join form either — the b side was
+        # new-only), the size guard is the same [2, max_bucket]
+        # window, and the admission rule ((~new_a) | id_a < id_b,
+        # id_a != id_b) moves onto the exploded structs verbatim.
+        # Replaces [persist ×2 + hot-count + anti-join + all×new
+        # join]. Measured (tools/r13_ab/minhash_incremental_bucket_ab
+        # .py, 500k curve corpus, 1-in-7 batch, interleaved
+        # min-of-3): 9.82 → 8.65 s end-to-end, faster in every
+        # interleaved pair; 71,429 admission rows collect-identical.
+        # Reference-pinned in tests/test_r13_optimizations.py.
+        buckets = (
             banded.groupBy("_band", "_bh")
-            .count()
-            .filter(F.col("count") > max_bucket)
-            .select("_band", "_bh")
+            .agg(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("_i"),
+                        F.col("_new").alias("_n"),
+                    )
+                ).alias("_m"),
+                F.max(F.col("_new").cast("int")).alias("_has_new"),
+            )
+            .filter(
+                (F.size("_m") >= 2)
+                & (F.size("_m") <= max_bucket)
+                & (F.col("_has_new") == 1)
+            )
+            .select("_m")
         )
-        banded = banded.join(hot, ["_band", "_bh"], "left_anti")
-    banded = banded.persist()
-    a = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col("_new").alias("_new_a"),
-        "_band",
-        "_bh",
-    )
-    b = banded.filter(F.col("_new")).select(
-        F.col(id_col).alias("id_b"), "_band", "_bh"
-    )
-    cand = (
-        a.join(b, ["_band", "_bh"])
-        .filter(
-            (~F.col("_new_a")) | (F.col("id_a") < F.col("id_b"))
+        cand = (
+            buckets.select(F.explode("_m").alias("_a"), "_m")
+            .select("_a", F.explode("_m").alias("_b"))
+            .filter(F.col("_b._n"))
+            .filter((~F.col("_a._n")) | (F.col("_a._i") < F.col("_b._i")))
+            .filter(F.col("_a._i") != F.col("_b._i"))
+            .select(
+                F.col("_a._i").alias("id_a"), F.col("_b._i").alias("id_b")
+            )
+            .distinct()
+            .persist()
         )
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-        .persist()
-    )
+    else:
+        # unguarded path: all×new join (spillable under single-bucket
+        # skew — the same reasoning as lsh_candidate_pairs' None path)
+        banded = banded.persist()
+        a = banded.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_new").alias("_new_a"),
+            "_band",
+            "_bh",
+        )
+        b = banded.filter(F.col("_new")).select(
+            F.col(id_col).alias("id_b"), "_band", "_bh"
+        )
+        cand = (
+            a.join(b, ["_band", "_bh"])
+            .filter(
+                (~F.col("_new_a")) | (F.col("id_a") < F.col("id_b"))
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .persist()
+        )
     ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))

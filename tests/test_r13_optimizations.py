@@ -307,6 +307,62 @@ def test_lsh_bucket_explode_matches_reference(spark):
     spark.catalog.clearCache()  # the None path persists banded
 
 
+def test_minhash_incremental_bucket_matches_join_form(spark):
+    """r13 incremental-admission rewrite: the bucket-collect path
+    (guarded) must emit the identical (id, kept, matched_id) rows as
+    the retained all×new join path (max_bucket=None) at a guard wide
+    enough to bind nothing, and respect the size guard when it
+    binds. Fixture includes old-only dup clusters (exercising the
+    has-new bucket filter), new-vs-history matches, and new-vs-new
+    ordering."""
+    from convert_parquet_to_csv_spark.operators.dedup import (
+        minhash_dedup_incremental,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),   # history
+        (2, "alpha beta gamma delta epsilon zeta"),   # history dup (old-only pair)
+        (7, "alpha beta gamma delta epsilon zeta"),   # new, matches history
+        (14, "one two three four five six seven"),    # new
+        (21, "one two three four five six seven"),    # new, matches 14
+        (3, "totally different content here now"),    # history singleton
+        (28, "fresh unmatched new document body"),    # new singleton
+    ]
+    df = spark.createDataFrame(docs, _DOC_SCHEMA)
+    is_new = (F.col("doc_id") % 7) == 0
+    guarded = {
+        tuple(r)
+        for r in minhash_dedup_incremental(
+            df, is_new, k=2, num_perm=8, bands=4, max_bucket=1000
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    join_form = {
+        tuple(r)
+        for r in minhash_dedup_incremental(
+            df, is_new, k=2, num_perm=8, bands=4, max_bucket=None
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert guarded == join_form and guarded
+    by_id = {r[0]: r for r in guarded}
+    assert by_id[7][1] is False and by_id[7][2] in (1, 2)  # history match
+    assert by_id[14][1] is True  # smallest of the new pair survives
+    assert by_id[21] == (21, False, 14)
+    assert by_id[28][1] is True
+    # a guard of 1 drops every bucket (all pair-productive buckets
+    # have >= 2 members) => every new doc is kept
+    all_kept = {
+        tuple(r)
+        for r in minhash_dedup_incremental(
+            df, is_new, k=2, num_perm=8, bands=4, max_bucket=1
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert all_kept == {(7, True, None), (14, True, None),
+                        (21, True, None), (28, True, None)}
+
+
 def test_simhash_bucket_explode_matches_reference(spark):
     """r13 simhash_pairs rewrite (the lsh bucket-explode applied to
     its structural twin): pair set + hamming values must equal
